@@ -1,0 +1,146 @@
+"""Crawl configuration, mirroring the reference's defaults.
+
+Reference defaults:
+- fetch worker pool 16 workers, 30 s timeout, max_retries=3, 5 redirect hops
+  (crawler/internal/config/fetcher/config.go:8-16)
+- per-host min delay 1000 ms (crawler/migrations/015_create_host_state.up.sql:5)
+- robots TTL 24 h, 512 KB cap (crawler/internal/fetcher/robots.go:19-25)
+- page body cap 10 MB (crawler/internal/fetcher/worker.go:77)
+- URL retry backoff next_fetch_at += 2^retry_count minutes, dead at 3
+  (crawler/internal/database/frontier_repository.go:267-286)
+- priorities: default 5, feed +2, sitemap +1, spider-article +1, clamp 1..10
+  (crawler/internal/domain/frontier.go:22-34)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+US_PER_MS = 1_000
+US_PER_SEC = 1_000_000
+US_PER_MIN = 60 * US_PER_SEC
+
+# Status values — crawler/internal/domain/frontier.go:5-12
+STATUS_PENDING = "pending"
+STATUS_FETCHING = "fetching"
+STATUS_FETCHED = "fetched"
+STATUS_FAILED = "failed"
+STATUS_DEAD = "dead"
+
+# Origins — domain/frontier.go:14-20 plus 'discovered'
+# (crawler/internal/discovery/pipeline.go:24)
+ORIGIN_FEED = "feed"
+ORIGIN_SITEMAP = "sitemap"
+ORIGIN_SPIDER = "spider"
+ORIGIN_MANUAL = "manual"
+ORIGIN_DISCOVERED = "discovered"
+
+# Priority model — domain/frontier.go:22-34
+MIN_PRIORITY = 1
+MAX_PRIORITY = 10
+DEFAULT_PRIORITY = 5
+FEED_BONUS = 2
+SITEMAP_BONUS = 1
+SPIDER_ARTICLE_BONUS = 1
+
+# Dead-reason strings — crawler/internal/fetcher/worker.go:28-35
+REASON_ROBOTS_BLOCKED = "robots_blocked"
+REASON_NOT_FOUND = "not_found"
+REASON_TOO_MANY_REDIRECTS = "too_many_redirects"
+REASON_UNSUPPORTED_CONTENT_TYPE = "unsupported_content_type"
+REASON_BINARY_URL = "binary_url"
+REASON_EXTRACT_FAILED = "extract_failed"
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Knobs for one crawl run. Times are virtual microseconds (sim clock)."""
+
+    # politeness — min delay between fetches on one host (host_state default,
+    # migrations/015:5). Per-host overrides come from the host profile table.
+    default_min_delay_us: int = 1000 * US_PER_MS
+
+    # virtual length of one generation/round window. Every round the claim
+    # stage hands each host floor(window / min_delay) fetch slots.
+    round_window_us: int = 60 * US_PER_SEC
+
+    # retry — frontier_repository.go:267-286
+    max_retries: int = 3
+
+    # redirects — config/fetcher/config.go:12
+    max_redirect_hops: int = 5
+
+    # robots — robots.go:19-25
+    robots_ttl_us: int = 24 * 3600 * US_PER_SEC
+    robots_max_bytes: int = 512 * 1024
+
+    # body cap — worker.go:77
+    max_body_bytes: int = 10 * 1024 * 1024
+
+    # sharding: frontier is partitioned by host_hash % num_shards; politeness
+    # and robots state live with the shard (one owner per host).
+    num_shards: int = 8
+
+    # fetch actor pool size (reference default WorkerCount=16,
+    # config/fetcher/config.go:8). Sized to the session at runtime.
+    fetch_concurrency: int = 8
+    fetch_batch_size: int = 256
+
+    # stop conditions for the generation loop
+    max_rounds: int = 50
+    max_depth: int = 3  # collector.go:26-49 default depth
+
+    user_agent: str = "north-cloud-ray/0.1"
+
+    # total fetches allowed per host per round is derived:
+    def host_slots(self, min_delay_us: int) -> int:
+        d = max(1, min_delay_us)
+        return max(1, self.round_window_us // d)
+
+
+@dataclass(frozen=True)
+class SyntheticWebConfig:
+    """Deterministic synthetic web (FIXTURES.md F4). All behavior is a pure
+    function of (seed, host, path)."""
+
+    seed: int = 42
+    n_hosts: int = 8
+    n_sources: int = 4
+    # zipf-ish page counts: host 0 is the mega host
+    base_pages_per_host: int = 24
+    mega_host_factor: int = 8
+    frac_disallow_private: float = 0.20   # hosts whose robots disallow /private/
+    frac_robots_crawl_delay: float = 0.05
+    frac_robots_error: float = 0.05       # robots fetch error => allow-all
+    error_rate_404: float = 0.03
+    error_rate_5xx: float = 0.02
+    redirect_rate: float = 0.05
+    links_same_host_frac: float = 0.85
+    frac_binary_links: float = 0.10
+
+
+@dataclass(frozen=True)
+class TopicRule:
+    """DB-backed classification rule (classifier/internal/database/
+    rules_repository.go; FIXTURES.md F6)."""
+
+    topic_name: str
+    keywords: tuple[str, ...]
+    min_confidence: float = 0.5
+
+
+def default_topic_rules() -> tuple[TopicRule, ...]:
+    """~10 deterministic rules mirroring the reference's seeded rule set shape
+    (classifier/internal/classifier/topic.go:56-150)."""
+    return (
+        TopicRule("crime", ("police", "arrest", "charged", "court", "theft", "assault")),
+        TopicRule("mining", ("mine", "mining", "ore", "drill", "mineral", "gold", "nickel")),
+        TopicRule("business", ("business", "company", "market", "economy", "revenue", "profit")),
+        TopicRule("sports", ("game", "team", "season", "league", "score", "coach")),
+        TopicRule("politics", ("council", "mayor", "election", "government", "minister", "policy")),
+        TopicRule("health", ("hospital", "health", "doctor", "patient", "clinic", "vaccine")),
+        TopicRule("education", ("school", "student", "teacher", "university", "college")),
+        TopicRule("environment", ("climate", "environment", "wildlife", "forest", "river")),
+        TopicRule("entertainment", ("music", "film", "festival", "concert", "artist", "show")),
+        TopicRule("technology", ("software", "internet", "data", "computer", "digital", "network")),
+    )

@@ -1,0 +1,96 @@
+"""Arrow schemas for the frontier / documents / host-state tables.
+
+Mirrors `url_frontier` (crawler/migrations/014_create_url_frontier.up.sql:2-25),
+`host_state` (migrations/015:2-11) and the interleaved text+media document
+shape (BASELINE.json input_hint; crawler/internal/storage/
+raw_content_indexer.go:18-40 for the fields spans are derived from).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.string()),          # sha256 hex, 64 chars, UNIQUE key
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
+        ("source_id", pa.string()),
+        ("origin", pa.string()),            # feed|sitemap|spider|manual|discovered
+        ("parent_url", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int8()),            # 1..10
+        ("status", pa.string()),            # pending|fetching|fetched|failed|dead
+        ("next_fetch_at", pa.timestamp("us")),
+        ("last_fetched_at", pa.timestamp("us")),
+        ("fetch_count", pa.int32()),
+        ("content_hash", pa.string()),
+        ("etag", pa.string()),
+        ("last_modified", pa.string()),
+        ("retry_count", pa.int8()),
+        ("last_error", pa.string()),
+        ("discovered_at", pa.timestamp("us")),
+    ]
+)
+
+SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),       # 'text' | 'media'
+        ("text", pa.string()),       # '' for media spans
+        ("media_ref", pa.string()),  # '' for text spans
+        ("offset", pa.int32()),      # span ordinal within the document
+    ]
+)
+
+DOCUMENT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),           # = url_hash of the page
+        ("url", pa.string()),
+        ("source_id", pa.string()),
+        ("host", pa.string()),
+        ("title", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),    # interleaved text+media spans
+        ("content_hash", pa.string()),     # sha256 of concatenated text spans
+        ("word_count", pa.int32()),
+        ("fetched_round", pa.int32()),
+        ("crawled_at", pa.timestamp("us")),
+    ]
+)
+
+HOST_STATE_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
+        ("last_fetch_at", pa.timestamp("us")),
+        ("min_delay_ms", pa.int32()),
+        ("robots_txt", pa.string()),
+        ("robots_fetched_at", pa.timestamp("us")),
+        ("robots_ttl_hours", pa.int32()),
+    ]
+)
+
+CLAIM_SCHEMA = pa.schema(
+    [
+        ("round", pa.int32()),
+        ("claim_seq", pa.int64()),
+        ("claim_at", pa.timestamp("us")),   # virtual claim time
+        ("url", pa.string()),
+        ("url_hash", pa.string()),
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
+        ("source_id", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int8()),
+        ("next_fetch_at", pa.timestamp("us")),
+        ("etag", pa.string()),
+        ("last_modified", pa.string()),
+        ("retry_count", pa.int8()),
+        ("fetch_count", pa.int32()),
+        ("content_hash", pa.string()),
+    ]
+)
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
