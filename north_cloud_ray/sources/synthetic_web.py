@@ -1,0 +1,303 @@
+"""Deterministic synthetic web — the sandbox replacement for HTTP.
+
+Replaces the reference's record/replay proxy + fixture corpus
+(nc-http-proxy/, crawler/fixtures/README.md) with a pure function of
+(seed, host, path): page bodies, link graphs, robots.txt, status codes,
+redirects, conditional-GET behavior are all derived from SHA-256 of the
+key — identical on every node/process with zero shared state, so fetch
+actors can each hold their own instance (FIXTURES.md F4).
+
+The page body is *rendered from* a deterministic span list (FIXTURES.md F1
+generation rule: ``n_spans = 3 + h % 12``, span k is media w.p. 0.25), and
+the parse stage must extract exactly that span list back — this is the
+span-sequence-equality invariant (kind, text, media_ref, offset) the tests
+assert per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from ..config import SyntheticWebConfig
+from ..frontier.normalize import url_hash
+
+_WORDS = (
+    "north cloud river mine gold nickel council police court game team "
+    "school hospital market company music film forest climate data network "
+    "road bridge winter summer harvest festival mayor election budget report "
+    "storm lake trail camp union miners shift ore drill assay permit hearing "
+    "arena coach season score injury clinic doctor patient student teacher "
+    "concert artist gallery software internet digital signal tower station "
+    "harbor ferry cargo timber"
+).split()
+
+_STATUS_OK = 200
+_STATUS_NOT_MODIFIED = 304
+_STATUS_NOT_FOUND = 404
+_STATUS_SERVER_ERROR = 503
+
+
+def _hx(seed: int, *parts) -> int:
+    """Stable 64-bit hash of (seed, *parts)."""
+    key = str(seed) + ":" + ":".join(str(p) for p in parts)
+    return int.from_bytes(hashlib.sha256(key.encode()).digest()[:8], "big")
+
+
+class FetchResult(dict):
+    """dict with keys: status:int, body:str|None, final_url:str,
+    content_type:str, etag:str|None, last_modified:str|None, error:str|None"""
+
+
+class SyntheticWeb:
+    def __init__(self, cfg: SyntheticWebConfig | None = None):
+        self.cfg = cfg or SyntheticWebConfig()
+        self._page_tables: dict[str, dict[str, int]] = {}
+
+    # ---- host universe ----
+
+    def hosts(self) -> list[str]:
+        return [self.host_name(i) for i in range(self.cfg.n_hosts)]
+
+    def host_name(self, i: int) -> str:
+        return f"host-{i:05d}.example.test"
+
+    @lru_cache(maxsize=100_000)
+    def page_count(self, host: str) -> int:
+        c = self.cfg
+        idx = self._host_index(host)
+        if idx is None:
+            return 0
+        base = c.base_pages_per_host
+        if idx == 0:  # the mega host (skew: ~30% of all pages)
+            return base * c.mega_host_factor
+        return base // 2 + _hx(c.seed, host, "pages") % base
+
+    def _host_index(self, host: str) -> int | None:
+        if not (host.startswith("host-") and host.endswith(".example.test")):
+            return None
+        try:
+            idx = int(host[5:10])
+        except ValueError:
+            return None
+        return idx if 0 <= idx < self.cfg.n_hosts else None
+
+    def min_delay_ms(self, host: str) -> int:
+        r = _hx(self.cfg.seed, host, "delay") % 100
+        if r < 15:
+            return 500
+        if r < 30:
+            return 2000
+        return 1000  # host_state default (migrations/015:5)
+
+    # ---- robots ----
+
+    def robots_fetch(self, host: str) -> tuple[str | None, int]:
+        """(body, status) for GET https://host/robots.txt. Raises on the
+        'robots fetch error' hosts (=> allow-all per robots.go:149-162)."""
+        c = self.cfg
+        r = _hx(c.seed, host, "robots") % 1000
+        lim_err = int(c.frac_robots_error * 1000)
+        lim_dis = lim_err + int(c.frac_disallow_private * 1000)
+        lim_cd = lim_dis + int(c.frac_robots_crawl_delay * 1000)
+        if r < lim_err:
+            raise ConnectionError(f"robots fetch failed for {host}")
+        if r < lim_dis:
+            return "User-agent: *\nDisallow: /private/\n", 200
+        if r < lim_cd:
+            return "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n", 200
+        return None, 404  # no robots.txt => allow all
+
+    # ---- URL space ----
+
+    def _path_for(self, host: str, j: int) -> str:
+        k = _hx(self.cfg.seed, host, j, "kind") % 10
+        if k < 7:
+            return f"/page/{j}"
+        if k < 9:
+            slug = "-".join(
+                _WORDS[_hx(self.cfg.seed, host, j, "slug", w) % len(_WORDS)] for w in range(4)
+            )
+            mm = 1 + _hx(self.cfg.seed, host, j, "mm") % 12
+            return f"/news/2024/{mm:02d}/{slug}-{j}"
+        return f"/private/doc-{j}"
+
+    def url_for(self, host: str, j: int) -> str:
+        return f"https://{host}{self._path_for(host, j)}"
+
+    def _page_table(self, host: str) -> dict[str, int]:
+        t = self._page_tables.get(host)
+        if t is None:
+            t = {self._path_for(host, j): j for j in range(self.page_count(host))}
+            t["/"] = 0  # root serves page 0
+            self._page_tables[host] = t
+        return t
+
+    def seed_urls(self) -> list[dict]:
+        """F2 seed list: root URL of every host, origin=manual, priority 5."""
+        c = self.cfg
+        return [
+            {
+                "url": f"https://{self.host_name(i)}/",
+                "source_id": f"src-{i % c.n_sources}",
+                "priority": 5,
+                "origin": "manual",
+            }
+            for i in range(c.n_hosts)
+        ]
+
+    # ---- page content ----
+
+    def expected_spans(self, url: str) -> list[dict]:
+        """The F1 span list for a page URL (the parse-stage oracle)."""
+        doc_id = url_hash(url)
+        host = url.split("/", 3)[2]
+        return self._spans_for(doc_id, host)
+
+    def _spans_for(self, doc_id: str, host: str) -> list[dict]:
+        s = self.cfg.seed
+        n = 3 + _hx(s, doc_id, "n") % 12
+        spans = []
+        for k in range(n):
+            if _hx(s, doc_id, k, "skind") % 100 < 25:
+                ref = f"https://{host}/media/{hashlib.sha256(f'{s}:{doc_id}:{k}:m'.encode()).hexdigest()[:12]}.jpg"
+                spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": k})
+            else:
+                nw = 8 + _hx(s, doc_id, k, "nw") % 25
+                words = [_WORDS[_hx(s, doc_id, k, w) % len(_WORDS)] for w in range(nw)]
+                sent = " ".join(words).capitalize() + "."
+                spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": k})
+        return spans
+
+    def title_for(self, doc_id: str) -> str:
+        s = self.cfg.seed
+        words = [_WORDS[_hx(s, doc_id, "t", w) % len(_WORDS)] for w in range(4)]
+        return " ".join(w.capitalize() for w in words)
+
+    def links_for(self, host: str, j: int) -> list[str]:
+        """Outlink URLs on page (host, j) — F4 page-graph rule."""
+        c = self.cfg
+        s = c.seed
+        k = 2 + _hx(s, host, j, "nl") % 8
+        out = []
+        for li in range(k):
+            r = _hx(s, host, j, "lt", li) % 1000
+            if r < int(c.frac_binary_links * 1000):
+                out.append(f"https://{host}/files/f{_hx(s, host, j, li) % 10**6}.pdf")
+                continue
+            if r < int((c.frac_binary_links + c.links_same_host_frac) * 1000):
+                target_host = host
+            else:
+                target_host = self.host_name(_hx(s, host, j, "xh", li) % c.n_hosts)
+            tp = _hx(s, host, j, "tp", li) % max(1, self.page_count(target_host))
+            u = self.url_for(target_host, tp)
+            noise = _hx(s, host, j, "no", li) % 10
+            if noise == 0:
+                u += "?utm_source=syn&utm_medium=test"
+            elif noise == 1:
+                u += "#section-2"
+            elif noise == 2:
+                u = "http://" + u[len("https://"):]
+            out.append(u)
+        return out
+
+    def render_html(self, host: str, j: int) -> str:
+        url = self.url_for(host, j)
+        doc_id = url_hash(url)
+        title = self.title_for(doc_id)
+        parts = [f"<html><head><title>{title}</title></head><body>"]
+        for sp in self._spans_for(doc_id, host):
+            if sp["kind"] == "text":
+                parts.append(f"<p>{sp['text']}</p>")
+            else:
+                parts.append(f'<img src="{sp["media_ref"]}"/>')
+        parts.append("<nav>")
+        for link in self.links_for(host, j):
+            parts.append(f'<a href="{link}">more</a>')
+        parts.append("</nav></body></html>")
+        return "\n".join(parts)
+
+    # ---- fetch behavior ----
+
+    def _behavior(self, host: str, j: int) -> int:
+        return _hx(self.cfg.seed, host, j, "beh") % 1000
+
+    def _etag(self, host: str, j: int) -> str:
+        return f'W/"{_hx(self.cfg.seed, host, j, "etag") % 10**12:012d}"'
+
+    def fetch(self, url: str, etag: str | None = None,
+              last_modified: str | None = None) -> FetchResult:
+        """Deterministic GET. Mirrors the reference fetch contract
+        (fetcher/worker.go:464-538): returns final_url after redirects,
+        content_type, body capped upstream, conditional-GET 304s."""
+        c = self.cfg
+        try:
+            rest = url.split("://", 1)[1]
+        except IndexError:
+            return FetchResult(status=0, body=None, final_url=url, content_type="",
+                               etag=None, last_modified=None, error="bad_url")
+        host, _, path = rest.partition("/")
+        path = "/" + path
+        path = path.split("?", 1)[0].split("#", 1)[0]
+        host = host.lower()
+
+        if self._host_index(host) is None:
+            return FetchResult(status=0, body=None, final_url=url, content_type="",
+                               etag=None, last_modified=None, error="dns_error")
+        if path.startswith("/media/") or path.startswith("/files/"):
+            return FetchResult(status=_STATUS_OK, body="\x89BINARY", final_url=url,
+                               content_type="image/jpeg", etag=None,
+                               last_modified=None, error=None)
+        j = self._page_table(host).get(path)
+        if j is None:
+            return FetchResult(status=_STATUS_NOT_FOUND, body=None, final_url=url,
+                               content_type="text/html", etag=None,
+                               last_modified=None, error=None)
+
+        b = self._behavior(host, j)
+        e404 = int(c.error_rate_404 * 1000)
+        e5xx = e404 + int(c.error_rate_5xx * 1000)
+        eloop = e5xx + 5                      # 0.5% redirect loops
+        eredir = e5xx + 5 + int(c.redirect_rate * 1000)
+        econn = eredir + 10                   # 1% transient connection errors
+        ectype = econn + 10                   # 1% non-HTML content type
+
+        if b < e404:
+            return FetchResult(status=_STATUS_NOT_FOUND, body=None, final_url=url,
+                               content_type="text/html", etag=None,
+                               last_modified=None, error=None)
+        if b < e5xx:
+            return FetchResult(status=_STATUS_SERVER_ERROR, body=None, final_url=url,
+                               content_type="text/html", etag=None,
+                               last_modified=None, error=None)
+        if b < eloop:
+            return FetchResult(status=0, body=None, final_url=url, content_type="",
+                               etag=None, last_modified=None,
+                               error="too_many_redirects")
+        if b < eredir:
+            # single-hop 301 to a canonical same-host page; client follows
+            t = _hx(c.seed, host, j, "rt") % self.page_count(host)
+            if t == j:
+                t = (j + 1) % self.page_count(host)
+            final = self.url_for(host, t)
+            return self._serve(host, t, final, etag)
+        if b < econn:
+            return FetchResult(status=0, body=None, final_url=url, content_type="",
+                               etag=None, last_modified=None,
+                               error="connection_reset")
+        if b < ectype:
+            return FetchResult(status=_STATUS_OK, body="{}", final_url=url,
+                               content_type="application/json",
+                               etag=None, last_modified=None, error=None)
+        return self._serve(host, j, url, etag)
+
+    def _serve(self, host: str, j: int, final_url: str, req_etag: str | None) -> FetchResult:
+        cur_etag = self._etag(host, j)
+        if req_etag is not None and req_etag == cur_etag:
+            return FetchResult(status=_STATUS_NOT_MODIFIED, body=None,
+                               final_url=final_url, content_type="text/html",
+                               etag=cur_etag, last_modified=None, error=None)
+        return FetchResult(status=_STATUS_OK, body=self.render_html(host, j),
+                           final_url=final_url, content_type="text/html; charset=utf-8",
+                           etag=cur_etag, last_modified="Wed, 01 May 2024 00:00:00 GMT",
+                           error=None)
