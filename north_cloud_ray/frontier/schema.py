@@ -22,15 +22,15 @@ FRONTIER_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("priority", pa.int8()),            # 1..10
         ("status", pa.string()),            # pending|fetching|fetched|failed|dead
-        ("next_fetch_at", pa.timestamp("us")),
-        ("last_fetched_at", pa.timestamp("us")),
+        ("next_fetch_at", pa.int64()),   # virtual us
+        ("last_fetched_at", pa.int64()),
         ("fetch_count", pa.int32()),
         ("content_hash", pa.string()),
         ("etag", pa.string()),
         ("last_modified", pa.string()),
         ("retry_count", pa.int8()),
         ("last_error", pa.string()),
-        ("discovered_at", pa.timestamp("us")),
+        ("discovered_at", pa.int64()),
     ]
 )
 
@@ -54,7 +54,7 @@ DOCUMENT_SCHEMA = pa.schema(
         ("content_hash", pa.string()),     # sha256 of concatenated text spans
         ("word_count", pa.int32()),
         ("fetched_round", pa.int32()),
-        ("crawled_at", pa.timestamp("us")),
+        ("crawled_at", pa.int64()),       # virtual us
     ]
 )
 
@@ -62,10 +62,10 @@ HOST_STATE_SCHEMA = pa.schema(
     [
         ("host", pa.string()),
         ("host_hash", pa.uint64()),
-        ("last_fetch_at", pa.timestamp("us")),
+        ("last_fetch_at", pa.int64()),
         ("min_delay_ms", pa.int32()),
         ("robots_txt", pa.string()),
-        ("robots_fetched_at", pa.timestamp("us")),
+        ("robots_fetched_at", pa.int64()),
         ("robots_ttl_hours", pa.int32()),
     ]
 )
@@ -74,7 +74,7 @@ CLAIM_SCHEMA = pa.schema(
     [
         ("round", pa.int32()),
         ("claim_seq", pa.int64()),
-        ("claim_at", pa.timestamp("us")),   # virtual claim time
+        ("claim_at", pa.int64()),        # virtual claim time (us)
         ("url", pa.string()),
         ("url_hash", pa.string()),
         ("host", pa.string()),
@@ -82,7 +82,7 @@ CLAIM_SCHEMA = pa.schema(
         ("source_id", pa.string()),
         ("depth", pa.int32()),
         ("priority", pa.int8()),
-        ("next_fetch_at", pa.timestamp("us")),
+        ("next_fetch_at", pa.int64()),   # virtual us
         ("etag", pa.string()),
         ("last_modified", pa.string()),
         ("retry_count", pa.int8()),

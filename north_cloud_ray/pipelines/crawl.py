@@ -1,0 +1,471 @@
+"""The crawl generation loop — the flagship pipeline.
+
+Each round is one Ray Data pipeline bracketed by per-shard frontier steps
+(SURVEY.md §3 RD restatement):
+
+    state/round-r  --claim (S co-partitioned tasks)-->  claims parquet
+    claims  --Dataset.map_batches(FetchParseActor, actor pool)-->  results
+    results --rename resolution (driver, bounded)-->  verdicts
+    results + candidates --merge (S co-partitioned tasks)--> state/round-r+1
+
+Scale notes (10^10-frontier design, tested single-node):
+- The frontier never moves through a global shuffle: it lives partitioned
+  by host_hash % num_shards on disk, and claim/merge are per-partition
+  streaming jobs. The only cross-partition traffic is the bounded per-round
+  result set (outlinks routed to their owning shard by hash) and the rare
+  redirect renames.
+- Claim reads use parquet predicate pushdown (status='pending' AND
+  next_fetch_at < t_end) so a mostly-fetched frontier only materializes its
+  due slice.
+- The fetch/parse stage is the CPU hot path and is a plain
+  ``map_batches`` actor pool — elastic, backpressured, independent of the
+  frontier partitioning (a mega-host's claims spread over all actors since
+  politeness was already priced into virtual claim times).
+- Per-shard claim/merge are ``@ray.remote`` tasks rather than Dataset ops
+  because they are co-partitioned two-sided merges against a partitioned
+  store — expressing them as a Dataset groupby would re-shuffle the full
+  frontier every round.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import (
+    DEFAULT_PRIORITY,
+    ORIGIN_MANUAL,
+    STATUS_PENDING,
+    US_PER_MS,
+    CrawlConfig,
+    SyntheticWebConfig,
+)
+from ..frontier.merge import dedup_candidates, merge_shard
+from ..frontier.claim import claim_shard
+from ..frontier.normalize import (
+    NormalizeError,
+    extract_host,
+    host_hash64,
+    normalize_url,
+    url_hash,
+)
+from ..frontier.schema import FRONTIER_SCHEMA
+from ..sources.synthetic_web import SyntheticWeb
+from ..stages.fetch_parse import FetchParseActor, RESULT_SCHEMA
+from ..state.checkpoint import CheckpointStore
+
+HOST_STATE_RUNTIME_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("available_us", pa.int64()),
+        ("min_delay_us", pa.int64()),
+    ]
+)
+
+CLAIM_COLS = [
+    "url", "url_hash", "host", "host_hash", "source_id", "origin",
+    "parent_url", "depth", "priority", "next_fetch_at", "etag",
+    "last_modified", "retry_count", "fetch_count", "discovered_at",
+    "last_error",
+]
+
+CLAIMS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.string()),
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
+        ("source_id", pa.string()),
+        ("origin", pa.string()),
+        ("parent_url", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int8()),
+        ("next_fetch_at", pa.int64()),
+        ("etag", pa.string()),
+        ("last_modified", pa.string()),
+        ("retry_count", pa.int8()),
+        ("fetch_count", pa.int32()),
+        ("discovered_at", pa.int64()),
+        ("last_error", pa.string()),
+        ("claim_at", pa.int64()),
+    ]
+)
+
+
+def seed_frontier_table(seeds: list[dict], num_shards: int) -> pd.DataFrame:
+    """Seed list (F2) -> initial frontier rows (status=pending, t=0)."""
+    rows = []
+    for s in seeds:
+        try:
+            norm = normalize_url(s["url"])
+            h = url_hash(s["url"])
+            host = extract_host(s["url"])
+        except NormalizeError:
+            continue
+        rows.append(
+            {
+                "url": norm,
+                "url_hash": h,
+                "host": host,
+                "host_hash": host_hash64(host),
+                "source_id": s.get("source_id", ""),
+                "origin": s.get("origin", ORIGIN_MANUAL),
+                "parent_url": None,
+                "depth": 0,
+                "priority": int(s.get("priority", DEFAULT_PRIORITY)),
+                "next_fetch_at": 0,
+                "discovered_at": 0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    df = dedup_candidates(df)
+    df["status"] = STATUS_PENDING
+    df["last_fetched_at"] = np.int64(0)
+    df["fetch_count"] = np.int32(0)
+    df["content_hash"] = None
+    df["etag"] = None
+    df["last_modified"] = None
+    df["retry_count"] = np.int8(0)
+    df["last_error"] = None
+    df["shard"] = (df["host_hash"].to_numpy(dtype=np.uint64) % num_shards).astype(np.int32)
+    return df
+
+
+def _frontier_to_table(df: pd.DataFrame) -> pa.Table:
+    cols = [f.name for f in FRONTIER_SCHEMA]
+    return pa.Table.from_pandas(df[cols], schema=FRONTIER_SCHEMA, preserve_index=False)
+
+
+@ray.remote
+def _claim_task(
+    frontier_path: str,
+    host_state_path: str | None,
+    claims_out: str,
+    t_start: int,
+    t_end: int,
+    crawl_cfg: CrawlConfig,
+    web_cfg: SyntheticWebConfig,
+) -> tuple[int, int, pa.Table]:
+    """Per-shard claim step. Returns (n_pending_total, n_claims, host_state)."""
+    pending = pq.read_table(
+        frontier_path,
+        filters=[("status", "=", STATUS_PENDING)],
+    )
+    n_pending_total = pending.num_rows
+    due = pending.filter(pa.compute.less(pending["next_fetch_at"], t_end))
+    web = SyntheticWeb(web_cfg)
+
+    host_state: dict[str, tuple[int, int]] = {}
+    if host_state_path and os.path.exists(host_state_path):
+        hs = pq.read_table(host_state_path)
+        for h, a, d in zip(
+            hs["host"].to_pylist(), hs["available_us"].to_pylist(),
+            hs["min_delay_us"].to_pylist(),
+        ):
+            host_state[h] = (a, d)
+
+    df = due.to_pandas()
+    # per-host min delay from the host profile on first contact
+    for h in df["host"].unique():
+        if h not in host_state:
+            host_state[h] = (t_start, web.min_delay_ms(h) * US_PER_MS)
+
+    claims, new_state = claim_shard(
+        df, host_state, t_start, t_end, crawl_cfg.default_min_delay_us
+    )
+    claims_tbl = pa.Table.from_pandas(
+        claims[CLAIM_COLS + ["claim_at"]], schema=CLAIMS_SCHEMA, preserve_index=False
+    )
+    CheckpointStore.write_table(claims_tbl, claims_out)
+
+    hs_tbl = pa.Table.from_arrays(
+        [
+            pa.array(list(new_state.keys()), type=pa.string()),
+            pa.array([v[0] for v in new_state.values()], type=pa.int64()),
+            pa.array([v[1] for v in new_state.values()], type=pa.int64()),
+        ],
+        schema=HOST_STATE_RUNTIME_SCHEMA,
+    )
+    return n_pending_total, claims_tbl.num_rows, hs_tbl
+
+
+@ray.remote
+def _merge_task(
+    shard: int,
+    old_path: str,
+    claims_path: str,
+    results_dir: str,
+    rename_inserts: pa.Table | None,
+    rename_rejected: list[str],
+    host_state: pa.Table,
+    out_frontier: str,
+    out_host_state: str,
+    max_retries: int,
+) -> dict:
+    """Per-shard merge step: apply submits + outcomes, write round r+1 state."""
+    old = pq.read_table(old_path).to_pandas()
+    claimed = set(
+        pq.read_table(claims_path, columns=["url_hash"])["url_hash"].to_pylist()
+    )
+    updates = pq.read_table(
+        results_dir, filters=[("rec", "=", "update"), ("shard", "=", shard)]
+    ).to_pandas()
+    cands = pq.read_table(
+        results_dir, filters=[("rec", "=", "outlink"), ("shard", "=", shard)],
+    ).to_pandas()
+    cands = cands[
+        ["url", "url_hash", "host", "host_hash", "source_id", "origin",
+         "parent_url", "depth", "priority", "next_fetch_at", "discovered_at"]
+    ]
+    ins = rename_inserts.to_pandas() if rename_inserts is not None else pd.DataFrame()
+    merged = merge_shard(
+        old, claimed, updates, cands, ins, set(rename_rejected), max_retries
+    )
+    CheckpointStore.write_table(_frontier_to_table(merged), out_frontier)
+    CheckpointStore.write_table(host_state, out_host_state)
+    status_counts = merged["status"].value_counts().to_dict()
+    return {
+        "shard": shard,
+        "frontier_size": int(len(merged)),
+        "claimed": len(claimed),
+        "new_urls": int((~dedup_candidates(cands)["url_hash"].isin(set(old["url_hash"]))).sum())
+        if len(cands)
+        else 0,
+        **{f"status_{k}": int(v) for k, v in status_counts.items()},
+    }
+
+
+class CrawlRunner:
+    """Round-based crawl with per-round checkpoint/resume."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        crawl_cfg: CrawlConfig | None = None,
+        web_cfg: SyntheticWebConfig | None = None,
+    ):
+        self.cfg = crawl_cfg or CrawlConfig()
+        self.web_cfg = web_cfg or SyntheticWebConfig()
+        self.store = CheckpointStore(out_dir, self.cfg.num_shards)
+
+    # ---- bootstrap ----
+    def init_state(self, seeds: list[dict] | None = None) -> None:
+        if self.store.is_committed(0):
+            return
+        web = SyntheticWeb(self.web_cfg)
+        seeds = seeds if seeds is not None else web.seed_urls()
+        df = seed_frontier_table(seeds, self.cfg.num_shards)
+        for s in range(self.cfg.num_shards):
+            part = df[df["shard"] == s]
+            self.store.write_table(_frontier_to_table(part), self.store.frontier_path(0, s))
+            self.store.write_table(
+                HOST_STATE_RUNTIME_SCHEMA.empty_table(), self.store.host_state_path(0, s)
+            )
+        self.store.commit_state(0)
+
+    # ---- one round ----
+    def run_round(self, rnd: int) -> dict:
+        cfg, store = self.cfg, self.store
+        t_start = rnd * cfg.round_window_us
+        t_end = t_start + cfg.round_window_us
+
+        # 1. claim, per shard
+        claim_refs = [
+            _claim_task.remote(
+                store.frontier_path(rnd, s),
+                store.host_state_path(rnd, s),
+                os.path.join(store.claims_dir(rnd), f"shard-{s:03d}.parquet"),
+                t_start,
+                t_end,
+                cfg,
+                self.web_cfg,
+            )
+            for s in range(cfg.num_shards)
+        ]
+        claim_out = ray.get(claim_refs)
+        n_pending = sum(c[0] for c in claim_out)
+        n_claims = sum(c[1] for c in claim_out)
+        host_states = [c[2] for c in claim_out]
+
+        results_dir = store.results_dir(rnd)
+        if n_claims > 0:
+            # 2. fetch + parse: the streaming hot path
+            ds = ray.data.read_parquet(store.claims_dir(rnd))
+            results = ds.map_batches(
+                FetchParseActor,
+                fn_constructor_args=(self.web_cfg, cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=1,
+            )
+            results.write_parquet(results_dir)
+        else:
+            os.makedirs(results_dir, exist_ok=True)
+            pq.write_table(
+                RESULT_SCHEMA.empty_table(),
+                os.path.join(results_dir, "empty.parquet"),
+            )
+
+        # 3. redirect-rename resolution (bounded: ~redirect_rate * claims)
+        inserts_by_shard, rejected = self._resolve_renames(rnd)
+
+        # 4. merge, per shard; commit state round+1
+        self.store.clear_uncommitted_state(rnd + 1)
+        merge_refs = [
+            _merge_task.remote(
+                s,
+                store.frontier_path(rnd, s),
+                os.path.join(store.claims_dir(rnd), f"shard-{s:03d}.parquet"),
+                results_dir,
+                inserts_by_shard.get(s),
+                sorted(rejected),
+                host_states[s],
+                store.frontier_path(rnd + 1, s),
+                store.host_state_path(rnd + 1, s),
+                cfg.max_retries,
+            )
+            for s in range(cfg.num_shards)
+        ]
+        shard_metrics = ray.get(merge_refs)
+        store.commit_state(rnd + 1)
+        metrics = {
+            "round": rnd,
+            "pending_before": n_pending,
+            "claims": n_claims,
+            "shards": shard_metrics,
+        }
+        store.write_metrics(rnd, metrics)
+        return metrics
+
+    def _resolve_renames(self, rnd: int) -> tuple[dict[int, pa.Table], set[str]]:
+        """UpdateFetchedWithFinalURL conflict resolution against the
+        post-submit frontier (frontier_repository.go:216-263 23505 path)."""
+        store, cfg = self.store, self.cfg
+        renames = pq.read_table(
+            store.results_dir(rnd),
+            filters=[("rec", "=", "update"), ("renamed", "=", True)],
+        ).to_pandas()
+        if len(renames) == 0:
+            return {}, set()
+        renames = renames.sort_values("url_hash", kind="mergesort")
+        # winner per target hash = smallest origin url_hash
+        first = renames.drop_duplicates("final_url_hash", keep="first")
+        rejected: set[str] = set(
+            renames.loc[~renames.index.isin(first.index), "url_hash"]
+        )
+        accepted_rows = []
+        for shard, grp in first.groupby(
+            first["final_host_hash"].astype(np.uint64) % cfg.num_shards
+        ):
+            shard = int(shard)
+            want = list(grp["final_url_hash"])
+            existing = set(
+                pq.read_table(
+                    store.frontier_path(rnd, shard),
+                    columns=["url_hash"],
+                    filters=[("url_hash", "in", want)],
+                )["url_hash"].to_pylist()
+            )
+            cand_hashes = set(
+                pq.read_table(
+                    store.results_dir(rnd),
+                    columns=["url_hash"],
+                    filters=[("rec", "=", "outlink"), ("shard", "=", shard),
+                             ("url_hash", "in", want)],
+                )["url_hash"].to_pylist()
+            )
+            taken = existing | cand_hashes
+            for _, row in grp.iterrows():
+                if row["final_url_hash"] in taken:
+                    rejected.add(row["url_hash"])
+                else:
+                    accepted_rows.append((shard, row))
+
+        inserts_by_shard: dict[int, pa.Table] = {}
+        if accepted_rows:
+            # reconstruct full rows from the claims of this round
+            hashes = [r["url_hash"] for _, r in accepted_rows]
+            claims = pq.read_table(
+                store.claims_dir(rnd), filters=[("url_hash", "in", hashes)]
+            ).to_pandas().set_index("url_hash")
+            by_shard: dict[int, list[dict]] = {}
+            for shard, row in accepted_rows:
+                c = claims.loc[row["url_hash"]]
+                by_shard.setdefault(shard, []).append(
+                    {
+                        "url": row["final_url"],
+                        "url_hash": row["final_url_hash"],
+                        "host": row["final_host"],
+                        "host_hash": np.uint64(row["final_host_hash"]),
+                        "source_id": c["source_id"],
+                        "origin": c["origin"],
+                        "parent_url": c["parent_url"],
+                        "depth": int(c["depth"]),
+                        "priority": int(c["priority"]),
+                        "status": "fetched",
+                        "next_fetch_at": int(c["next_fetch_at"]),
+                        "last_fetched_at": int(row["claim_at"]),
+                        "fetch_count": int(c["fetch_count"]) + 1,
+                        "content_hash": row["content_hash"],
+                        "etag": row["etag"],
+                        "last_modified": row["last_modified"],
+                        # UpdateFetched does not clear last_error in the
+                        # reference SQL — preserve it through the rename
+                        "retry_count": 0,
+                        "last_error": c["last_error"] if pd.notna(c["last_error"]) else None,
+                        "discovered_at": int(c["discovered_at"]),
+                    }
+                )
+            for shard, rows in by_shard.items():
+                inserts_by_shard[shard] = pa.Table.from_pylist(
+                    rows, schema=FRONTIER_SCHEMA
+                )
+        return inserts_by_shard, rejected
+
+    # ---- full run ----
+    def run(self, seeds: list[dict] | None = None, max_rounds: int | None = None) -> dict:
+        self.init_state(seeds)
+        max_rounds = max_rounds or self.cfg.max_rounds
+        start = self.store.latest_committed_round()
+        summary = {"rounds": 0, "claims": 0}
+        for rnd in range(start, max_rounds):
+            if self.store.is_committed(rnd + 1):
+                continue  # resume: this round already done
+            m = self.run_round(rnd)
+            summary["rounds"] += 1
+            summary["claims"] += m["claims"]
+            if m["claims"] == 0 and m["pending_before"] == 0:
+                break
+        return summary
+
+    # ---- outputs ----
+    def documents_dataset(self) -> "ray.data.Dataset":
+        """All produced documents as a streaming Dataset (doc records)."""
+        import glob
+
+        paths = sorted(
+            glob.glob(os.path.join(self.store.root, "rounds", "*", "results", "*.parquet"))
+        )
+        ds = ray.data.read_parquet(
+            paths,
+            filter=pa.compute.field("rec") == "doc",
+            columns=["rec", "doc_id", "url", "source_id", "host", "title",
+                     "spans", "content_hash", "word_count", "claim_at", "crawled_at"],
+        )
+        return ds.drop_columns(["rec", "claim_at"])
+
+    def frontier_dataset(self, rnd: int | None = None) -> "ray.data.Dataset":
+        import glob
+
+        rnd = rnd if rnd is not None else self.store.latest_committed_round()
+        paths = sorted(
+            glob.glob(os.path.join(self.store.state_dir(rnd), "frontier-shard-*.parquet"))
+        )
+        return ray.data.read_parquet(paths)

@@ -129,7 +129,6 @@ class SyntheticWeb:
         t = self._page_tables.get(host)
         if t is None:
             t = {self._path_for(host, j): j for j in range(self.page_count(host))}
-            t["/"] = 0  # root serves page 0
             self._page_tables[host] = t
         return t
 
@@ -244,10 +243,22 @@ class SyntheticWeb:
         if self._host_index(host) is None:
             return FetchResult(status=0, body=None, final_url=url, content_type="",
                                etag=None, last_modified=None, error="dns_error")
-        if path.startswith("/media/") or path.startswith("/files/"):
+        if path.startswith("/media/"):
             return FetchResult(status=_STATUS_OK, body="\x89BINARY", final_url=url,
                                content_type="image/jpeg", etag=None,
                                last_modified=None, error=None)
+        if path.startswith("/files/"):
+            # misconfigured server: binary payload under text/html — exercises
+            # the binary-URL dead path (worker.go:509-526 checked after the
+            # content-type gate)
+            return FetchResult(status=_STATUS_OK, body="\x89BINARY", final_url=url,
+                               content_type="text/html", etag=None,
+                               last_modified=None, error=None)
+        if path == "/":
+            # site root 301s to the canonical front page — doc identity always
+            # follows the canonical URL, and every seed exercises the
+            # UpdateFetchedWithFinalURL path
+            return self._serve(host, 0, self.url_for(host, 0), etag)
         j = self._page_table(host).get(path)
         if j is None:
             return FetchResult(status=_STATUS_NOT_FOUND, body=None, final_url=url,

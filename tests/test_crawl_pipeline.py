@@ -1,0 +1,156 @@
+"""Distributed pipeline vs sequential oracle: crawl ordering, URL-seen set,
+final frontier state, document span sequences (FIXTURES.md F5 assertions)."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+from north_cloud_ray.pipelines.crawl import CrawlRunner
+from north_cloud_ray.pipelines.oracle_sim import OracleSimulator
+from north_cloud_ray.sources.synthetic_web import SyntheticWeb
+
+WEB_CFG = SyntheticWebConfig(n_hosts=8)
+CRAWL_CFG = CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=64)
+ROUNDS = 6
+
+FRONTIER_CMP_COLS = [
+    "url", "url_hash", "host", "source_id", "origin", "parent_url", "depth",
+    "priority", "status", "next_fetch_at", "last_fetched_at", "fetch_count",
+    "content_hash", "etag", "last_modified", "retry_count", "last_error",
+    "discovered_at",
+]
+
+
+@pytest.fixture(scope="module")
+def crawl_run(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl") / "out")
+    runner = CrawlRunner(out, CRAWL_CFG, WEB_CFG)
+    summary = runner.run(max_rounds=ROUNDS)
+    oracle = OracleSimulator(CRAWL_CFG, WEB_CFG)
+    osummary = oracle.run(max_rounds=ROUNDS)
+    return runner, summary, oracle, osummary
+
+
+def _pipeline_claim_log(runner) -> pd.DataFrame:
+    frames = []
+    for d in sorted(glob.glob(os.path.join(runner.store.root, "rounds", "round-*"))):
+        rnd = int(os.path.basename(d).split("-")[1])
+        files = glob.glob(os.path.join(d, "claims", "*.parquet"))
+        if not files:
+            continue
+        df = pq.read_table(files).to_pandas()
+        if len(df):
+            df["round"] = rnd
+            frames.append(df)
+    if not frames:
+        return pd.DataFrame()
+    allc = pd.concat(frames, ignore_index=True)
+    return allc.sort_values(
+        ["round", "claim_at", "priority", "next_fetch_at", "url_hash"],
+        ascending=[True, True, False, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+
+
+def test_crawl_makes_progress(crawl_run):
+    runner, summary, oracle, osummary = crawl_run
+    assert summary["claims"] > 50
+    assert osummary["claims"] == summary["claims"]
+
+
+def test_claim_ordering_matches_oracle(crawl_run):
+    runner, _, oracle, _ = crawl_run
+    mine = _pipeline_claim_log(runner)
+    theirs = pd.DataFrame(oracle.claim_log)
+    assert len(mine) == len(theirs)
+    assert list(mine["url_hash"]) == list(theirs["url_hash"])
+    assert list(mine["claim_at"]) == list(theirs["claim_at"])
+
+
+def test_seen_set_matches_oracle(crawl_run):
+    runner, _, oracle, _ = crawl_run
+    mine = set(runner.frontier_dataset().to_pandas()["url_hash"])
+    theirs = set(oracle.frontier.keys())
+    assert mine == theirs
+
+
+def test_frontier_state_matches_oracle(crawl_run):
+    runner, _, oracle, _ = crawl_run
+    mine = (
+        runner.frontier_dataset()
+        .to_pandas()[FRONTIER_CMP_COLS]
+        .sort_values("url_hash")
+        .reset_index(drop=True)
+    )
+    theirs = (
+        pd.DataFrame(list(oracle.frontier.values()))[FRONTIER_CMP_COLS]
+        .sort_values("url_hash")
+        .reset_index(drop=True)
+    )
+    mine = mine.where(pd.notna(mine), None)
+    theirs = theirs.where(pd.notna(theirs), None)
+    for col in FRONTIER_CMP_COLS:
+        a, b = list(mine[col]), list(theirs[col])
+        assert a == b, f"frontier column mismatch: {col}"
+
+
+def _pipeline_docs(runner) -> dict[str, dict]:
+    docs: dict[str, dict] = {}
+    for row in runner.documents_dataset().to_pandas().to_dict("records"):
+        key = (row["crawled_at"], row["source_id"], row["url"])
+        prev = docs.get(row["doc_id"])
+        if prev is None or key < (prev["crawled_at"], prev["source_id"], prev["url"]):
+            docs[row["doc_id"]] = row
+    return docs
+
+
+def test_documents_and_spans_match_oracle(crawl_run):
+    runner, _, oracle, _ = crawl_run
+    mine = _pipeline_docs(runner)
+    assert set(mine.keys()) == set(oracle.docs.keys())
+    assert len(mine) > 20
+    web = SyntheticWeb(WEB_CFG)
+    for doc_id, doc in mine.items():
+        odoc = oracle.docs[doc_id]
+        myspans = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],
+             "offset": s["offset"]}
+            for s in doc["spans"]
+        ]
+        assert myspans == odoc["spans"], f"span mismatch for {doc_id}"
+        # and both match the generator's F1 rule
+        assert myspans == web.expected_spans(doc["url"])
+        assert doc["word_count"] == odoc["word_count"]
+        assert doc["content_hash"] == odoc["content_hash"]
+
+
+def test_terminal_statuses_present(crawl_run):
+    """The synthetic web exercises every dead/failed path at this scale."""
+    runner, _, oracle, _ = crawl_run
+    fr = runner.frontier_dataset().to_pandas()
+    reasons = set(fr.loc[fr["status"] == "dead", "last_error"])
+    assert "not_found" in reasons
+    assert "robots_blocked" in reasons or "unsupported_content_type" in reasons
+    assert (fr["status"] == "fetched").sum() > 30
+
+
+def test_resume_from_checkpoint(ray_session, tmp_path):
+    """Kill after round 2, restart, final state identical to a straight run."""
+    out_a = str(tmp_path / "a")
+    r1 = CrawlRunner(out_a, CRAWL_CFG, WEB_CFG)
+    r1.run(max_rounds=2)
+    # restart with a fresh runner continuing to ROUNDS
+    r1b = CrawlRunner(out_a, CRAWL_CFG, WEB_CFG)
+    r1b.run(max_rounds=ROUNDS)
+
+    out_b = str(tmp_path / "b")
+    r2 = CrawlRunner(out_b, CRAWL_CFG, WEB_CFG)
+    r2.run(max_rounds=ROUNDS)
+
+    fa = r1b.frontier_dataset().to_pandas().sort_values("url_hash").reset_index(drop=True)
+    fb = r2.frontier_dataset().to_pandas().sort_values("url_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa[FRONTIER_CMP_COLS], fb[FRONTIER_CMP_COLS])
