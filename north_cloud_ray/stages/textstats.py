@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operate on a text column via vectorized ``map_batches`` (pandas str /
+numpy kernels; compiled regexes at module import). Language-ID is an
+n-gram/stopword heuristic (no external models in the sandbox); token
+counting gives both whitespace tokens and a BPE-ish regex token count;
+fingerprinting is a rolling Rabin-Karp hash over word 8-grams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+# BPE-ish pre-tokenizer: words, numbers, punctuation runs (GPT-2-style split,
+# simplified)
+_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
+           "with", "was", "on", "as", "are", "at", "be", "this", "have"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "du", "en",
+           "est", "que", "pour", "dans", "qui", "au", "pas", "sur"},
+    "de": {"der", "die", "das", "und", "ist", "von", "den", "mit", "auf",
+           "für", "des", "ein", "eine", "im", "nicht", "sich"},
+    "es": {"el", "la", "los", "las", "de", "y", "en", "que", "es", "un",
+           "una", "del", "por", "con", "para", "no", "se"},
+}
+
+
+def token_stats(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized token counting: whitespace words, regex words, BPE-ish
+    tokens, chars."""
+    s = texts.fillna("")
+    return pd.DataFrame(
+        {
+            "n_chars": s.str.len().astype("int64"),
+            "n_ws_tokens": s.str.split().str.len().fillna(0).astype("int64"),
+            "n_words": s.str.count(_WORD_RE.pattern).astype("int64"),
+            "n_bpeish_tokens": s.str.count(_BPEISH_RE.pattern).astype("int64"),
+        }
+    )
+
+
+def detect_language(text: str) -> str:
+    """Stopword-voting language ID; 'und' when nothing matches."""
+    words = set(_WORD_RE.findall(text.lower())[:400])
+    best, best_n = "und", 0
+    for lang in sorted(_STOPWORDS):
+        n = len(words & _STOPWORDS[lang])
+        if n > best_n:
+            best, best_n = lang, n
+    return best if best_n >= 2 else "und"
+
+
+def quality_signals(texts: pd.Series) -> pd.DataFrame:
+    """Heuristic quality ratios used for corpus filtering: punctuation
+    ratio, uppercase ratio, digit ratio, stopword(en) ratio, mean word
+    length."""
+    s = texts.fillna("")
+    n = s.str.len().replace(0, 1)
+    punct = s.str.count(r"[^\w\s]") / n
+    upper = s.str.count(r"[A-Z]") / n
+    digit = s.str.count(r"[0-9]") / n
+    words = s.str.lower().str.findall(_WORD_RE.pattern)
+    stop_en = _STOPWORDS["en"]
+    stop_ratio = words.map(
+        lambda ws: sum(1 for w in ws if w in stop_en) / len(ws) if ws else 0.0
+    )
+    mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+    return pd.DataFrame(
+        {
+            "punct_ratio": punct.astype("float64"),
+            "upper_ratio": upper.astype("float64"),
+            "digit_ratio": digit.astype("float64"),
+            "stopword_ratio": stop_ratio.astype("float64"),
+            "mean_word_len": mean_wlen.astype("float64"),
+        }
+    )
+
+
+_RK_BASE = 1000003
+_RK_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Document fingerprint: min Rabin-Karp rolling hash over word
+    ``window``-grams (deterministic, shift-invariant)."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    hs = [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+          for w in words]
+    if len(hs) < window:
+        acc = 0
+        for h in hs:
+            acc = (acc * _RK_BASE + h) % _RK_MOD
+        return acc
+    power = pow(_RK_BASE, window - 1, _RK_MOD)
+    acc = 0
+    for h in hs[:window]:
+        acc = (acc * _RK_BASE + h) % _RK_MOD
+    best = acc
+    for i in range(window, len(hs)):
+        acc = ((acc - hs[i - window] * power) * _RK_BASE + hs[i]) % _RK_MOD
+        best = min(best, acc)
+    return best
+
+
+class TextStatsActor:
+    """map_batches stage appending all text-analysis columns to a table with
+    a ``text`` column. Regexes are module-level compiled; per-actor state is
+    just the stopword tables."""
+
+    def __init__(self, fingerprint: bool = True, langid: bool = True):
+        self.fingerprint = fingerprint
+        self.langid = langid
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        stats = token_stats(batch["text"])
+        for c in stats.columns:
+            batch[c] = stats[c].to_numpy()
+        q = quality_signals(batch["text"])
+        for c in q.columns:
+            batch[c] = q[c].to_numpy()
+        if self.langid:
+            batch["lang_pred"] = batch["text"].fillna("").map(detect_language)
+        if self.fingerprint:
+            batch["fingerprint"] = (
+                batch["text"].fillna("").map(rolling_fingerprint).astype("uint64")
+            )
+        return batch
+
+
+def text_stats(ds, concurrency: int = 4, batch_size: int = 2048,
+               fingerprint: bool = True, langid: bool = True):
+    return ds.map_batches(
+        TextStatsActor,
+        fn_constructor_args=(fingerprint, langid),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,214 @@
+"""Classify / textstats / dedup / similarity / multimodal stage tests over
+the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from north_cloud_ray.config import TopicRule, default_topic_rules
+from north_cloud_ray.stages.classify import (
+    classify_content_type,
+    classify_topics,
+    quality_score,
+    score_rule,
+)
+from north_cloud_ray.stages.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard,
+    simhash64,
+    simhash_dedup,
+)
+from north_cloud_ray.stages.multimodal import (
+    ImageDecodeActor,
+    decode_images,
+    synth_media_table,
+)
+from north_cloud_ray.stages.similarity import brute_force_topk, ivf_topk
+from north_cloud_ray.stages.textstats import (
+    detect_language,
+    rolling_fingerprint,
+    text_stats,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- classify (pure kernels) ----
+
+def test_topic_score_formula():
+    import math
+    from collections import Counter
+
+    rule = TopicRule("crime", ("police", "arrest", "court"))
+    text = "police arrest the police downtown"
+    freq = Counter(text.split())
+    s = score_rule(text, freq, rule)
+    # matches: police x2 + arrest = 3 total, 2 unique of 3 keywords
+    expected = 0.5 * min(1, math.log(4) / 2.5) + 0.5 * (2 / 3)
+    assert abs(s - expected) < 1e-12
+
+
+def test_topics_topk_and_floor():
+    rules = (
+        TopicRule("a", ("alpha",)),
+        TopicRule("b", ("beta",)),
+        TopicRule("weak", ("zzz",), min_confidence=0.1),
+    )
+    got = classify_topics("", "alpha alpha beta", rules)
+    names = [t for t, _ in got]
+    assert "a" in names and "b" in names and "weak" not in names
+
+
+def test_quality_tiers():
+    assert quality_score(50, True, 100, "/x", 1) == 0 + 15 + 10 + 10
+    assert quality_score(250, True, 100, "/2024/05/x-y", 1) == 10 + 20 + 10 + 20
+    assert quality_score(1200, True, 100, "/2024/05/x-y", 1) == 25 + 20 + 10 + 20
+
+
+def test_content_type_rules():
+    assert classify_content_type("https://h/login/x", 500)[0] == "page"
+    assert classify_content_type("https://h/news", 500)[0] == "listing"
+    assert classify_content_type("https://h/news/2024/05/a-b-c-d", 150)[0] == "article"
+    assert classify_content_type("https://h/page/3", 400)[0] == "article"  # relaxed
+    assert classify_content_type("https://h/page/3", 50)[0] == "page"
+
+
+# ---- textstats ----
+
+def test_token_stats_and_langid():
+    s = pd.Series(["the quick brown fox, and the dog.", ""])
+    st = token_stats(s)
+    assert st["n_ws_tokens"].tolist() == [7, 0]
+    assert st["n_words"].tolist() == [7, 0]
+    assert detect_language("the cat and the dog is here for it") == "en"
+    assert detect_language("le chat et la maison est dans les bois") == "fr"
+    assert detect_language("xyzzy") == "und"
+
+
+def test_fingerprint_shift_invariance():
+    a = rolling_fingerprint("one two three four five six seven eight nine ten")
+    b = rolling_fingerprint("PAD " + "one two three four five six seven eight nine ten")
+    # min rolling hash over 8-gram windows shares windows between the two
+    assert a == rolling_fingerprint("one two three four five six seven eight nine ten")
+    assert isinstance(b, int)
+
+
+def test_text_stats_dataset(ray_session):
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    out = text_stats(ds, concurrency=2).to_pandas()
+    assert {"n_chars", "n_ws_tokens", "lang_pred", "fingerprint"} <= set(out.columns)
+    assert (out["n_chars"] == out["text"].str.len()).all()
+
+
+# ---- dedup ----
+
+@pytest.fixture()
+def dup_ds(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup
+        "the quick brown fox jumps over the lazy dog again and again today",  # near
+        "completely different text about mining equipment in the north",
+        "another unrelated document mentioning hockey scores and games",
+    ]
+    return rd.from_pandas(pd.DataFrame({"doc_id": range(5), "text": texts}))
+
+
+def test_exact_dedup(dup_ds):
+    out = exact_dedup(dup_ds).to_pandas()
+    assert len(out) == 4
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+
+
+def test_minhash_lsh_dedup(dup_ds):
+    out = minhash_lsh_dedup(dup_ds, jaccard_threshold=0.5, concurrency=2).to_pandas()
+    m = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert m[0] == m[1] == m[2] == 0
+    assert m[3] == 3 and m[4] == 4
+
+
+def test_simhash_dedup(dup_ds):
+    out = simhash_dedup(dup_ds).to_pandas()
+    m = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert m[0] == m[1]  # identical text -> identical simhash
+    assert simhash64("abc def") == simhash64("abc def")
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_embedding_near_dup(ray_session):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    vecs = [base, base + 0.001 * rng.standard_normal(8),
+            rng.standard_normal(8), rng.standard_normal(8)]
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": range(4),
+                                      "embedding": [v.tolist() for v in vecs]}))
+    out = embedding_near_dup(ds, cosine_threshold=0.99).to_pandas()
+    m = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert m[0] == m[1] == 0
+
+
+# ---- similarity ----
+
+def test_brute_force_topk(ray_session):
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    queries = np.stack(df["embedding"].head(3).to_numpy())
+    out = brute_force_topk(ds, queries, k=5, concurrency=2)
+    assert len(out) == 15
+    # self must be the top hit of its own query
+    for q in range(3):
+        top = out[(out["query_id"] == q) & (out["rank"] == 0)]
+        assert int(top["vec_id"].iloc[0]) == int(df["vec_id"].iloc[q])
+
+    # exactness vs numpy oracle for query 0
+    V = np.stack(df["embedding"].to_numpy())
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    q0 = queries[0] / np.linalg.norm(queries[0])
+    sims = Vn @ q0
+    expected = set(np.argsort(-sims)[:5].tolist())
+    got = set(out[out["query_id"] == 0]["vec_id"].astype(int))
+    assert got == {int(df["vec_id"].iloc[i]) for i in expected}
+
+
+def test_ivf_topk_recall(ray_session):
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    queries = np.stack(df["embedding"].head(5).to_numpy())
+    exact = brute_force_topk(ds, queries, k=5, concurrency=2)
+    approx = ivf_topk(ds, queries, k=5, n_clusters=8, nprobe=4, concurrency=2)
+    # recall@5 of the IVF path should be decent on 500 vectors
+    recall = 0.0
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 5 >= 0.6
+
+
+# ---- multimodal ----
+
+def test_multimodal_decode(ray_session):
+    refs = [(f"doc{i}", f"https://h/media/{i}.jpg") for i in range(10)]
+    tbl = synth_media_table(refs)
+    ds = rd.from_arrow(tbl)
+    out = decode_images(ds, concurrency=2).to_pandas()
+    assert len(out) == 10
+    assert {"width", "height", "thumb_digest", "features"} <= set(out.columns)
+    assert all(len(f) == 16 for f in out["features"])
+    # deterministic across calls
+    out2 = decode_images(rd.from_arrow(tbl), concurrency=2).to_pandas()
+    assert out.sort_values("media_id")["width"].tolist() == \
+        out2.sort_values("media_id")["width"].tolist()
+
+
+def test_multimodal_real_backend_is_gated():
+    with pytest.raises(NotImplementedError):
+        ImageDecodeActor(decode_backend="real")
