@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself; nothing here (or in the library)
+initializes or shuts down Ray. See north_cloud_ray/pipelines/queries.py for
+the catalog and the float-determinism conventions shared with the SQL
+oracles.
 """
 
 from __future__ import annotations
@@ -20,25 +13,43 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: run the crawl generation loop on the synthetic web
+    (t1 scale), classify the produced span documents, return the classified
+    document Dataset. Also touches the sf0.001 documents table through the
+    text-stats stage so the driver-provided parquet is exercised."""
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+    from north_cloud_ray.stages.classify import classify_documents
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ncray-entry-")
+    runner = CrawlRunner(
+        out,
+        CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128),
+        SyntheticWebConfig(n_hosts=8),
+    )
+    runner.run(max_rounds=4)
+    classified = classify_documents(runner.documents_dataset(), concurrency=2)
+
+    def flatten(batch):
+        batch = batch.copy()
+        batch["topics"] = batch["topics"].map(lambda t: ",".join(t))
+        batch["n_spans"] = batch["spans"].map(len)
+        return batch[
+            ["doc_id", "url", "host", "title", "word_count", "content_hash",
+             "n_spans", "content_type", "quality_score", "topics"]
+        ]
+
+    return classified.map_batches(flatten, batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from north_cloud_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from north_cloud_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,610 @@
+"""Driver-facing query catalog: one entry per operator family from
+SURVEY.md §2, each as a Ray Data pipeline over the testdata parquet
+tables, with (where SQL-expressible) a DuckDB oracle in ORACLE_SQL.
+
+Float discipline for oracle equality: SQL-checked aggregates return only
+integers (counts, integer-cents sums via FLOOR(x*100+0.5), order-
+independent MIN/MAX) or per-row float arithmetic — never float SUM/AVG,
+whose summation-order nondeterminism would break value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..stages.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from ..stages.similarity import brute_force_topk, ivf_topk
+from ..stages.textstats import text_stats
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x):
+    """floor(x*100+0.5) — the shared float->integer-cents convention."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ---------------- TPC-H-style engine proof ----------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Q1-style grouped aggregate with partial pre-aggregation inside
+    map_batches before the (small) groupby shuffle (G1-style)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] < pd.Timestamp("1998-09-01")]
+        df["sum_qty_cents"] = _cents(df["l_quantity"].to_numpy())
+        df["sum_base_cents"] = _cents(df["l_extendedprice"].to_numpy())
+        df["sum_disc_cents"] = _cents(
+            (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty_cents=("sum_qty_cents", "sum"),
+                 sum_base_cents=("sum_base_cents", "sum"),
+                 sum_disc_cents=("sum_disc_cents", "sum"),
+                 n=("l_quantity", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("n", alias_name="n"),
+    )
+    return out
+
+
+def q3_top_orders(sf_dir: str):
+    """Broadcast semi-join (small customer side) + grouped revenue + top-k
+    (J3/T1-style)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        return batch[batch["o_custkey"].isin(k)]
+
+    orders_b = orders.map_batches(filt, batch_format="pandas")
+    okeys = orders_b.to_pandas()[["o_orderkey", "o_orderdate"]]
+    okey_ref = ray.put(dict(zip(okeys["o_orderkey"], okeys["o_orderdate"])))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        om = ray.get(okey_ref)
+        batch = batch[batch["l_orderkey"].isin(om.keys())].copy()
+        batch["revenue_cents"] = _cents(
+            (batch["l_extendedprice"] * (1 - batch["l_discount"])).to_numpy()
+        )
+        return batch[["l_orderkey", "revenue_cents"]]
+
+    from ray.data.aggregate import Sum
+
+    per_order = (
+        li.map_batches(rev, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    top = per_order.sort(["revenue_cents", "l_orderkey"],
+                         descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    om = ray.get(okey_ref)
+    df["o_orderdate"] = df["l_orderkey"].map(om)
+    return df.rename(columns={"l_orderkey": "o_orderkey"})
+
+
+def region_revenue(sf_dir: str):
+    """Broadcast dimension-chain join customer->nation->region (J3)."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    c2r = {c: r2name[n2r[n]] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])}
+    ref = ray.put(c2r)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        batch = batch.copy()
+        batch["r_name"] = batch["o_custkey"].map(m)
+        batch["total_cents"] = _cents(batch["o_totalprice"].to_numpy())
+        return batch[["r_name", "total_cents"]]
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        orders.map_batches(tag, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("total_cents", alias_name="revenue_cents"))
+    )
+
+
+def top_parts_by_revenue(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    pref = ray.put(dict(zip(part["p_partkey"], part["p_name"])))
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue_cents"] = _cents(
+            (batch["l_extendedprice"] * (1 - batch["l_discount"])).to_numpy()
+        )
+        return batch[["l_partkey", "revenue_cents"]]
+
+    from ray.data.aggregate import Sum
+
+    top = (
+        li.map_batches(rev, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "l_partkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    top["p_name"] = top["l_partkey"].map(ray.get(pref))
+    return top.rename(columns={"l_partkey": "p_partkey"})
+
+
+# ---------------- frontier semantics over relational data ----------------
+
+def frontier_submit_merge(sf_dir: str):
+    """S1 upsert-merge semantics: per key keep GREATEST(priority),
+    LEAST(first-seen), count submissions (events.user_id as the key)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = _read(sf_dir, "events", ["user_id", "value", "ts"])
+    return ev.groupby("user_id").aggregate(
+        Max("value", alias_name="max_priority"),
+        Min("ts", alias_name="first_seen"),
+        Count(alias_name="n_submits"),
+    )
+
+
+def claim_ordering(sf_dir: str):
+    """T1 claim-queue ordering: priority, then time, then key tiebreak."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    return orders.sort(["o_orderpriority", "o_orderdate", "o_orderkey"]).limit(100)
+
+
+def politeness_budget(sf_dir: str):
+    """A2-style per-host window budget: events per (user, hour) + over-budget
+    flag (token-bucket accounting as data)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def hourly(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["window_start"] = batch["ts"].dt.floor("h")
+        return batch[["user_id", "window_start"]]
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ev.map_batches(hourly, batch_format="pandas")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["over_budget"] = batch["n_events"] > 5
+        return batch
+
+    return out.map_batches(flag, batch_format="pandas")
+
+
+# ---------------- streaming-shaped ----------------
+
+def events_tumbling_window(sf_dir: str):
+    """Tumbling 1h windows per event_type (§2.9 streaming semantics as
+    batch-over-log)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def win(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["window_start"] = batch["ts"].dt.floor("h")
+        batch["value_cents"] = _cents(batch["value"].to_numpy())
+        return batch[["event_type", "window_start", "value_cents", "value"]]
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        ev.map_batches(win, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"),
+                   Sum("value_cents", alias_name="sum_value_cents"),
+                   Min("value", alias_name="min_value"),
+                   Max("value", alias_name="max_value"))
+    )
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user via sorted
+    map_groups — ordering assumption: (ts, event_id) within user."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------- text / documents ----------------
+
+def doc_token_stats(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = text_stats(docs, concurrency=2, fingerprint=False, langid=False)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "lang", "n_chars", "n_words"]]
+
+    return out.map_batches(select, batch_format="pandas")
+
+
+def doc_quality_gate(sf_dir: str):
+    """M16/G7-style quality gate as a vectorized filter."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(batch["text"])
+        digits = pc.count_substring_regex(batch["text"], "[0-9]")
+        keep = pc.and_(
+            pc.greater_equal(n_chars, 200),
+            pc.less(pc.cast(digits, pa.float64()),
+                    pc.multiply(pc.cast(n_chars, pa.float64()), 0.2)),
+        )
+        out = batch.filter(keep)
+        return pa.Table.from_arrays(
+            [out["doc_id"], pc.utf8_length(out["text"])], names=["doc_id", "n_chars"]
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+def exact_dedup_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(docs)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "text_sha"]]
+
+    return out.map_batches(select, batch_format="pandas")
+
+
+def lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+# ---------------- embeddings ----------------
+
+def knn_bruteforce(sf_dir: str):
+    """ANN baseline: exact cosine top-10 for the first 3 vectors (float64
+    so ranking matches the float64 SQL oracle)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = brute_force_topk(ds, queries, k=10, concurrency=2, dtype=np.float64)
+    out["query_id"] = out["query_id"].map(dict(enumerate(qdf["vec_id"])))
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def embedding_label_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    return ds.groupby("label").aggregate(
+        Count(alias_name="n"), Min("vec_id", alias_name="min_vec_id")
+    )
+
+
+# ---------------- non-SQL operators (rows-only driver check) ----------------
+
+def minhash_dedup_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(docs, jaccard_threshold=0.8, concurrency=2)
+
+
+def simhash_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(docs)
+
+
+def embedding_near_dup_q(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup(ds, cosine_threshold=0.98)
+
+
+def knn_ivf(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = ivf_topk(ds, queries, k=10, n_clusters=8, nprobe=3, concurrency=2)
+    out["query_id"] = out["query_id"].map(dict(enumerate(qdf["vec_id"])))
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def doc_fingerprints(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = text_stats(docs, concurrency=2, langid=False)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["doc_id", "fingerprint", "lang_pred"]] if "lang_pred" in batch \
+            else batch[["doc_id", "fingerprint"]]
+        return batch
+
+    return out.map_batches(select, batch_format="pandas")
+
+
+# crawl pipeline queries share one small run per process
+_CRAWL_CACHE: dict = {}
+
+
+def _crawl(tag: str):
+    from ..config import CrawlConfig, SyntheticWebConfig
+    from .crawl import CrawlRunner
+
+    if "runner" not in _CRAWL_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="ncray-crawl-")
+        runner = CrawlRunner(
+            out,
+            CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128),
+            SyntheticWebConfig(n_hosts=8),
+        )
+        runner.run(max_rounds=4)
+        _CRAWL_CACHE["runner"] = runner
+    return _CRAWL_CACHE["runner"]
+
+
+def crawl_frontier(sf_dir: str):
+    """Flagship crawl (t1 scale): final frontier state (rows-only check;
+    exact semantics are pytest-verified against the sequential oracle)."""
+    runner = _crawl("frontier")
+    return runner.frontier_dataset().drop_columns(["host_hash"])
+
+
+def crawl_documents(sf_dir: str):
+    runner = _crawl("docs")
+    ds = runner.documents_dataset()
+
+    def flatten(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_spans"] = batch["spans"].map(len)
+        batch["n_media"] = batch["spans"].map(
+            lambda ss: sum(1 for s in ss if s["kind"] == "media")
+        )
+        return batch[["doc_id", "url", "host", "title", "word_count",
+                      "content_hash", "n_spans", "n_media"]]
+
+    return ds.map_batches(flatten, batch_format="pandas")
+
+
+def crawl_classified(sf_dir: str):
+    from ..stages.classify import classify_documents
+
+    runner = _crawl("classified")
+    out = classify_documents(runner.documents_dataset(), concurrency=2)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["topics"] = batch["topics"].map(lambda t: ",".join(t))
+        return batch[["doc_id", "content_type", "confidence", "quality_score",
+                      "topics"]]
+
+    return out.map_batches(select, batch_format="pandas")
+
+
+def multimodal_features(sf_dir: str):
+    """Media spans -> synthetic binary payloads -> decode/feature actor."""
+    from ..stages.multimodal import decode_images, synth_media_table
+
+    runner = _crawl("mm")
+    docs = runner.documents_dataset().to_pandas()
+    refs = []
+    for _, row in docs.iterrows():
+        for s in row["spans"]:
+            if s["kind"] == "media":
+                refs.append((row["doc_id"], s["media_ref"]))
+    media = rd.from_arrow(synth_media_table(refs[:2000]))
+    out = decode_images(media, concurrency=2)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["media_id", "doc_id", "width", "height"]]
+
+    return out.map_batches(select, batch_format="pandas")
+
+
+# ---------------- catalogs ----------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "region_revenue": region_revenue,
+    "top_parts_by_revenue": top_parts_by_revenue,
+    "frontier_submit_merge": frontier_submit_merge,
+    "claim_ordering": claim_ordering,
+    "politeness_budget": politeness_budget,
+    "events_tumbling_window": events_tumbling_window,
+    "events_sessionize": events_sessionize,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_gate": doc_quality_gate,
+    "exact_dedup_docs": exact_dedup_docs,
+    "lang_stats": lang_stats,
+    "knn_bruteforce": knn_bruteforce,
+    "embedding_label_stats": embedding_label_stats,
+    # non-SQL operators
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "simhash_docs": simhash_docs,
+    "embedding_near_dup": embedding_near_dup_q,
+    "knn_ivf": knn_ivf,
+    "doc_fingerprints": doc_fingerprints,
+    "crawl_frontier": crawl_frontier,
+    "crawl_documents": crawl_documents,
+    "crawl_classified": crawl_classified,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+               SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+               SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT o.o_orderkey,
+               SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               o.o_orderdate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue_cents DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT r.r_name,
+               COUNT(*) AS n_orders,
+               SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+    """,
+    "top_parts_by_revenue": """
+        SELECT l.l_partkey AS p_partkey,
+               SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               ANY_VALUE(p.p_name) AS p_name
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l.l_partkey
+        ORDER BY revenue_cents DESC, l.l_partkey
+        LIMIT 20
+    """,
+    "frontier_submit_merge": """
+        SELECT user_id, MAX(value) AS max_priority, MIN(ts) AS first_seen,
+               COUNT(*) AS n_submits
+        FROM events GROUP BY user_id
+    """,
+    "claim_ordering": """
+        SELECT o_orderkey, o_orderpriority, o_orderdate
+        FROM orders
+        ORDER BY o_orderpriority, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+    "politeness_budget": """
+        SELECT user_id, date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events, COUNT(*) > 5 AS over_budget
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "events_tumbling_window": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "events_sessionize": """
+        WITH x AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE prev IS NULL OR ts - prev > INTERVAL 30 MINUTE) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM x GROUP BY user_id
+    """,
+    "doc_token_stats": """
+        SELECT doc_id, lang, LENGTH(text) AS n_chars,
+               LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words
+        FROM documents
+    """,
+    "doc_quality_gate": """
+        SELECT doc_id, LENGTH(text) AS n_chars
+        FROM documents
+        WHERE LENGTH(text) >= 200
+          AND LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+              < LENGTH(text) * 0.2
+    """,
+    "exact_dedup_docs": """
+        SELECT doc_id, text_sha FROM (
+            SELECT doc_id, sha256(text) AS text_sha,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    "lang_stats": """
+        SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    "knn_bruteforce": """
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                            v.vec_id
+               ) - 1 AS BIGINT) AS "rank"
+        FROM embeddings q CROSS JOIN embeddings v
+        WHERE q.vec_id < 3
+        QUALIFY "rank" < 10
+    """,
+    "embedding_label_stats": """
+        SELECT label, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
+        FROM embeddings GROUP BY label
+    """,
+}

@@ -25,14 +25,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class TopKScorer:
     """Actor: holds the broadcast query matrix; emits per-batch top-k rows."""
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float32))
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 dtype=np.float32):
+        self.dtype = dtype
+        self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=dtype))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        V = _normalize(np.stack(batch[self.vec_col].to_numpy()).astype(np.float32))
+        V = _normalize(np.stack(batch[self.vec_col].to_numpy()).astype(self.dtype))
         sims = self.Q @ V.T  # (nq, nb)
         ids = batch[self.id_col].to_numpy()
         k = min(self.k, sims.shape[1])
@@ -47,13 +49,13 @@ class TopKScorer:
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency: int = 4) -> pd.DataFrame:
+                     concurrency: int = 4, dtype=np.float32) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns a DataFrame
     (query_id, id, cosine, rank) with k rows per query."""
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(np.asarray(queries, dtype=dtype))
     partial = ds.map_batches(
         TopKScorer,
-        fn_constructor_args=(qref, k, id_col, vec_col),
+        fn_constructor_args=(qref, k, id_col, vec_col, dtype),
         batch_format="pandas",
         batch_size=4096,
         concurrency=concurrency,
