@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipeline (synthetic-web crawl generation
+loop -> parse -> classify) plus a representative query set over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1), then prints ONE JSON line:
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_per_sec": ..., "frontier_ops_per_sec": ...}
+
+--scaling: runs the identical headline workload in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (N and 4N) and reports both throughputs plus the
+scaling efficiency (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline crawl size — identical at every num_cpus level
+BENCH_HOSTS = 1500
+BENCH_ROUNDS = 5
+
+
+def _quiet_data_context():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+    from north_cloud_ray.stages.classify import classify_documents
+
+    _quiet_data_context()
+    out = tempfile.mkdtemp(prefix="ncray-bench-")
+    web_cfg = SyntheticWebConfig(
+        n_hosts=BENCH_HOSTS, base_pages_per_host=40, mega_host_factor=12
+    )
+    cfg = CrawlConfig(
+        num_shards=min(16, max(4, num_cpus // 2)),
+        fetch_concurrency=max(2, num_cpus - 2),
+        fetch_batch_size=256,
+    )
+    runner = CrawlRunner(out, cfg, web_cfg)
+
+    t0 = time.perf_counter()
+    summary = runner.run(max_rounds=BENCH_ROUNDS)
+    t_crawl = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    classified = classify_documents(
+        runner.documents_dataset(),
+        concurrency=max(2, num_cpus - 2),
+        batch_size=1024,
+    )
+    n_docs = classified.count()
+    t_classify = time.perf_counter() - t1
+
+    # frontier ops = claims + status updates (=claims) + accepted submits
+    new_urls = 0
+    frontier_size = 0
+    for mf in glob.glob(os.path.join(out, "rounds", "*", "metrics.json")):
+        with open(mf) as f:
+            m = json.load(f)
+        for s in m["shards"]:
+            new_urls += s.get("new_urls", 0)
+            frontier_size = max(frontier_size, s.get("frontier_size", 0))
+    ops = summary["claims"] * 2 + new_urls
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "claims": summary["claims"],
+        "rounds": summary["rounds"],
+        "docs": n_docs,
+        "new_urls": new_urls,
+        "sec_crawl": round(t_crawl, 3),
+        "sec_classify": round(t_classify, 3),
+        "sec_total": round(t_crawl + t_classify, 3),
+        "pages_per_sec": round(summary["claims"] / t_crawl, 1),
+        "frontier_ops_per_sec": round(ops / t_crawl, 1),
+        "docs_per_sec": round(n_docs / max(t_classify, 1e-9), 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from north_cloud_ray.pipelines.queries import QUERIES
+
+    _quiet_data_context()
+    names = [
+        "q1_pricing_summary", "q3_top_orders", "region_revenue",
+        "frontier_submit_merge", "events_tumbling_window", "events_sessionize",
+        "doc_token_stats", "exact_dedup_docs", "minhash_dedup_docs",
+        "knn_bruteforce", "simhash_docs",
+    ]
+    import ray.data
+
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            n = res.count()  # force full execution
+        else:
+            n = len(res)
+        assert n >= 0
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        head = run_headline(NUM_CPUS)
+        qtimes = run_queries(SF_DIR)
+        result = {
+            "metric": "crawl+classify headline seconds (synthetic web, "
+            f"{BENCH_HOSTS} hosts, {BENCH_ROUNDS} rounds) + query wall times",
+            "value": head["sec_total"],
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            **head,
+        }
+        print(json.dumps(result))
+    finally:
+        ray.shutdown()
+
+
+def scaling() -> None:
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(lo_cpus)  # warm page cache (untimed for comparison purposes)
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    thr_lo = lo["claims"] / lo["sec_total"]
+    thr_hi = hi["claims"] / hi["sec_total"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    print(json.dumps({
+        "sec_8": lo["sec_total"], "sec_32": hi["sec_total"],
+        "pages_per_sec_8": round(thr_lo, 1), "pages_per_sec_32": round(thr_hi, 1),
+        "frontier_ops_per_sec_8": lo["frontier_ops_per_sec"],
+        "frontier_ops_per_sec_32": hi["frontier_ops_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -457,7 +457,8 @@ class CrawlRunner:
             paths,
             filter=pa.compute.field("rec") == "doc",
             columns=["rec", "doc_id", "url", "source_id", "host", "title",
-                     "spans", "content_hash", "word_count", "claim_at", "crawled_at"],
+                     "spans", "body", "n_media", "first_text_len",
+                     "content_hash", "word_count", "claim_at", "crawled_at"],
         )
         return ds.drop_columns(["rec", "claim_at"])
 

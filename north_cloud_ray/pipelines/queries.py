@@ -78,42 +78,43 @@ def q3_top_orders(sf_dir: str):
     """Broadcast semi-join (small customer side) + grouped revenue + top-k
     (J3/T1-style)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    keys_ref = ray.put(keys)
+    keys = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+    )
+    keys_ref = ray.put(keys)  # numpy -> zero-copy plasma reads in every task
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filt(batch: pd.DataFrame) -> pd.DataFrame:
         k = ray.get(keys_ref)
-        return batch[batch["o_custkey"].isin(k)]
+        mask = np.isin(batch["o_custkey"].to_numpy(), k, assume_unique=False)
+        return batch[mask]
 
     orders_b = orders.map_batches(filt, batch_format="pandas")
-    okeys = orders_b.to_pandas()[["o_orderkey", "o_orderdate"]]
-    okey_ref = ray.put(dict(zip(okeys["o_orderkey"], okeys["o_orderdate"])))
+    okeys = orders_b.to_pandas()[["o_orderkey", "o_orderdate"]]  # bounded
+    okey_arr = np.sort(okeys["o_orderkey"].to_numpy())
+    okey_ref = ray.put(okey_arr)
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(batch: pd.DataFrame) -> pd.DataFrame:
-        om = ray.get(okey_ref)
-        batch = batch[batch["l_orderkey"].isin(om.keys())].copy()
+        ok = ray.get(okey_ref)
+        mask = np.isin(batch["l_orderkey"].to_numpy(), ok)
+        batch = batch[mask].copy()
         batch["revenue_cents"] = _cents(
             (batch["l_extendedprice"] * (1 - batch["l_discount"])).to_numpy()
         )
         return batch[["l_orderkey", "revenue_cents"]]
 
-    from ray.data.aggregate import Sum
+    from ..stages.agg import grouped_sum_topk
 
-    per_order = (
-        li.map_batches(rev, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    df = grouped_sum_topk(
+        li.map_batches(rev, batch_format="pandas"),
+        key="l_orderkey", value_col="revenue_cents", k=10,
     )
-    top = per_order.sort(["revenue_cents", "l_orderkey"],
-                         descending=[True, False]).limit(10)
-    df = top.to_pandas()
-    om = ray.get(okey_ref)
-    df["o_orderdate"] = df["l_orderkey"].map(om)
+    date_map = dict(zip(okeys["o_orderkey"], okeys["o_orderdate"]))
+    df["o_orderdate"] = df["l_orderkey"].map(date_map)
     return df.rename(columns={"l_orderkey": "o_orderkey"})
 
 
@@ -158,15 +159,11 @@ def top_parts_by_revenue(sf_dir: str):
         )
         return batch[["l_partkey", "revenue_cents"]]
 
-    from ray.data.aggregate import Sum
+    from ..stages.agg import grouped_sum_topk
 
-    top = (
-        li.map_batches(rev, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        .sort(["revenue_cents", "l_partkey"], descending=[True, False])
-        .limit(20)
-        .to_pandas()
+    top = grouped_sum_topk(
+        li.map_batches(rev, batch_format="pandas"),
+        key="l_partkey", value_col="revenue_cents", k=20,
     )
     top["p_name"] = top["l_partkey"].map(ray.get(pref))
     return top.rename(columns={"l_partkey": "p_partkey"})
@@ -177,14 +174,24 @@ def top_parts_by_revenue(sf_dir: str):
 def frontier_submit_merge(sf_dir: str):
     """S1 upsert-merge semantics: per key keep GREATEST(priority),
     LEAST(first-seen), count submissions (events.user_id as the key)."""
-    from ray.data.aggregate import Count, Max, Min
+    from ..stages.agg import hash_grouped_agg
 
     ev = _read(sf_dir, "events", ["user_id", "value", "ts"])
-    return ev.groupby("user_id").aggregate(
-        Max("value", alias_name="max_priority"),
-        Min("ts", alias_name="first_seen"),
-        Count(alias_name="n_submits"),
-    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).agg(
+            max_priority=("value", "max"), first_seen=("ts", "min"),
+            n_submits=("value", "size"),
+        )
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("user_id", as_index=False).agg(
+            max_priority=("max_priority", "max"),
+            first_seen=("first_seen", "min"),
+            n_submits=("n_submits", "sum"),
+        )
+
+    return hash_grouped_agg(ev, ["user_id"], partial, combine)
 
 
 def claim_ordering(sf_dir: str):
@@ -196,27 +203,25 @@ def claim_ordering(sf_dir: str):
 def politeness_budget(sf_dir: str):
     """A2-style per-host window budget: events per (user, hour) + over-budget
     flag (token-bucket accounting as data)."""
+    from ..stages.agg import hash_grouped_agg
+
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def hourly(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["window_start"] = batch["ts"].dt.floor("h")
-        return batch[["user_id", "window_start"]]
+        return batch.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("ts", "size")
+        )
 
-    from ray.data.aggregate import Count
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+        g["over_budget"] = g["n_events"] > 5
+        return g
 
-    out = (
-        ev.map_batches(hourly, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"))
-    )
-
-    def flag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["over_budget"] = batch["n_events"] > 5
-        return batch
-
-    return out.map_batches(flag, batch_format="pandas")
+    return hash_grouped_agg(ev, ["user_id", "window_start"], partial, combine)
 
 
 # ---------------- streaming-shaped ----------------
@@ -224,29 +229,34 @@ def politeness_budget(sf_dir: str):
 def events_tumbling_window(sf_dir: str):
     """Tumbling 1h windows per event_type (§2.9 streaming semantics as
     batch-over-log)."""
-    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    from ..stages.agg import hash_grouped_agg
 
-    def win(batch: pd.DataFrame) -> pd.DataFrame:
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    keys = ["event_type", "window_start"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["window_start"] = batch["ts"].dt.floor("h")
         batch["value_cents"] = _cents(batch["value"].to_numpy())
-        return batch[["event_type", "window_start", "value_cents", "value"]]
+        return batch.groupby(keys, as_index=False).agg(
+            n=("value", "size"), sum_value_cents=("value_cents", "sum"),
+            min_value=("value", "min"), max_value=("value", "max"),
+        )
 
-    from ray.data.aggregate import Count, Max, Min, Sum
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(keys, as_index=False).agg(
+            n=("n", "sum"), sum_value_cents=("sum_value_cents", "sum"),
+            min_value=("min_value", "min"), max_value=("max_value", "max"),
+        )
 
-    return (
-        ev.map_batches(win, batch_format="pandas")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"),
-                   Sum("value_cents", alias_name="sum_value_cents"),
-                   Min("value", alias_name="min_value"),
-                   Max("value", alias_name="max_value"))
-    )
+    return hash_grouped_agg(ev, keys, partial, combine)
 
 
 def events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user via sorted
     map_groups — ordering assumption: (ts, event_id) within user."""
+    from ..stages.agg import hash_grouped_map
+
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -260,7 +270,7 @@ def events_sessionize(sf_dir: str):
             }
         )
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return hash_grouped_map(ev, ["user_id"], sessions)
 
 
 # ---------------- text / documents ----------------

@@ -154,16 +154,28 @@ class SyntheticWeb:
         return self._spans_for(doc_id, host)
 
     def _spans_for(self, doc_id: str, host: str) -> list[dict]:
+        # one hash per span (not per word): span k's digest bytes index the
+        # word pool directly, keeping generation deterministic but ~20x
+        # cheaper than hashing every word separately
         s = self.cfg.seed
         n = 3 + _hx(s, doc_id, "n") % 12
         spans = []
+        nw_pool = len(_WORDS)
         for k in range(n):
-            if _hx(s, doc_id, k, "skind") % 100 < 25:
-                ref = f"https://{host}/media/{hashlib.sha256(f'{s}:{doc_id}:{k}:m'.encode()).hexdigest()[:12]}.jpg"
+            dig = hashlib.sha256(f"{s}:{doc_id}:{k}:sp".encode()).digest()
+            if dig[0] % 100 < 25:
+                ref = f"https://{host}/media/{dig[1:7].hex()}.jpg"
                 spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": k})
             else:
-                nw = 8 + _hx(s, doc_id, k, "nw") % 25
-                words = [_WORDS[_hx(s, doc_id, k, w) % len(_WORDS)] for w in range(nw)]
+                nw = 8 + dig[1] % 25
+                stream = dig
+                words = []
+                while len(words) < nw:
+                    for b in stream:
+                        if len(words) >= nw:
+                            break
+                        words.append(_WORDS[b % nw_pool])
+                    stream = hashlib.sha256(stream).digest()
                 sent = " ".join(words).capitalize() + "."
                 spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": k})
         return spans

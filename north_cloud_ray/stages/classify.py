@@ -186,23 +186,35 @@ class ClassifyActor:
         titles = batch["title"].to_pylist()
         urls = batch["url"].to_pylist()
         wcs = batch["word_count"].to_pylist()
-        spans_col = batch["spans"].to_pylist()
+        # flat body/n_media/first_text_len columns (written at parse time)
+        # keep this stage off the nested span column entirely
+        bodies = batch["body"].to_pylist() if "body" in batch.column_names else None
+        n_medias = (
+            batch["n_media"].to_pylist() if "n_media" in batch.column_names else None
+        )
+        ftls = (
+            batch["first_text_len"].to_pylist()
+            if "first_text_len" in batch.column_names else None
+        )
+        if bodies is None:
+            spans_col = batch["spans"].to_pylist()
+            bodies, n_medias, ftls = [], [], []
+            for spans in spans_col:
+                texts = [s["text"] for s in spans if s["kind"] == "text"]
+                bodies.append("\n".join(texts))
+                n_medias.append(sum(1 for s in spans if s["kind"] == "media"))
+                ftls.append(len(texts[0]) if texts else 0)
 
         ctypes, confs, methods, qualities = [], [], [], []
         topics_col, tscores_col = [], []
-        for title, url, wc, spans in zip(titles, urls, wcs, spans_col):
-            texts = [s["text"] for s in spans if s["kind"] == "text"]
-            n_media = sum(1 for s in spans if s["kind"] == "media")
-            body = "\n".join(texts)
+        for title, url, wc, body, n_media, ftl in zip(
+            titles, urls, wcs, bodies, n_medias, ftls
+        ):
             ctype, conf, method = classify_content_type(url, wc)
             ctypes.append(ctype)
             confs.append(conf)
             methods.append(method)
-            qualities.append(
-                quality_score(
-                    wc, bool(title), len(texts[0]) if texts else 0, url, n_media
-                )
-            )
+            qualities.append(quality_score(wc, bool(title), ftl, url, n_media))
             ts = classify_topics(title, body, self.rules)
             topics_col.append([t for t, _ in ts])
             tscores_col.append([{"topic": t, "score": s} for t, s in ts])

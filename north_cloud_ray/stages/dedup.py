@@ -37,7 +37,10 @@ def add_text_sha(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per exact text hash. groupby = hash partition."""
+    """Keep the min-id row per exact text hash, hash-partitioned (S7-style
+    first-wins)."""
+    from .agg import hash_grouped_map
+
     ds = ds.map_batches(
         lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
     )
@@ -45,7 +48,35 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     def first(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(id_col, kind="mergesort").head(1)
 
-    return ds.groupby("text_sha").map_groups(first, batch_format="pandas")
+    return hash_grouped_map(ds, ["text_sha"], first)
+
+
+# ---------------- clustering helper ----------------
+
+
+def cluster_pairs(pairs_df: pd.DataFrame) -> dict:
+    """Union-find with path compression over candidate pairs; labels each
+    member with the minimum id of its connected component. The pair set is
+    bounded (LSH candidates), so this driver-side pass is O(P α(P)) — the
+    corpus itself never lands on the driver."""
+    parent: dict = {}
+    if len(pairs_df) == 0 or "a" not in pairs_df.columns:
+        return {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
 
 
 # ---------------- minhash ----------------
@@ -85,14 +116,11 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     n_perm = len(a)
     if len(sh) == 0:
         return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (n_sh, n_perm) in uint64 modular arithmetic via python-object fallback is
-    # slow; use uint128 emulation through float-free numpy: split multiply.
+    # uint64 arithmetic wraps on overflow, but the wrap is itself a fixed
+    # deterministic function — fine for minhashing purposes
     x = sh.astype(np.uint64)
-    sig = np.empty(n_perm, dtype=np.uint64)
-    for i in range(n_perm):
-        v = (x * a[i] + b[i]) % _MERSENNE  # uint64 wraps, but wrap is itself
-        sig[i] = v.min()                   # a fixed deterministic function
-    return sig
+    v = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE  # (n_sh, n_perm)
+    return v.min(axis=0)
 
 
 class MinHashActor:
@@ -146,19 +174,21 @@ def minhash_lsh_dedup(
     )
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes, texts = [], [], [], []
-        for _, row in batch.iterrows():
-            sig = row["minhash"]
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(row[id_col])
-                band_ids.append(b)
-                band_hashes.append(h)
-                texts.append(row[text_col])
+        n = len(batch)
+        sigs = np.stack(batch["minhash"].to_numpy())  # (n, n_perm)
+        chunks = sigs.reshape(n, bands, rows_per_band)
+        band_hashes = [
+            hashlib.blake2b(chunks[i, b].tobytes(), digest_size=8).hexdigest()
+            for i in range(n)
+            for b in range(bands)
+        ]
         return pd.DataFrame(
-            {id_col: ids, "band_id": band_ids, "band_hash": band_hashes,
-             text_col: texts}
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                "band_id": np.tile(np.arange(bands), n),
+                "band_hash": band_hashes,
+                text_col: np.repeat(batch[text_col].to_numpy(), bands),
+            }
         )
 
     exploded = sigged.map_batches(explode_bands, batch_format="pandas")
@@ -180,25 +210,11 @@ def minhash_lsh_dedup(
                     pb_.append(ids[j])
         return pd.DataFrame({"a": pa_, "b": pb_})
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    pairs_df = pairs.to_pandas().drop_duplicates()
+    from .agg import hash_grouped_map
 
-    # connected components: min-label propagation (candidate graph is small
-    # relative to the corpus; loop runs on the driver over the PAIRS only)
-    label: dict = {}
-    for x in pd.concat([pairs_df["a"], pairs_df["b"]]):
-        label[x] = min(label.get(x, x), x)
-    changed = True
-    while changed:
-        changed = False
-        for _, r in pairs_df.iterrows():
-            la, lb = label[r["a"]], label[r["b"]]
-            m = min(la, lb)
-            if la != m or lb != m:
-                label[r["a"]] = label[r["b"]] = m
-                changed = True
+    pairs = hash_grouped_map(exploded, ["band_id", "band_hash"], bucket_pairs)
+    pairs_df = pairs.to_pandas().drop_duplicates()
+    label = cluster_pairs(pairs_df)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[id_col]].copy()
@@ -211,18 +227,32 @@ def minhash_lsh_dedup(
 # ---------------- simhash ----------------
 
 
+_SIMHASH_BIT_CACHE: dict[str, np.ndarray] = {}
+
+
+def _word_bits(w: str) -> np.ndarray:
+    """±1 bit vector for one word, memoized (corpus vocabularies repeat)."""
+    v = _SIMHASH_BIT_CACHE.get(w)
+    if v is None:
+        d = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(np.int8)
+        v = (bits.astype(np.int16) * 2 - 1).astype(np.int8)
+        if len(_SIMHASH_BIT_CACHE) < 1_000_000:
+            _SIMHASH_BIT_CACHE[w] = v
+    return v
+
+
+_POW2_64 = (1 << np.arange(63, -1, -1).astype(np.uint64)).astype(np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features."""
-    v = np.zeros(64, dtype=np.int64)
-    for w in set(text.lower().split()):
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        v += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i, x in enumerate(v):
-        if x > 0:
-            out |= 1 << (63 - i)
-    return out
+    """64-bit SimHash over unique word features (vectorized bit-matrix sum)."""
+    words = set(text.lower().split())
+    if not words:
+        return 0
+    m = np.stack([_word_bits(w) for w in words]).astype(np.int32)
+    v = m.sum(axis=0)
+    return int(((v > 0).astype(np.uint64) * _POW2_64).sum())
 
 
 def hamming64(a: int, b: int) -> int:
@@ -241,43 +271,44 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     sigged = ds.map_batches(add_simhash, batch_format="pandas")
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            h = int(r["simhash"])
-            for b in range(4):
-                rows.append(
-                    {id_col: r[id_col], "simhash": np.uint64(h), "band_id": b,
-                     "band_key": (h >> (16 * b)) & 0xFFFF}
-                )
-        return pd.DataFrame(rows)
+        n = len(batch)
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        shifts = (np.tile(np.arange(4), n) * 16).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), 4),
+                "simhash": np.repeat(h, 4),
+                "band_id": np.tile(np.arange(4), n),
+                "band_key": ((np.repeat(h, 4) >> shifts) & np.uint64(0xFFFF)).astype("int64"),
+            }
+        )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pairwise Hamming: unpack signatures to a bit matrix B,
+        D = |b_i| + |b_j| - 2 B B^T. Skewed buckets stay O(n^2) but run as
+        one int matmul; at 10^10 scale hot buckets additionally need key
+        salting (SURVEY.md §7.3)."""
         g = group.drop_duplicates(id_col).sort_values(id_col)
-        ids, hs = list(g[id_col]), list(g["simhash"])
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if hamming64(int(hs[i]), int(hs[j])) <= max_hamming:
-                    out.append({"a": ids[i], "b": ids[j]})
-        return pd.DataFrame(out, columns=["a", "b"])
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ids = g[id_col].to_numpy()
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        bytes_view = h.copy().view(np.uint8).reshape(n, 8)
+        B = np.unpackbits(bytes_view, axis=1).astype(np.int16)  # (n, 64)
+        ones = B.sum(axis=1)
+        D = ones[:, None] + ones[None, :] - 2 * (B @ B.T)
+        ii, jj = np.where(np.triu(D <= max_hamming, k=1))
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    pairs = (
-        sigged.map_batches(explode, batch_format="pandas")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from .agg import hash_grouped_map
+
+    pairs = hash_grouped_map(
+        sigged.map_batches(explode, batch_format="pandas"),
+        ["band_id", "band_key"], bucket_pairs,
     )
     pairs_df = pairs.to_pandas().drop_duplicates()
-    label: dict = {}
-    for x in pd.concat([pairs_df["a"], pairs_df["b"]]) if len(pairs_df) else []:
-        label[x] = min(label.get(x, x), x)
-    changed = True
-    while changed and len(pairs_df):
-        changed = False
-        for _, r in pairs_df.iterrows():
-            m = min(label[r["a"]], label[r["b"]])
-            if label[r["a"]] != m or label[r["b"]] != m:
-                label[r["a"]] = label[r["b"]] = m
-                changed = True
+    label = cluster_pairs(pairs_df)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[id_col]].copy()
@@ -331,15 +362,13 @@ def embedding_near_dup(
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col)
-        ids = list(g[id_col])
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ids = g[id_col].to_numpy()
         V = np.stack(g["_vec"].to_numpy())
         sims = V @ V.T
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= cosine_threshold:
-                    out.append({"a": ids[i], "b": ids[j]})
-        return pd.DataFrame(out, columns=["a", "b"])
+        ii, jj = np.where(np.triu(sims >= cosine_threshold, k=1))
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
     pairs_df = (
         bucketed.groupby("bucket")
@@ -347,17 +376,7 @@ def embedding_near_dup(
         .to_pandas()
         .drop_duplicates()
     )
-    label: dict = {}
-    for x in (pd.concat([pairs_df["a"], pairs_df["b"]]) if len(pairs_df) else []):
-        label[x] = min(label.get(x, x), x)
-    changed = True
-    while changed and len(pairs_df):
-        changed = False
-        for _, r in pairs_df.iterrows():
-            m = min(label[r["a"]], label[r["b"]])
-            if label[r["a"]] != m or label[r["b"]] != m:
-                label[r["a"]] = label[r["b"]] = m
-                changed = True
+    label = cluster_pairs(pairs_df)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[id_col]].copy()

@@ -190,6 +190,7 @@ def route_fetch(
     # crawl-side quality gate (rawcontent/service.go:25-27,187-201):
     # indexable only with a title+text and >= 50 words
     if title and wc >= 50:
+        texts = [s["text"] for s in spans if s["kind"] == "text"]
         doc = {
             "doc_id": doc_id,
             "url": doc_url,
@@ -197,6 +198,11 @@ def route_fetch(
             "host": extract_host(doc_url),
             "title": title,
             "spans": spans,
+            # `body` = raw_text alias (classifier.go:624-655); computed here
+            # so downstream classify never re-flattens the span column
+            "body": "\n".join(texts),
+            "n_media": sum(1 for s in spans if s["kind"] == "media"),
+            "first_text_len": len(texts[0]) if texts else 0,
             "content_hash": chash,
             "word_count": wc,
             "crawled_at": claim_at,
@@ -258,6 +264,9 @@ RESULT_FIELDS = [
         ("kind", pa.string()), ("text", pa.string()),
         ("media_ref", pa.string()), ("offset", pa.int32()),
     ]))),
+    ("body", pa.string()),
+    ("n_media", pa.int32()),
+    ("first_text_len", pa.int32()),
     ("word_count", pa.int32()),
     ("crawled_at", pa.int64()),
     # outlink/candidate fields
