@@ -57,7 +57,7 @@ from ..frontier.normalize import (
 )
 from ..frontier.schema import FRONTIER_SCHEMA
 from ..sources.synthetic_web import SyntheticWeb
-from ..stages.fetch_parse import FetchParseActor, RESULT_SCHEMA
+from ..stages.fetch_parse import RESULT_SCHEMA, fetch_parse_fn
 from ..state.checkpoint import CheckpointStore
 
 HOST_STATE_RUNTIME_SCHEMA = pa.schema(
@@ -195,12 +195,25 @@ def _claim_task(
     return n_pending_total, claims_tbl.num_rows, hs_tbl
 
 
+UPDATE_COLS = [
+    "url_hash", "host_hash", "outcome", "claim_at", "reason", "content_hash",
+    "etag", "last_modified", "renamed", "final_url", "final_url_hash",
+    "final_host", "final_host_hash", "shard",
+]
+CAND_COLS = [
+    "url", "url_hash", "host", "host_hash", "source_id", "origin",
+    "parent_url", "depth", "priority", "next_fetch_at", "discovered_at",
+    "shard",
+]
+
+
 @ray.remote
 def _merge_task(
     shard: int,
     old_path: str,
     claims_path: str,
-    results_dir: str,
+    updates: pd.DataFrame,
+    cands: pd.DataFrame,
     rename_inserts: pa.Table | None,
     rename_rejected: list[str],
     host_state: pa.Table,
@@ -208,21 +221,17 @@ def _merge_task(
     out_host_state: str,
     max_retries: int,
 ) -> dict:
-    """Per-shard merge step: apply submits + outcomes, write round r+1 state."""
+    """Per-shard merge step: apply submits + outcomes, write round r+1 state.
+
+    ``updates``/``cands`` arrive pre-sliced for this shard via the object
+    store — the round results are scanned exactly once on the driver, not
+    2x per shard (at extreme scale, swap for a shard-partitioned results
+    write and per-task partition reads)."""
     old = pq.read_table(old_path).to_pandas()
     claimed = set(
         pq.read_table(claims_path, columns=["url_hash"])["url_hash"].to_pylist()
     )
-    updates = pq.read_table(
-        results_dir, filters=[("rec", "=", "update"), ("shard", "=", shard)]
-    ).to_pandas()
-    cands = pq.read_table(
-        results_dir, filters=[("rec", "=", "outlink"), ("shard", "=", shard)],
-    ).to_pandas()
-    cands = cands[
-        ["url", "url_hash", "host", "host_hash", "source_id", "origin",
-         "parent_url", "depth", "priority", "next_fetch_at", "discovered_at"]
-    ]
+    cands = cands[CAND_COLS[:-1]]
     ins = rename_inserts.to_pandas() if rename_inserts is not None else pd.DataFrame()
     merged = merge_shard(
         old, claimed, updates, cands, ins, set(rename_rejected), max_retries
@@ -295,15 +304,15 @@ class CrawlRunner:
 
         results_dir = store.results_dir(rnd)
         if n_claims > 0:
-            # 2. fetch + parse: the streaming hot path
+            # 2. fetch + parse: the streaming hot path. Stateless tasks with
+            # per-worker-process caches — no per-round actor-pool respawn.
+            from functools import partial as _partial
+
             ds = ray.data.read_parquet(store.claims_dir(rnd))
             results = ds.map_batches(
-                FetchParseActor,
-                fn_constructor_args=(self.web_cfg, cfg),
+                _partial(fetch_parse_fn, web_cfg=self.web_cfg, crawl_cfg=cfg),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency,
-                num_cpus=1,
             )
             results.write_parquet(results_dir)
         else:
@@ -313,17 +322,39 @@ class CrawlRunner:
                 os.path.join(results_dir, "empty.parquet"),
             )
 
+        # one driver-side scan of the round results (spans/body columns
+        # pruned away by the columns= projection)
+        upd_tbl = pq.read_table(
+            results_dir, columns=UPDATE_COLS, filters=[("rec", "=", "update")]
+        )
+        updates_all = upd_tbl.to_pandas()
+        # uint64 + nulls degrades to float64 in pandas, corrupting hashes
+        # beyond 2^53 — carry the exact values from Arrow
+        updates_all["final_host_hash"] = pd.Series(
+            upd_tbl["final_host_hash"].to_pylist(),
+            dtype="object",  # int+None must NOT coerce to float64 (2^53 loss)
+            index=updates_all.index,
+        )
+        cands_all = pq.read_table(
+            results_dir, columns=CAND_COLS, filters=[("rec", "=", "outlink")]
+        ).to_pandas()
+
         # 3. redirect-rename resolution (bounded: ~redirect_rate * claims)
-        inserts_by_shard, rejected = self._resolve_renames(rnd)
+        inserts_by_shard, rejected = self._resolve_renames(rnd, updates_all, cands_all)
 
         # 4. merge, per shard; commit state round+1
         self.store.clear_uncommitted_state(rnd + 1)
+        upd_by_shard = dict(tuple(updates_all.groupby("shard", sort=False)))
+        cand_by_shard = dict(tuple(cands_all.groupby("shard", sort=False)))
+        empty_upd = updates_all.iloc[0:0]
+        empty_cand = cands_all.iloc[0:0]
         merge_refs = [
             _merge_task.remote(
                 s,
                 store.frontier_path(rnd, s),
                 os.path.join(store.claims_dir(rnd), f"shard-{s:03d}.parquet"),
-                results_dir,
+                upd_by_shard.get(s, empty_upd),
+                cand_by_shard.get(s, empty_cand),
                 inserts_by_shard.get(s),
                 sorted(rejected),
                 host_states[s],
@@ -344,14 +375,13 @@ class CrawlRunner:
         store.write_metrics(rnd, metrics)
         return metrics
 
-    def _resolve_renames(self, rnd: int) -> tuple[dict[int, pa.Table], set[str]]:
+    def _resolve_renames(
+        self, rnd: int, updates_all: pd.DataFrame, cands_all: pd.DataFrame
+    ) -> tuple[dict[int, pa.Table], set[str]]:
         """UpdateFetchedWithFinalURL conflict resolution against the
         post-submit frontier (frontier_repository.go:216-263 23505 path)."""
         store, cfg = self.store, self.cfg
-        renames = pq.read_table(
-            store.results_dir(rnd),
-            filters=[("rec", "=", "update"), ("renamed", "=", True)],
-        ).to_pandas()
+        renames = updates_all[updates_all["renamed"].fillna(False)]
         if len(renames) == 0:
             return {}, set()
         renames = renames.sort_values("url_hash", kind="mergesort")
@@ -360,12 +390,16 @@ class CrawlRunner:
         rejected: set[str] = set(
             renames.loc[~renames.index.isin(first.index), "url_hash"]
         )
+        all_cand_hashes = set(cands_all["url_hash"])
         accepted_rows = []
         for shard, grp in first.groupby(
-            first["final_host_hash"].astype(np.uint64) % cfg.num_shards
+            first["final_host_hash"].map(lambda v: int(v) % cfg.num_shards)
         ):
             shard = int(shard)
             want = list(grp["final_url_hash"])
+            # membership in the target shard's frontier partition — at
+            # 10^10 scale this is the per-shard cuckoo-filter probe with an
+            # exact fallback; here a filtered column read of the partition
             existing = set(
                 pq.read_table(
                     store.frontier_path(rnd, shard),
@@ -373,15 +407,7 @@ class CrawlRunner:
                     filters=[("url_hash", "in", want)],
                 )["url_hash"].to_pylist()
             )
-            cand_hashes = set(
-                pq.read_table(
-                    store.results_dir(rnd),
-                    columns=["url_hash"],
-                    filters=[("rec", "=", "outlink"), ("shard", "=", shard),
-                             ("url_hash", "in", want)],
-                )["url_hash"].to_pylist()
-            )
-            taken = existing | cand_hashes
+            taken = existing | all_cand_hashes
             for _, row in grp.iterrows():
                 if row["final_url_hash"] in taken:
                     rejected.add(row["url_hash"])

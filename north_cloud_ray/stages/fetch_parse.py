@@ -326,9 +326,17 @@ def build_outlink_rows(
 
 
 class FetchParseActor:
-    """Callable-class stage: one synthetic-web client + robots cache per
-    actor (setup once in __init__, per the reference's per-process robots
-    cache)."""
+    """Callable stage: one synthetic-web client + robots cache per
+    actor/worker process (setup once, per the reference's per-process
+    robots cache, fetcher/robots.go).
+
+    Usable two ways:
+    - as an actor pool: ``map_batches(FetchParseActor, concurrency=N, ...)``
+    - via :func:`fetch_parse_fn` as STATELESS tasks with per-worker-process
+      state — same cache semantics, but reuses Ray's warm worker processes
+      across generation rounds instead of paying a fresh actor-pool spin-up
+      (~2-3 s for a 30-actor pool) every round.
+    """
 
     def __init__(self, web_cfg: SyntheticWebConfig, crawl_cfg: CrawlConfig):
         self.web = SyntheticWeb(web_cfg)
@@ -369,3 +377,18 @@ class FetchParseActor:
         cols = {name: [r.get(name) for r in records] for name, _ in RESULT_FIELDS}
         arrays = [pa.array(cols[f.name], type=f.type) for f in RESULT_SCHEMA]
         return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+
+
+# per-worker-process stage state: (web_cfg, crawl_cfg) -> FetchParseActor.
+# Ray reuses worker processes across tasks and rounds, so this initializes
+# once per process for the whole run — the same lifetime the reference's
+# per-process robots cache has.
+_PROCESS_STATE: dict = {}
+
+
+def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg) -> pa.Table:
+    key = (web_cfg, crawl_cfg)
+    actor = _PROCESS_STATE.get(key)
+    if actor is None:
+        actor = _PROCESS_STATE[key] = FetchParseActor(web_cfg, crawl_cfg)
+    return actor(batch)
