@@ -92,6 +92,11 @@ class CrawlConfig:
 
     user_agent: str = "north-cloud-ray/0.1"
 
+    # enable the feed-poller / sitemap side sources (S3-S5). Feed polls run
+    # at each round start; sitemap ingestion expands the seed set.
+    use_feeds: bool = False
+    use_sitemaps: bool = False
+
     # total fetches allowed per host per round is derived:
     def host_slots(self, min_delay_us: int) -> int:
         d = max(1, min_delay_us)
@@ -117,6 +122,10 @@ class SyntheticWebConfig:
     redirect_rate: float = 0.05
     links_same_host_frac: float = 0.85
     frac_binary_links: float = 0.10
+    # multiplies per-span word counts; 1 = the F1 generation rule, larger
+    # values make bench pages article-sized (~1000+ words) so fetch+parse is
+    # compute-dominated like a real crawl
+    text_scale: int = 1
 
 
 @dataclass(frozen=True)

@@ -15,7 +15,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("url_hash", pa.string()),          # sha256 hex, 64 chars, UNIQUE key
         ("host", pa.string()),
-        ("host_hash", pa.uint64()),
+        ("host_hash", pa.int64()),   # host_hash64 < 2^63: int64 avoids pandas uint64/float64 coercion traps
         ("source_id", pa.string()),
         ("origin", pa.string()),            # feed|sitemap|spider|manual|discovered
         ("parent_url", pa.string()),
@@ -61,7 +61,7 @@ DOCUMENT_SCHEMA = pa.schema(
 HOST_STATE_SCHEMA = pa.schema(
     [
         ("host", pa.string()),
-        ("host_hash", pa.uint64()),
+        ("host_hash", pa.int64()),   # host_hash64 < 2^63: int64 avoids pandas uint64/float64 coercion traps
         ("last_fetch_at", pa.int64()),
         ("min_delay_ms", pa.int32()),
         ("robots_txt", pa.string()),
@@ -78,7 +78,7 @@ CLAIM_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("url_hash", pa.string()),
         ("host", pa.string()),
-        ("host_hash", pa.uint64()),
+        ("host_hash", pa.int64()),   # host_hash64 < 2^63: int64 avoids pandas uint64/float64 coercion traps
         ("source_id", pa.string()),
         ("depth", pa.int32()),
         ("priority", pa.int8()),

@@ -80,7 +80,7 @@ CLAIMS_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("url_hash", pa.string()),
         ("host", pa.string()),
-        ("host_hash", pa.uint64()),
+        ("host_hash", pa.int64()),
         ("source_id", pa.string()),
         ("origin", pa.string()),
         ("parent_url", pa.string()),
@@ -140,6 +140,30 @@ def seed_frontier_table(seeds: list[dict], num_shards: int) -> pd.DataFrame:
 def _frontier_to_table(df: pd.DataFrame) -> pa.Table:
     cols = [f.name for f in FRONTIER_SCHEMA]
     return pa.Table.from_pandas(df[cols], schema=FRONTIER_SCHEMA, preserve_index=False)
+
+
+def _expand_candidates(cands: pd.DataFrame, num_shards: int) -> pd.DataFrame:
+    """Normalize raw candidate URLs (from feeds/sitemaps) into full
+    candidate rows with url_hash/host/shard routing."""
+    rows = []
+    for _, c in cands.iterrows():
+        try:
+            norm = normalize_url(c["url"])
+            h = url_hash(c["url"])
+            host = extract_host(c["url"])
+        except NormalizeError:
+            continue
+        hh = host_hash64(host)
+        rows.append(
+            {"url": norm, "url_hash": h, "host": host, "host_hash": hh,
+             "source_id": c.get("source_id", ""), "origin": c["origin"],
+             "parent_url": c.get("parent_url"), "depth": int(c.get("depth", 0)),
+             "priority": int(c["priority"]),
+             "next_fetch_at": int(c["next_fetch_at"]),
+             "discovered_at": int(c["discovered_at"]),
+             "shard": int(hh % num_shards)}
+        )
+    return pd.DataFrame(rows)
 
 
 @ray.remote
@@ -220,6 +244,8 @@ def _merge_task(
     out_frontier: str,
     out_host_state: str,
     max_retries: int,
+    cuckoo_in: str | None = None,
+    cuckoo_out: str | None = None,
 ) -> dict:
     """Per-shard merge step: apply submits + outcomes, write round r+1 state.
 
@@ -238,6 +264,32 @@ def _merge_task(
     )
     CheckpointStore.write_table(_frontier_to_table(merged), out_frontier)
     CheckpointStore.write_table(host_state, out_host_state)
+
+    # maintain the shard's cuckoo filter (approximate URL-seen set): add
+    # newly admitted hashes, drop renamed-away ones; rebuild on overflow
+    if cuckoo_out is not None:
+        from ..state.cuckoo import CuckooFilter
+
+        merged_hashes = merged["url_hash"]
+        filt = None
+        if cuckoo_in and os.path.exists(cuckoo_in):
+            with open(cuckoo_in, "rb") as f:
+                filt = CuckooFilter.from_bytes(f.read())
+        if filt is None or filt.count + len(merged_hashes) > filt.num_buckets * filt.bucket_size * 0.8:
+            filt = CuckooFilter(capacity=max(1 << 14, 2 * len(merged_hashes)))
+            ok = all(filt.add(h) for h in merged_hashes)
+        else:
+            old_set = set(old["url_hash"])
+            added = [h for h in merged_hashes if h not in old_set]
+            removed = old_set - set(merged_hashes)
+            ok = all(filt.add(h) for h in added)
+            for h in removed:
+                filt.remove(h)
+        if not ok:  # overflow mid-insert: rebuild bigger (no false negatives)
+            filt = CuckooFilter(capacity=4 * max(1 << 14, len(merged_hashes)))
+            for h in merged_hashes:
+                filt.add(h)
+        CheckpointStore.write_bytes(filt.to_bytes(), cuckoo_out)
     status_counts = merged["status"].value_counts().to_dict()
     return {
         "shard": shard,
@@ -269,13 +321,51 @@ class CrawlRunner:
             return
         web = SyntheticWeb(self.web_cfg)
         seeds = seeds if seeds is not None else web.seed_urls()
+        host_source = {}
+        for s in seeds:
+            try:
+                host_source.setdefault(extract_host(s["url"]), s.get("source_id", ""))
+            except NormalizeError:
+                continue
+        if self.cfg.use_sitemaps:
+            # S5: sitemap ingestion expands the seed set (origin=sitemap,
+            # priority 6), merged through the same dedup rule
+            from ..sources.feeds import sitemap_candidates
+
+            seeds = list(seeds)
+            for host, src in sorted(host_source.items()):
+                for c in sitemap_candidates(web, host, 0):
+                    seeds.append({"url": c["url"], "source_id": src,
+                                  "priority": c["priority"], "origin": c["origin"]})
+        if self.cfg.use_feeds:
+            # S3: one feed-state row per host (feed URL via the host's
+            # link-rel; discovery probing is exercised in unit tests)
+            from ..sources.feeds import FEED_STATE_SCHEMA
+
+            rows = [
+                {"host": h, "source_id": src, "feed_url": web.feed_url(h),
+                 "last_etag": None, "last_item_count": 0,
+                 "consecutive_errors": 0, "next_poll_at": 0, "disabled": False}
+                for h, src in sorted(host_source.items())
+            ]
+            self.store.write_table(
+                pa.Table.from_pylist(rows, schema=FEED_STATE_SCHEMA),
+                os.path.join(self.store.state_dir(0), "feedstate.parquet"),
+            )
+
         df = seed_frontier_table(seeds, self.cfg.num_shards)
+        from ..state.cuckoo import CuckooFilter
+
         for s in range(self.cfg.num_shards):
             part = df[df["shard"] == s]
             self.store.write_table(_frontier_to_table(part), self.store.frontier_path(0, s))
             self.store.write_table(
                 HOST_STATE_RUNTIME_SCHEMA.empty_table(), self.store.host_state_path(0, s)
             )
+            filt = CuckooFilter(capacity=max(1 << 14, 4 * len(part)))
+            for h in part["url_hash"]:
+                filt.add(h)
+            self.store.write_bytes(filt.to_bytes(), self.store.cuckoo_path(0, s))
         self.store.commit_state(0)
 
     # ---- one round ----
@@ -308,7 +398,15 @@ class CrawlRunner:
             # per-worker-process caches — no per-round actor-pool respawn.
             from functools import partial as _partial
 
-            ds = ray.data.read_parquet(store.claims_dir(rnd))
+            # enough input blocks that the fetch stage can use every slot
+            # (shard-count parquet files would otherwise cap parallelism)
+            n_blocks = max(
+                cfg.num_shards, 2 * cfg.fetch_concurrency,
+                n_claims // max(1, cfg.fetch_batch_size),
+            )
+            ds = ray.data.read_parquet(
+                store.claims_dir(rnd), override_num_blocks=n_blocks
+            )
             results = ds.map_batches(
                 _partial(fetch_parse_fn, web_cfg=self.web_cfg, crawl_cfg=cfg),
                 batch_format="pyarrow",
@@ -328,8 +426,6 @@ class CrawlRunner:
             results_dir, columns=UPDATE_COLS, filters=[("rec", "=", "update")]
         )
         updates_all = upd_tbl.to_pandas()
-        # uint64 + nulls degrades to float64 in pandas, corrupting hashes
-        # beyond 2^53 — carry the exact values from Arrow
         updates_all["final_host_hash"] = pd.Series(
             upd_tbl["final_host_hash"].to_pylist(),
             dtype="object",  # int+None must NOT coerce to float64 (2^53 loss)
@@ -339,11 +435,32 @@ class CrawlRunner:
             results_dir, columns=CAND_COLS, filters=[("rec", "=", "outlink")]
         ).to_pandas()
 
+        # 2b. feed polls due at round start contribute candidates
+        # (origin=feed, priority 7) through the same submit merge
+        new_feed_state = None
+        if cfg.use_feeds:
+            from ..sources.feeds import FEED_STATE_SCHEMA, poll_feeds_batch
+
+            fs_path = os.path.join(store.state_dir(rnd), "feedstate.parquet")
+            fstate = pq.read_table(fs_path).to_pandas()
+            poll = poll_feeds_batch(fstate, SyntheticWeb(self.web_cfg), t_start)
+            new_feed_state = pa.Table.from_pandas(
+                poll.new_state, schema=FEED_STATE_SCHEMA, preserve_index=False
+            )
+            if len(poll.candidates):
+                feed_cands = _expand_candidates(poll.candidates, cfg.num_shards)
+                cands_all = pd.concat([cands_all, feed_cands], ignore_index=True)
+
         # 3. redirect-rename resolution (bounded: ~redirect_rate * claims)
         inserts_by_shard, rejected = self._resolve_renames(rnd, updates_all, cands_all)
 
         # 4. merge, per shard; commit state round+1
         self.store.clear_uncommitted_state(rnd + 1)
+        if new_feed_state is not None:
+            store.write_table(
+                new_feed_state,
+                os.path.join(store.state_dir(rnd + 1), "feedstate.parquet"),
+            )
         upd_by_shard = dict(tuple(updates_all.groupby("shard", sort=False)))
         cand_by_shard = dict(tuple(cands_all.groupby("shard", sort=False)))
         empty_upd = updates_all.iloc[0:0]
@@ -361,6 +478,8 @@ class CrawlRunner:
                 store.frontier_path(rnd + 1, s),
                 store.host_state_path(rnd + 1, s),
                 cfg.max_retries,
+                store.cuckoo_path(rnd, s),
+                store.cuckoo_path(rnd + 1, s),
             )
             for s in range(cfg.num_shards)
         ]
@@ -397,16 +516,27 @@ class CrawlRunner:
         ):
             shard = int(shard)
             want = list(grp["final_url_hash"])
-            # membership in the target shard's frontier partition — at
-            # 10^10 scale this is the per-shard cuckoo-filter probe with an
-            # exact fallback; here a filtered column read of the partition
-            existing = set(
-                pq.read_table(
-                    store.frontier_path(rnd, shard),
-                    columns=["url_hash"],
-                    filters=[("url_hash", "in", want)],
-                )["url_hash"].to_pylist()
-            )
+            # membership in the target shard's frontier partition: cuckoo
+            # probe first (definitive NO, ~2 bytes/key), exact filtered
+            # partition read only for the maybes
+            maybes = want
+            cpath = store.cuckoo_path(rnd, shard)
+            if os.path.exists(cpath):
+                from ..state.cuckoo import CuckooFilter
+
+                with open(cpath, "rb") as f:
+                    filt = CuckooFilter.from_bytes(f.read())
+                mask = filt.contains_many(want)
+                maybes = [h for h, m in zip(want, mask) if m]
+            existing = set()
+            if maybes:
+                existing = set(
+                    pq.read_table(
+                        store.frontier_path(rnd, shard),
+                        columns=["url_hash"],
+                        filters=[("url_hash", "in", maybes)],
+                    )["url_hash"].to_pylist()
+                )
             taken = existing | all_cand_hashes
             for _, row in grp.iterrows():
                 if row["final_url_hash"] in taken:
@@ -429,7 +559,7 @@ class CrawlRunner:
                         "url": row["final_url"],
                         "url_hash": row["final_url_hash"],
                         "host": row["final_host"],
-                        "host_hash": np.uint64(row["final_host_hash"]),
+                        "host_hash": int(row["final_host_hash"]),
                         "source_id": c["source_id"],
                         "origin": c["origin"],
                         "parent_url": c["parent_url"],
@@ -472,7 +602,7 @@ class CrawlRunner:
         return summary
 
     # ---- outputs ----
-    def documents_dataset(self) -> "ray.data.Dataset":
+    def documents_dataset(self, override_num_blocks: int | None = None) -> "ray.data.Dataset":
         """All produced documents as a streaming Dataset (doc records)."""
         import glob
 
@@ -485,6 +615,7 @@ class CrawlRunner:
             columns=["rec", "doc_id", "url", "source_id", "host", "title",
                      "spans", "body", "n_media", "first_text_len",
                      "content_hash", "word_count", "claim_at", "crawled_at"],
+            override_num_blocks=override_num_blocks,
         )
         return ds.drop_columns(["rec", "claim_at"])
 

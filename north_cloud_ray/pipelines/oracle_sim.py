@@ -70,6 +70,34 @@ class OracleSimulator:
     # ---- bootstrap ----
     def submit_seed(self, seeds: list[dict] | None = None) -> None:
         seeds = seeds if seeds is not None else self.web.seed_urls()
+        host_source: dict[str, str] = {}
+        for s in seeds:
+            try:
+                host_source.setdefault(extract_host(s["url"]), s.get("source_id", ""))
+            except NormalizeError:
+                continue
+        if self.cfg.use_sitemaps:
+            from ..sources.feeds import sitemap_candidates
+
+            seeds = list(seeds)
+            for host, src in sorted(host_source.items()):
+                for c in sitemap_candidates(self.web, host, 0):
+                    seeds.append({"url": c["url"], "source_id": src,
+                                  "priority": c["priority"], "origin": c["origin"]})
+        if self.cfg.use_feeds:
+            import pandas as pd
+
+            from ..sources.feeds import FEED_STATE_SCHEMA
+
+            self.feed_state = pd.DataFrame(
+                [
+                    {"host": h, "source_id": src,
+                     "feed_url": self.web.feed_url(h), "last_etag": None,
+                     "last_item_count": 0, "consecutive_errors": 0,
+                     "next_poll_at": 0, "disabled": False}
+                    for h, src in sorted(host_source.items())
+                ]
+            )
         for s in seeds:
             try:
                 norm = normalize_url(s["url"])
@@ -173,6 +201,42 @@ class OracleSimulator:
         # dedup_candidates: min (next_fetch_at, depth, parent_url, url),
         # priority = max, next_fetch_at = min.
         cand_agg: dict[str, dict] = {}
+
+        def _merge_cand(c: dict) -> None:
+            uh = c["url_hash"]
+            prev = cand_agg.get(uh)
+            if prev is None:
+                cand_agg[uh] = c
+                return
+            key = (c["next_fetch_at"], c["depth"], c["parent_url"], c["url"])
+            pkey = (prev["next_fetch_at"], prev["depth"], prev["parent_url"],
+                    prev["url"])
+            rep = dict(c if key < pkey else prev)
+            rep["priority"] = max(c["priority"], prev["priority"])
+            rep["next_fetch_at"] = min(c["next_fetch_at"], prev["next_fetch_at"])
+            cand_agg[uh] = rep
+
+        if self.cfg.use_feeds and getattr(self, "feed_state", None) is not None:
+            from ..sources.feeds import poll_feeds_batch
+
+            poll = poll_feeds_batch(self.feed_state, self.web, t_start)
+            self.feed_state = poll.new_state
+            for c in poll.candidates.to_dict("records") if len(poll.candidates) else []:
+                try:
+                    norm = normalize_url(c["url"])
+                    uh = url_hash(c["url"])
+                    host = extract_host(c["url"])
+                except NormalizeError:
+                    continue
+                _merge_cand(
+                    {"url": norm, "url_hash": uh, "host": host,
+                     "source_id": c.get("source_id", ""), "origin": c["origin"],
+                     "parent_url": c.get("parent_url"), "depth": int(c["depth"]),
+                     "priority": int(c["priority"]),
+                     "next_fetch_at": int(c["next_fetch_at"]),
+                     "discovered_at": int(c["discovered_at"])}
+                )
+
         for row, upd, doc, links, claim_at in outcomes:
             for raw in links:
                 try:
@@ -184,25 +248,15 @@ class OracleSimulator:
                 prio = DEFAULT_PRIORITY
                 if is_content_url(norm):
                     prio = min(MAX_PRIORITY, prio + SPIDER_ARTICLE_BONUS)
-                c = {
-                    "url": norm, "url_hash": uh, "host": host,
-                    "source_id": row["source_id"], "origin": ORIGIN_SPIDER,
-                    "parent_url": row["url"], "depth": row["depth"] + 1,
-                    "priority": prio, "next_fetch_at": claim_at,
-                    "discovered_at": claim_at,
-                }
-                prev = cand_agg.get(uh)
-                if prev is None:
-                    cand_agg[uh] = c
-                else:
-                    key = (c["next_fetch_at"], c["depth"], c["parent_url"], c["url"])
-                    pkey = (prev["next_fetch_at"], prev["depth"],
-                            prev["parent_url"], prev["url"])
-                    rep = c if key < pkey else prev
-                    rep = dict(rep)
-                    rep["priority"] = max(c["priority"], prev["priority"])
-                    rep["next_fetch_at"] = min(c["next_fetch_at"], prev["next_fetch_at"])
-                    cand_agg[uh] = rep
+                _merge_cand(
+                    {
+                        "url": norm, "url_hash": uh, "host": host,
+                        "source_id": row["source_id"], "origin": ORIGIN_SPIDER,
+                        "parent_url": row["url"], "depth": row["depth"] + 1,
+                        "priority": prio, "next_fetch_at": claim_at,
+                        "discovered_at": claim_at,
+                    }
+                )
         for c in cand_agg.values():
             self._submit(c["url"], c["url_hash"], c["host"], c["source_id"],
                          c["origin"], c["parent_url"], c["depth"], c["priority"],

@@ -454,6 +454,61 @@ def crawl_classified(sf_dir: str):
     return out.map_batches(select, batch_format="pandas")
 
 
+def publisher_cursor_scan(sf_dir: str):
+    """S11/T2: incremental search_after cursor scan — resume reading an
+    ordered log strictly after a persisted (ts, id) position."""
+    cur_ts = pd.Timestamp("2024-01-15")
+    cur_id = 0
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def after(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[
+            (batch["ts"] > cur_ts)
+            | ((batch["ts"] == cur_ts) & (batch["event_id"] > cur_id))
+        ]
+
+    return (
+        ev.map_batches(after, batch_format="pandas")
+        .sort(["ts", "event_id"])
+        .limit(100)
+    )
+
+
+def publisher_routing(sf_dir: str):
+    """J5-J7: channel routing + per-channel dedup over classified crawl
+    docs (rows-only: inputs come from the crawl, not the SQL views)."""
+    from ..stages.classify import classify_documents
+    from ..stages.publish import publish
+
+    runner = _crawl("publish")
+    classified = classify_documents(runner.documents_dataset(), concurrency=2)
+    pubs = publish(classified)
+
+    def dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["channel", "doc_id"])
+
+    return pubs.map_batches(dedup, batch_format="pandas")
+
+
+def source_reputation_q(sf_dir: str):
+    """A8: per-source running quality aggregate over classified docs."""
+    from ..stages.classify import classify_documents
+    from ..stages.publish import source_reputation
+
+    runner = _crawl("rep")
+    classified = classify_documents(runner.documents_dataset(), concurrency=2)
+    return source_reputation(classified)
+
+
+def crawl_stats(sf_dir: str):
+    """G1: frontier counts by status + dead reasons (rows-only)."""
+    from ray.data.aggregate import Count
+
+    runner = _crawl("stats")
+    fr = runner.frontier_dataset()
+    return fr.groupby("status").aggregate(Count(alias_name="n"))
+
+
 def multimodal_features(sf_dir: str):
     """Media spans -> synthetic binary payloads -> decode/feature actor."""
     from ..stages.multimodal import decode_images, synth_media_table
@@ -501,6 +556,10 @@ QUERIES = {
     "crawl_frontier": crawl_frontier,
     "crawl_documents": crawl_documents,
     "crawl_classified": crawl_classified,
+    "crawl_stats": crawl_stats,
+    "publisher_cursor_scan": publisher_cursor_scan,
+    "publisher_routing": publisher_routing,
+    "source_reputation": source_reputation_q,
     "multimodal_features": multimodal_features,
 }
 
@@ -616,5 +675,13 @@ ORACLE_SQL = {
     "embedding_label_stats": """
         SELECT label, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
         FROM embeddings GROUP BY label
+    """,
+    "publisher_cursor_scan": """
+        SELECT event_id, ts, event_type
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-15'
+           OR (ts = TIMESTAMP '2024-01-15' AND event_id > 0)
+        ORDER BY ts, event_id
+        LIMIT 100
     """,
 }

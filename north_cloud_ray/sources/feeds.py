@@ -1,0 +1,191 @@
+"""RSS/Atom feed polling, feed auto-discovery, and sitemap ingestion
+(S3/S4/S5).
+
+Reference semantics:
+- Poller (crawler/internal/feed/poller.go:95-231): conditional-GET the feed
+  (ETag), parse items, submit at priority default+feed_bonus (=7), origin
+  'feed'; errors increment consecutive_errors and back off next_poll_at by
+  base * 2^(n-1); auto-disable after a threshold.
+- Discovery (feed/discovery.go:67-265): <link rel=alternate type=rss/atom>
+  in page heads, else probe common paths (/feed, /rss, /feed.xml ...).
+- Sitemap (feed/sitemap.go:49-149): urlset -> URLs (lastmod max-age
+  filter); sitemapindex -> child sitemaps; submitted at priority
+  default+sitemap_bonus (=6), origin 'sitemap'.
+
+Feed poll state is pure data (a per-host row), so the poll stage is a
+``map_batches`` over the feed-state table — a bounded side pipeline whose
+candidates union into the frontier merge (SURVEY.md §2.1 S3).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import (
+    DEFAULT_PRIORITY,
+    FEED_BONUS,
+    MAX_PRIORITY,
+    ORIGIN_FEED,
+    ORIGIN_SITEMAP,
+    SITEMAP_BONUS,
+    US_PER_SEC,
+)
+
+FEED_POLL_BASE_BACKOFF_US = 60 * US_PER_SEC
+FEED_AUTO_DISABLE_ERRORS = 5
+
+FEED_STATE_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("source_id", pa.string()),
+        ("feed_url", pa.string()),
+        ("last_etag", pa.string()),
+        ("last_item_count", pa.int32()),
+        ("consecutive_errors", pa.int32()),
+        ("next_poll_at", pa.int64()),
+        ("disabled", pa.bool_()),
+    ]
+)
+
+_FEED_LINK_RE = re.compile(
+    r'<link[^>]*rel="alternate"[^>]*type="application/(?:rss|atom)\+xml"[^>]*href="([^"]+)"'
+)
+COMMON_FEED_PATHS = ("/feed", "/rss", "/feed.xml", "/rss.xml", "/atom.xml", "/index.xml")
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_feed(xml_body: str) -> list[dict]:
+    """RSS 2.0 / Atom items -> [{url, title, published}]."""
+    try:
+        root = ET.fromstring(xml_body)
+    except ET.ParseError:
+        return []
+    items: list[dict] = []
+    for el in root.iter():
+        tag = _strip_ns(el.tag)
+        if tag not in ("item", "entry"):
+            continue
+        url = title = published = None
+        for child in el:
+            ct = _strip_ns(child.tag)
+            if ct == "title":
+                title = (child.text or "").strip()
+            elif ct == "link":
+                url = (child.text or "").strip() or child.attrib.get("href")
+            elif ct in ("pubDate", "published", "updated"):
+                published = (child.text or "").strip()
+        if url:
+            items.append({"url": url, "title": title or "", "published": published})
+    return items
+
+
+def parse_sitemap(xml_body: str) -> tuple[list[str], list[dict]]:
+    """Returns (child_sitemap_urls, [{url, lastmod}])."""
+    try:
+        root = ET.fromstring(xml_body)
+    except ET.ParseError:
+        return [], []
+    children: list[str] = []
+    urls: list[dict] = []
+    root_tag = _strip_ns(root.tag)
+    for el in root.iter():
+        tag = _strip_ns(el.tag)
+        if tag not in ("sitemap", "url"):
+            continue
+        loc = lastmod = None
+        for child in el:
+            ct = _strip_ns(child.tag)
+            if ct == "loc":
+                loc = (child.text or "").strip()
+            elif ct == "lastmod":
+                lastmod = (child.text or "").strip()
+        if loc is None:
+            continue
+        if tag == "sitemap" or root_tag == "sitemapindex":
+            children.append(loc)
+        else:
+            urls.append({"url": loc, "lastmod": lastmod})
+    return children, urls
+
+
+def discover_feed_url(page_html: str, host: str) -> str | None:
+    """S4: link-rel discovery from a page head; common-path probing is the
+    caller's fallback (COMMON_FEED_PATHS)."""
+    m = _FEED_LINK_RE.search(page_html)
+    return m.group(1) if m else None
+
+
+@dataclass
+class FeedPollResult:
+    candidates: pd.DataFrame
+    new_state: pd.DataFrame
+
+
+def poll_feeds_batch(state: pd.DataFrame, web, now_us: int) -> FeedPollResult:
+    """Poll every due feed row; returns frontier candidates (origin=feed,
+    priority 7) + updated state. Pure given (state, web, now)."""
+    cand_rows: list[dict] = []
+    out = state.copy().reset_index(drop=True)
+    for i, row in out.iterrows():
+        if row["disabled"] or row["next_poll_at"] > now_us:
+            continue
+        try:
+            res = web.fetch_feed(row["host"], etag=row["last_etag"] or None)
+        except Exception:
+            res = None
+        if res is None or res["status"] >= 400:
+            n = int(row["consecutive_errors"]) + 1
+            out.at[i, "consecutive_errors"] = n
+            out.at[i, "next_poll_at"] = now_us + FEED_POLL_BASE_BACKOFF_US * (2 ** (n - 1))
+            if n >= FEED_AUTO_DISABLE_ERRORS:
+                out.at[i, "disabled"] = True
+            continue
+        out.at[i, "consecutive_errors"] = 0
+        out.at[i, "next_poll_at"] = now_us + 300 * US_PER_SEC
+        if res["status"] == 304:
+            continue
+        out.at[i, "last_etag"] = res["etag"]
+        items = parse_feed(res["body"] or "")
+        out.at[i, "last_item_count"] = len(items)
+        prio = min(MAX_PRIORITY, DEFAULT_PRIORITY + FEED_BONUS)
+        for it in items:
+            cand_rows.append(
+                {"url": it["url"], "origin": ORIGIN_FEED, "priority": prio,
+                 "parent_url": row["feed_url"], "depth": 0,
+                 "source_id": row.get("source_id", ""),
+                 "next_fetch_at": now_us, "discovered_at": now_us}
+            )
+    return FeedPollResult(pd.DataFrame(cand_rows), out)
+
+
+def sitemap_candidates(web, host: str, now_us: int) -> list[dict]:
+    """Resolve a host's sitemap (following one level of sitemap index) into
+    frontier candidates (origin=sitemap, priority 6)."""
+    if not web.has_sitemap(host):
+        return []
+    bodies = [web.render_sitemap(host)]
+    out: list[dict] = []
+    prio = min(MAX_PRIORITY, DEFAULT_PRIORITY + SITEMAP_BONUS)
+    seen_children = 0
+    while bodies:
+        children, urls = parse_sitemap(bodies.pop())
+        for c in children:
+            m = re.search(r"/sitemap-(\d+)\.xml$", c)
+            if m and seen_children < 8:
+                seen_children += 1
+                bodies.append(web.render_sitemap(host, part=int(m.group(1))))
+        for u in urls:
+            out.append(
+                {"url": u["url"], "origin": ORIGIN_SITEMAP, "priority": prio,
+                 "parent_url": f"https://{host}/sitemap.xml", "depth": 0,
+                 "next_fetch_at": now_us, "discovered_at": now_us}
+            )
+    return out

@@ -145,6 +145,81 @@ class SyntheticWeb:
             for i in range(c.n_hosts)
         ]
 
+    # ---- feeds / sitemaps (S3-S5 test surface) ----
+
+    def has_feed(self, host: str) -> bool:
+        return _hx(self.cfg.seed, host, "hasfeed") % 100 < 60
+
+    def has_sitemap(self, host: str) -> bool:
+        return _hx(self.cfg.seed, host, "hassmap") % 100 < 50
+
+    def feed_url(self, host: str) -> str:
+        return f"https://{host}/feed.xml"
+
+    def _news_pages(self, host: str) -> list[int]:
+        return [
+            j for j in range(self.page_count(host))
+            if 7 <= _hx(self.cfg.seed, host, j, "kind") % 10 < 9
+        ]
+
+    def render_feed(self, host: str) -> str:
+        """RSS 2.0 body listing the host's newest content pages (max 10)."""
+        items = []
+        for j in self._news_pages(host)[:10]:
+            u = self.url_for(host, j)
+            title = self.title_for(url_hash(u))
+            day = 1 + _hx(self.cfg.seed, host, j, "pd") % 28
+            items.append(
+                f"<item><title>{title}</title><link>{u}</link>"
+                f"<pubDate>Wed, {day:02d} May 2024 00:00:00 GMT</pubDate></item>"
+            )
+        return (
+            '<?xml version="1.0"?><rss version="2.0"><channel>'
+            f"<title>{host}</title><link>https://{host}/</link>"
+            + "".join(items)
+            + "</channel></rss>"
+        )
+
+    def render_sitemap(self, host: str, part: int | None = None) -> str:
+        """Sitemap XML; the mega host serves a sitemap index with 4 children."""
+        pages = list(range(self.page_count(host)))
+        if part is None and len(pages) > 100:
+            children = "".join(
+                f"<sitemap><loc>https://{host}/sitemap-{i}.xml</loc></sitemap>"
+                for i in range(4)
+            )
+            return (
+                '<?xml version="1.0"?><sitemapindex>' + children + "</sitemapindex>"
+            )
+        if part is not None:
+            pages = pages[part::4]
+        urls = "".join(
+            f"<url><loc>{self.url_for(host, j)}</loc>"
+            f"<lastmod>2024-05-{1 + _hx(self.cfg.seed, host, j, 'lm') % 28:02d}</lastmod></url>"
+            for j in pages
+        )
+        return '<?xml version="1.0"?><urlset>' + urls + "</urlset>"
+
+    def fetch_feed(self, host: str, etag: str | None = None) -> FetchResult:
+        """Conditional GET of the host's RSS feed. Hosts without a feed 404;
+        robots-error hosts also fail feed fetches (exercises poll backoff)."""
+        r = _hx(self.cfg.seed, host, "robots") % 1000
+        if r < int(self.cfg.frac_robots_error * 1000):
+            raise ConnectionError(f"feed fetch failed for {host}")
+        if not self.has_feed(host):
+            return FetchResult(status=404, body=None, final_url=self.feed_url(host),
+                               content_type="text/html", etag=None,
+                               last_modified=None, error=None)
+        cur_etag = f'W/"feed-{_hx(self.cfg.seed, host, "fetag") % 10**10:010d}"'
+        if etag is not None and etag == cur_etag:
+            return FetchResult(status=304, body=None, final_url=self.feed_url(host),
+                               content_type="application/rss+xml", etag=cur_etag,
+                               last_modified=None, error=None)
+        return FetchResult(status=200, body=self.render_feed(host),
+                           final_url=self.feed_url(host),
+                           content_type="application/rss+xml", etag=cur_etag,
+                           last_modified=None, error=None)
+
     # ---- page content ----
 
     def expected_spans(self, url: str) -> list[dict]:
@@ -167,7 +242,7 @@ class SyntheticWeb:
                 ref = f"https://{host}/media/{dig[1:7].hex()}.jpg"
                 spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": k})
             else:
-                nw = 8 + dig[1] % 25
+                nw = (8 + dig[1] % 25) * max(1, self.cfg.text_scale)
                 stream = dig
                 words = []
                 while len(words) < nw:
@@ -216,7 +291,12 @@ class SyntheticWeb:
         url = self.url_for(host, j)
         doc_id = url_hash(url)
         title = self.title_for(doc_id)
-        parts = [f"<html><head><title>{title}</title></head><body>"]
+        feed_link = (
+            f'<link rel="alternate" type="application/rss+xml" '
+            f'href="{self.feed_url(host)}"/>'
+            if self.has_feed(host) else ""
+        )
+        parts = [f"<html><head><title>{title}</title>{feed_link}</head><body>"]
         for sp in self._spans_for(doc_id, host):
             if sp["kind"] == "text":
                 parts.append(f"<p>{sp['text']}</p>")

@@ -229,14 +229,38 @@ class ClassifyActor:
         return out
 
 
+# per-worker-process classify state (rules compiled once per process)
+_CLASSIFY_STATE: dict = {}
+
+
+def _classify_fn(batch: pa.Table, *, rules) -> pa.Table:
+    actor = _CLASSIFY_STATE.get(rules)
+    if actor is None:
+        actor = _CLASSIFY_STATE[rules] = ClassifyActor(rules)
+    return actor(batch)
+
+
 def classify_documents(docs_ds, rules: tuple[TopicRule, ...] | None = None,
-                       concurrency: int = 4, batch_size: int = 1024):
-    """Dataset of doc records -> classified Dataset (A6 actor-pool stage)."""
+                       concurrency: int | None = None, batch_size: int = 1024):
+    """Dataset of doc records -> classified Dataset.
+
+    Default: stateless tasks with per-worker-process rule state (reuses warm
+    workers; elastic). Pass ``concurrency`` to pin an explicit A6-style
+    actor pool instead."""
+    if concurrency is not None:
+        return docs_ds.map_batches(
+            ClassifyActor,
+            fn_constructor_args=(rules,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    from functools import partial
+
+    rules = rules if rules is not None else default_topic_rules()
     return docs_ds.map_batches(
-        ClassifyActor,
-        fn_constructor_args=(rules,),
+        partial(_classify_fn, rules=rules),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )

@@ -242,7 +242,7 @@ RESULT_FIELDS = [
     ("rec", pa.string()),            # 'update' | 'doc' | 'outlink'
     # update fields
     ("url_hash", pa.string()),
-    ("host_hash", pa.uint64()),
+    ("host_hash", pa.int64()),
     ("outcome", pa.string()),
     ("claim_at", pa.int64()),
     ("reason", pa.string()),
@@ -253,7 +253,7 @@ RESULT_FIELDS = [
     ("final_url", pa.string()),
     ("final_url_hash", pa.string()),
     ("final_host", pa.string()),
-    ("final_host_hash", pa.uint64()),
+    ("final_host_hash", pa.int64()),
     # doc fields
     ("doc_id", pa.string()),
     ("url", pa.string()),

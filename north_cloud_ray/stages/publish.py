@@ -1,0 +1,164 @@
+"""Publisher tier — incremental cursor scan, channel routing, per-channel
+publish dedup (S11/S12, J5-J7).
+
+Reference semantics:
+- Reader (publisher/internal/router/service.go:124-201,268-330): paginated
+  scan of classified content ordered by (classified_at, doc_id) with a
+  persisted search_after cursor — restart-safe, at-least-once.
+- Routing (router/service.go:216-241; ARCHITECTURE.md:99-145): fixed-order
+  routing domains; DB-configured Layer-2 channels with include/exclude
+  topics, min quality, allowed content types (J6).
+- Per-channel dedup (publisher/internal/dedup/tracker.go:33-94;
+  publish_history table): never publish the same doc to the same channel
+  twice — anti-join vs publish history (J7).
+
+Ray shape: channel configs are a broadcast small side (ray.put once);
+routing is a vectorized map_batches; publish-history anti-join is a
+groupby-free broadcast-set filter per batch (history for one round is
+bounded) with the authoritative history table appended per run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+@dataclass(frozen=True)
+class Channel:
+    """Layer-2 channel config (J6)."""
+
+    name: str
+    include_topics: tuple[str, ...] = ()
+    exclude_topics: tuple[str, ...] = ()
+    min_quality: int = 0
+    content_types: tuple[str, ...] = ("article",)
+
+
+def default_channels() -> tuple[Channel, ...]:
+    return (
+        Channel("content:crime", include_topics=("crime",), min_quality=40),
+        Channel("content:business", include_topics=("business", "mining"),
+                min_quality=40),
+        Channel("content:sports", include_topics=("sports",), min_quality=30),
+        Channel("content:all-articles", min_quality=50),
+        Channel("content:high-quality", min_quality=70,
+                content_types=("article", "page")),
+    )
+
+
+def route_batch(batch: pd.DataFrame, channels: tuple[Channel, ...]) -> pd.DataFrame:
+    """Vectorized channel routing: one output row per (channel, doc).
+
+    ``batch`` needs: doc_id, content_type, quality_score, topics (list or
+    comma-joined string), crawled_at.
+    """
+    topics = batch["topics"]
+    if len(topics) and isinstance(topics.iloc[0], str):
+        topic_sets = topics.map(lambda s: set(s.split(",")) if s else set())
+    else:
+        topic_sets = topics.map(lambda t: set(t) if t is not None else set())
+    outs = []
+    for ch in channels:  # fixed order (router/service.go:216-241)
+        mask = batch["content_type"].isin(ch.content_types).to_numpy()
+        mask &= (batch["quality_score"] >= ch.min_quality).to_numpy()
+        if ch.include_topics:
+            inc = set(ch.include_topics)
+            mask &= topic_sets.map(lambda t: bool(t & inc)).to_numpy()
+        if ch.exclude_topics:
+            exc = set(ch.exclude_topics)
+            mask &= topic_sets.map(lambda t: not (t & exc)).to_numpy()
+        sel = batch[mask]
+        if len(sel):
+            outs.append(
+                pd.DataFrame(
+                    {"channel": ch.name, "doc_id": sel["doc_id"].to_numpy(),
+                     "published_at": sel["crawled_at"].to_numpy()
+                     if "crawled_at" in sel else 0}
+                )
+            )
+    if not outs:
+        return pd.DataFrame({"channel": pd.Series(dtype=str),
+                             "doc_id": pd.Series(dtype=object),
+                             "published_at": pd.Series(dtype="int64")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def publish(
+    classified_ds,
+    channels: tuple[Channel, ...] | None = None,
+    history: pd.DataFrame | None = None,
+    cursor: tuple[int, str] | None = None,
+):
+    """Route classified docs to channels, skipping (channel, doc) pairs
+    already in ``history`` (J7) and docs at-or-before the ``cursor``
+    (classified_at, doc_id) position (S11/T2).
+
+    Returns (publishes Dataset, new_cursor). The caller appends the
+    publishes to its history table — the cursor plus per-channel dedup make
+    redelivery effectively-once (ARCHITECTURE.md:54-57).
+    """
+    channels = channels or default_channels()
+    if cursor is not None:
+        cur_at, cur_id = cursor
+
+        def after_cursor(b: pd.DataFrame) -> pd.DataFrame:
+            key_at = b["crawled_at"]
+            return b[(key_at > cur_at) | ((key_at == cur_at) & (b["doc_id"] > cur_id))]
+
+        classified_ds = classified_ds.map_batches(after_cursor, batch_format="pandas")
+
+    hist_ref = None
+    if history is not None and len(history):
+        hist_ref = ray.put(set(zip(history["channel"], history["doc_id"])))
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        out = route_batch(b, channels)
+        if hist_ref is not None and len(out):
+            seen = ray.get(hist_ref)
+            keep = [
+                (c, d) not in seen for c, d in zip(out["channel"], out["doc_id"])
+            ]
+            out = out[keep]
+        return out
+
+    publishes = classified_ds.map_batches(route, batch_format="pandas")
+    return publishes
+
+
+def advance_cursor(classified_df: pd.DataFrame) -> tuple[int, str] | None:
+    """New search_after cursor = max (classified_at, doc_id) processed."""
+    if len(classified_df) == 0:
+        return None
+    m = classified_df.sort_values(["crawled_at", "doc_id"]).iloc[-1]
+    return int(m["crawled_at"]), str(m["doc_id"])
+
+
+# ---------------- source reputation (A8) ----------------
+
+
+def source_reputation(classified_ds) -> pd.DataFrame:
+    """Per-source running quality aggregate (classifier/source_reputation.go):
+    groupby(source_id) over classified docs -> mean quality (integer-cents
+    to stay order-independent), doc count. Joined back per round as a
+    broadcast side table."""
+    from .agg import hash_grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source_id", as_index=False).agg(
+            quality_sum=("quality_score", "sum"), n_docs=("quality_score", "size")
+        )
+        return g
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("source_id", as_index=False).agg(
+            quality_sum=("quality_sum", "sum"), n_docs=("n_docs", "sum")
+        )
+
+    rep = hash_grouped_agg(classified_ds, ["source_id"], partial, combine,
+                           num_partitions=4).to_pandas()
+    rep["reputation"] = (rep["quality_sum"] * 100 // rep["n_docs"]).astype("int64")
+    return rep[["source_id", "n_docs", "reputation"]]

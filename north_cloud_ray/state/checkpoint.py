@@ -53,6 +53,9 @@ class CheckpointStore:
     def host_state_path(self, rnd: int, shard: int) -> str:
         return os.path.join(self.state_dir(rnd), f"hoststate-shard-{shard:03d}.parquet")
 
+    def cuckoo_path(self, rnd: int, shard: int) -> str:
+        return os.path.join(self.state_dir(rnd), f"cuckoo-shard-{shard:03d}.bin")
+
     def round_dir(self, rnd: int) -> str:
         return os.path.join(self.root, "rounds", f"round-{rnd:04d}")
 
@@ -105,6 +108,14 @@ class CheckpointStore:
     @staticmethod
     def read_table(path: str, columns=None, filters=None) -> pa.Table:
         return pq.read_table(path, columns=columns, filters=filters)
+
+    @staticmethod
+    def write_bytes(data: bytes, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
 
     def write_metrics(self, rnd: int, metrics: dict) -> None:
         d = self.round_dir(rnd)

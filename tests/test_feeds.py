@@ -1,0 +1,162 @@
+"""Feed/sitemap sources (S3-S5): parsing goldens, poll state machine,
+discovery, and pipeline-vs-oracle equality with feeds+sitemaps enabled."""
+
+import pandas as pd
+import pytest
+
+from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+from north_cloud_ray.sources.feeds import (
+    COMMON_FEED_PATHS,
+    discover_feed_url,
+    parse_feed,
+    parse_sitemap,
+    poll_feeds_batch,
+    sitemap_candidates,
+)
+from north_cloud_ray.sources.synthetic_web import SyntheticWeb
+
+WEB = SyntheticWeb(SyntheticWebConfig(n_hosts=16))
+
+
+def test_parse_rss():
+    items = parse_feed(
+        '<?xml version="1.0"?><rss version="2.0"><channel><title>t</title>'
+        "<item><title>A</title><link>https://h/a</link>"
+        "<pubDate>Wed, 01 May 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title>B</title><link>https://h/b</link></item>"
+        "</channel></rss>"
+    )
+    assert [i["url"] for i in items] == ["https://h/a", "https://h/b"]
+    assert items[0]["published"] == "Wed, 01 May 2024 00:00:00 GMT"
+
+
+def test_parse_atom():
+    items = parse_feed(
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><title>A</title><link href="https://h/a"/>'
+        "<updated>2024-05-01</updated></entry></feed>"
+    )
+    assert items == [{"url": "https://h/a", "title": "A", "published": "2024-05-01"}]
+
+
+def test_parse_feed_garbage():
+    assert parse_feed("<not-xml") == []
+
+
+def test_parse_sitemap_urlset_and_index():
+    children, urls = parse_sitemap(
+        '<?xml version="1.0"?><urlset><url><loc>https://h/a</loc>'
+        "<lastmod>2024-05-01</lastmod></url></urlset>"
+    )
+    assert children == [] and urls == [{"url": "https://h/a", "lastmod": "2024-05-01"}]
+    children, urls = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://h/sitemap-0.xml</loc></sitemap></sitemapindex>"
+    )
+    assert children == ["https://h/sitemap-0.xml"] and urls == []
+
+
+def test_discovery_link_rel():
+    host = next(h for h in WEB.hosts() if WEB.has_feed(h))
+    html = WEB.render_html(host, 0)
+    assert discover_feed_url(html, host) == WEB.feed_url(host)
+    no_feed = next(h for h in WEB.hosts() if not WEB.has_feed(h))
+    assert discover_feed_url(WEB.render_html(no_feed, 0), no_feed) is None
+    assert "/feed" in COMMON_FEED_PATHS
+
+
+def _state_for(hosts):
+    return pd.DataFrame(
+        [
+            {"host": h, "source_id": "s", "feed_url": WEB.feed_url(h),
+             "last_etag": None, "last_item_count": 0, "consecutive_errors": 0,
+             "next_poll_at": 0, "disabled": False}
+            for h in hosts
+        ]
+    )
+
+
+def test_poll_feeds_conditional_get_and_backoff():
+    big = SyntheticWeb(SyntheticWebConfig(n_hosts=100))
+    feed_host = next(h for h in big.hosts() if big.has_feed(h))
+    err_host = None
+    for h in big.hosts():
+        try:
+            big.robots_fetch(h)
+        except ConnectionError:
+            err_host = h
+            break
+    assert err_host is not None
+    state = pd.DataFrame(
+        [
+            {"host": h, "source_id": "s", "feed_url": big.feed_url(h),
+             "last_etag": None, "last_item_count": 0, "consecutive_errors": 0,
+             "next_poll_at": 0, "disabled": False}
+            for h in (feed_host, err_host)
+        ]
+    )
+    r1 = poll_feeds_batch(state, big, now_us=0)
+    ok = r1.new_state[r1.new_state["host"] == feed_host].iloc[0]
+    bad = r1.new_state[r1.new_state["host"] == err_host].iloc[0]
+    assert ok["last_etag"] and ok["last_item_count"] > 0
+    assert (r1.candidates["priority"] == 7).all()
+    assert (r1.candidates["origin"] == "feed").all()
+    assert bad["consecutive_errors"] == 1 and bad["next_poll_at"] > 0
+
+    # second poll at the ok host's next_poll_at: unchanged feed -> 304, no items
+    r2 = poll_feeds_batch(r1.new_state, big, now_us=int(ok["next_poll_at"]))
+    c2 = r2.candidates
+    assert len(c2) == 0 or len(c2[c2["parent_url"] == big.feed_url(feed_host)]) == 0
+
+    # error host backs off exponentially until disabled
+    st = r1.new_state
+    now = int(bad["next_poll_at"])
+    for i in range(2, 6):
+        r = poll_feeds_batch(st, big, now_us=now)
+        st = r.new_state
+        b = st[st["host"] == err_host].iloc[0]
+        assert b["consecutive_errors"] == i
+        now = int(b["next_poll_at"])
+    assert st[st["host"] == err_host].iloc[0]["disabled"]
+
+
+def test_sitemap_candidates_cover_pages():
+    host = next(h for h in WEB.hosts() if WEB.has_sitemap(h))
+    cands = sitemap_candidates(WEB, host, 0)
+    assert len(cands) == WEB.page_count(host)
+    assert all(c["origin"] == "sitemap" and c["priority"] == 6 for c in cands)
+    mega = WEB.host_name(0)
+    if WEB.has_sitemap(mega):
+        mcands = sitemap_candidates(WEB, mega, 0)
+        assert len(mcands) == WEB.page_count(mega)  # via sitemap index
+
+
+def test_crawl_with_feeds_matches_oracle(ray_session, tmp_path):
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+    from north_cloud_ray.pipelines.oracle_sim import OracleSimulator
+
+    web_cfg = SyntheticWebConfig(n_hosts=8)
+    cfg = CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=64,
+                      use_feeds=True, use_sitemaps=True)
+    runner = CrawlRunner(str(tmp_path / "out"), cfg, web_cfg)
+    summary = runner.run(max_rounds=4)
+    oracle = OracleSimulator(cfg, web_cfg)
+    osummary = oracle.run(max_rounds=4)
+    assert summary["claims"] == osummary["claims"]
+
+    fr = runner.frontier_dataset().to_pandas()
+    assert set(fr["url_hash"]) == set(oracle.frontier.keys())
+    # feed/sitemap origins present with the right priorities
+    assert (fr.loc[fr["origin"] == "feed", "priority"] == 7).all()
+    assert (fr.loc[fr["origin"] == "sitemap", "priority"] >= 6).all()
+    assert (fr["origin"] == "feed").sum() > 0
+    assert (fr["origin"] == "sitemap").sum() > 0
+    # full column equality
+    cols = ["url", "status", "origin", "priority", "depth", "next_fetch_at",
+            "retry_count", "fetch_count", "content_hash"]
+    mine = fr.set_index("url_hash").sort_index()
+    for h, orow in oracle.frontier.items():
+        for c in cols:
+            a = mine.loc[h, c]
+            if pd.isna(a):
+                a = None
+            assert a == orow[c], (h, c, a, orow[c])

@@ -1,0 +1,129 @@
+"""Publisher routing/cursor/dedup (S11/S12, J5-J7) and adaptive recrawl
+(A4) tests."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from north_cloud_ray.config import US_PER_SEC
+from north_cloud_ray.stages.publish import (
+    Channel,
+    advance_cursor,
+    default_channels,
+    publish,
+    route_batch,
+    source_reputation,
+)
+from north_cloud_ray.state.adaptive import (
+    HOURS_24_US,
+    adaptive_interval_us,
+    requeue_fetched,
+    update_unchanged_count,
+)
+
+
+def _docs():
+    return pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "source_id": ["s1", "s1", "s2", "s2"],
+            "content_type": ["article", "article", "page", "article"],
+            "quality_score": [80, 45, 90, 20],
+            "topics": [["crime"], ["sports"], [], ["crime", "mining"]],
+            "crawled_at": [100, 200, 300, 400],
+        }
+    )
+
+
+def test_route_batch_rules():
+    out = route_batch(_docs(), default_channels())
+    pairs = set(zip(out["channel"], out["doc_id"]))
+    assert ("content:crime", "a") in pairs            # include topic + quality
+    assert ("content:crime", "d") not in pairs        # quality 20 < 40
+    assert ("content:sports", "b") in pairs           # sports min 30
+    assert ("content:all-articles", "a") in pairs     # quality 80 >= 50
+    assert ("content:all-articles", "d") not in pairs
+    assert ("content:high-quality", "c") in pairs     # page allowed here
+    # exclude topics
+    ch = (Channel("x", exclude_topics=("crime",), min_quality=0,
+                  content_types=("article",)),)
+    out2 = route_batch(_docs(), ch)
+    assert set(out2["doc_id"]) == {"b"}
+
+
+def test_publish_cursor_and_history(ray_session):
+    ds = rd.from_pandas(_docs())
+    first = publish(ds).to_pandas()
+    assert len(first) > 0
+    # history suppresses re-publish of the same (channel, doc)
+    again = publish(rd.from_pandas(_docs()), history=first).to_pandas()
+    assert len(again) == 0
+    # cursor suppresses already-scanned docs
+    cur = advance_cursor(_docs().iloc[:2])
+    assert cur == (200, "b")
+    after = publish(rd.from_pandas(_docs()), cursor=cur).to_pandas()
+    assert set(after["doc_id"]) <= {"c", "d"}
+
+
+def test_source_reputation(ray_session):
+    rep = source_reputation(rd.from_pandas(_docs())).set_index("source_id")
+    assert rep.loc["s1", "n_docs"] == 2
+    assert rep.loc["s1", "reputation"] == (80 + 45) * 100 // 2
+    assert rep.loc["s2", "reputation"] == (90 + 20) * 100 // 2
+
+
+def test_adaptive_interval():
+    base = 60 * US_PER_SEC
+    assert adaptive_interval_us(base, 0) == base
+    assert adaptive_interval_us(base, 3) == 8 * base
+    assert adaptive_interval_us(base, 40) == HOURS_24_US  # capped
+    assert update_unchanged_count(None, "h", 5) == 0
+    assert update_unchanged_count("h", "h", 2) == 3
+    assert update_unchanged_count("h", "g", 2) == 0
+
+
+def test_requeue_fetched():
+    base = 60 * US_PER_SEC
+    fr = pd.DataFrame(
+        {
+            "url_hash": ["a", "b", "c"],
+            "status": ["fetched", "fetched", "dead"],
+            "last_fetched_at": [0, 0, 0],
+            "next_fetch_at": [0, 0, 0],
+        }
+    )
+    # 'b' has unchanged_count 2 -> interval 4*base, not yet due at 2*base
+    out = requeue_fetched(fr, now_us=2 * base, baseline_us=base,
+                          unchanged_counts={"b": 2})
+    st = dict(zip(out["url_hash"], out["status"]))
+    assert st == {"a": "pending", "b": "fetched", "c": "dead"}
+    assert out.loc[out["url_hash"] == "a", "next_fetch_at"].iloc[0] == 2 * base
+
+
+def test_recrawl_304_path(ray_session, tmp_path):
+    """Requeued fetched rows carry their etag -> refetch answers 304 ->
+    fetched again without producing a document (S2 conditional-GET path)."""
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+    from north_cloud_ray.stages.fetch_parse import FetchParseActor
+    import pyarrow as pa
+
+    web_cfg = SyntheticWebConfig(n_hosts=4)
+    cfg = CrawlConfig(num_shards=2, fetch_concurrency=2, fetch_batch_size=64)
+    runner = CrawlRunner(str(tmp_path / "out"), cfg, web_cfg)
+    runner.run(max_rounds=3)
+    fr = runner.frontier_dataset().to_pandas()
+    fetched = fr[(fr["status"] == "fetched") & fr["etag"].notna()]
+    assert len(fetched) > 0
+    row = fetched.iloc[0]
+    claim = row.to_dict()
+    claim["claim_at"] = int(row["last_fetched_at"]) + 10**9
+    actor = FetchParseActor(web_cfg, cfg)
+    batch = pa.Table.from_pylist([claim])
+    out = actor(batch).to_pylist()
+    upd = [r for r in out if r["rec"] == "update"][0]
+    docs = [r for r in out if r["rec"] == "doc"]
+    assert upd["outcome"] == "fetched"
+    # 304 path: no doc, cleared params (worker.go:411-417 quirk)
+    assert docs == []
+    assert upd["content_hash"] is None and upd["etag"] is None
