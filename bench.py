@@ -103,6 +103,102 @@ def run_headline(num_cpus: int) -> dict:
     }
 
 
+SCALING_HOSTS = 6000
+SCALING_PAGES = 64
+SCALING_TEXT_SCALE = 8
+
+
+def run_scaling_workload(num_cpus: int) -> dict:
+    """Steady-state pages/sec: ONE big politeness window over a
+    sitemap-style pre-seeded frontier (every page pending at t=0), so the
+    measurement is the sustained claim->fetch->parse->merge rate rather
+    than many small-round barriers (BASELINE.md protocol: 'fetched+parsed
+    docs per wall-clock second, steady state'). max_depth=0 keeps the
+    workload identical at both levels (no discovery feedback)."""
+    import hashlib
+
+    import pandas as pd
+    import numpy as np
+    import ray  # noqa: F401
+
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.frontier.normalize import host_hash64
+    from north_cloud_ray.pipelines.crawl import (
+        CrawlRunner,
+        _frontier_to_table,
+        HOST_STATE_RUNTIME_SCHEMA,
+    )
+    from north_cloud_ray.sources.synthetic_web import SyntheticWeb
+    from north_cloud_ray.state.cuckoo import CuckooFilter
+
+    _quiet_data_context()
+    out = tempfile.mkdtemp(prefix="ncray-scale-")
+    web_cfg = SyntheticWebConfig(
+        n_hosts=SCALING_HOSTS, base_pages_per_host=SCALING_PAGES,
+        mega_host_factor=12, text_scale=SCALING_TEXT_SCALE,
+    )
+    cfg = CrawlConfig(
+        num_shards=16,
+        fetch_concurrency=max(2, num_cpus - 2),
+        fetch_batch_size=512,
+        round_window_us=3600 * 1_000_000,
+        max_depth=0,
+    )
+    runner = CrawlRunner(out, cfg, web_cfg)
+    web = SyntheticWeb(web_cfg)
+
+    # fast seeding: every page URL directly (sitemap-equivalent), skipping
+    # per-URL normalization (generator URLs are canonical by construction)
+    rows = []
+    for i in range(web_cfg.n_hosts):
+        host = web.host_name(i)
+        hh = host_hash64(host)
+        for j in range(web.page_count(host)):
+            u = web.url_for(host, j)
+            rows.append(
+                (u, hashlib.sha256(u.encode()).hexdigest(), host, hh,
+                 f"src-{i % 4}", "sitemap", None, 0, 6, 0, 0)
+            )
+    df = pd.DataFrame(
+        rows, columns=["url", "url_hash", "host", "host_hash", "source_id",
+                       "origin", "parent_url", "depth", "priority",
+                       "next_fetch_at", "discovered_at"],
+    )
+    df["status"] = "pending"
+    df["last_fetched_at"] = np.int64(0)
+    df["fetch_count"] = np.int32(0)
+    df["content_hash"] = None
+    df["etag"] = None
+    df["last_modified"] = None
+    df["retry_count"] = np.int8(0)
+    df["last_error"] = None
+    df["shard"] = (df["host_hash"].to_numpy() % cfg.num_shards).astype(np.int32)
+    for s in range(cfg.num_shards):
+        part = df[df["shard"] == s]
+        runner.store.write_table(_frontier_to_table(part),
+                                 runner.store.frontier_path(0, s))
+        runner.store.write_table(HOST_STATE_RUNTIME_SCHEMA.empty_table(),
+                                 runner.store.host_state_path(0, s))
+        filt = CuckooFilter(capacity=2 * len(part) + 1024)
+        for h in part["url_hash"]:
+            filt.add(h)
+        runner.store.write_bytes(filt.to_bytes(), runner.store.cuckoo_path(0, s))
+    runner.store.commit_state(0)
+
+    t0 = time.perf_counter()
+    m = runner.run_round(0)
+    dt = time.perf_counter() - t0
+    print("TIMINGS", m.get("timings"), file=sys.stderr)
+    ops = m["claims"] * 2
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "claims": m["claims"],
+        "sec": round(dt, 3),
+        "pages_per_sec": round(m["claims"] / dt, 1),
+        "frontier_ops_per_sec": round(ops / dt, 1),
+    }
+
+
 def run_queries(sf_dir: str) -> dict:
     from north_cloud_ray.pipelines.queries import QUERIES
 
@@ -139,6 +235,11 @@ def main() -> None:
         logging_level="ERROR",
     )
     try:
+        if os.environ.get("GRAFT_SCALING_WORKLOAD"):
+            print(json.dumps({"metric": "steady-state crawl pages/sec",
+                              "unit": "pages/sec", "num_cpus": NUM_CPUS,
+                              **run_scaling_workload(NUM_CPUS)}))
+            return
         head = run_headline(NUM_CPUS)
         qtimes = (
             {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_queries(SF_DIR)
@@ -162,7 +263,8 @@ def scaling() -> None:
     lo_cpus, hi_cpus = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALING_WORKLOAD="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -173,14 +275,11 @@ def scaling() -> None:
     run(lo_cpus)  # warm page cache (untimed for comparison purposes)
     lo = run(lo_cpus)
     hi = run(hi_cpus)
-    thr_lo = lo["claims"] / lo["sec_total"]
-    thr_hi = hi["claims"] / hi["sec_total"]
+    thr_lo, thr_hi = lo["pages_per_sec"], hi["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
     print(json.dumps({
-        "sec_8": lo["sec_total"], "sec_32": hi["sec_total"],
-        "crawl_8": lo["sec_crawl"], "crawl_32": hi["sec_crawl"],
-        "classify_8": lo["sec_classify"], "classify_32": hi["sec_classify"],
-        "pages_per_sec_8": round(thr_lo, 1), "pages_per_sec_32": round(thr_hi, 1),
+        "sec_8": lo["sec"], "sec_32": hi["sec"],
+        "pages_per_sec_8": thr_lo, "pages_per_sec_32": thr_hi,
         "frontier_ops_per_sec_8": lo["frontier_ops_per_sec"],
         "frontier_ops_per_sec_32": hi["frontier_ops_per_sec"],
         "scaling_efficiency": round(eff, 3),

@@ -370,9 +370,16 @@ class CrawlRunner:
 
     # ---- one round ----
     def run_round(self, rnd: int) -> dict:
+        import time as _time
+
         cfg, store = self.cfg, self.store
         t_start = rnd * cfg.round_window_us
         t_end = t_start + cfg.round_window_us
+        _marks: list[tuple[str, float]] = []
+        _t0 = _time.perf_counter()
+
+        def _mark(name: str) -> None:
+            _marks.append((name, _time.perf_counter()))
 
         # 1. claim, per shard
         claim_refs = [
@@ -388,6 +395,7 @@ class CrawlRunner:
             for s in range(cfg.num_shards)
         ]
         claim_out = ray.get(claim_refs)
+        _mark("claim")
         n_pending = sum(c[0] for c in claim_out)
         n_claims = sum(c[1] for c in claim_out)
         host_states = [c[2] for c in claim_out]
@@ -419,21 +427,33 @@ class CrawlRunner:
                 RESULT_SCHEMA.empty_table(),
                 os.path.join(results_dir, "empty.parquet"),
             )
+        _mark("fetch")
 
-        # one driver-side scan of the round results (spans/body columns
-        # pruned away by the columns= projection)
-        upd_tbl = pq.read_table(
-            results_dir, columns=UPDATE_COLS, filters=[("rec", "=", "update")]
+        # one scan of the round results, parallelized across workers with
+        # column projection (spans/body pruned at the read)
+        import pyarrow.compute as pc
+
+        light_cols = sorted(set(UPDATE_COLS + CAND_COLS + ["rec"]))
+        light_ds = ray.data.read_parquet(
+            results_dir,
+            columns=light_cols,
+            filter=pc.field("rec") != "doc",
         )
+        light_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
+        light = pa.concat_tables(
+            [t for t in light_tbls if t.num_rows] or [light_tbls[0]],
+            promote_options="default",
+        )
+        upd_tbl = light.filter(pc.equal(light["rec"], "update")).select(UPDATE_COLS)
+        cand_tbl = light.filter(pc.equal(light["rec"], "outlink")).select(CAND_COLS)
         updates_all = upd_tbl.to_pandas()
         updates_all["final_host_hash"] = pd.Series(
             upd_tbl["final_host_hash"].to_pylist(),
             dtype="object",  # int+None must NOT coerce to float64 (2^53 loss)
             index=updates_all.index,
         )
-        cands_all = pq.read_table(
-            results_dir, columns=CAND_COLS, filters=[("rec", "=", "outlink")]
-        ).to_pandas()
+        cands_all = cand_tbl.to_pandas()
+        _mark("read")
 
         # 2b. feed polls due at round start contribute candidates
         # (origin=feed, priority 7) through the same submit merge
@@ -453,6 +473,7 @@ class CrawlRunner:
 
         # 3. redirect-rename resolution (bounded: ~redirect_rate * claims)
         inserts_by_shard, rejected = self._resolve_renames(rnd, updates_all, cands_all)
+        _mark("rename")
 
         # 4. merge, per shard; commit state round+1
         self.store.clear_uncommitted_state(rnd + 1)
@@ -485,10 +506,17 @@ class CrawlRunner:
         ]
         shard_metrics = ray.get(merge_refs)
         store.commit_state(rnd + 1)
+        _mark("merge")
+        last = _t0
+        timings = {}
+        for name, tt in _marks:
+            timings[name] = round(tt - last, 3)
+            last = tt
         metrics = {
             "round": rnd,
             "pending_before": n_pending,
             "claims": n_claims,
+            "timings": timings,
             "shards": shard_metrics,
         }
         store.write_metrics(rnd, metrics)
@@ -530,58 +558,71 @@ class CrawlRunner:
                 maybes = [h for h, m in zip(want, mask) if m]
             existing = set()
             if maybes:
-                existing = set(
-                    pq.read_table(
-                        store.frontier_path(rnd, shard),
-                        columns=["url_hash"],
-                        filters=[("url_hash", "in", maybes)],
-                    )["url_hash"].to_pylist()
-                )
-            taken = existing | all_cand_hashes
-            for _, row in grp.iterrows():
-                if row["final_url_hash"] in taken:
-                    rejected.add(row["url_hash"])
+                # large maybe-sets: a plain column scan beats evaluating a
+                # multi-thousand-value `in` predicate row by row
+                if len(maybes) > 512:
+                    col = set(
+                        pq.read_table(
+                            store.frontier_path(rnd, shard), columns=["url_hash"]
+                        )["url_hash"].to_pylist()
+                    )
+                    existing = col & set(maybes)
                 else:
-                    accepted_rows.append((shard, row))
+                    existing = set(
+                        pq.read_table(
+                            store.frontier_path(rnd, shard),
+                            columns=["url_hash"],
+                            filters=[("url_hash", "in", maybes)],
+                        )["url_hash"].to_pylist()
+                    )
+            taken = existing | all_cand_hashes
+            hit = grp["final_url_hash"].isin(taken).to_numpy()
+            rejected.update(grp.loc[hit, "url_hash"])
+            acc = grp[~hit]
+            if len(acc):
+                acc = acc.copy()
+                acc["_shard"] = shard
+                accepted_rows.append(acc)
 
         inserts_by_shard: dict[int, pa.Table] = {}
         if accepted_rows:
-            # reconstruct full rows from the claims of this round
-            hashes = [r["url_hash"] for _, r in accepted_rows]
-            claims = pq.read_table(
-                store.claims_dir(rnd), filters=[("url_hash", "in", hashes)]
-            ).to_pandas().set_index("url_hash")
-            by_shard: dict[int, list[dict]] = {}
-            for shard, row in accepted_rows:
-                c = claims.loc[row["url_hash"]]
-                by_shard.setdefault(shard, []).append(
-                    {
-                        "url": row["final_url"],
-                        "url_hash": row["final_url_hash"],
-                        "host": row["final_host"],
-                        "host_hash": int(row["final_host_hash"]),
-                        "source_id": c["source_id"],
-                        "origin": c["origin"],
-                        "parent_url": c["parent_url"],
-                        "depth": int(c["depth"]),
-                        "priority": int(c["priority"]),
-                        "status": "fetched",
-                        "next_fetch_at": int(c["next_fetch_at"]),
-                        "last_fetched_at": int(row["claim_at"]),
-                        "fetch_count": int(c["fetch_count"]) + 1,
-                        "content_hash": row["content_hash"],
-                        "etag": row["etag"],
-                        "last_modified": row["last_modified"],
-                        # UpdateFetched does not clear last_error in the
-                        # reference SQL — preserve it through the rename
-                        "retry_count": 0,
-                        "last_error": c["last_error"] if pd.notna(c["last_error"]) else None,
-                        "discovered_at": int(c["discovered_at"]),
-                    }
-                )
-            for shard, rows in by_shard.items():
-                inserts_by_shard[shard] = pa.Table.from_pylist(
-                    rows, schema=FRONTIER_SCHEMA
+            # reconstruct full rows vectorized: join the accepted renames
+            # back to this round's claims (bounded; plain scan beats a
+            # multi-value `in` parquet predicate)
+            acc = pd.concat(accepted_rows, ignore_index=True)
+            claims = pq.read_table(store.claims_dir(rnd)).to_pandas()
+            claims = claims[claims["url_hash"].isin(set(acc["url_hash"]))]
+            j = acc.merge(claims, on="url_hash", suffixes=("", "_c"))
+            ins = pd.DataFrame(
+                {
+                    "url": j["final_url"],
+                    "url_hash": j["final_url_hash"],
+                    "host": j["final_host"],
+                    "host_hash": j["final_host_hash"].map(int),
+                    "source_id": j["source_id"],
+                    "origin": j["origin"],
+                    "parent_url": j["parent_url"],
+                    "depth": j["depth"].astype("int32"),
+                    "priority": j["priority"].astype("int8"),
+                    "status": "fetched",
+                    "next_fetch_at": j["next_fetch_at"].astype("int64"),
+                    "last_fetched_at": j["claim_at"].astype("int64"),
+                    "fetch_count": (j["fetch_count"] + 1).astype("int32"),
+                    "content_hash": j["content_hash"],
+                    "etag": j["etag"],
+                    "last_modified": j["last_modified"],
+                    # UpdateFetched does not clear last_error in the
+                    # reference SQL — preserve it through the rename
+                    "retry_count": np.int8(0),
+                    "last_error": j["last_error"],
+                    "discovered_at": j["discovered_at"].astype("int64"),
+                    "_shard": j["_shard"],
+                }
+            )
+            for shard, grp in ins.groupby("_shard"):
+                inserts_by_shard[int(shard)] = pa.Table.from_pandas(
+                    grp.drop(columns=["_shard"]), schema=FRONTIER_SCHEMA,
+                    preserve_index=False,
                 )
         return inserts_by_shard, rejected
 

@@ -111,14 +111,16 @@ class SyntheticWeb:
     # ---- URL space ----
 
     def _path_for(self, host: str, j: int) -> str:
-        k = _hx(self.cfg.seed, host, j, "kind") % 10
+        # one digest per page: page tables are rebuilt lazily in every
+        # worker process, so construction cost must stay minimal
+        d = hashlib.sha256(f"{self.cfg.seed}:{host}:{j}:path".encode()).digest()
+        k = d[0] % 10
         if k < 7:
             return f"/page/{j}"
         if k < 9:
-            slug = "-".join(
-                _WORDS[_hx(self.cfg.seed, host, j, "slug", w) % len(_WORDS)] for w in range(4)
-            )
-            mm = 1 + _hx(self.cfg.seed, host, j, "mm") % 12
+            nw = len(_WORDS)
+            slug = "-".join(_WORDS[d[1 + w] % nw] for w in range(4))
+            mm = 1 + d[5] % 12
             return f"/news/2024/{mm:02d}/{slug}-{j}"
         return f"/private/doc-{j}"
 
@@ -159,7 +161,7 @@ class SyntheticWeb:
     def _news_pages(self, host: str) -> list[int]:
         return [
             j for j in range(self.page_count(host))
-            if 7 <= _hx(self.cfg.seed, host, j, "kind") % 10 < 9
+            if self._path_for(host, j).startswith("/news/")
         ]
 
     def render_feed(self, host: str) -> str:
