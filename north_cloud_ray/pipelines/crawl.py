@@ -643,8 +643,14 @@ class CrawlRunner:
         return summary
 
     # ---- outputs ----
-    def documents_dataset(self, override_num_blocks: int | None = None) -> "ray.data.Dataset":
-        """All produced documents as a streaming Dataset (doc records)."""
+    def documents_dataset(self, override_num_blocks: int | None = None,
+                          dedup: bool = False) -> "ray.data.Dataset":
+        """All produced documents as a streaming Dataset (doc records).
+
+        ``dedup=True`` applies the IndexRawContentIfAbsent first-writer-wins
+        rule (raw_content_indexer.go:95-125): one row per doc_id, canonical
+        first = min (crawled_at, source_id, url). Hash-partitioned — no
+        global shuffle of the doc payloads beyond the per-key grouping."""
         import glob
 
         paths = sorted(
@@ -658,7 +664,17 @@ class CrawlRunner:
                      "content_hash", "word_count", "claim_at", "crawled_at"],
             override_num_blocks=override_num_blocks,
         )
-        return ds.drop_columns(["rec", "claim_at"])
+        ds = ds.drop_columns(["rec", "claim_at"])
+        if dedup:
+            from ..stages.agg import hash_grouped_map
+
+            def first(g: pd.DataFrame) -> pd.DataFrame:
+                return g.sort_values(
+                    ["crawled_at", "source_id", "url"], kind="mergesort"
+                ).head(1)
+
+            ds = hash_grouped_map(ds, ["doc_id"], first)
+        return ds
 
     def frontier_dataset(self, rnd: int | None = None) -> "ray.data.Dataset":
         import glob

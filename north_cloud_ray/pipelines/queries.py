@@ -137,13 +137,21 @@ def region_revenue(sf_dir: str):
         batch["total_cents"] = _cents(batch["o_totalprice"].to_numpy())
         return batch[["r_name", "total_cents"]]
 
-    from ray.data.aggregate import Count, Sum
+    from ..stages.agg import hash_grouped_agg
 
-    return (
-        orders.map_batches(tag, batch_format="pandas")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_orders"),
-                   Sum("total_cents", alias_name="revenue_cents"))
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("r_name", as_index=False).agg(
+            n_orders=("total_cents", "size"), revenue_cents=("total_cents", "sum")
+        )
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("r_name", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+
+    return hash_grouped_agg(
+        orders.map_batches(tag, batch_format="pandas"),
+        ["r_name"], partial, combine, num_partitions=4,
     )
 
 
