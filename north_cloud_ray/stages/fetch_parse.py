@@ -385,10 +385,35 @@ class FetchParseActor:
 # per-process robots cache has.
 _PROCESS_STATE: dict = {}
 
+LIGHT_COLS = [f.name for f in RESULT_SCHEMA
+              if f.name not in ("spans", "body", "title", "n_media",
+                                "first_text_len", "word_count")]
 
-def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg) -> pa.Table:
+
+def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
+                   out_dir: str | None = None) -> pa.Table:
+    """Stateless fetch+parse task. With ``out_dir`` set, the task writes its
+    full result block (docs with spans/body included) straight to a parquet
+    part file and returns only the light update/outlink columns — the heavy
+    payload never round-trips the object store, and the downstream merge
+    input IS the map output (fused sink)."""
     key = (web_cfg, crawl_cfg)
     actor = _PROCESS_STATE.get(key)
     if actor is None:
         actor = _PROCESS_STATE[key] = FetchParseActor(web_cfg, crawl_cfg)
-    return actor(batch)
+    full = actor(batch)
+    if out_dir is None:
+        return full
+    import os
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".part-{uuid.uuid4().hex}.tmp")
+    final = tmp.replace(".tmp", ".parquet").replace("/.part-", "/part-")
+    pq.write_table(full, tmp)
+    os.replace(tmp, final)
+    light = full.filter(pc.invert(pc.equal(full["rec"], "doc")))
+    return light.select(LIGHT_COLS)
