@@ -177,6 +177,79 @@ def top_parts_by_revenue(sf_dir: str):
     return top.rename(columns={"l_partkey": "p_partkey"})
 
 
+def orders_lineitem_join(sf_dir: str):
+    """Hash-partitioned large-side join via Dataset.join (both sides large —
+    no broadcast): per-order line counts + revenue for high-value orders."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue_cents"] = _cents(
+            (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy()
+        )
+        return b[["l_orderkey", "revenue_cents"]]
+
+    from ..stages.agg import hash_grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_orderkey", as_index=False).agg(
+            n_lines=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum")
+        )
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("l_orderkey", as_index=False).agg(
+            n_lines=("n_lines", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+
+    per_order = hash_grouped_agg(
+        li.map_batches(rev, batch_format="pandas"), ["l_orderkey"],
+        partial, combine,
+    )
+    big = orders.map_batches(
+        lambda b: b[b["o_totalprice"] >= 400000.0], batch_format="pandas"
+    )
+    joined = big.join(
+        per_order, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["total_cents"] = _cents(b["o_totalprice"].to_numpy())
+        return b[["o_orderkey", "total_cents", "n_lines", "revenue_cents"]]
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding 2h windows advancing hourly, per event_type: each event
+    contributes to the window containing it and the previous one (overlap
+    via explode, then the salted grouped aggregate)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    keys = ["event_type", "window_start"]
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["ts"].dt.floor("h")
+        a = pd.DataFrame({"event_type": batch["event_type"], "window_start": h})
+        b = pd.DataFrame(
+            {"event_type": batch["event_type"],
+             "window_start": h - pd.Timedelta(hours=1)}
+        )
+        return pd.concat([a, b], ignore_index=True)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False).agg(n=("window_start", "size"))
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(keys, as_index=False).agg(n=("n", "sum"))
+
+    exploded = ev.map_batches(explode, batch_format="pandas")
+    return hash_grouped_agg(exploded, keys, partial, combine)
+
+
 # ---------------- frontier semantics over relational data ----------------
 
 def frontier_submit_merge(sf_dir: str):
@@ -543,6 +616,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "region_revenue": region_revenue,
+    "orders_lineitem_join": orders_lineitem_join,
+    "events_sliding_window": events_sliding_window,
     "top_parts_by_revenue": top_parts_by_revenue,
     "frontier_submit_merge": frontier_submit_merge,
     "claim_ordering": claim_ordering,
@@ -611,6 +686,24 @@ ORACLE_SQL = {
         GROUP BY l.l_partkey
         ORDER BY revenue_cents DESC, l.l_partkey
         LIMIT 20
+    """,
+    "orders_lineitem_join": """
+        SELECT o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS total_cents,
+               COUNT(*) AS n_lines,
+               SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice >= 400000.0
+        GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    "events_sliding_window": """
+        WITH x AS (
+            SELECT event_type, date_trunc('hour', ts) AS w FROM events
+            UNION ALL
+            SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+        )
+        SELECT event_type, w AS window_start, COUNT(*) AS n
+        FROM x GROUP BY event_type, w
     """,
     "frontier_submit_merge": """
         SELECT user_id, MAX(value) AS max_priority, MIN(ts) AS first_seen,
