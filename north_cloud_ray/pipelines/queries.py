@@ -581,6 +581,61 @@ def source_reputation_q(sf_dir: str):
     return source_reputation(classified)
 
 
+def crawl_claim_log(sf_dir: str):
+    """SURVEY §7.3 crawl-order verification output: the global claim
+    sequence, deterministically ordered by (round, claim_at, priority DESC,
+    next_fetch_at, url_hash) — byte-stable across runs (rows-only)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    runner = _crawl("claimlog")
+    frames = []
+    for d in sorted(_glob.glob(_os.path.join(runner.store.root, "rounds", "round-*"))):
+        rnd = int(_os.path.basename(d).split("-")[1])
+        files = _glob.glob(_os.path.join(d, "claims", "*.parquet"))
+        if not files:
+            continue
+        df = _pq.read_table(files).to_pandas()
+        if len(df):
+            df["round"] = rnd
+            frames.append(df)
+    log = pd.concat(frames, ignore_index=True).sort_values(
+        ["round", "claim_at", "priority", "next_fetch_at", "url_hash"],
+        ascending=[True, True, False, True, True], kind="mergesort",
+    ).reset_index(drop=True)
+    log["claim_seq"] = np.arange(len(log), dtype=np.int64)
+    return log[["claim_seq", "round", "claim_at", "url_hash", "url", "host",
+                "priority"]]
+
+
+def round_metrics(sf_dir: str):
+    """Per-round lineage: claims, per-shard status counts, phase timings."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    runner = _crawl("metrics")
+    rows = []
+    for mf in sorted(_glob.glob(_os.path.join(runner.store.root, "rounds", "*",
+                                              "metrics.json"))):
+        with open(mf) as f:
+            m = _json.load(f)
+        for s in m["shards"]:
+            rows.append(
+                {"round": m["round"], "shard": s["shard"],
+                 "claims_total": m["claims"],
+                 "frontier_size": s.get("frontier_size", 0),
+                 "claimed": s.get("claimed", 0),
+                 "new_urls": s.get("new_urls", 0),
+                 "pending": s.get("status_pending", 0),
+                 "fetched": s.get("status_fetched", 0),
+                 "dead": s.get("status_dead", 0)}
+            )
+    return pd.DataFrame(rows)
+
+
 def crawl_stats(sf_dir: str):
     """G1: frontier counts by status + dead reasons (rows-only)."""
     from ray.data.aggregate import Count
@@ -640,6 +695,8 @@ QUERIES = {
     "crawl_documents": crawl_documents,
     "crawl_classified": crawl_classified,
     "crawl_stats": crawl_stats,
+    "crawl_claim_log": crawl_claim_log,
+    "round_metrics": round_metrics,
     "publisher_cursor_scan": publisher_cursor_scan,
     "publisher_routing": publisher_routing,
     "source_reputation": source_reputation_q,

@@ -1,0 +1,56 @@
+"""t2-scale correctness (FIXTURES.md scale tiers): 64 hosts, feeds+sitemaps
+on, more collision/skew/redirect surface than the t1 smoke tests."""
+
+import pandas as pd
+import pytest
+
+from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+from north_cloud_ray.pipelines.crawl import CrawlRunner
+from north_cloud_ray.pipelines.oracle_sim import OracleSimulator
+
+WEB_CFG = SyntheticWebConfig(n_hosts=64)
+CRAWL_CFG = CrawlConfig(num_shards=8, fetch_concurrency=4, fetch_batch_size=256,
+                        use_feeds=True, use_sitemaps=True)
+ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def t2_run(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("t2") / "out")
+    runner = CrawlRunner(out, CRAWL_CFG, WEB_CFG)
+    summary = runner.run(max_rounds=ROUNDS)
+    oracle = OracleSimulator(CRAWL_CFG, WEB_CFG)
+    osummary = oracle.run(max_rounds=ROUNDS)
+    return runner, summary, oracle, osummary
+
+
+def test_t2_claims_and_seen_set(t2_run):
+    runner, summary, oracle, osummary = t2_run
+    assert summary["claims"] == osummary["claims"]
+    assert summary["claims"] > 2000  # meaningful volume at this tier
+    fr = runner.frontier_dataset().to_pandas()
+    assert set(fr["url_hash"]) == set(oracle.frontier.keys())
+
+
+def test_t2_full_state_equality(t2_run):
+    runner, _, oracle, _ = t2_run
+    cols = ["url", "host", "source_id", "origin", "parent_url", "depth",
+            "priority", "status", "next_fetch_at", "last_fetched_at",
+            "fetch_count", "content_hash", "etag", "last_modified",
+            "retry_count", "last_error", "discovered_at"]
+    mine = runner.frontier_dataset().to_pandas().set_index("url_hash")
+    mine = mine.where(pd.notna(mine), None)
+    bad = 0
+    for h, orow in oracle.frontier.items():
+        row = mine.loc[h]
+        for c in cols:
+            if row[c] != orow[c]:
+                bad += 1
+    assert bad == 0
+
+
+def test_t2_origin_mix(t2_run):
+    runner, _, _, _ = t2_run
+    fr = runner.frontier_dataset().to_pandas()
+    origins = set(fr["origin"])
+    assert {"manual", "sitemap", "spider", "feed"} <= origins
