@@ -645,6 +645,17 @@ def crawl_stats(sf_dir: str):
     return fr.groupby("status").aggregate(Count(alias_name="n"))
 
 
+def sidecar_scores(sf_dir: str):
+    """A6: hybrid rules+ML sidecar scoring with the review_required merge
+    matrix over classified crawl docs (rows-only)."""
+    from ..stages.classify import classify_documents
+    from ..stages.scorer import score_documents
+
+    runner = _crawl("scores")
+    classified = classify_documents(runner.documents_dataset())
+    return score_documents(classified)
+
+
 def multimodal_features(sf_dir: str):
     """Media spans -> synthetic binary payloads -> decode/feature actor."""
     from ..stages.multimodal import decode_images, synth_media_table
@@ -700,6 +711,7 @@ QUERIES = {
     "publisher_cursor_scan": publisher_cursor_scan,
     "publisher_routing": publisher_routing,
     "source_reputation": source_reputation_q,
+    "sidecar_scores": sidecar_scores,
     "multimodal_features": multimodal_features,
 }
 

@@ -1,0 +1,89 @@
+"""Hybrid rules+ML merge matrix tests (indigenous.go:161-204 semantics)."""
+
+import pytest
+import ray.data as rd
+
+from north_cloud_ray.stages.scorer import (
+    PATH_BOTH_AGREE,
+    PATH_DEFAULT,
+    PATH_ML_OVERRIDE,
+    PATH_ML_UPGRADE,
+    PATH_RULE_OVERRIDE,
+    PATH_RULES_ONLY,
+    RELEVANCE_CORE,
+    RELEVANCE_NOT,
+    RELEVANCE_PERIPHERAL,
+    ScorerActor,
+    StubModel,
+    merge_results,
+    rule_score,
+    score_documents,
+)
+
+
+@pytest.mark.parametrize(
+    "rule,ml,want",
+    [
+        # (rule_rel, rule_conf), (ml_rel, ml_conf) -> (rel, conf, review, path)
+        ((RELEVANCE_CORE, 0.8), (RELEVANCE_CORE, 0.9),
+         (RELEVANCE_CORE, 0.85, False, PATH_BOTH_AGREE)),
+        ((RELEVANCE_CORE, 0.8), (RELEVANCE_NOT, 0.9),
+         (RELEVANCE_CORE, 0.8 * 0.7, True, PATH_RULE_OVERRIDE)),
+        ((RELEVANCE_CORE, 0.8), None,
+         (RELEVANCE_CORE, 0.8, False, PATH_RULES_ONLY)),
+        ((RELEVANCE_CORE, 0.8), (RELEVANCE_PERIPHERAL, 0.9),
+         (RELEVANCE_CORE, 0.8, False, PATH_RULES_ONLY)),
+        ((RELEVANCE_NOT, 0.6), (RELEVANCE_CORE, 0.95),
+         (RELEVANCE_PERIPHERAL, 0.95 * 0.8, True, PATH_ML_OVERRIDE)),
+        ((RELEVANCE_NOT, 0.6), (RELEVANCE_CORE, 0.85),
+         (RELEVANCE_NOT, 0.6, False, PATH_DEFAULT)),  # below override threshold
+        ((RELEVANCE_PERIPHERAL, 0.65), (RELEVANCE_CORE, 0.8),
+         (RELEVANCE_CORE, 0.8, False, PATH_ML_UPGRADE)),
+        ((RELEVANCE_PERIPHERAL, 0.65), (RELEVANCE_NOT, 0.7),
+         (RELEVANCE_PERIPHERAL, 0.65, False, PATH_DEFAULT)),
+    ],
+)
+def test_merge_matrix(rule, ml, want):
+    got = merge_results(rule[0], rule[1], ml)
+    assert got[0] == want[0]
+    assert got[1] == pytest.approx(want[1])
+    assert got[2:] == want[2:]
+
+
+def test_rule_score_tiers():
+    assert rule_score("police arrest downtown", "crime") == (RELEVANCE_CORE, 0.8)
+    assert rule_score("police", "crime") == (RELEVANCE_CORE, 0.7)
+    assert rule_score("an incident report", "crime") == (RELEVANCE_PERIPHERAL, 0.65)
+    assert rule_score("nothing here", "crime") == (RELEVANCE_NOT, 0.6)
+    # cap at 0.95
+    rel, conf = rule_score("police arrest court assault theft", "crime")
+    assert rel == RELEVANCE_CORE and conf == 0.95
+
+
+def test_stub_model_deterministic_and_fallback():
+    m = StubModel("crime")
+    assert m.classify("d1", "x") == m.classify("d1", "x")
+    assert StubModel("crime", available=False).classify("d1", "x") is None
+
+
+def test_score_documents_stage(ray_session):
+    import pandas as pd
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "body": ["police arrest at the mine", "music festival tonight",
+                     "nothing at all"],
+            "content_type": ["article", "article", "page"],
+        }
+    ))
+    out = score_documents(docs, concurrency=2).to_pandas()
+    # page content type routes to no sidecars (J5 routing table)
+    assert "c" not in set(out["doc_id"])
+    a = out[(out["doc_id"] == "a") & (out["domain"] == "crime")].iloc[0]
+    assert a["rule_relevance"] == RELEVANCE_CORE
+    assert a["decision_path"] in (PATH_BOTH_AGREE, PATH_RULE_OVERRIDE,
+                                  PATH_RULES_ONLY)
+    # rules-only fallback when the sidecar is down
+    down = score_documents(docs, concurrency=2, ml_available=False).to_pandas()
+    assert set(down["decision_path"]) <= {PATH_RULES_ONLY, PATH_DEFAULT}
