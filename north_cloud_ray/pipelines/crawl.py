@@ -385,6 +385,14 @@ class CrawlRunner:
         def _mark(name: str) -> None:
             _marks.append((name, _time.perf_counter()))
 
+        # a round only runs when round rnd+1 is uncommitted — any artifacts
+        # already under rounds/round-rnd are leftovers from a crashed
+        # attempt and must not leak into this rerun
+        import shutil as _shutil0
+
+        if os.path.isdir(store.round_dir(rnd)):
+            _shutil0.rmtree(store.round_dir(rnd))
+
         # 1. claim, per shard
         claim_refs = [
             _claim_task.remote(
