@@ -177,6 +177,40 @@ def top_parts_by_revenue(sf_dir: str):
     return top.rename(columns={"l_partkey": "p_partkey"})
 
 
+def supplier_nation_stats(sf_dir: str):
+    """Broadcast dim join supplier->nation: per-nation supplier counts and
+    exact balance extrema (order-independent MIN/MAX floats)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put(n2name)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        b = b.copy()
+        b["n_name"] = b["s_nationkey"].map(m)
+        return b[["n_name", "s_acctbal"]]
+
+    from ..stages.agg import hash_grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("n_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"), min_bal=("s_acctbal", "min"),
+            max_bal=("s_acctbal", "max"),
+        )
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("n_name", as_index=False).agg(
+            n_suppliers=("n_suppliers", "sum"), min_bal=("min_bal", "min"),
+            max_bal=("max_bal", "max"),
+        )
+
+    return hash_grouped_agg(
+        sup.map_batches(tag, batch_format="pandas"), ["n_name"],
+        partial, combine, num_partitions=4,
+    )
+
+
 def orders_lineitem_join(sf_dir: str):
     """Hash-partitioned large-side join via Dataset.join (both sides large —
     no broadcast): per-order line counts + revenue for high-value orders."""
@@ -683,6 +717,7 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "region_revenue": region_revenue,
     "orders_lineitem_join": orders_lineitem_join,
+    "supplier_nation_stats": supplier_nation_stats,
     "events_sliding_window": events_sliding_window,
     "top_parts_by_revenue": top_parts_by_revenue,
     "frontier_submit_merge": frontier_submit_merge,
@@ -755,6 +790,12 @@ ORACLE_SQL = {
         GROUP BY l.l_partkey
         ORDER BY revenue_cents DESC, l.l_partkey
         LIMIT 20
+    """,
+    "supplier_nation_stats": """
+        SELECT n.n_name, COUNT(*) AS n_suppliers,
+               MIN(s.s_acctbal) AS min_bal, MAX(s.s_acctbal) AS max_bal
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
     """,
     "orders_lineitem_join": """
         SELECT o.o_orderkey,
