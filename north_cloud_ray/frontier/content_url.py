@@ -97,3 +97,76 @@ def is_content_url_mask(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     ok = pc.and_(pc.and_(nonempty, pc.invert(bad_seg)), pc.invert(binary))
     ok = pc.and_(ok, pc.invert(single_no_slug))
     return pc.and_(ok, positive)
+
+
+# ---------------- spider URL pre-filter (M6) ----------------
+# crawler/internal/crawler/url_filter.go:9-113
+
+ECOMMERCE_SEGMENTS = frozenset("shop store product products cart checkout".split())
+CDN_ASSET_PREFIXES = ("/wp-content/uploads/", "/assets/", "/static/")
+NON_CONTENT_HOSTS = (
+    "play.google.com", "apps.apple.com", "itunes.apple.com",
+    ".cloudfront.net", ".googleusercontent.com", ".fbcdn.net", ".twimg.com",
+)
+
+
+def should_skip_url(raw_url: str, source_host: str = "") -> bool:
+    """True when the spider should not visit this URL (url_filter.go:38-66):
+    off-domain (when source_host given), non-content hosts, binary
+    extensions, CDN/asset prefixes, non-content / e-commerce segments."""
+    try:
+        parsed = urlsplit(raw_url)
+    except ValueError:
+        return True
+    host = (parsed.hostname or "").lower()
+    if source_host and host != source_host.lower():
+        return True
+    for entry in NON_CONTENT_HOSTS:
+        if entry.startswith("."):
+            if host.endswith(entry):
+                return True
+        elif host == entry:
+            return True
+    lower = parsed.path.lower()
+    # path.Ext semantics: extension of the last segment only
+    last = lower.rsplit("/", 1)[-1]
+    if "." in last and ("." + last.rsplit(".", 1)[1]) in _BINARY_EXTENSIONS:
+        return True
+    if any(lower.startswith(p) for p in CDN_ASSET_PREFIXES):
+        return True
+    segs = lower.lstrip("/").split("/")
+    return any(s in NON_CONTENT_SEGMENTS or s in ECOMMERCE_SEGMENTS for s in segs)
+
+
+def should_skip_url_mask(urls: pa.Array | pa.ChunkedArray,
+                         source_host: str = "") -> pa.Array:
+    """Vectorized should_skip_url over normalized URLs."""
+    hosts = pc.utf8_lower(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(urls, r"^[a-z]+://", ""), r"[/:?#].*$", ""
+        )
+    )
+    paths = pc.utf8_lower(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(urls, r"^[a-z]+://[^/]*", ""), r"[?#].*$", ""
+        )
+    )
+    skip = pc.equal(hosts, "___never___")  # all-false seed
+    if source_host:
+        skip = pc.or_(skip, pc.not_equal(hosts, source_host.lower()))
+    for entry in NON_CONTENT_HOSTS:
+        if entry.startswith("."):
+            skip = pc.or_(skip, pc.ends_with(hosts, pattern=entry))
+        else:
+            skip = pc.or_(skip, pc.equal(hosts, entry))
+    ext_pat = r"(?:" + "|".join(re.escape(e) for e in _BINARY_EXTENSIONS) + r")$"
+    skip = pc.or_(skip, pc.match_substring_regex(paths, ext_pat))
+    for p in CDN_ASSET_PREFIXES:
+        skip = pc.or_(skip, pc.starts_with(paths, pattern=p))
+    seg_pat = (
+        r"/(?:"
+        + "|".join(re.escape(s) for s in sorted(NON_CONTENT_SEGMENTS | ECOMMERCE_SEGMENTS))
+        + r")(/|$)"
+    )
+    skip = pc.or_(skip, pc.match_substring_regex(paths, seg_pat))
+    return skip

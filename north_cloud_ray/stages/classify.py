@@ -264,3 +264,59 @@ def classify_documents(docs_ds, rules: tuple[TopicRule, ...] | None = None,
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def classify_and_store(runner, rules: tuple[TopicRule, ...] | None = None,
+                       min_quality: int = 0, batch_size: int = 1024):
+    """S9/G7: classify the crawl's documents and persist the classified
+    table with a classification_status lifecycle.
+
+    Mirrors the classifier poller's bulk index + status flip
+    (classifier/internal/processor/poller.go:196-265): every doc starts
+    'pending'; successful classification flips to 'classified', or to
+    'filtered' when quality_score < min_quality (poller.go:224-236 quality
+    gate). The classified table is written under <crawl-out>/classified/
+    as partitioned parquet; returns (classified_dataset, status_counts).
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    out_dir = os.path.join(runner.store.root, "classified")
+    # nested list<struct> columns don't round-trip pandas (ray_guide
+    # pitfall) — drop spans before classify (it uses the flat body columns)
+    # and flatten topics before the pandas-based dedup grouping
+    docs = runner.documents_dataset().drop_columns(["spans"])
+    classified = classify_documents(docs, rules, batch_size=batch_size)
+
+    def statusify(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["classification_status"] = np.where(
+            batch["quality_score"] >= min_quality, "classified", "filtered"
+        )
+        batch["topics"] = batch["topics"].map(
+            lambda t: ",".join(t) if t is not None else ""
+        )
+        return batch.drop(columns=[c for c in ("topic_scores",)
+                                   if c in batch.columns])
+
+    from .agg import hash_grouped_map
+
+    flat = classified.map_batches(statusify, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        # IndexRawContentIfAbsent first-writer-wins per doc_id
+        return g.sort_values(["crawled_at", "source_id", "url"],
+                             kind="mergesort").head(1)
+
+    stored = hash_grouped_map(flat, ["doc_id"], first)
+    stored.write_parquet(out_dir)
+    import ray.data as _rd
+
+    reread = _rd.read_parquet(out_dir)
+    counts = (
+        reread.groupby("classification_status").count().to_pandas()
+        .set_index("classification_status")["count()"].to_dict()
+    )
+    return reread, counts

@@ -145,3 +145,31 @@ def test_host_hash_stable():
     assert host_hash64("example.com") == host_hash64("example.com")
     assert host_hash64("example.com") != host_hash64("example.org")
     assert 0 <= host_hash64("example.com") < 2**63
+
+
+def test_should_skip_url_m6():
+    from north_cloud_ray.frontier.content_url import (
+        should_skip_url,
+        should_skip_url_mask,
+    )
+
+    cases = {
+        "https://example.com/news/a-b-c-d": False,
+        "https://example.com/shop/item": True,             # e-commerce segment
+        "https://example.com/wp-content/uploads/x": True,  # CDN asset prefix
+        "https://example.com/static/app.css": True,
+        "https://play.google.com/store/apps": True,        # non-content host
+        "https://cdn123.cloudfront.net/x": True,           # host suffix
+        "https://example.com/file.pdf": True,              # binary ext
+        "https://example.com/login/next": True,            # non-content segment
+        "https://example.com/article/x": False,
+    }
+    for url, want in cases.items():
+        assert should_skip_url(url) is want, url
+    # off-domain check
+    assert should_skip_url("https://other.com/a", source_host="example.com")
+    assert not should_skip_url("https://example.com/a-b-c-d", source_host="example.com")
+    # vectorized equivalence
+    urls = list(cases.keys())
+    mask = should_skip_url_mask(pa.array(urls)).to_pylist()
+    assert mask == [cases[u] for u in urls]

@@ -127,3 +127,23 @@ def test_recrawl_304_path(ray_session, tmp_path):
     # 304 path: no doc, cleared params (worker.go:411-417 quirk)
     assert docs == []
     assert upd["content_hash"] is None and upd["etag"] is None
+
+
+def test_classify_and_store_lifecycle(ray_session, tmp_path):
+    """S9: classified store with pending->classified/filtered lifecycle."""
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+    from north_cloud_ray.stages.classify import classify_and_store
+
+    runner = CrawlRunner(str(tmp_path / "out"),
+                         CrawlConfig(num_shards=2, fetch_concurrency=2),
+                         SyntheticWebConfig(n_hosts=4))
+    runner.run(max_rounds=3)
+    stored, counts = classify_and_store(runner, min_quality=45)
+    df = stored.to_pandas()
+    assert set(df["classification_status"]) <= {"classified", "filtered"}
+    assert counts.get("classified", 0) > 0
+    assert (df.loc[df["quality_score"] < 45, "classification_status"] == "filtered").all()
+    assert (df.loc[df["quality_score"] >= 45, "classification_status"] == "classified").all()
+    # store is standalone: re-read has the flattened schema
+    assert "spans" not in df.columns and "topics" in df.columns
