@@ -54,3 +54,16 @@ def test_t2_origin_mix(t2_run):
     fr = runner.frontier_dataset().to_pandas()
     origins = set(fr["origin"])
     assert {"manual", "sitemap", "spider", "feed"} <= origins
+
+
+def test_alternate_seed_equality(ray_session, tmp_path):
+    """Oracle equality must hold for any seed, not just 42."""
+    web = SyntheticWebConfig(n_hosts=8, seed=7)
+    cfg = CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=64)
+    runner = CrawlRunner(str(tmp_path / "out"), cfg, web)
+    s = runner.run(max_rounds=4)
+    oracle = OracleSimulator(cfg, web)
+    o = oracle.run(max_rounds=4)
+    assert s["claims"] == o["claims"] > 50
+    fr = runner.frontier_dataset().to_pandas()
+    assert set(fr["url_hash"]) == set(oracle.frontier.keys())
