@@ -679,6 +679,24 @@ def crawl_stats(sf_dir: str):
     return fr.groupby("status").aggregate(Count(alias_name="n"))
 
 
+def f1_span_stats(sf_dir: str):
+    """Vectorized per-doc stats over the F1 interleaved (doc_id, spans)
+    input shape (BASELINE.json input_hint), synthesized deterministically."""
+    from ..sources.f1 import span_stats, synthesize_f1
+
+    ds = rd.from_arrow(synthesize_f1(n_hosts=16))
+    return ds.map_batches(span_stats, batch_format="pyarrow")
+
+
+def f1_span_validation(sf_dir: str):
+    """Span-sequence invariant flags (kind/text/media_ref/offset contract)
+    over the F1 table."""
+    from ..sources.f1 import synthesize_f1, validate_span_order
+
+    ds = rd.from_arrow(synthesize_f1(n_hosts=16))
+    return ds.map_batches(validate_span_order, batch_format="pyarrow")
+
+
 def sidecar_scores(sf_dir: str):
     """A6: hybrid rules+ML sidecar scoring with the review_required merge
     matrix over classified crawl docs (rows-only)."""
@@ -747,6 +765,8 @@ QUERIES = {
     "publisher_routing": publisher_routing,
     "source_reputation": source_reputation_q,
     "sidecar_scores": sidecar_scores,
+    "f1_span_stats": f1_span_stats,
+    "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
 }
 

@@ -1,0 +1,135 @@
+"""The F1 interleaved text+media table (BASELINE.json input_hint):
+
+    doc_id: string
+    spans:  list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+``synthesize_f1`` builds it deterministically at any small scale from the
+FIXTURES.md F1 generation rule (the same generator the synthetic web
+renders pages from — crawl output and this table share one span contract).
+The operators below consume that exact shape with vectorized pyarrow
+kernels (list_flatten / list_value_length / list_parent_indices — no
+Python span loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import SyntheticWebConfig
+from ..frontier.normalize import url_hash
+from ..frontier.schema import SPAN_TYPE
+from .synthetic_web import SyntheticWeb
+
+
+def synthesize_f1(n_hosts: int = 8, seed: int = 42,
+                  max_docs: int | None = None) -> pa.Table:
+    """Deterministic F1 table: one row per synthetic page (doc_id =
+    url_hash of the canonical page URL), spans per the F1 rule."""
+    web = SyntheticWeb(SyntheticWebConfig(n_hosts=n_hosts, seed=seed))
+    doc_ids, spans = [], []
+    for host in web.hosts():
+        for j in range(web.page_count(host)):
+            u = web.url_for(host, j)
+            doc_ids.append(url_hash(u))
+            spans.append(web.expected_spans(u))
+            if max_docs is not None and len(doc_ids) >= max_docs:
+                break
+        if max_docs is not None and len(doc_ids) >= max_docs:
+            break
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, type=pa.string()),
+         pa.array(spans, type=pa.list_(SPAN_TYPE))],
+        names=["doc_id", "spans"],
+    )
+
+
+def flatten_spans(batch: pa.Table) -> pa.Table:
+    """Explode spans -> one row per span (doc_id, kind, text, media_ref,
+    offset). Pure pyarrow: parent indices + flatten, zero Python loops."""
+    spans_col = batch["spans"].combine_chunks()
+    if isinstance(spans_col, pa.ChunkedArray):  # defensive
+        spans_col = spans_col.combine_chunks()
+    parent = pc.list_parent_indices(spans_col)
+    flat = pc.list_flatten(spans_col)
+    doc_ids = pc.take(batch["doc_id"].combine_chunks(), parent)
+    return pa.Table.from_arrays(
+        [doc_ids,
+         pc.struct_field(flat, "kind"),
+         pc.struct_field(flat, "text"),
+         pc.struct_field(flat, "media_ref"),
+         pc.struct_field(flat, "offset")],
+        names=["doc_id", "kind", "text", "media_ref", "offset"],
+    )
+
+
+def span_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc span statistics, fully vectorized: n_spans, n_media,
+    n_text, total_text_chars."""
+    spans_col = batch["spans"].combine_chunks()
+    n_spans = pc.list_value_length(spans_col)
+    flat = pc.list_flatten(spans_col)
+    parent = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+    is_media = pc.equal(pc.struct_field(flat, "kind"), "media").to_numpy(
+        zero_copy_only=False
+    )
+    text_len = pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(
+        zero_copy_only=False
+    )
+    n = len(batch)
+    n_media = np.zeros(n, dtype=np.int64)
+    np.add.at(n_media, parent, is_media.astype(np.int64))
+    chars = np.zeros(n, dtype=np.int64)
+    np.add.at(chars, parent, text_len)
+    return pa.Table.from_arrays(
+        [batch["doc_id"].combine_chunks(),
+         pc.cast(n_spans, pa.int64()),
+         pa.array(n_media),
+         pc.subtract(pc.cast(n_spans, pa.int64()), pa.array(n_media)),
+         pa.array(chars)],
+        names=["doc_id", "n_spans", "n_media", "n_text", "total_text_chars"],
+    )
+
+
+def validate_span_order(batch: pa.Table) -> pa.Table:
+    """Span-sequence invariant check (the per-row invariant from the
+    input_hint): offsets must be exactly 0..n-1 in order, text spans carry
+    text and no media_ref, media spans the reverse. Returns per-doc
+    validity flags."""
+    flat_tbl = flatten_spans(batch)
+    spans_col = batch["spans"].combine_chunks()
+    parent = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+    offsets = flat_tbl["offset"].to_numpy(zero_copy_only=False)
+    kinds = flat_tbl["kind"].to_numpy(zero_copy_only=False)
+    texts = flat_tbl["text"].to_numpy(zero_copy_only=False)
+    refs = flat_tbl["media_ref"].to_numpy(zero_copy_only=False)
+
+    n = len(batch)
+    ok = np.ones(n, dtype=bool)
+    # offsets must restart at 0 per doc and increment by 1
+    expected = np.zeros(len(offsets), dtype=np.int64)
+    if len(parent):
+        starts = np.flatnonzero(np.diff(parent, prepend=-1))
+        idx = np.arange(len(parent))
+        expected = idx - np.repeat(starts, np.diff(np.append(starts, len(parent))))
+    bad_offset = offsets != expected
+    is_media = kinds == "media"
+    bad_shape = np.where(
+        is_media,
+        (refs == "") | (texts != ""),
+        (texts == "") | (refs != ""),
+    )
+    bad = bad_offset | bad_shape
+    np.logical_and.at(ok, parent, ~bad)
+    return pa.Table.from_arrays(
+        [batch["doc_id"].combine_chunks(), pa.array(ok)],
+        names=["doc_id", "spans_valid"],
+    )
+
+
+def media_refs(batch: pa.Table) -> pa.Table:
+    """(doc_id, media_ref) rows — the feed for the multimodal decode stage."""
+    flat = flatten_spans(batch)
+    media = flat.filter(pc.equal(flat["kind"], "media"))
+    return media.select(["doc_id", "media_ref"])

@@ -1,0 +1,89 @@
+"""F1 input-shape operators: synthesis, flatten, stats, span invariant."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from north_cloud_ray.frontier.schema import SPAN_TYPE
+from north_cloud_ray.sources.f1 import (
+    flatten_spans,
+    media_refs,
+    span_stats,
+    synthesize_f1,
+    validate_span_order,
+)
+
+
+def test_synthesize_shape_and_determinism():
+    t1 = synthesize_f1(n_hosts=4, max_docs=50)
+    t2 = synthesize_f1(n_hosts=4, max_docs=50)
+    assert t1.schema.field("doc_id").type == pa.string()
+    assert t1.schema.field("spans").type == pa.list_(SPAN_TYPE)
+    assert t1.equals(t2)
+    assert 0 < t1.num_rows <= 50
+
+
+def test_flatten_matches_python():
+    t = synthesize_f1(n_hosts=2, max_docs=20)
+    flat = flatten_spans(t)
+    rows = t.to_pylist()
+    expect = sum(len(r["spans"]) for r in rows)
+    assert flat.num_rows == expect
+    # spot check first doc
+    first = rows[0]
+    got = flat.filter(pa.compute.equal(flat["doc_id"], first["doc_id"])).to_pylist()
+    assert [
+        {"kind": g["kind"], "text": g["text"], "media_ref": g["media_ref"],
+         "offset": g["offset"], "doc_id": g["doc_id"]}
+        for g in got
+    ] == [{**s, "doc_id": first["doc_id"]} for s in first["spans"]]
+
+
+def test_span_stats_vectorized_vs_python():
+    t = synthesize_f1(n_hosts=3, max_docs=40)
+    stats = span_stats(t).to_pylist()
+    for row, st in zip(t.to_pylist(), stats):
+        spans = row["spans"]
+        assert st["n_spans"] == len(spans)
+        assert st["n_media"] == sum(1 for s in spans if s["kind"] == "media")
+        assert st["n_text"] == st["n_spans"] - st["n_media"]
+        assert st["total_text_chars"] == sum(len(s["text"]) for s in spans)
+
+
+def test_validate_span_order():
+    t = synthesize_f1(n_hosts=2, max_docs=20)
+    v = validate_span_order(t)
+    assert all(v["spans_valid"].to_pylist())  # generator output is valid
+    # corrupt one doc: swap offsets
+    rows = t.to_pylist()
+    rows[0]["spans"][0]["offset"] = 5
+    bad = pa.Table.from_arrays(
+        [pa.array([r["doc_id"] for r in rows]),
+         pa.array([r["spans"] for r in rows], type=pa.list_(SPAN_TYPE))],
+        names=["doc_id", "spans"],
+    )
+    v2 = validate_span_order(bad).to_pylist()
+    assert v2[0]["spans_valid"] is False
+    assert all(r["spans_valid"] for r in v2[1:])
+
+
+def test_media_refs_feed_multimodal(ray_session):
+    from north_cloud_ray.stages.multimodal import decode_images, synth_media_table
+
+    t = synthesize_f1(n_hosts=2, max_docs=30)
+    refs = media_refs(t).to_pylist()
+    assert all(r["media_ref"].endswith(".jpg") for r in refs)
+    media = synth_media_table([(r["doc_id"], r["media_ref"]) for r in refs[:20]])
+    out = decode_images(rd.from_arrow(media), concurrency=2).to_pandas()
+    assert len(out) == min(20, len(refs))
+
+
+def test_f1_dataset_pipeline(ray_session):
+    """The F1 table as a Dataset input: map_batches over the exact
+    input_hint shape."""
+    t = synthesize_f1(n_hosts=4, max_docs=100)
+    ds = rd.from_arrow(t)
+    stats = ds.map_batches(span_stats, batch_format="pyarrow").to_pandas()
+    assert len(stats) == t.num_rows
+    assert (stats["n_spans"] >= 3).all() and (stats["n_spans"] <= 14).all()
+    valid = ds.map_batches(validate_span_order, batch_format="pyarrow").to_pandas()
+    assert valid["spans_valid"].all()
