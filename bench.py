@@ -190,7 +190,6 @@ def run_scaling_workload(num_cpus: int) -> dict:
     t0 = time.perf_counter()
     m = runner.run_round(0)
     dt = time.perf_counter() - t0
-    print("TIMINGS", m.get("timings"), file=sys.stderr)
     ops = m["claims"] * 2
     shutil.rmtree(out, ignore_errors=True)
     return {
@@ -198,6 +197,7 @@ def run_scaling_workload(num_cpus: int) -> dict:
         "sec": round(dt, 3),
         "pages_per_sec": round(m["claims"] / dt, 1),
         "frontier_ops_per_sec": round(ops / dt, 1),
+        "phase_timings": m.get("timings"),
     }
 
 
