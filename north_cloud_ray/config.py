@@ -14,7 +14,7 @@ Reference defaults:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 US_PER_MS = 1_000
 US_PER_SEC = 1_000_000

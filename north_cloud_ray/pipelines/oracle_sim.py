@@ -87,8 +87,6 @@ class OracleSimulator:
         if self.cfg.use_feeds:
             import pandas as pd
 
-            from ..sources.feeds import FEED_STATE_SCHEMA
-
             self.feed_state = pd.DataFrame(
                 [
                     {"host": h, "source_id": src,

@@ -20,7 +20,7 @@ bounded) with the authoritative history table appended per run.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd
 import pyarrow as pa
