@@ -209,7 +209,8 @@ def run_queries(sf_dir: str) -> dict:
         "q1_pricing_summary", "q3_top_orders", "region_revenue",
         "frontier_submit_merge", "events_tumbling_window", "events_sessionize",
         "doc_token_stats", "exact_dedup_docs", "minhash_dedup_docs",
-        "knn_bruteforce", "simhash_docs",
+        "knn_bruteforce", "simhash_docs", "orders_lineitem_join",
+        "events_sliding_window", "f1_span_stats",
     ]
     import ray.data
 

@@ -5,9 +5,10 @@ Scale shapes (ray_guide patterns):
 - exact: hash column in a vectorized map_batches, then
   groupby(hash).map_groups(first) — hash-partitioned, no driver state.
 - MinHash-LSH: per-batch shingle->minhash (numpy, 64 perms), explode to
-  (band_id, band_hash, doc_id) rows, groupby bands -> candidate pairs,
-  verify true Jaccard, connected components by iterative min-label
-  propagation (bounded rounds; no driver-side union-find on big data).
+  (band_id, band_hash, doc_id) rows, hash-partitioned band grouping ->
+  candidate pairs, verify true Jaccard, connected components via
+  union-find over the (bounded) candidate-pair set on the driver — the
+  corpus itself never leaves the workers.
 - SimHash: 64-bit signature, banded into 4x16-bit keys for blocking,
   verify Hamming distance.
 - embedding: normalize, LSH by random-hyperplane signs (seeded), verify
