@@ -67,3 +67,33 @@ def test_alternate_seed_equality(ray_session, tmp_path):
     assert s["claims"] == o["claims"] > 50
     fr = runner.frontier_dataset().to_pandas()
     assert set(fr["url_hash"]) == set(oracle.frontier.keys())
+
+
+def test_politeness_invariant_in_claim_log(t2_run):
+    """A2 core invariant: consecutive claims on one host are separated by at
+    least that host's min_delay in virtual time — across shards and rounds."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from north_cloud_ray.config import US_PER_MS
+    from north_cloud_ray.sources.synthetic_web import SyntheticWeb
+
+    runner, _, _, _ = t2_run
+    web = SyntheticWeb(WEB_CFG)
+    frames = []
+    for d in sorted(glob.glob(os.path.join(runner.store.root, "rounds", "round-*"))):
+        files = glob.glob(os.path.join(d, "claims", "*.parquet"))
+        if files:
+            frames.append(pq.read_table(files).to_pandas())
+    allc = pd.concat(frames, ignore_index=True)
+    assert len(allc) > 1000
+    violations = 0
+    for host, g in allc.groupby("host"):
+        delay = web.min_delay_ms(host) * US_PER_MS
+        times = np.sort(g["claim_at"].to_numpy())
+        if len(times) > 1:
+            violations += int((np.diff(times) < delay).sum())
+    assert violations == 0
