@@ -8,7 +8,8 @@ where the reference consumed richer ES fields:
   token-based keyword matching over lowercase title+text with punctuation
   stripped; score = 0.5*min(1, ln(1+matches)/2.5) + 0.5*coverage; per-rule
   min_confidence with a global floor 0.5; >15 candidate topics => drop all
-  (noisy fanout); keep top max_topics=3 by (score DESC, name ASC).
+  (noisy fanout); keep top max_topics=3 by (score DESC, name ASC);
+  highest_topic = the top-scoring topic (TopicResult.HighestTopic).
 - Quality scoring 0-100 (classifier/internal/classifier/quality.go:140-260):
   four 0-25 components. Fields absent from the span model (meta keywords,
   canonical URL, OG type/url) score 0, exactly as an empty field would in
@@ -221,6 +222,10 @@ class ClassifyActor:
 
         out = batch
         out = out.append_column("content_type", pa.array(ctypes, type=pa.string()))
+        out = out.append_column(
+            "highest_topic",
+            pa.array([t[0] if t else "" for t in topics_col], type=pa.string()),
+        )
         out = out.append_column("confidence", pa.array(confs, type=pa.float64()))
         out = out.append_column("method", pa.array(methods, type=pa.string()))
         out = out.append_column("quality_score", pa.array(qualities, type=pa.int32()))
