@@ -279,20 +279,34 @@ def _merge_task(
         if cuckoo_in and os.path.exists(cuckoo_in):
             with open(cuckoo_in, "rb") as f:
                 filt = CuckooFilter.from_bytes(f.read())
+        def build_checked(hashes) -> CuckooFilter:
+            # every add() return is checked: a False means overflow, so the
+            # partially-filled filter is discarded and rebuilt at 2x — the
+            # committed filter NEVER has a silently-dropped key (the "cuckoo
+            # NO is definitive" invariant rename resolution relies on).
+            cap = max(1 << 14, 2 * len(hashes))
+            while True:
+                f = CuckooFilter(capacity=cap)
+                if all(f.add(h) for h in hashes):
+                    return f
+                cap *= 2
+
         if filt is None or filt.count + len(merged_hashes) > filt.num_buckets * filt.bucket_size * 0.8:
-            filt = CuckooFilter(capacity=max(1 << 14, 2 * len(merged_hashes)))
-            ok = all(filt.add(h) for h in merged_hashes)
+            filt = build_checked(merged_hashes)
         else:
             old_set = set(old["url_hash"])
             added = [h for h in merged_hashes if h not in old_set]
             removed = old_set - set(merged_hashes)
-            ok = all(filt.add(h) for h in added)
-            for h in removed:
-                filt.remove(h)
-        if not ok:  # overflow mid-insert: rebuild bigger (no false negatives)
-            filt = CuckooFilter(capacity=4 * max(1 << 14, len(merged_hashes)))
-            for h in merged_hashes:
-                filt.add(h)
+            if all(filt.add(h) for h in added):
+                # removal is only safe for keys known to be present (a cuckoo
+                # remove of an absent key can evict another key's colliding
+                # fingerprint -> false negative); build_checked guarantees
+                # old-frontier keys were inserted, so contains() must hold.
+                for h in removed:
+                    if filt.contains(h):
+                        filt.remove(h)
+            else:  # overflow mid-insert: rebuild from scratch, checked
+                filt = build_checked(merged_hashes)
         CheckpointStore.write_bytes(filt.to_bytes(), cuckoo_out)
     status_counts = merged["status"].value_counts().to_dict()
     return {
@@ -661,13 +675,17 @@ class CrawlRunner:
 
     # ---- outputs ----
     def documents_dataset(self, override_num_blocks: int | None = None,
-                          dedup: bool = False) -> "ray.data.Dataset":
+                          dedup: bool = True) -> "ray.data.Dataset":
         """All produced documents as a streaming Dataset (doc records).
 
-        ``dedup=True`` applies the IndexRawContentIfAbsent first-writer-wins
-        rule (raw_content_indexer.go:95-125): one row per doc_id, canonical
-        first = min (crawled_at, source_id, url). Hash-partitioned — no
-        global shuffle of the doc payloads beyond the per-key grouping."""
+        ``dedup=True`` (default) applies the IndexRawContentIfAbsent
+        first-writer-wins rule (raw_content_indexer.go:95-125) at read
+        time: one row per doc_id, canonical first = min (crawled_at,
+        source_id, url). This also makes the output idempotent under Ray
+        fetch-task retries, which can double-write the fused per-batch
+        parquet sink. Hash-partitioned — no global shuffle of the doc
+        payloads beyond the per-key grouping. ``dedup=False`` is the raw
+        sink view (cheaper; use only for counters that tolerate dups)."""
         import glob
 
         paths = sorted(
@@ -683,14 +701,11 @@ class CrawlRunner:
         )
         ds = ds.drop_columns(["rec", "claim_at"])
         if dedup:
-            from ..stages.agg import hash_grouped_map
+            from ..stages.agg import hash_grouped_first_arrow
 
-            def first(g: pd.DataFrame) -> pd.DataFrame:
-                return g.sort_values(
-                    ["crawled_at", "source_id", "url"], kind="mergesort"
-                ).head(1)
-
-            ds = hash_grouped_map(ds, ["doc_id"], first)
+            ds = hash_grouped_first_arrow(
+                ds, "doc_id", ["crawled_at", "source_id", "url"]
+            )
         return ds
 
     def frontier_dataset(self, rnd: int | None = None) -> "ray.data.Dataset":

@@ -813,9 +813,9 @@ QUERIES = {
 ORACLE_SQL = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_cents,
-               SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-               SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+               CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -823,7 +823,7 @@ ORACLE_SQL = {
     """,
     "q3_top_orders": """
         SELECT o.o_orderkey,
-               SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                o.o_orderdate
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -835,7 +835,7 @@ ORACLE_SQL = {
     "region_revenue": """
         SELECT r.r_name,
                COUNT(*) AS n_orders,
-               SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+               CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -844,7 +844,7 @@ ORACLE_SQL = {
     """,
     "top_parts_by_revenue": """
         SELECT l.l_partkey AS p_partkey,
-               SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                ANY_VALUE(p.p_name) AS p_name
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY l.l_partkey
@@ -861,7 +861,7 @@ ORACLE_SQL = {
         SELECT o.o_orderkey,
                CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS total_cents,
                COUNT(*) AS n_lines,
-               SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_totalprice >= 400000.0
         GROUP BY o.o_orderkey, o.o_totalprice
@@ -894,7 +894,7 @@ ORACLE_SQL = {
     "events_tumbling_window": """
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                COUNT(*) AS n,
-               SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
@@ -929,7 +929,7 @@ ORACLE_SQL = {
         ) WHERE rn = 1
     """,
     "lang_stats": """
-        SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+        SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
     """,
     "knn_bruteforce": """

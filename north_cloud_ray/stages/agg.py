@@ -24,6 +24,24 @@ from collections.abc import Callable
 import pandas as pd
 
 
+def default_partitions() -> int:
+    """Partition count that scales with the cluster instead of a fixed 16.
+
+    Each physical partition holds ~1/P of the keyed stream in one pandas
+    frame, so P must grow with the cluster (and therefore with the data a
+    cluster of that size is expected to process): 2 partitions per CPU
+    keeps every core busy during the combine and bounds per-partition
+    memory at (input / (2*total_cpus)).
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, cpus * 2)
+
+
 def _add_pkey(batch: pd.DataFrame, keys: list[str], num_partitions: int) -> pd.DataFrame:
     batch = batch.copy()
     # hash_pandas_object is deterministic (fixed default hash key) across
@@ -40,14 +58,18 @@ def hash_grouped_agg(
     keys: list[str],
     partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
     combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """partial per batch -> hash-route -> combine per partition.
 
     ``partial_fn``: vectorized per-batch pre-aggregation (rows keyed by
     ``keys``). ``combine_fn``: merges partial rows of one hash partition
-    (sees all partials for each of its keys).
+    (sees all partials for each of its keys). ``combine_fn`` is also
+    invoked on the typed empty frame for empty partitions so every output
+    block carries the same schema (no RefBundle schema drift).
     """
+    if num_partitions is None:
+        num_partitions = default_partitions()
     parts = ds.map_batches(partial_fn, batch_format="pandas")
     routed = parts.map_batches(
         lambda b: _add_pkey(b, keys, num_partitions), batch_format="pandas"
@@ -63,11 +85,15 @@ def hash_grouped_map(
     ds,
     keys: list[str],
     group_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Per-key map_groups via few hash partitions: each partition runs a
     pandas groupby over its keys and applies ``group_fn`` per key group —
-    thousands of logical groups, P physical ones."""
+    thousands of logical groups, P physical ones. Empty partitions emit a
+    frame with ``group_fn``'s output schema (probed on the typed empty
+    input; falls back to the input schema if the fn needs rows)."""
+    if num_partitions is None:
+        num_partitions = default_partitions()
     routed = ds.map_batches(
         lambda b: _add_pkey(b, keys, num_partitions), batch_format="pandas"
     )
@@ -75,9 +101,64 @@ def hash_grouped_map(
     def run(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop(columns=["_pkey"])
         outs = [group_fn(g) for _, g in part.groupby(keys, sort=True)]
-        return pd.concat(outs, ignore_index=True) if outs else part.iloc[0:0]
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        try:
+            empty = group_fn(part.iloc[0:0])
+            if isinstance(empty, pd.DataFrame):
+                return empty.iloc[0:0]
+        except Exception:
+            pass
+        return part.iloc[0:0]
 
     return routed.groupby("_pkey").map_groups(run, batch_format="pandas")
+
+
+def hash_grouped_first_arrow(
+    ds,
+    key: str,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+):
+    """First-writer-wins per key, Arrow-native end to end.
+
+    Same hash-partition shape as ``hash_grouped_map`` but blocks stay
+    ``pyarrow.Table`` throughout, so nested payload columns (list<struct>
+    spans, binary bodies) never round-trip through pandas object arrays.
+    Winner per key = min over ``order_cols`` (ascending, NULLS LAST).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        # hash only the key column (cheap); deterministic across processes
+        k = (
+            pd.util.hash_pandas_object(
+                pd.Series(t.column(key).to_pylist()), index=False
+            ).to_numpy()
+            % num_partitions
+        ).astype("int32")
+        return t.append_column("_pkey", pa.array(k))
+
+    routed = ds.map_batches(add_pkey, batch_format="pyarrow")
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def first(t: pa.Table) -> pa.Table:
+        t = t.drop(["_pkey"])
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        arr = np.asarray(t.column(key).to_pylist(), dtype=object)
+        mask = np.empty(len(arr), dtype=bool)
+        mask[0] = True
+        mask[1:] = arr[1:] != arr[:-1]
+        return t.filter(pa.array(mask))
+
+    return routed.groupby("_pkey").map_groups(first, batch_format="pyarrow")
 
 
 def grouped_sum_topk(
@@ -85,7 +166,7 @@ def grouped_sum_topk(
     key: str,
     value_col: str,
     k: int,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Top-k keys by summed value: partial sums -> per-partition combine +
     local top-k -> driver merges P*k rows. Deterministic tiebreak on key."""

@@ -97,9 +97,10 @@ def publish(
     already in ``history`` (J7) and docs at-or-before the ``cursor``
     (classified_at, doc_id) position (S11/T2).
 
-    Returns (publishes Dataset, new_cursor). The caller appends the
-    publishes to its history table — the cursor plus per-channel dedup make
-    redelivery effectively-once (ARCHITECTURE.md:54-57).
+    Returns the publishes Dataset. The caller appends the publishes to its
+    history table and advances its cursor with ``advance_cursor`` over the
+    processed batch — the cursor plus per-channel dedup make redelivery
+    effectively-once (ARCHITECTURE.md:54-57).
     """
     channels = channels or default_channels()
     if cursor is not None:

@@ -1,7 +1,13 @@
 """Checkpoint layout + atomic round commits.
 
-Per-round lineage on disk (all Parquet; write_lance is used instead when the
-``lance`` package is importable — same layout, same semantics):
+Per-round lineage on disk (all Parquet). The BASELINE.json north_rule names
+Lance as the target sink format; the ``lance`` package is not available in
+this environment, so Parquet stands in. All state-shard IO funnels through
+``write_table``/``read_table`` below, so a Lance backend is a two-method
+swap (``lance.write_dataset`` / ``lance.dataset(...).to_table``) — no other
+file knows the storage format of the state shards.
+
+Layout:
 
     out/
       state/round-0000/            # frontier + host state AFTER round r merge
@@ -29,14 +35,6 @@ import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-
-try:  # optional Lance storage backend (north_rule target format)
-    import lance  # noqa: F401
-
-    HAVE_LANCE = True
-except ImportError:
-    HAVE_LANCE = False
-
 
 class CheckpointStore:
     def __init__(self, root: str, num_shards: int):
