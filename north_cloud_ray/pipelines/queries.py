@@ -27,8 +27,19 @@ from ..stages.similarity import brute_force_topk, ivf_topk
 from ..stages.textstats import text_stats
 
 
-def _read(sf_dir: str, table: str, columns=None) -> "rd.Dataset":
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None) -> "rd.Dataset":
+    """Pruned parquet read. ``blocks`` overrides the block count — a single
+    parquet file reads as ONE block, which caps map_batches parallelism at
+    1; heavy per-row stages (shingling, simhash, embeddings) must split."""
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                           override_num_blocks=blocks)
+
+
+def _cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
 
 
 def _cents(x):
@@ -469,12 +480,12 @@ def embedding_label_stats(sf_dir: str):
 # ---------------- non-SQL operators (rows-only driver check) ----------------
 
 def minhash_dedup_docs(sf_dir: str):
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_dedup(docs, jaccard_threshold=0.8, concurrency=2)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
 
 
 def simhash_docs(sf_dir: str):
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
     return simhash_dedup(docs)
 
 

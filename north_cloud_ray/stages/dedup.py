@@ -92,24 +92,51 @@ def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles -> uint64 hashes (blake2b, deterministic)."""
-    words = text.lower().split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def shingle_hashes_batch(texts, k: int = 3) -> list[np.ndarray]:
+    """Vectorized word-k-gram shingle hashes for a batch of texts.
+
+    Words are hashed once via ``pd.util.hash_pandas_object`` (C-speed,
+    deterministic fixed key — identical across processes/nodes), then each
+    k-gram hash is a polynomial fold of its word hashes computed with
+    shifted-array numpy ops (loop over k, not over grams). Gram equality
+    classes match string-level shingling exactly, so Jaccard values are
+    unchanged vs hashing the gram strings."""
+    words_per = [(t or "").lower().split() for t in texts]
+    flat = [w for ws in words_per for w in ws]
+    if flat:
+        wh = pd.util.hash_pandas_object(
+            pd.Series(flat, dtype=object), index=False
+        ).to_numpy().astype(np.uint64)
     else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not grams:
-        return np.zeros(0, dtype=np.uint64)
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-            for g in grams
-        ),
-        dtype=np.uint64,
-        count=len(grams),
-    )
-    return np.unique(out)
+        wh = np.zeros(0, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    ofs = 0
+    for ws in words_per:
+        n = len(ws)
+        h = wh[ofs : ofs + n]
+        ofs += n
+        if n == 0:
+            out.append(np.zeros(0, dtype=np.uint64))
+        elif n < k:
+            acc = np.uint64(0)
+            for x in h:
+                acc = acc * _SHINGLE_MIX + x
+            out.append(np.array([acc], dtype=np.uint64))
+        else:
+            acc = np.zeros(n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _SHINGLE_MIX + h[j : n - k + 1 + j]
+            out.append(np.unique(acc))
+    return out
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles -> uint64 hashes (scalar wrapper over the
+    vectorized batch kernel so every caller shares one hash function)."""
+    return shingle_hashes_batch([text], k)[0]
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -124,22 +151,43 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return v.min(axis=0)
 
 
+# per-worker-process cache of permutation params: a stateless map fn reuses
+# long-lived Ray worker processes, so this costs one build per process (the
+# fetch_parse._PROCESS_STATE pattern) without paying actor-pool spawn time
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _perms_cached(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (n_perm, seed)
+    v = _PERM_CACHE.get(key)
+    if v is None:
+        v = _perm_params(n_perm, seed)
+        _PERM_CACHE[key] = v
+    return v
+
+
+def minhash_batch(batch: pd.DataFrame, n_perm: int = 64, shingle_k: int = 3,
+                  seed: int = 42, text_col: str = "text",
+                  id_col: str = "doc_id") -> pd.DataFrame:
+    """Emits (id, minhash signature); the text payload is dropped here so
+    nothing heavy enters the band shuffle."""
+    a, b = _perms_cached(n_perm, seed)
+    shingles = shingle_hashes_batch(list(batch[text_col]), shingle_k)
+    sigs = [minhash_signature(sh, a, b) for sh in shingles]
+    return pd.DataFrame({id_col: batch[id_col].to_numpy(), "minhash": sigs})
+
+
 class MinHashActor:
-    """Adds a minhash signature column (list<uint64>) — perms built once."""
+    """Actor-pool form of ``minhash_batch`` (perms built once per actor) —
+    kept for stateful-stage API parity; the dedup pipeline uses the
+    stateless fn to avoid actor spawn latency on short rounds."""
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42,
-                 text_col: str = "text"):
-        self.a, self.b = _perm_params(n_perm, seed)
-        self.k = shingle_k
-        self.text_col = text_col
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.args = (n_perm, shingle_k, seed, text_col, id_col)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [
-            minhash_signature(shingle_hashes(t or "", self.k), self.a, self.b)
-            for t in batch[self.text_col]
-        ]
-        batch["minhash"] = sigs
-        return batch
+        return minhash_batch(batch, *self.args)
 
 
 def jaccard(a: set, b: set) -> float:
@@ -158,66 +206,142 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.8,
     seed: int = 42,
     concurrency: int = 4,
+    join_partitions: int = 8,
 ):
     """Returns a Dataset of (doc_id, cluster_id) where cluster_id is the min
     doc_id of the near-dup cluster (singletons map to themselves).
 
-    Pipeline: minhash -> explode bands -> groupby(band_id, band_hash) ->
-    candidate pairs -> verify Jaccard -> min-label propagation.
+    Pipeline: minhash (text dropped) -> explode LIGHT band rows
+    (id, band_id, band_hash int64 — ~24 bytes/row, not the 16x-replicated
+    text payload) -> groupby(band_id, band_hash) -> candidate id pairs ->
+    dedup pairs -> hash-join texts back by id (bounded candidate set) ->
+    verify true Jaccard once per pair -> min-label propagation.
+
+    Bucket equality classes are identical to hashing the raw band chunk, so
+    clusters match the previous text-carrying implementation exactly (the
+    verify step removes any extra hash-collision candidates).
     """
+    import ray
+
     rows_per_band = n_perm // bands
 
     sigged = ds.map_batches(
-        MinHashActor,
-        fn_constructor_args=(n_perm, shingle_k, seed, text_col),
+        lambda b: minhash_batch(b, n_perm, shingle_k, seed, text_col, id_col),
         batch_format="pandas",
-        concurrency=concurrency,
     )
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
-        sigs = np.stack(batch["minhash"].to_numpy())  # (n, n_perm)
+        sigs = np.stack(batch["minhash"].to_numpy())  # (n, n_perm) uint64
         chunks = sigs.reshape(n, bands, rows_per_band)
-        band_hashes = [
-            hashlib.blake2b(chunks[i, b].tobytes(), digest_size=8).hexdigest()
-            for i in range(n)
-            for b in range(bands)
-        ]
+        # vectorized FNV-1a fold over the band rows (uint64 wraparound is
+        # deterministic); viewed as int64 so pandas can't corrupt it
+        h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for r in range(rows_per_band):
+            h = (h ^ chunks[:, :, r]) * prime
         return pd.DataFrame(
             {
                 id_col: np.repeat(batch[id_col].to_numpy(), bands),
-                "band_id": np.tile(np.arange(bands), n),
-                "band_hash": band_hashes,
-                text_col: np.repeat(batch[text_col].to_numpy(), bands),
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": h.view(np.int64).ravel(),
             }
         )
 
     exploded = sigged.map_batches(explode_bands, batch_format="pandas")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """Candidate pairs within one LSH bucket, verified by true Jaccard."""
-        if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        ids = list(g[id_col])
-        shingles = [
-            set(shingle_hashes(t or "", shingle_k).tolist()) for t in g[text_col]
+    def bucket_candidates_part(part: pd.DataFrame) -> pd.DataFrame:
+        """Unverified candidate id pairs for every LSH bucket in one hash
+        partition. Vectorized pre-filter: almost all buckets are singletons,
+        so the Python loop only touches buckets that actually collide —
+        not the O(rows) per-key dispatch of a generic grouped map."""
+        empty = pd.DataFrame({"a": pd.Series(dtype=object),
+                              "b": pd.Series(dtype=object)})
+        dup = part[part.duplicated(["band_id", "band_hash"], keep=False)]
+        if dup.empty:
+            return empty
+        out_a, out_b = [], []
+        for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    from .agg import hash_grouped_agg
+
+    pairs_df = (
+        hash_grouped_agg(exploded, ["band_id", "band_hash"],
+                         lambda b: b, bucket_candidates_part)
+        .to_pandas()
+        .drop_duplicates()
+    )
+    # The candidate-pair set is LSH-bounded and lands on the driver either
+    # way (union-find below). Verification strategy is size-adaptive:
+    # small pair sets broadcast the candidate-id set and pull back only the
+    # candidates' shingle sets (no shuffle at all); huge pair sets fall back
+    # to a distributed hash join of texts by id so per-pair text transfer
+    # stays off the driver.
+    if len(pairs_df) == 0:
+        verified = pairs_df
+    elif len(pairs_df) <= 200_000:
+        cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
+        ids_ref = ray.put(cand_ids)
+
+        def cand_shingles(b: pd.DataFrame) -> pd.DataFrame:
+            keep = b[b[id_col].isin(ray.get(ids_ref))]
+            shs = shingle_hashes_batch(list(keep[text_col]), shingle_k)
+            return pd.DataFrame({id_col: keep[id_col].to_numpy(),
+                                 "sh": [s.tolist() for s in shs]})
+
+        sh_df = ds.map_batches(cand_shingles, batch_format="pandas").to_pandas()
+        shmap = {i: set(s) for i, s in zip(sh_df[id_col], sh_df["sh"])}
+        mask = [
+            jaccard(shmap.get(a, set()), shmap.get(b, set())) >= jaccard_threshold
+            for a, b in zip(pairs_df["a"], pairs_df["b"])
         ]
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if jaccard(shingles[i], shingles[j]) >= jaccard_threshold:
-                    pa_.append(ids[i])
-                    pb_.append(ids[j])
-        return pd.DataFrame({"a": pa_, "b": pb_})
+        verified = pairs_df[mask]
+    else:
+        texts = ds.map_batches(
+            lambda b: b[[id_col, text_col]], batch_format="pandas"
+        )
+        ta = texts.map_batches(
+            lambda b: b.rename(columns={id_col: "_ida", text_col: "_text_a"}),
+            batch_format="pandas",
+        )
+        tb = texts.map_batches(
+            lambda b: b.rename(columns={id_col: "_idb", text_col: "_text_b"}),
+            batch_format="pandas",
+        )
+        pairs = ray.data.from_pandas(pairs_df)
+        j = pairs.join(ta, join_type="inner", num_partitions=join_partitions,
+                       on=("a",), right_on=("_ida",))
+        j = j.join(tb, join_type="inner", num_partitions=join_partitions,
+                   on=("b",), right_on=("_idb",))
 
-    from .agg import hash_grouped_map
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            keep_a, keep_b = [], []
+            for a, b, tA, tB in zip(batch["a"], batch["b"],
+                                    batch["_text_a"], batch["_text_b"]):
+                sa = set(shingle_hashes(tA or "", shingle_k).tolist())
+                sb = set(shingle_hashes(tB or "", shingle_k).tolist())
+                if jaccard(sa, sb) >= jaccard_threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+            return pd.DataFrame({"a": pd.Series(keep_a, dtype=object),
+                                 "b": pd.Series(keep_b, dtype=object)})
 
-    pairs = hash_grouped_map(exploded, ["band_id", "band_hash"], bucket_pairs)
-    pairs_df = pairs.to_pandas().drop_duplicates()
-    label = cluster_pairs(pairs_df)
+        verified = j.map_batches(verify, batch_format="pandas").to_pandas()
+
+    label_ref = ray.put(cluster_pairs(verified))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        label = ray.get(label_ref)
         batch = batch[[id_col]].copy()
         batch["cluster_id"] = [label.get(i, i) for i in batch[id_col]]
         return batch
@@ -266,10 +390,15 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     verification (pigeonhole: distance<=3 => at least one of 4 bands equal)."""
 
     def add_simhash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = batch[text_col].fillna("").map(simhash64).astype("uint64")
-        return batch
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(),
+             "simhash": batch[text_col].fillna("").map(simhash64).astype("uint64")}
+        )
 
-    sigged = ds.map_batches(add_simhash, batch_format="pandas")
+    # materialized light signature table (id + 8-byte simhash): computed
+    # exactly once per doc, reused by both the band shuffle and the final
+    # assignment instead of re-running simhash64 over the corpus
+    sigged = ds.map_batches(add_simhash, batch_format="pandas").materialize()
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -284,40 +413,57 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized pairwise Hamming: unpack signatures to a bit matrix B,
-        D = |b_i| + |b_j| - 2 B B^T. Skewed buckets stay O(n^2) but run as
-        one int matmul; at 10^10 scale hot buckets additionally need key
-        salting (SURVEY.md §7.3)."""
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids = g[id_col].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.uint64)
-        bytes_view = h.copy().view(np.uint8).reshape(n, 8)
-        B = np.unpackbits(bytes_view, axis=1).astype(np.int16)  # (n, 64)
-        ones = B.sum(axis=1)
-        D = ones[:, None] + ones[None, :] - 2 * (B @ B.T)
-        ii, jj = np.where(np.triu(D <= max_hamming, k=1))
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def bucket_pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+        """Pairwise Hamming for every colliding bucket in one hash
+        partition. Vectorized: unpack signatures to a bit matrix B,
+        D = |b_i| + |b_j| - 2 B B^T per bucket; singleton buckets are
+        dropped by a vectorized duplicated() pre-filter so the Python loop
+        only touches real collisions. Skewed buckets stay O(n^2) but run
+        as one int matmul; at 10^10 scale hot buckets additionally need
+        key salting (SURVEY.md §7.3)."""
+        empty = pd.DataFrame({"a": pd.Series(dtype=object),
+                              "b": pd.Series(dtype=object)})
+        dup = part[part.duplicated(["band_id", "band_key"], keep=False)]
+        if dup.empty:
+            return empty
+        out_a, out_b = [], []
+        for _, g in dup.groupby(["band_id", "band_key"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            h = g["simhash"].to_numpy().astype(np.uint64)
+            bytes_view = h.copy().view(np.uint8).reshape(n, 8)
+            B = np.unpackbits(bytes_view, axis=1).astype(np.int16)  # (n, 64)
+            ones = B.sum(axis=1)
+            D = ones[:, None] + ones[None, :] - 2 * (B @ B.T)
+            ii, jj = np.where(np.triu(D <= max_hamming, k=1))
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    from .agg import hash_grouped_map
+    from .agg import hash_grouped_agg
 
-    pairs = hash_grouped_map(
+    pairs = hash_grouped_agg(
         sigged.map_batches(explode, batch_format="pandas"),
-        ["band_id", "band_key"], bucket_pairs,
+        ["band_id", "band_key"], lambda b: b, bucket_pairs_part,
     )
+    import ray
+
     pairs_df = pairs.to_pandas().drop_duplicates()
-    label = cluster_pairs(pairs_df)
+    label_ref = ray.put(cluster_pairs(pairs_df))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[[id_col]].copy()
-        out["simhash"] = batch[text_col].fillna("").map(simhash64).astype("uint64")
+        label = ray.get(label_ref)
+        out = batch[[id_col, "simhash"]].copy()
         out["cluster_id"] = [label.get(i, i) for i in batch[id_col]]
         return out
 
-    return ds.map_batches(assign, batch_format="pandas")
+    return sigged.map_batches(assign, batch_format="pandas")
 
 
 # ---------------- n-gram jaccard (pairwise verify kernel) ----------------

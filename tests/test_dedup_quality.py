@@ -1,0 +1,72 @@
+"""Quality regression for the near-dup operators against brute-force
+oracles over the real testdata documents table.
+
+The MinHash-LSH de-replication (light band rows + join/broadcast verify,
+VERDICT r01 item 2) must not change WHICH pairs are found: candidate
+generation uses band-signature equality classes and every candidate is
+verified with true Jaccard, so the final clusters must equal the
+brute-force all-pairs Jaccard clusters wherever LSH recall is ~1
+(16 bands x 4 rows => detection prob at j=0.8 is 1-(1-0.8^4)^16 ~ 0.9998).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from north_cloud_ray.stages.dedup import (
+    cluster_pairs,
+    jaccard,
+    minhash_lsh_dedup,
+    shingle_hashes_batch,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _bruteforce_pairs(df: pd.DataFrame, threshold: float) -> set[tuple]:
+    shingles = [set(s.tolist()) for s in shingle_hashes_batch(list(df["text"]), 3)]
+    ids = list(df["doc_id"])
+    out = set()
+    # prune with cheap size bounds: |A∩B|/|A∪B| >= t needs |A|>=t|B|
+    sizes = np.array([len(s) for s in shingles])
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            lo, hi = sorted((sizes[i], sizes[j]))
+            if hi == 0 or lo / hi < threshold:
+                continue
+            if jaccard(shingles[i], shingles[j]) >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b))
+    return out
+
+
+def test_minhash_clusters_match_bruteforce(ray_session):
+    import ray
+
+    df = pd.read_parquet(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    oracle_pairs = _bruteforce_pairs(df, 0.8)
+    oracle_label = cluster_pairs(
+        pd.DataFrame(sorted(oracle_pairs), columns=["a", "b"])
+    )
+    oracle = {i: oracle_label.get(i, i) for i in df["doc_id"]}
+
+    ds = ray.data.read_parquet(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    out = minhash_lsh_dedup(ds, jaccard_threshold=0.8).to_pandas()
+    mine = dict(zip(out["doc_id"], out["cluster_id"]))
+
+    assert len(oracle_pairs) > 0, "testdata should contain near-dups"
+    assert mine == oracle
+
+
+def test_minhash_band_rows_carry_no_text():
+    """The exploded band stage must ship only (id, band_id, band_hash)."""
+    import inspect
+
+    from north_cloud_ray.stages import dedup
+
+    src = inspect.getsource(dedup.minhash_lsh_dedup)
+    explode_src = src.split("def explode_bands")[1].split("def ")[0]
+    assert "text_col" not in explode_src
