@@ -61,7 +61,12 @@ from ..frontier.normalize import (
 )
 from ..frontier.schema import FRONTIER_SCHEMA
 from ..sources.synthetic_web import SyntheticWeb
-from ..stages.fetch_parse import RESULT_SCHEMA, fetch_parse_fn
+from ..stages.fetch_parse import (
+    LIGHT_COLS,
+    RESULT_SCHEMA,
+    fetch_parse_fn,
+    light_shard_dir,
+)
 from ..state.checkpoint import CheckpointStore
 
 HOST_STATE_RUNTIME_SCHEMA = pa.schema(
@@ -171,6 +176,58 @@ def _expand_candidates(cands: pd.DataFrame, num_shards: int) -> pd.DataFrame:
 
 
 @ray.remote
+def _rename_check_task(
+    want: list[str],
+    cuckoo_path: str | None,
+    frontier_path: str,
+    light_dir: str,
+    feed_hashes: list[str],
+) -> set[str]:
+    """Which rename-target hashes are already taken in their target shard —
+    present in the shard's frontier partition (cuckoo probe first:
+    definitive NO at ~2 bytes/key, exact filtered read only for maybes) or
+    submitted as a candidate this round (the shard's light partition +
+    bounded feed candidates)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    maybes = want
+    if cuckoo_path and os.path.exists(cuckoo_path):
+        from ..state.cuckoo import CuckooFilter
+
+        with open(cuckoo_path, "rb") as f:
+            filt = CuckooFilter.from_bytes(f.read())
+        mask = filt.contains_many(want)
+        maybes = [h for h, m in zip(want, mask) if m]
+    existing: set[str] = set()
+    if maybes:
+        # large maybe-sets: a plain column scan beats evaluating a
+        # multi-thousand-value `in` predicate row by row
+        if len(maybes) > 512:
+            col = set(
+                pq.read_table(frontier_path, columns=["url_hash"])
+                ["url_hash"].to_pylist()
+            )
+            existing = col & set(maybes)
+        else:
+            existing = set(
+                pq.read_table(
+                    frontier_path, columns=["url_hash"],
+                    filters=[("url_hash", "in", maybes)],
+                )["url_hash"].to_pylist()
+            )
+    cand_hashes: set[str] = set(feed_hashes)
+    files = sorted(_glob.glob(os.path.join(light_dir, "*.parquet")))
+    if files:
+        lt = pq.read_table(files, columns=["rec", "url_hash"])
+        cand_hashes |= set(
+            lt.filter(pc.equal(lt["rec"], "outlink"))["url_hash"].to_pylist()
+        )
+    return existing | (set(want) & cand_hashes)
+
+
+@ray.remote
 def _claim_task(
     frontier_path: str,
     host_state_path: str | None,
@@ -235,13 +292,48 @@ CAND_COLS = [
 ]
 
 
+def _read_light_partition(
+    light_dir: str, extra_cands: pd.DataFrame
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Read one shard's pre-partitioned light records (written by the fused
+    fetch sink) into (updates, cands) frames. ``extra_cands`` are the
+    driver-side feed/sitemap candidates for this shard (bounded)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    files = sorted(_glob.glob(os.path.join(light_dir, "*.parquet")))
+    if files:
+        lt = pq.read_table(files)
+        upd_tbl = lt.filter(pc.equal(lt["rec"], "update")).select(UPDATE_COLS)
+        updates = upd_tbl.to_pandas()
+        # int64-with-nulls must NOT coerce to float64 (2^53 loss)
+        updates["final_host_hash"] = pd.Series(
+            upd_tbl["final_host_hash"].to_pylist(), dtype="object",
+            index=updates.index,
+        )
+        cands = (
+            lt.filter(pc.equal(lt["rec"], "outlink"))
+            .select(CAND_COLS)
+            .to_pandas()
+        )
+    else:
+        updates = pd.DataFrame(columns=UPDATE_COLS)
+        cands = pd.DataFrame(columns=CAND_COLS)
+    if len(extra_cands):
+        cands = pd.concat(
+            [cands, extra_cands[CAND_COLS]], ignore_index=True
+        )
+    return updates, cands
+
+
 @ray.remote
 def _merge_task(
     shard: int,
     old_path: str,
     claims_path: str,
-    updates: pd.DataFrame,
-    cands: pd.DataFrame,
+    light_dir: str,
+    extra_cands: pd.DataFrame,
     rename_inserts: pa.Table | None,
     rename_rejected: list[str],
     host_state: pa.Table,
@@ -253,14 +345,15 @@ def _merge_task(
 ) -> dict:
     """Per-shard merge step: apply submits + outcomes, write round r+1 state.
 
-    ``updates``/``cands`` arrive pre-sliced for this shard via the object
-    store — the round results are scanned exactly once on the driver, not
-    2x per shard (at extreme scale, swap for a shard-partitioned results
-    write and per-task partition reads)."""
+    Updates/candidates are read from this shard's ``results/light``
+    partition (written pre-routed by the fetch tasks) — the round's result
+    set never concentrates on the driver, so round breadth scales with the
+    cluster, not with one process."""
     old = pq.read_table(old_path).to_pandas()
     claimed = set(
         pq.read_table(claims_path, columns=["url_hash"])["url_hash"].to_pylist()
     )
+    updates, cands = _read_light_partition(light_dir, extra_cands)
     cands = cands[CAND_COLS[:-1]]
     ins = rename_inserts.to_pandas() if rename_inserts is not None else pd.DataFrame()
     merged = merge_shard(
@@ -458,9 +551,12 @@ class CrawlRunner:
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
             )
-            light_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
-            light = pa.concat_tables(
-                [t for t in light_tbls if t.num_rows] or light_tbls[:1],
+            # the map output is ONLY the bounded renamed-update rows
+            # (~redirect_rate * claims); updates/outlinks went to
+            # results/light/shard-SSS/ pre-partitioned inside the tasks
+            ren_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
+            renames_tbl = pa.concat_tables(
+                [t for t in ren_tbls if t.num_rows] or ren_tbls[:1],
                 promote_options="default",
             )
         else:
@@ -469,26 +565,22 @@ class CrawlRunner:
                 RESULT_SCHEMA.empty_table(),
                 os.path.join(results_dir, "empty.parquet"),
             )
-            light = RESULT_SCHEMA.empty_table().select(
-                [c for c in RESULT_SCHEMA.names
-                 if c in set(UPDATE_COLS + CAND_COLS + ["rec"])]
-            )
+            renames_tbl = RESULT_SCHEMA.empty_table().select(LIGHT_COLS)
         _mark("fetch")
 
-        upd_tbl = light.filter(pc.equal(light["rec"], "update")).select(UPDATE_COLS)
-        cand_tbl = light.filter(pc.equal(light["rec"], "outlink")).select(CAND_COLS)
-        updates_all = upd_tbl.to_pandas()
-        updates_all["final_host_hash"] = pd.Series(
-            upd_tbl["final_host_hash"].to_pylist(),
+        renames_tbl = renames_tbl.select(UPDATE_COLS)
+        renames_all = renames_tbl.to_pandas()
+        renames_all["final_host_hash"] = pd.Series(
+            renames_tbl["final_host_hash"].to_pylist(),
             dtype="object",  # int+None must NOT coerce to float64 (2^53 loss)
-            index=updates_all.index,
+            index=renames_all.index,
         )
-        cands_all = cand_tbl.to_pandas()
         _mark("read")
 
         # 2b. feed polls due at round start contribute candidates
         # (origin=feed, priority 7) through the same submit merge
         new_feed_state = None
+        feed_cands = pd.DataFrame(columns=CAND_COLS)
         if cfg.use_feeds:
             from ..sources.feeds import FEED_STATE_SCHEMA, poll_feeds_batch
 
@@ -500,10 +592,15 @@ class CrawlRunner:
             )
             if len(poll.candidates):
                 feed_cands = _expand_candidates(poll.candidates, cfg.num_shards)
-                cands_all = pd.concat([cands_all, feed_cands], ignore_index=True)
 
         # 3. redirect-rename resolution (bounded: ~redirect_rate * claims)
-        inserts_by_shard, rejected = self._resolve_renames(rnd, updates_all, cands_all)
+        feed_hashes_by_shard = {
+            int(s): set(g["url_hash"])
+            for s, g in feed_cands.groupby("shard", sort=False)
+        } if len(feed_cands) else {}
+        inserts_by_shard, rejected = self._resolve_renames(
+            rnd, renames_all, feed_hashes_by_shard, results_dir
+        )
         _mark("rename")
 
         # 4. merge, per shard; commit state round+1
@@ -513,17 +610,16 @@ class CrawlRunner:
                 new_feed_state,
                 os.path.join(store.state_dir(rnd + 1), "feedstate.parquet"),
             )
-        upd_by_shard = dict(tuple(updates_all.groupby("shard", sort=False)))
-        cand_by_shard = dict(tuple(cands_all.groupby("shard", sort=False)))
-        empty_upd = updates_all.iloc[0:0]
-        empty_cand = cands_all.iloc[0:0]
+        feed_by_shard = dict(tuple(feed_cands.groupby("shard", sort=False))) \
+            if len(feed_cands) else {}
+        empty_cand = feed_cands.iloc[0:0]
         merge_refs = [
             _merge_task.remote(
                 s,
                 store.frontier_path(rnd, s),
                 os.path.join(store.claims_dir(rnd), f"shard-{s:03d}.parquet"),
-                upd_by_shard.get(s, empty_upd),
-                cand_by_shard.get(s, empty_cand),
+                light_shard_dir(results_dir, s),
+                feed_by_shard.get(s, empty_cand),
                 inserts_by_shard.get(s),
                 sorted(rejected),
                 host_states[s],
@@ -554,12 +650,23 @@ class CrawlRunner:
         return metrics
 
     def _resolve_renames(
-        self, rnd: int, updates_all: pd.DataFrame, cands_all: pd.DataFrame
+        self,
+        rnd: int,
+        renames_all: pd.DataFrame,
+        feed_hashes_by_shard: dict[int, set[str]],
+        results_dir: str,
     ) -> tuple[dict[int, pa.Table], set[str]]:
         """UpdateFetchedWithFinalURL conflict resolution against the
-        post-submit frontier (frontier_repository.go:216-263 23505 path)."""
+        post-submit frontier (frontier_repository.go:216-263 23505 path).
+
+        The driver only handles the bounded rename rows; per-target-shard
+        membership checks (frontier partition + this round's candidate
+        partition) run as parallel shard-local tasks. A rename target
+        collides with a submitted candidate only if both carry the same
+        url_hash, and equal url_hash implies equal host -> equal shard, so
+        the per-shard candidate check equals the old global-set check."""
         store, cfg = self.store, self.cfg
-        renames = updates_all[updates_all["renamed"].fillna(False)]
+        renames = renames_all[renames_all["renamed"].fillna(False)]
         if len(renames) == 0:
             return {}, set()
         renames = renames.sort_values("url_hash", kind="mergesort")
@@ -568,45 +675,25 @@ class CrawlRunner:
         rejected: set[str] = set(
             renames.loc[~renames.index.isin(first.index), "url_hash"]
         )
-        all_cand_hashes = set(cands_all["url_hash"])
+        groups = {
+            int(shard): grp
+            for shard, grp in first.groupby(
+                first["final_host_hash"].map(lambda v: int(v) % cfg.num_shards)
+            )
+        }
+        taken_refs = {
+            shard: _rename_check_task.remote(
+                list(grp["final_url_hash"]),
+                store.cuckoo_path(rnd, shard),
+                store.frontier_path(rnd, shard),
+                light_shard_dir(results_dir, shard),
+                sorted(feed_hashes_by_shard.get(shard, set())),
+            )
+            for shard, grp in groups.items()
+        }
         accepted_rows = []
-        for shard, grp in first.groupby(
-            first["final_host_hash"].map(lambda v: int(v) % cfg.num_shards)
-        ):
-            shard = int(shard)
-            want = list(grp["final_url_hash"])
-            # membership in the target shard's frontier partition: cuckoo
-            # probe first (definitive NO, ~2 bytes/key), exact filtered
-            # partition read only for the maybes
-            maybes = want
-            cpath = store.cuckoo_path(rnd, shard)
-            if os.path.exists(cpath):
-                from ..state.cuckoo import CuckooFilter
-
-                with open(cpath, "rb") as f:
-                    filt = CuckooFilter.from_bytes(f.read())
-                mask = filt.contains_many(want)
-                maybes = [h for h, m in zip(want, mask) if m]
-            existing = set()
-            if maybes:
-                # large maybe-sets: a plain column scan beats evaluating a
-                # multi-thousand-value `in` predicate row by row
-                if len(maybes) > 512:
-                    col = set(
-                        pq.read_table(
-                            store.frontier_path(rnd, shard), columns=["url_hash"]
-                        )["url_hash"].to_pylist()
-                    )
-                    existing = col & set(maybes)
-                else:
-                    existing = set(
-                        pq.read_table(
-                            store.frontier_path(rnd, shard),
-                            columns=["url_hash"],
-                            filters=[("url_hash", "in", maybes)],
-                        )["url_hash"].to_pylist()
-                    )
-            taken = existing | all_cand_hashes
+        for shard, grp in groups.items():
+            taken = ray.get(taken_refs[shard])
             hit = grp["final_url_hash"].isin(taken).to_numpy()
             rejected.update(grp.loc[hit, "url_hash"])
             acc = grp[~hit]
@@ -691,6 +778,12 @@ class CrawlRunner:
         paths = sorted(
             glob.glob(os.path.join(self.store.root, "rounds", "*", "results", "*.parquet"))
         )
+        if not paths:  # no round produced a doc yet
+            return ray.data.from_arrow(RESULT_SCHEMA.empty_table().select(
+                ["doc_id", "url", "source_id", "host", "title", "spans",
+                 "body", "n_media", "first_text_len", "content_hash",
+                 "word_count", "crawled_at"]
+            ))
         ds = ray.data.read_parquet(
             paths,
             filter=pa.compute.field("rec") == "doc",
@@ -701,11 +794,69 @@ class CrawlRunner:
         )
         ds = ds.drop_columns(["rec", "claim_at"])
         if dedup:
-            from ..stages.agg import hash_grouped_first_arrow
+            # First-writer-wins WITHOUT shuffling the span/body payloads:
+            # duplicate doc_ids only arise from redirect double-fetches,
+            # adaptive recrawls and task retries — a small fraction of the
+            # corpus. Count per doc_id over a column-pruned light read,
+            # broadcast the (bounded) duplicate winner map, and stream
+            # every unique doc_id through untouched.
+            import pyarrow.compute as _pc
 
-            ds = hash_grouped_first_arrow(
-                ds, "doc_id", ["crawled_at", "source_id", "url"]
-            )
+            from ..stages.agg import hash_grouped_agg
+
+            light = ray.data.read_parquet(
+                paths,
+                filter=pa.compute.field("rec") == "doc",
+                columns=["rec", "doc_id", "crawled_at", "source_id", "url"],
+            ).drop_columns(["rec"])
+
+            def _partial(b: pd.DataFrame) -> pd.DataFrame:
+                return b.groupby("doc_id", as_index=False).agg(
+                    n=("doc_id", "size"))
+
+            def _combine(p: pd.DataFrame) -> pd.DataFrame:
+                return p.groupby("doc_id", as_index=False).agg(n=("n", "sum"))
+
+            counts = hash_grouped_agg(
+                light, ["doc_id"], _partial, _combine).to_pandas()
+            dup_ids = set(counts.loc[counts["n"] > 1, "doc_id"])
+            if not dup_ids:
+                return ds
+            dup_ref = ray.put(dup_ids)
+
+            def _dup_rows(b: pd.DataFrame) -> pd.DataFrame:
+                return b[b["doc_id"].isin(ray.get(dup_ref))]
+
+            dups = light.map_batches(
+                _dup_rows, batch_format="pandas").to_pandas()
+            dups = dups.sort_values(
+                ["doc_id", "crawled_at", "source_id", "url"], kind="mergesort"
+            ).drop_duplicates("doc_id")
+            winner_ref = ray.put({
+                d: (c, s, u) for d, c, s, u in zip(
+                    dups["doc_id"], dups["crawled_at"],
+                    dups["source_id"], dups["url"])
+            })
+
+            def _keep_winners(t: pa.Table) -> pa.Table:
+                winners = ray.get(winner_ref)
+                dup_mask = pa.compute.is_in(
+                    t.column("doc_id"),
+                    value_set=pa.array(list(winners.keys())),
+                ).to_numpy(zero_copy_only=False)
+                if not dup_mask.any():
+                    return t  # fast path: no duplicate ids in this batch
+                keep = np.ones(t.num_rows, dtype=bool)
+                idx = np.nonzero(dup_mask)[0]
+                ids = t.column("doc_id").take(pa.array(idx)).to_pylist()
+                ca = t.column("crawled_at").take(pa.array(idx)).to_pylist()
+                si = t.column("source_id").take(pa.array(idx)).to_pylist()
+                ur = t.column("url").take(pa.array(idx)).to_pylist()
+                for i, d, c, s, u in zip(idx, ids, ca, si, ur):
+                    keep[i] = winners[d] == (c, s, u)
+                return t.filter(pa.array(keep))
+
+            ds = ds.map_batches(_keep_winners, batch_format="pyarrow")
         return ds
 
     def frontier_dataset(self, rnd: int | None = None) -> "ray.data.Dataset":

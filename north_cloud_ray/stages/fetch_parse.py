@@ -390,13 +390,34 @@ LIGHT_COLS = [f.name for f in RESULT_SCHEMA
                                 "first_text_len", "word_count")]
 
 
+def _atomic_write(tbl: pa.Table, dir_path: str, stem: str) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    tmp = os.path.join(dir_path, f".{stem}.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(dir_path, f"{stem}.parquet"))
+
+
+def light_shard_dir(out_dir: str, shard: int) -> str:
+    return f"{out_dir}/light/shard-{shard:03d}"
+
+
 def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
                    out_dir: str | None = None) -> pa.Table:
-    """Stateless fetch+parse task. With ``out_dir`` set, the task writes its
-    full result block (docs with spans/body included) straight to a parquet
-    part file and returns only the light update/outlink columns — the heavy
-    payload never round-trips the object store, and the downstream merge
-    input IS the map output (fused sink)."""
+    """Stateless fetch+parse task. With ``out_dir`` set, the task is a fused
+    partitioned sink:
+
+    - doc records (spans/body payload) -> ``out_dir/part-*.parquet``
+    - light update/outlink records -> ``out_dir/light/shard-SSS/part-*``,
+      pre-partitioned by their routing shard so each merge task reads ONLY
+      its own partition — round results never concentrate on the driver
+    - returns just the renamed-update rows (bounded ~redirect_rate*claims),
+      the only per-round rows the driver-side rename resolution needs.
+
+    Without ``out_dir`` the full result table is returned (unit tests)."""
     key = (web_cfg, crawl_cfg)
     actor = _PROCESS_STATE.get(key)
     if actor is None:
@@ -404,16 +425,21 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
     full = actor(batch)
     if out_dir is None:
         return full
-    import os
     import uuid
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = os.path.join(out_dir, f".part-{uuid.uuid4().hex}.tmp")
-    final = tmp.replace(".tmp", ".parquet").replace("/.part-", "/part-")
-    pq.write_table(full, tmp)
-    os.replace(tmp, final)
-    light = full.filter(pc.invert(pc.equal(full["rec"], "doc")))
-    return light.select(LIGHT_COLS)
+    stem = f"part-{uuid.uuid4().hex}"
+    docs = full.filter(pc.equal(full["rec"], "doc"))
+    if docs.num_rows:
+        _atomic_write(docs, out_dir, stem)
+    light = full.filter(pc.invert(pc.equal(full["rec"], "doc"))).select(LIGHT_COLS)
+    shards = light.column("shard").to_numpy(zero_copy_only=False)
+    for s in np.unique(shards):
+        sub = light.filter(pc.equal(light["shard"], int(s)))
+        _atomic_write(sub, light_shard_dir(out_dir, int(s)), stem)
+    renamed = pc.and_(
+        pc.equal(light["rec"], "update"),
+        pc.fill_null(light["renamed"], False),
+    )
+    return light.filter(renamed)
