@@ -31,7 +31,7 @@ from ..config import (
     CrawlConfig,
     SyntheticWebConfig,
 )
-from ..frontier.content_url import is_content_url
+from ..frontier.content_url import is_content_url, should_skip_url
 from ..frontier.normalize import (
     NormalizeError,
     extract_host,
@@ -242,6 +242,11 @@ class OracleSimulator:
                     uh = url_hash(raw)
                     host = extract_host(raw)
                 except NormalizeError:
+                    continue
+                # M6 spider pre-filter, identical to build_outlink_table:
+                # url_filter.go runs OnRequest pre-submit with the
+                # collector's domain scope (parent host)
+                if should_skip_url(norm, source_host=row["host"]):
                     continue
                 prio = DEFAULT_PRIORITY
                 if is_content_url(norm):

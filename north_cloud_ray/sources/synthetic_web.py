@@ -116,7 +116,10 @@ class SyntheticWeb:
         d = hashlib.sha256(f"{self.cfg.seed}:{host}:{j}:path".encode()).digest()
         k = d[0] % 10
         if k < 7:
-            return f"/page/{j}"
+            # neutral path segment: "entry" is in neither the M6 skip lists
+            # (page/tag/shop/...) nor the content-priority segments, so
+            # these URLs survive the spider pre-filter at default priority
+            return f"/entry/{j}"
         if k < 9:
             nw = len(_WORDS)
             slug = "-".join(_WORDS[d[1 + w] % nw] for w in range(4))

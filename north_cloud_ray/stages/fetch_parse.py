@@ -20,9 +20,11 @@ Status routing mirrors fetcher/worker.go:307-437:
   other                -> failed "unexpected http status N"
   robots disallowed    -> dead robots_blocked (before fetch)
 
-Per-row Python here is intentional: each row is a full page fetch+parse
-(hundreds of regex/hash operations), so the batch loop is not the hot
-cost; outlink normalization/hashing is vectorized per batch at the end.
+Per-row Python here is intentional for the fetch loop: each row is a full
+page fetch+parse (hundreds of regex/hash operations), so the batch loop is
+not the hot cost. Outlink expansion IS the wide fan-out (2-10 links/page)
+and runs fully vectorized per batch (``build_outlink_table``: batch
+normalize/hash/priority kernels + the M6 spider pre-filter mask).
 """
 
 from __future__ import annotations
@@ -48,7 +50,6 @@ from ..config import (
     CrawlConfig,
     SyntheticWebConfig,
 )
-from ..frontier.content_url import is_content_url
 from ..frontier.normalize import (
     extract_host,
     host_hash64,
@@ -281,48 +282,89 @@ RESULT_FIELDS = [
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 
 
-def build_outlink_rows(
+def build_outlink_table(
     parents: list[dict],
     links_per_parent: list[list[str]],
     num_shards: int,
-) -> list[dict]:
-    """Vectorizable outlink expansion: normalize + hash + priority + shard.
+) -> pa.Table:
+    """Vectorized outlink expansion: normalize + spider pre-filter (M6) +
+    hash + priority + shard, all batch kernels over the flattened link set.
 
-    Mirrors LinkHandler.HandleLink (link_handler.go:47-199): normalized URL,
-    spider origin, depth+1, priority = default + article bonus (M10), and
-    the submit timestamp = parent's virtual fetch time.
-    """
-    out: list[dict] = []
-    for parent, links in zip(parents, links_per_parent):
-        for raw in links:
-            try:
-                norm = normalize_url(raw)
-                h = url_hash(raw)
-                host = extract_host(raw)
-            except NormalizeError:
-                continue
-            prio = DEFAULT_PRIORITY
-            if is_content_url(norm):
-                prio = min(MAX_PRIORITY, prio + SPIDER_ARTICLE_BONUS)
-            hh = host_hash64(host)
-            out.append(
-                {
-                    "rec": "outlink",
-                    "url": norm,
-                    "url_hash": h,
-                    "host": host,
-                    "host_hash": hh,
-                    "source_id": parent["source_id"],
-                    "origin": ORIGIN_SPIDER,
-                    "parent_url": parent["url"],
-                    "depth": parent["depth"] + 1,
-                    "priority": prio,
-                    "next_fetch_at": parent["claim_at"],
-                    "discovered_at": parent["claim_at"],
-                    "shard": int(hh % num_shards),
-                }
-            )
-    return out
+    Mirrors LinkHandler.HandleLink (link_handler.go:47-199) with the
+    OnRequest URL filter applied pre-submit (url_filter.go:38-113): links
+    that are off the parent's host, CDN/asset paths, binary extensions, or
+    non-content/e-commerce segments never enter the frontier. Normalized
+    URL, spider origin, depth+1, priority = default + article bonus (M10),
+    submit timestamp = parent's virtual fetch time."""
+    import pyarrow.compute as pc
+
+    from ..frontier.content_url import is_content_url_mask, should_skip_url_mask
+    from ..frontier.normalize import (
+        extract_host_column,
+        host_hash_column,
+        normalize_url_column,
+        sha256_hex_column,
+    )
+
+    empty = RESULT_SCHEMA.empty_table()
+    if not parents:
+        return empty
+    counts = [len(ls) for ls in links_per_parent]
+    raw = [u for ls in links_per_parent for u in ls]
+    if not raw:
+        return empty
+    pidx = np.repeat(np.arange(len(parents)), counts)
+
+    norm, valid = normalize_url_column(pa.array(raw, type=pa.string()))
+    hosts = extract_host_column(norm)
+    parent_hosts = pa.array(
+        [p["host"] for p in parents], type=pa.string()
+    ).take(pa.array(pidx))
+    keep = pc.and_(
+        pc.and_(valid, pc.invert(should_skip_url_mask(norm))),
+        pc.equal(hosts, pc.utf8_lower(parent_hosts)),
+    )
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.any():
+        return empty
+    sel = pa.array(np.nonzero(keep_np)[0])
+    norm = norm.take(sel)
+    hosts = hosts.take(sel)
+    pidx = pidx[keep_np]
+
+    hh = host_hash_column(hosts).cast(pa.int64())
+    hh_np = hh.to_numpy(zero_copy_only=False)
+    prio = np.where(
+        is_content_url_mask(norm).to_numpy(zero_copy_only=False),
+        min(MAX_PRIORITY, DEFAULT_PRIORITY + SPIDER_ARTICLE_BONUS),
+        DEFAULT_PRIORITY,
+    ).astype(np.int8)
+
+    n = len(pidx)
+    p_source = pa.array([p["source_id"] for p in parents]).take(pa.array(pidx))
+    p_url = pa.array([p["url"] for p in parents]).take(pa.array(pidx))
+    p_depth = np.asarray([p["depth"] for p in parents], dtype=np.int32)[pidx] + 1
+    p_claim = np.asarray([p["claim_at"] for p in parents], dtype=np.int64)[pidx]
+
+    cols: dict[str, pa.Array] = {
+        "rec": pa.array(["outlink"] * n, type=pa.string()),
+        "url": norm,
+        "url_hash": sha256_hex_column(norm),
+        "host": hosts,
+        "host_hash": hh,
+        "source_id": p_source,
+        "origin": pa.array([ORIGIN_SPIDER] * n, type=pa.string()),
+        "parent_url": p_url,
+        "depth": pa.array(p_depth, type=pa.int32()),
+        "priority": pa.array(prio, type=pa.int8()),
+        "next_fetch_at": pa.array(p_claim, type=pa.int64()),
+        "discovered_at": pa.array(p_claim, type=pa.int64()),
+        "shard": pa.array((hh_np % num_shards).astype(np.int32), type=pa.int32()),
+    }
+    arrays = [
+        cols.get(f.name, pa.nulls(n, type=f.type)) for f in RESULT_SCHEMA
+    ]
+    return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
 
 
 class FetchParseActor:
@@ -373,10 +415,13 @@ class FetchParseActor:
             if links:
                 doc_parents.append(claim)
                 doc_links.append(links)
-        records.extend(build_outlink_rows(doc_parents, doc_links, self.num_shards))
         cols = {name: [r.get(name) for r in records] for name, _ in RESULT_FIELDS}
         arrays = [pa.array(cols[f.name], type=f.type) for f in RESULT_SCHEMA]
-        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+        rec_tbl = pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+        link_tbl = build_outlink_table(doc_parents, doc_links, self.num_shards)
+        if link_tbl.num_rows == 0:
+            return rec_tbl
+        return pa.concat_tables([rec_tbl, link_tbl])
 
 
 # per-worker-process stage state: (web_cfg, crawl_cfg) -> FetchParseActor.

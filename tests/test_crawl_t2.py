@@ -27,7 +27,9 @@ def t2_run(ray_session, tmp_path_factory):
 def test_t2_claims_and_seen_set(t2_run):
     runner, summary, oracle, osummary = t2_run
     assert summary["claims"] == osummary["claims"]
-    assert summary["claims"] > 2000  # meaningful volume at this tier
+    # meaningful volume at this tier (M6 pre-filter now drops binary and
+    # off-host links pre-submit, so the frontier is smaller than pre-r2)
+    assert summary["claims"] > 1500
     fr = runner.frontier_dataset().to_pandas()
     assert set(fr["url_hash"]) == set(oracle.frontier.keys())
 
