@@ -25,7 +25,8 @@ def entry() -> Any:
     out = tempfile.mkdtemp(prefix="ncray-entry-")
     runner = CrawlRunner(
         out,
-        CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128),
+        CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128,
+                        use_feeds=True, use_sitemaps=True),
         SyntheticWebConfig(n_hosts=8),
     )
     runner.run(max_rounds=4)

@@ -153,26 +153,40 @@ def _frontier_to_table(df: pd.DataFrame) -> pa.Table:
 
 def _expand_candidates(cands: pd.DataFrame, num_shards: int) -> pd.DataFrame:
     """Normalize raw candidate URLs (from feeds/sitemaps) into full
-    candidate rows with url_hash/host/shard routing."""
-    rows = []
-    for _, c in cands.iterrows():
-        try:
-            norm = normalize_url(c["url"])
-            h = url_hash(c["url"])
-            host = extract_host(c["url"])
-        except NormalizeError:
-            continue
-        hh = host_hash64(host)
-        rows.append(
-            {"url": norm, "url_hash": h, "host": host, "host_hash": hh,
-             "source_id": c.get("source_id", ""), "origin": c["origin"],
-             "parent_url": c.get("parent_url"), "depth": int(c.get("depth", 0)),
-             "priority": int(c["priority"]),
-             "next_fetch_at": int(c["next_fetch_at"]),
-             "discovered_at": int(c["discovered_at"]),
-             "shard": int(hh % num_shards)}
-        )
-    return pd.DataFrame(rows)
+    candidate rows with url_hash/host/shard routing — batch kernels, no
+    per-row loop."""
+    from ..frontier.normalize import (
+        extract_host_column,
+        host_hash_column,
+        normalize_url_column,
+        sha256_hex_column,
+    )
+
+    if len(cands) == 0:
+        return pd.DataFrame(columns=CAND_COLS)
+    norm, valid = normalize_url_column(pa.array(list(cands["url"]), type=pa.string()))
+    keep = valid.to_numpy(zero_copy_only=False)
+    cands = cands.reset_index(drop=True)[keep]
+    norm = norm.filter(valid)
+    hosts = extract_host_column(norm)
+    hh = host_hash_column(hosts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = len(cands)
+    return pd.DataFrame(
+        {
+            "url": norm.to_pylist(),
+            "url_hash": sha256_hex_column(norm).to_pylist(),
+            "host": hosts.to_pylist(),
+            "host_hash": hh,
+            "source_id": cands.get("source_id", pd.Series([""] * n)).fillna("").to_numpy(),
+            "origin": cands["origin"].to_numpy(),
+            "parent_url": cands.get("parent_url", pd.Series([None] * n)).to_numpy(),
+            "depth": cands.get("depth", pd.Series([0] * n)).fillna(0).astype(int).to_numpy(),
+            "priority": cands["priority"].astype(int).to_numpy(),
+            "next_fetch_at": cands["next_fetch_at"].astype("int64").to_numpy(),
+            "discovered_at": cands["discovered_at"].astype("int64").to_numpy(),
+            "shard": (hh % num_shards).astype(int),
+        }
+    )
 
 
 @ray.remote

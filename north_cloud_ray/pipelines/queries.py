@@ -534,7 +534,8 @@ def _crawl(tag: str):
         out = tempfile.mkdtemp(prefix="ncray-crawl-")
         runner = CrawlRunner(
             out,
-            CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128),
+            CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128,
+                        use_feeds=True, use_sitemaps=True),
             SyntheticWebConfig(n_hosts=8),
         )
         runner.run(max_rounds=4)
@@ -715,18 +716,24 @@ def corpus_prep(sf_dir: str):
     exact = exact_dedup(gated).materialize()
     clusters = minhash_lsh_dedup(
         exact.select_columns(["doc_id", "text"]), jaccard_threshold=0.8,
-        concurrency=2,
-    ).to_pandas()
+    )
     # keep only cluster representatives (min doc_id per near-dup cluster)
-    keep_ids = set(
-        clusters.loc[clusters["cluster_id"] == clusters["doc_id"], "doc_id"]
+    # via a distributed hash semi-join — the representative set stays a
+    # Dataset, never an O(corpus) driver-side id set
+    reps = clusters.map_batches(
+        lambda b: b.loc[b["cluster_id"] == b["doc_id"], ["doc_id"]]
+        .rename(columns={"doc_id": "_rep_id"}),
+        batch_format="pandas",
+    )
+    joined = exact.join(
+        reps, join_type="inner", num_partitions=8,
+        on=("doc_id",), right_on=("_rep_id",),
     )
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
-        return b.loc[b["doc_id"].isin(keep_ids),
-                     ["doc_id", "lang", "n_chars", "text_sha"]]
+        return b[["doc_id", "lang", "n_chars", "text_sha"]]
 
-    return exact.map_batches(final, batch_format="pandas")
+    return joined.map_batches(final, batch_format="pandas")
 
 
 def f1_span_stats(sf_dir: str):
@@ -759,17 +766,24 @@ def sidecar_scores(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    """Media spans -> synthetic binary payloads -> decode/feature actor."""
+    """Media spans -> synthetic binary payloads -> decode/feature actor.
+
+    Fully streaming: the vectorized f1.media_refs span kernel runs inside
+    map_batches (no driver-side span iteration), payload synthesis is a
+    per-batch stage, and only the decode output leaves the pipeline."""
+    from ..sources.f1 import media_refs
     from ..stages.multimodal import decode_images, synth_media_table
 
     runner = _crawl("mm")
-    docs = runner.documents_dataset().to_pandas()
-    refs = []
-    for _, row in docs.iterrows():
-        for s in row["spans"]:
-            if s["kind"] == "media":
-                refs.append((row["doc_id"], s["media_ref"]))
-    media = rd.from_arrow(synth_media_table(refs[:2000]))
+    docs = runner.documents_dataset().select_columns(["doc_id", "spans"])
+    refs = docs.map_batches(media_refs, batch_format="pyarrow").limit(2000)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return synth_media_table(
+            list(zip(batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist()))
+        )
+
+    media = refs.map_batches(synth, batch_format="pyarrow")
     out = decode_images(media, concurrency=2)
 
     def select(batch: pd.DataFrame) -> pd.DataFrame:
