@@ -489,9 +489,61 @@ def simhash_docs(sf_dir: str):
     return simhash_dedup(docs)
 
 
+def _augmented_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Deterministic near-dup-bearing corpus derived from the embeddings
+    table (the raw table contains no pairs above cos 0.5): exact copies of
+    vec_id<60 at id+1_000_000, and near-copies of 60<=vec_id<120 (first
+    coordinate scaled x3 -> cosines spread across the 0.98 threshold,
+    margin >=5e-4 so float64 summation order can't flip a decision) at
+    id+2_000_000. Mirrored EXACTLY by the SQL CTE in the oracles."""
+    df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    ids = df["vec_id"].to_numpy()
+    exact_sel = ids < 60
+    near_sel = (ids >= 60) & (ids < 120)
+    near = V[near_sel].copy()
+    near[:, 0] = near[:, 0] * 3.0
+    aug = pd.DataFrame({
+        "vec_id": np.concatenate(
+            [ids, ids[exact_sel] + 1_000_000, ids[near_sel] + 2_000_000]),
+        "embedding": list(V) + list(V[exact_sel]) + list(near),
+    })
+    return aug
+
+
+_AUG_SQL = """
+        WITH aug AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id < 60
+            UNION ALL
+            SELECT vec_id + 2000000,
+                   list_prepend(CAST(embedding[1] AS DOUBLE) * 3.0,
+                                CAST(embedding[2:] AS DOUBLE[]))
+            FROM embeddings WHERE vec_id >= 60 AND vec_id < 120
+        )
+"""
+
+
 def embedding_near_dup_q(sf_dir: str):
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    aug = _augmented_embeddings(sf_dir)
+    ds = rd.from_pandas(aug).repartition(8)
     return embedding_near_dup(ds, cosine_threshold=0.98)
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """Exact near-dup pairs at cos>=0.98 via broadcast matmul — the
+    oracle-checked baseline the LSH near-dup path is measured against."""
+    from ..stages.dedup import embedding_dup_pairs_exact
+
+    aug = _augmented_embeddings(sf_dir)
+    ds = rd.from_pandas(aug).repartition(8)
+    return embedding_dup_pairs_exact(
+        ds, aug["vec_id"].to_numpy(),
+        np.stack(aug["embedding"].to_numpy()), cosine_threshold=0.98,
+    )
 
 
 def knn_ivf(sf_dir: str):
@@ -503,7 +555,10 @@ def knn_ivf(sf_dir: str):
         .sort_values("vec_id")
     )
     queries = np.stack(qdf["embedding"].to_numpy())
-    out = ivf_topk(ds, queries, k=10, n_clusters=8, nprobe=3, concurrency=2)
+    # synthetic embeddings are near-uniform on the sphere, so a useful
+    # recall needs a high probe fraction: 16 clusters / 8 probed halves the
+    # scan at measured recall@10 = 0.967 (re-measured r2, BASELINE.md)
+    out = ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=8, concurrency=2)
     out["query_id"] = out["query_id"].map(dict(enumerate(qdf["vec_id"])))
     return out[["query_id", "vec_id", "rank"]]
 
@@ -817,6 +872,7 @@ QUERIES = {
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_docs": simhash_docs,
     "embedding_near_dup": embedding_near_dup_q,
+    "embedding_dup_pairs": embedding_dup_pairs,
     "knn_ivf": knn_ivf,
     "doc_fingerprints": doc_fingerprints,
     "crawl_frontier": crawl_frontier,
@@ -956,6 +1012,12 @@ ORACLE_SQL = {
     "lang_stats": """
         SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
+    """,
+    "embedding_dup_pairs": _AUG_SQL + """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM aug a CROSS JOIN aug b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98
     """,
     "knn_bruteforce": """
         SELECT q.vec_id AS query_id, v.vec_id,

@@ -484,50 +484,132 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     cosine_threshold: float = 0.95,
     n_planes: int = 16,
+    n_tables: int = 8,
     seed: int = 42,
 ):
-    """(id, cluster_id) for embedding near-duplicates: random-hyperplane LSH
-    buckets, exact cosine verify within buckets, min-label clusters."""
+    """(id, cluster_id) for embedding near-duplicates.
+
+    Multi-table random-hyperplane LSH: ``n_tables`` independent tables of
+    ``n_planes`` hyperplanes each (a pair is a candidate when it collides
+    in ANY table — at cos=0.98 and 8x16-bit tables the per-pair detection
+    probability is ~0.97; a single table's ~0.35 recall was the r01 gap).
+    The band shuffle carries only (id, table_id, bucket int64) light rows —
+    vectors never ride the exchange as Python lists. Candidates are
+    verified with exact float64 cosine over a broadcast-filtered bounded
+    candidate set, then min-label clustered. Measured recall lives in
+    tests/test_dedup_quality.py (vs the brute-force pair oracle)."""
+    import ray
 
     def bucketize(batch: pd.DataFrame, planes=None) -> pd.DataFrame:
-        vecs = np.stack(batch[vec_col].to_numpy())
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        signs = (vecs @ planes.T) > 0
-        keys = np.packbits(signs, axis=1)[:, :2].copy().view(">u2").ravel()
+        n = len(vecs)
+        signs = (vecs @ planes.T) > 0  # (n, n_tables*n_planes)
+        out_ids = np.repeat(batch[id_col].to_numpy(), n_tables)
+        tables = np.tile(np.arange(n_tables, dtype=np.int64), n)
+        keys = np.zeros((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            block = signs[:, t * n_planes : (t + 1) * n_planes]
+            keys[:, t] = block @ (1 << np.arange(n_planes, dtype=np.int64))
         return pd.DataFrame(
-            {id_col: batch[id_col].to_numpy(), "bucket": keys.astype("int64"),
-             "_vec": list(vecs)}
+            {id_col: out_ids, "table_id": tables, "bucket": keys.ravel()}
         )
 
     # deterministic planes built once, closed over (broadcast in the closure)
     dim = len(ds.take(1)[0][vec_col])
-    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    planes = np.random.default_rng(seed).standard_normal((n_tables * n_planes, dim))
 
-    bucketed = ds.map_batches(
+    exploded = ds.map_batches(
         lambda b: bucketize(b, planes), batch_format="pandas"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids = g[id_col].to_numpy()
-        V = np.stack(g["_vec"].to_numpy())
-        sims = V @ V.T
-        ii, jj = np.where(np.triu(sims >= cosine_threshold, k=1))
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def bucket_candidates_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        dup = part[part.duplicated(["table_id", "bucket"], keep=False)]
+        if dup.empty:
+            return empty
+        out_a, out_b = [], []
+        for _, g in dup.groupby(["table_id", "bucket"], sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    from .agg import hash_grouped_agg
 
     pairs_df = (
-        bucketed.groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        hash_grouped_agg(exploded, ["table_id", "bucket"],
+                         lambda b: b, bucket_candidates_part)
         .to_pandas()
         .drop_duplicates()
     )
-    label = cluster_pairs(pairs_df)
+
+    if len(pairs_df):
+        cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
+        ids_ref = ray.put(cand_ids)
+
+        def cand_vecs(b: pd.DataFrame) -> pd.DataFrame:
+            keep = b[b[id_col].isin(ray.get(ids_ref))]
+            return pd.DataFrame({id_col: keep[id_col].to_numpy(),
+                                 "vec": list(keep[vec_col].to_numpy())})
+
+        vdf = ds.map_batches(cand_vecs, batch_format="pandas").to_pandas()
+        V = np.stack(vdf["vec"].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        pos = {i: j for j, i in enumerate(vdf[id_col])}
+        ia = pairs_df["a"].map(pos).to_numpy()
+        ib = pairs_df["b"].map(pos).to_numpy()
+        sims = np.einsum("ij,ij->i", V[ia], V[ib])
+        pairs_df = pairs_df[sims >= cosine_threshold]
+
+    label_ref = ray.put(cluster_pairs(pairs_df))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        label = ray.get(label_ref)
         out = batch[[id_col]].copy()
         out["cluster_id"] = [label.get(i, i) for i in batch[id_col]]
         return out
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def embedding_dup_pairs_exact(
+    ds,
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    cosine_threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact near-dup PAIRS via broadcast matmul: the full (small-side)
+    normalized matrix is put in the object store once; every batch does one
+    float64 matmul against it. This is the oracle-checkable exact baseline
+    the LSH path is measured against (O(n^2/blocks) — use only when one
+    side fits in worker memory; LSH is the scale path)."""
+    import ray
+
+    order = np.argsort(ids)
+    ids = np.asarray(ids)[order]
+    M = np.asarray(vecs, dtype=np.float64)[order]
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    mref = ray.put((ids, M))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, full = ray.get(mref)
+        V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        bids = batch[id_col].to_numpy()
+        sims = V @ full.T  # (batch, n)
+        ii, jj = np.where(sims >= cosine_threshold)
+        a, b = bids[ii], all_ids[jj]
+        keep = a < b  # each unordered pair exactly once
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    return ds.map_batches(pairs, batch_format="pandas")

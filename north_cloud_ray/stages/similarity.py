@@ -84,12 +84,22 @@ def _kmeans(V: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42) -> n
     return C
 
 
-def build_ivf(ds, n_clusters: int = 16, id_col: str = "vec_id",
-              vec_col: str = "embedding", train_sample: int = 4096,
-              seed: int = 42):
-    """Train centroids on a sample, bucket every vector by nearest centroid.
-    Returns (centroids, bucketed Dataset with a 'bucket' column)."""
-    sample = ds.limit(train_sample).to_pandas()
+def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    train_sample: int = 4096, seed: int = 42) -> np.ndarray:
+    """Train centroids on a seeded RANDOM sample (not the first blocks —
+    those are storage-ordered and bias the centroids), bucket every vector
+    by nearest centroid, and write the index PARTITIONED BY BUCKET so a
+    probe reads only its buckets' files. Returns the centroid matrix and
+    persists it next to the partitions."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    total = ds.count()
+    frac = min(1.0, (1.2 * train_sample) / max(total, 1))
+    sample = ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
     V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
     C = _kmeans(V, n_clusters, seed=seed)
     cref = ray.put(C)
@@ -101,20 +111,59 @@ def build_ivf(ds, n_clusters: int = 16, id_col: str = "vec_id",
         batch["bucket"] = np.argmax(M @ cc.T, axis=1).astype("int32")
         return batch
 
-    return C, ds.map_batches(bucketize, batch_format="pandas")
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"centroid": [c.tolist() for c in C]}),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    return C
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    return np.stack([np.asarray(c, dtype=np.float32)
+                     for c in t["centroid"].to_pylist()])
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency: int = 4) -> pd.DataFrame:
+             concurrency: int = 4, index_dir: str | None = None) -> pd.DataFrame:
     """Approximate top-k: probe the nprobe nearest IVF buckets per query.
-    At scale the bucketed dataset is written partitioned by bucket and only
-    probed partitions are read; here the filter happens in-stream."""
-    C, bucketed = build_ivf(ds, n_clusters, id_col, vec_col)
+
+    The bucketed index is on disk partitioned by bucket; the probe issues
+    a read over ONLY the probed buckets' partition directories (true
+    partition pruning — no full-corpus scan or per-row filter). Pass
+    ``index_dir`` to reuse a previously built index."""
+    import os
+    import tempfile
+
+    import ray.data  # noqa: F401 — ray.data.read_parquet below
+
+    if index_dir is None or not os.path.exists(
+            os.path.join(index_dir, "_centroids.parquet")):
+        index_dir = index_dir or tempfile.mkdtemp(prefix="ncray-ivf-")
+        C = build_ivf_index(ds, index_dir, n_clusters, id_col, vec_col)
+    else:
+        C = load_ivf_centroids(index_dir)
+
     Q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     wanted = sorted({int(b) for row in probe for b in row})
-    sub = bucketed.filter(lambda r: r["bucket"] in set(wanted))
+    import glob as _glob
+
+    paths = [f for b in wanted
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": [],
+                             "rank": []})
+    sub = ray.data.read_parquet(paths)
     qref = ray.put(Q)
     partial = sub.map_batches(
         TopKScorer,

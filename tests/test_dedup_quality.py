@@ -61,6 +61,27 @@ def test_minhash_clusters_match_bruteforce(ray_session):
     assert mine == oracle
 
 
+def test_embedding_lsh_recall_vs_exact(ray_session):
+    """Multi-table LSH near-dup must recover >=0.95 of the exact cos>=0.98
+    pairs on the deterministic augmented corpus (VERDICT r01 item 6)."""
+    from north_cloud_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    exact = Q.QUERIES["embedding_dup_pairs"](sf).to_pandas()
+    assert len(exact) > 50, "augmentation should create dup pairs"
+    clusters = Q.QUERIES["embedding_near_dup"](sf).to_pandas()
+    lab = dict(zip(clusters["vec_id"], clusters["cluster_id"]))
+    hit = sum(1 for a, b in zip(exact["a"], exact["b"]) if lab[a] == lab[b])
+    recall = hit / len(exact)
+    assert recall >= 0.95, f"LSH pair recall {recall:.3f} < 0.95"
+    # precision: every non-singleton cluster member must touch at least
+    # one exact pair (edges are float64-cosine verified before clustering)
+    exact_ids = set(exact["a"]) | set(exact["b"])
+    for v, c in lab.items():
+        if v != c:
+            assert v in exact_ids and c in exact_ids
+
+
 def test_minhash_band_rows_carry_no_text():
     """The exploded band stage must ship only (id, band_id, band_hash)."""
     import inspect
