@@ -820,6 +820,30 @@ def sidecar_scores(sf_dir: str):
     return score_documents(classified)
 
 
+def html_extraction(sf_dir: str):
+    """M11-M15 extraction chain over the realistic-HTML fixture corpus:
+    selector -> CMS template -> density heuristic -> readability fallback +
+    metadata/JSON-LD + page-type tagging, as a distributed map_batches
+    stage (rows-only check; the golden values live in
+    tests/test_extract_html.py)."""
+    from ..sources.html_fixtures import FIXTURES
+    from ..stages.extract_html import ExtractHtmlStage
+
+    names = sorted(FIXTURES)
+    df = pd.DataFrame({
+        "url": [f"https://{n}.fixture.test/page" for n in names],
+        "html": [FIXTURES[n] for n in names],
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out = ds.map_batches(ExtractHtmlStage(), batch_format="pandas")
+    return out.map_batches(
+        lambda b: b[["url", "title", "word_count", "extraction_method",
+                     "template_name", "page_type", "author",
+                     "published_date", "jsonld_schema_type"]],
+        batch_format="pandas",
+    )
+
+
 def multimodal_features(sf_dir: str):
     """Media spans -> synthetic binary payloads -> decode/feature actor.
 
@@ -889,6 +913,7 @@ QUERIES = {
     "f1_span_stats": f1_span_stats,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
+    "html_extraction": html_extraction,
 }
 
 ORACLE_SQL = {

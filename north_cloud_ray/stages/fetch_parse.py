@@ -64,6 +64,10 @@ from ..state.robots import RobotsCache
 _TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
 _SPAN_RE = re.compile(r"<p>(.*?)</p>|<img src=\"([^\"]*)\"\s*/?>", re.S)
 _LINK_RE = re.compile(r"<a\s+href=\"([^\"]+)\"")
+# real-web markup markers: attribute-bearing <p>, container elements — the
+# 3-regex fast path only fires when none are present (the synthetic
+# generator's exact shape); anything richer goes through the DOM chain
+_COMPLEX_RE = re.compile(r"<p\s+[^>]|<div[\s>]|<section[\s>]|<span[\s>]|<td[\s>]")
 
 
 def parse_html(html: str) -> tuple[str, list[dict], list[str]]:
@@ -73,19 +77,76 @@ def parse_html(html: str) -> tuple[str, list[dict], list[str]]:
     (rawcontent/extractor_html.go:16-120): text blocks and media refs in
     document order become the spans column; <a href> targets become
     discovery candidates (link_handler.go:47-199).
+
+    Two paths with identical semantics on simple markup:
+    - fast path: 3 compiled regexes, valid only for plain ``<p>``/``<img>``
+      bodies (the synthetic web's shape) — the fetch hot path;
+    - DOM path (html.parser mini-DOM): attribute-bearing and nested tags,
+      used whenever the page smells like real-web markup. Spans are the
+      ``<p>``/``<img>`` elements outside ``<nav>`` subtrees, in document
+      order, with nested inline tags flattened to text.
     """
-    m = _TITLE_RE.search(html)
-    title = m.group(1).strip() if m else ""
+    if not _COMPLEX_RE.search(html):
+        m = _TITLE_RE.search(html)
+        title = m.group(1).strip() if m else ""
+        spans: list[dict] = []
+        body_part = html.split("<nav>", 1)[0]
+        for k, sm in enumerate(_SPAN_RE.finditer(body_part)):
+            text, media = sm.group(1), sm.group(2)
+            if media is not None:
+                spans.append({"kind": "media", "text": "", "media_ref": media,
+                              "offset": k})
+            else:
+                spans.append({"kind": "text", "text": text.strip(),
+                              "media_ref": "", "offset": k})
+        return title, spans, _LINK_RE.findall(html)
+    return _parse_html_dom(html)
+
+
+def _parse_html_dom(html: str) -> tuple[str, list[dict], list[str]]:
+    from .extract_html import parse_dom, select_first
+
+    root = parse_dom(html)
+    tnode = select_first(root, "title")
+    title = tnode.clean_text() if tnode is not None else ""
     spans: list[dict] = []
-    nav_split = html.split("<nav>", 1)
-    body_part = nav_split[0]
-    for k, sm in enumerate(_SPAN_RE.finditer(body_part)):
-        text, media = sm.group(1), sm.group(2)
-        if media is not None:
-            spans.append({"kind": "media", "text": "", "media_ref": media, "offset": k})
-        else:
-            spans.append({"kind": "text", "text": text.strip(), "media_ref": "", "offset": k})
-    links = _LINK_RE.findall(html)
+    links: list[str] = []
+    k = 0
+    stack = list(reversed(root.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag == "a":
+            href = n.attrs.get("href")
+            if href:
+                links.append(href)
+        if n.tag == "nav":
+            # links inside nav still count as outlinks; spans do not
+            links.extend(
+                a.attrs["href"] for a in n.iter_nodes()
+                if a.tag == "a" and a.attrs.get("href")
+            )
+            continue
+        if n.tag == "p":
+            spans.append({"kind": "text", "text": n.clean_text(),
+                          "media_ref": "", "offset": k})
+            k += 1
+            # media/links nested inside the paragraph
+            for c in n.iter_nodes():
+                if c.tag == "img" and c.attrs.get("src") is not None:
+                    spans.append({"kind": "media", "text": "",
+                                  "media_ref": c.attrs["src"], "offset": k})
+                    k += 1
+                elif c.tag == "a" and c.attrs.get("href"):
+                    links.append(c.attrs["href"])
+            continue
+        if n.tag == "img":
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": n.attrs.get("src") or "", "offset": k})
+            k += 1
+            continue
+        stack.extend(reversed(n.children))
     return title, spans, links
 
 

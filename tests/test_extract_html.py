@@ -1,0 +1,195 @@
+"""Golden regression corpus for the real HTML extraction chain —
+realistic (attribute-bearing, nested, noisy) pages mirroring the shapes
+covered by the reference's extractor_test.go / regression_test.go.
+"""
+
+import pandas as pd
+import pytest
+
+from north_cloud_ray.sources.html_fixtures import (
+    BYLINE,
+    DATE_FALLBACK,
+    DRUPAL,
+    EXCLUDES,
+    FIXTURES,
+    JSONLD_EVENT,
+    JSONLD_NEWS,
+    LISTING,
+    NAV_HEAVY,
+    OG_ARTICLE,
+    POSTMEDIA,
+    READABILITY_ONLY,
+    SIGNIN,
+    STUB,
+    WORDPRESS,
+)
+from north_cloud_ray.stages.extract_html import (
+    ExtractHtmlStage,
+    classify_page_type,
+    extract_page,
+    find_densest_element,
+    parse_dom,
+    resolve_template,
+    select,
+)
+
+def test_selector_engine_basics():
+    root = parse_dom(WORDPRESS)
+    assert len(select(root, "p")) == 3
+    assert select(root, "h1.entry-title")[0].clean_text() == "A WordPress Story"
+    assert select(root, "meta[name='generator']")[0].attrs["content"].startswith("WordPress")
+    assert select(root, ".entry-content p")  # descendant combinator
+    assert select(root, ".missing, article")  # comma list falls through
+
+
+def test_wordpress_template_detection_and_extraction():
+    out = extract_page(WORDPRESS, url="https://blog.example.com/post/1")
+    assert out["template_name"] == "wordpress"
+    assert out["extraction_method"] == "template"
+    assert out["title"] == "A WordPress Story"
+    assert "First paragraph of the story" in out["raw_text"]
+    assert "bold" in out["raw_text"]          # nested tags flattened
+    assert "Home" not in out["raw_text"]       # nav not in entry-content
+
+
+def test_drupal_template():
+    out = extract_page(DRUPAL, url="https://city.example.org/node/5")
+    assert out["template_name"] == "drupal"
+    assert "council met on Tuesday" in out["raw_text"]
+
+
+def test_domain_template_lookup():
+    t = resolve_template("https://www.calgaryherald.com/news/x", "", "")
+    assert t is not None and t.name == "postmedia"
+    out = extract_page(POSTMEDIA, url="https://calgaryherald.com/news/x")
+    assert out["template_name"] == "postmedia"
+    assert out["title"] == "Calgary Story Headline"
+    assert "Paragraph one of the Calgary story" in out["raw_text"]
+
+
+def test_explicit_selectors_beat_templates():
+    out = extract_page(
+        POSTMEDIA, url="https://calgaryherald.com/x",
+        container_selector=".article-content__content-group",
+    )
+    assert out["template_name"] == ""
+    assert out["extraction_method"] == "selector"
+    assert "Paragraph one" in out["raw_text"]
+
+
+def test_text_density_beats_nav():
+    root = parse_dom(NAV_HEAVY)
+    best = find_densest_element(root)
+    assert best is not None
+    assert best.attrs.get("class") == "story-wrap"
+    out = extract_page(NAV_HEAVY, url="https://x.test/a")
+    assert "Substantial sentence" in out["raw_text"]
+    assert "Link number" not in out["raw_text"]
+
+
+def test_jsonld_newsarticle_fields():
+    out = extract_page(JSONLD_NEWS, url="https://x.test/n")
+    assert out["jsonld_schema_type"] == "NewsArticle"
+    assert out["jsonld_headline"] == "JSON-LD Headline"
+    assert out["jsonld_author"] == "Jane Writer"        # object -> name
+    assert out["jsonld_publisher"] == "The Paper"
+    assert out["jsonld_image_url"] == "https://x.test/img.jpg"
+    assert out["jsonld_keywords"] == "city,council"
+    assert out["published_date"] == "2024-03-01T10:00:00Z"
+    assert out["title"] == "JSON-LD Headline"  # og absent -> jsonld headline
+
+
+def test_jsonld_event_mapping():
+    out = extract_page(JSONLD_EVENT, url="https://x.test/e")
+    assert out["jsonld_schema_type"] == "Event"
+    assert out["jsonld_headline"] == "Fall Fair"
+    assert out["jsonld_location"] == "Fairgrounds"       # object -> name
+    assert out["jsonld_date_published"] == "2024-09-01T09:00:00Z"
+
+
+def test_readability_fallback():
+    out = extract_page(READABILITY_ONLY, url="https://x.test/r")
+    assert out["extraction_method"] == "readability"
+    assert "real article body" in out["raw_text"]
+
+
+def test_excludes_remove_junk():
+    out = extract_page(EXCLUDES, url="https://x.test/x",
+                       container_selector="article",
+                       exclude_selectors=[".share-tools"])
+    assert "Share on socials" not in out["raw_text"]
+    assert "Real content paragraph" in out["raw_text"]
+
+
+def test_date_and_author_fallbacks():
+    d = extract_page(DATE_FALLBACK, url="https://x.test/d")
+    assert d["published_date"] == "2024-05-05T08:00:00Z"
+    b = extract_page(BYLINE, url="https://x.test/b")
+    assert b["author"] == "By Alex Reporter"
+
+
+def test_page_types():
+    assert extract_page(LISTING, url="https://x.test/l")["page_type"] == "listing"
+    assert extract_page(STUB, url="https://x.test/s")["page_type"] == "stub"
+    assert extract_page(SIGNIN, url="https://x.test/m")["page_type"] == "other"
+    assert extract_page(JSONLD_NEWS, url="https://x.test/n")["page_type"] == "article"
+    assert extract_page(OG_ARTICLE, url="https://x.test/o")["page_type"] == "article"
+
+
+def test_og_article_generic_template():
+    out = extract_page(OG_ARTICLE, url="https://unknown.example.net/a")
+    assert out["template_name"] == "generic_og_article"
+    assert out["title"] == "OG Titled Piece"
+
+
+def test_parse_html_dom_path_handles_real_markup():
+    """fetch_parse.parse_html must extract spans/links from attribute-
+    bearing and nested markup (the r01 regex-only gap), and stay
+    byte-identical to the regex fast path on simple synthetic markup."""
+    from north_cloud_ray.stages.fetch_parse import parse_html
+
+    rich = (
+        '<html><head><title>Rich Page</title></head><body>'
+        '<div class="wrap"><p class="lead">Hello <b>nested</b> world</p>'
+        '<img src="/pic.png" class="hero"/>'
+        '<p data-x="1">Second <a href="/inline">inline link</a> para</p></div>'
+        '<nav><a href="/nav1">N1</a><p>nav para</p></nav>'
+        '</body></html>'
+    )
+    title, spans, links = parse_html(rich)
+    assert title == "Rich Page"
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == ["Hello nested world", "Second inline link para"]
+    assert [s["media_ref"] for s in spans if s["kind"] == "media"] == ["/pic.png"]
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    assert set(links) == {"/inline", "/nav1"}
+
+    simple = (
+        '<html><head><title>T</title></head><body>'
+        '<p>alpha</p><img src="/m.jpg"/><p>beta</p>'
+        '<a href="/x">x</a><nav><a href="/y">y</a></nav></body></html>'
+    )
+    t2, sp2, ln2 = parse_html(simple)
+    from north_cloud_ray.stages.fetch_parse import _parse_html_dom
+
+    t3, sp3, ln3 = _parse_html_dom(simple)
+    assert (t2, sp2) == (t3, sp3)
+    assert set(ln2) == set(ln3)
+
+
+def test_stage_over_ray_dataset(ray_session):
+    import ray
+
+    fixtures = [WORDPRESS, DRUPAL, POSTMEDIA, NAV_HEAVY, JSONLD_NEWS,
+                JSONLD_EVENT, READABILITY_ONLY, EXCLUDES, DATE_FALLBACK,
+                BYLINE, LISTING, STUB, OG_ARTICLE]
+    df = pd.DataFrame({
+        "url": [f"https://fixture.test/{i}" for i in range(len(fixtures))],
+        "html": fixtures,
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = ds.map_batches(ExtractHtmlStage(), batch_format="pandas").to_pandas()
+    assert len(out) == len(fixtures)
+    assert (out["word_count"] > 0).sum() >= len(fixtures) - 2
+    by_url = dict(zip(out["url"], out["page_type"]))
+    assert by_url["https://fixture.test/11"] == "stub"
