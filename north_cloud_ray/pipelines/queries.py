@@ -820,6 +820,46 @@ def sidecar_scores(sf_dir: str):
     return score_documents(classified)
 
 
+def structured_extraction(sf_dir: str):
+    """M8 12-type detection + structured sidecar extractors (recipe/job/
+    rfp/need_signal/location) routed per the ResolveSidecars table over
+    classified crawl docs; nested results as JSON-string columns."""
+    from ..stages.classify import classify_documents
+    from ..stages.structured import StructuredExtractStage
+
+    runner = _crawl("structured")
+    classified = classify_documents(runner.documents_dataset(), concurrency=2)
+    keep = classified.map_batches(
+        lambda b: b[["doc_id", "url", "title", "body", "content_type"]],
+        batch_format="pandas",
+    )
+    return keep.map_batches(StructuredExtractStage, concurrency=2,
+                            batch_format="pandas")
+
+
+def location_scores(sf_dir: str):
+    """Gazetteer location scoring (headline/lede/body zones, dominance
+    rule) over the documents table — deterministic city mentions are
+    injected per doc so the scorer has entities to rank (raw testdata text
+    is location-free)."""
+    from ..stages.structured import CANADIAN_CITIES, classify_location
+
+    cities = sorted(CANADIAN_CITIES)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            # deterministic synthetic headline naming a city (doc-id keyed)
+            c = cities[sum(ord(ch) for ch in str(doc_id)) % len(cities)]
+            headline = f"{c.title()} update"
+            r = classify_location(headline, text or "")
+            rows.append({"doc_id": doc_id, **r})
+        return pd.DataFrame(rows)
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def html_extraction(sf_dir: str):
     """M11-M15 extraction chain over the realistic-HTML fixture corpus:
     selector -> CMS template -> density heuristic -> readability fallback +
@@ -914,6 +954,8 @@ QUERIES = {
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
     "html_extraction": html_extraction,
+    "structured_extraction": structured_extraction,
+    "location_scores": location_scores,
 }
 
 ORACLE_SQL = {

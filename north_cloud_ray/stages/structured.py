@@ -1,0 +1,508 @@
+"""12-type content detection (M8), structured sidecar extractors
+(recipe/job/RFP/need-signal) and the gazetteer location classifier (A-tier
+"location" sidecar) — the classifier's structured-domain surface.
+
+Reference semantics (re-expressed, not ported):
+- crawler/internal/crawler/content_detector.go:14-126,309-386 — URL
+  pattern table (first match wins, .pdf => report), JSON-LD @type map,
+  og:type fallback; detection priority JSON-LD > URL > og.
+- classifier/internal/classifier/content_type_{recipe,job,rfp,
+  need_signal}_heuristic.go — keyword heuristics: >=2 case-insensitive
+  matches => type at confidence 0.80 ("keyword_heuristic").
+- classifier/internal/classifier/recipe_extractor.go:180-320 — section
+  parsing ("ingredients:" / "instructions:|directions:|method:|steps:",
+  bullet/numbered prefix stripping, blank-line section ends).
+- classifier/internal/classifier/need_signal_extractor.go:26-120 —
+  signal-type categories, title-delimiter org-name extraction, email.
+- classifier/internal/classifier/location.go:25-330 + internal/data/
+  canadian_cities.go — capitalized-word gazetteer hits, province/country
+  word-boundary patterns, zone weights (headline 3.0 / lede 2.5 / body
+  1.0), specificity bonuses (city 3 / province 2 / country 1), 30%
+  dominance rule, confidence 0.6..0.95.
+- classifier.go:126-150 ResolveSidecars — "article:<subtype>" routing
+  with fallback to "article".
+
+Everything here is a pure per-row kernel inside map_batches — no cross-row
+state, linear scale-out.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+
+# ---------------- 12-type content detection (M8) ----------------
+
+URL_CONTENT_TYPE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("/press/", "press_release"), ("/media/", "press_release"),
+    ("/newsroom/", "press_release"),
+    ("/events/", "event"), ("/event/", "event"), ("/calendar/", "event"),
+    ("/upcoming/", "event"),
+    ("/alert/", "advisory"), ("/alerts/", "advisory"),
+    ("/advisory/", "advisory"), ("/advisories/", "advisory"),
+    ("/bulletin/", "advisory"), ("/bulletins/", "advisory"),
+    ("/reports/", "report"), ("/report/", "report"),
+    ("/blotter/", "blotter"), ("/blotters/", "blotter"),
+    ("/incidents/", "blotter"), ("/arrests/", "blotter"),
+    ("/investors/", "company_announcement"),
+    ("/investor/", "company_announcement"),
+    ("/updates/", "company_announcement"),
+    ("/obituaries/", "obituary"), ("/obituary/", "obituary"),
+    ("/obits/", "obituary"),
+    ("/recipes/", "recipe"), ("/recipe/", "recipe"), ("/food/", "recipe"),
+    ("/jobs/", "job"), ("/careers/", "job"),
+    ("/rfp/", "rfp"), ("/rfps/", "rfp"), ("/tenders/", "rfp"),
+    ("/tender/", "rfp"), ("/procurement/", "rfp"),
+    ("/solicitations/", "rfp"), ("/solicitation/", "rfp"), ("/bids/", "rfp"),
+)
+
+JSONLD_TO_DETECTED = {
+    "NewsArticle": "article", "Article": "article",
+    "BlogPosting": "blog_post", "PressRelease": "press_release",
+    "Event": "event", "SpecialAnnouncement": "advisory", "Report": "report",
+}
+
+
+def detect_content_type_from_url(url: str) -> str:
+    path = "/" + (url or "").split("://", 1)[-1].partition("/")[2]
+    lower = path.split("?", 1)[0].split("#", 1)[0].lower()
+    if lower.endswith(".pdf"):
+        return "report"
+    for pat, ctype in URL_CONTENT_TYPE_PATTERNS:
+        if pat in lower:
+            return ctype
+    return ""
+
+
+def detect_content_type(url: str, og_type: str = "",
+                        jsonld_type: str = "") -> str:
+    """content_detector.go:362-376 priority: JSON-LD > URL > og:type."""
+    if jsonld_type in JSONLD_TO_DETECTED:
+        return JSONLD_TO_DETECTED[jsonld_type]
+    from_url = detect_content_type_from_url(url)
+    if from_url:
+        return from_url
+    if og_type.lower() == "article":
+        return "article"
+    return ""
+
+
+# ---------------- keyword heuristics (>=2 matches => 0.80) ----------------
+
+MIN_KEYWORD_MATCHES = 2
+KEYWORD_HEURISTIC_CONFIDENCE = 0.80
+
+RECIPE_KEYWORDS = ("ingredients", "instructions", "prep time", "cook time",
+                   "servings", "preheat", "bake", "simmer", "garnish",
+                   "recipe")
+JOB_KEYWORDS = ("apply now", "qualifications", "salary", "compensation",
+                "job description", "requirements", "responsibilities",
+                "full-time", "part-time", "resume", "position available")
+RFP_KEYWORDS = ("request for proposal", "request for tender",
+                "request for quotation", "call for tenders",
+                "call for proposals", "invitation to tender",
+                "solicitation notice", "submission deadline",
+                "proposal deadline", "closing date for submissions",
+                "procurement", "bid submission", "scope of work")
+
+SIGNAL_CATEGORY_KEYWORDS = {
+    "outdated_website": ("drupal 7", "legacy website", "outdated website",
+                         "website redesign", "site redesign",
+                         "website overhaul", "joomla", "wordpress 4",
+                         "end of life", "unsupported platform"),
+    "funding_win": ("funding announcement", "grant funding",
+                    "receives funding", "awarded grant", "digital capacity",
+                    "capital funding", "infrastructure funding",
+                    "received grant", "funding approved"),
+    "job_posting": ("web developer", "frontend developer",
+                    "full stack developer", "seeking a developer",
+                    "hiring a developer", "website development",
+                    "developer position"),
+    "new_program": ("new program launch", "program expansion",
+                    "service expansion", "digital strategy",
+                    "online presence", "digital transformation",
+                    "digital services"),
+    "tech_migration": ("site migration", "website migration",
+                       "platform migration", "wordpress migration",
+                       "joomla migration", "technology modernization",
+                       "website modernization", "content management system",
+                       "accessibility compliance", "wcag compliance",
+                       "web application"),
+}
+NEED_SIGNAL_KEYWORDS = tuple(
+    kw for kws in SIGNAL_CATEGORY_KEYWORDS.values() for kw in kws
+)
+
+_INGREDIENT_QTY_RE = re.compile(
+    r"\b\d+\s?(?:cups?|tbsp|tablespoons?|tsp|teaspoons?|ml|g|grams|kg|oz|ounces?)\b",
+    re.I,
+)
+
+
+def _count_keywords(lower_text: str, keywords) -> int:
+    return sum(1 for kw in keywords if kw in lower_text)
+
+
+def classify_subtype_from_text(title: str, text: str) -> tuple[str, float, str]:
+    """Keyword-heuristic subtype detection (content_type_*_heuristic.go):
+    first heuristic reaching >=2 matches wins at 0.80 confidence."""
+    combined = f"{title} {text}".lower()
+    recipe_hits = _count_keywords(combined, RECIPE_KEYWORDS)
+    if recipe_hits < MIN_KEYWORD_MATCHES and _INGREDIENT_QTY_RE.search(combined):
+        recipe_hits += 1
+    for name, hits in (
+        ("recipe", recipe_hits),
+        ("job", _count_keywords(combined, JOB_KEYWORDS)),
+        ("rfp", _count_keywords(combined, RFP_KEYWORDS)),
+        ("need_signal", _count_keywords(combined, NEED_SIGNAL_KEYWORDS)),
+    ):
+        if hits >= MIN_KEYWORD_MATCHES:
+            return name, KEYWORD_HEURISTIC_CONFIDENCE, "keyword_heuristic"
+    return "", 0.0, ""
+
+
+# ---------------- structured extractors ----------------
+
+_INGREDIENT_HEADERS = ("ingredients:",)
+_INSTRUCTION_HEADERS = ("instructions:", "directions:", "method:", "steps:")
+_BULLETS = ("- ", "* ", "• ")
+_NUMBERED_RE = re.compile(r"^\d+\.\s+")
+_TIME_RE = re.compile(r"(prep|cook|total)\s*time:?\s*(\d+)\s*(?:min|minutes)", re.I)
+_SERVINGS_RE = re.compile(r"(?:servings|serves|yield):?\s*(\d+(?:\s*-\s*\d+)?)", re.I)
+
+
+def _find_section(raw: str, lower: str, headers) -> str:
+    idx = -1
+    for h in headers:
+        i = lower.find(h)
+        if i >= 0:
+            idx = i
+            break
+    if idx < 0:
+        return ""
+    nl = raw.find("\n", idx)
+    if nl < 0:
+        return ""
+    start = nl + 1
+    end = raw.find("\n\n", start)
+    return raw[start:end if end >= 0 else len(raw)]
+
+
+def extract_recipe(title: str, text: str) -> dict | None:
+    """recipe_extractor.go:180-320 heuristic tier (the schema_org tier
+    lives in extract_html.extract_jsonld upstream)."""
+    lower = text.lower()
+    section = _find_section(text, lower, _INGREDIENT_HEADERS)
+    ingredients = []
+    for line in section.split("\n"):
+        s = line.strip()
+        if not s:
+            continue
+        for b in _BULLETS:
+            if s.startswith(b):
+                s = s[len(b):].strip()
+                break
+        else:
+            s = _NUMBERED_RE.sub("", s)
+        if s:
+            ingredients.append(s)
+    instructions = _find_section(text, lower, _INSTRUCTION_HEADERS).strip()
+    if not ingredients and not instructions:
+        return None
+    out: dict = {"extraction_method": "heuristic", "name": title,
+                 "ingredients": ingredients, "instructions": instructions}
+    for m in _TIME_RE.finditer(text):
+        out[f"{m.group(1).lower()}_time_minutes"] = int(m.group(2))
+    sm = _SERVINGS_RE.search(text)
+    if sm:
+        out["servings"] = sm.group(1)
+    return out
+
+
+_SALARY_RE = re.compile(
+    r"\$\s?([\d,]+(?:\.\d+)?)\s*(?:-|to)\s*\$?\s?([\d,]+(?:\.\d+)?)", re.I)
+_EMPLOYMENT_TYPES = (("full-time", "full_time"), ("full time", "full_time"),
+                     ("part-time", "part_time"), ("part time", "part_time"),
+                     ("contract", "contract"), ("temporary", "temporary"),
+                     ("internship", "internship"))
+
+
+def extract_job(title: str, text: str) -> dict | None:
+    lower = text.lower()
+    if _count_keywords(f"{title} {text}".lower(), JOB_KEYWORDS) < MIN_KEYWORD_MATCHES:
+        return None
+    out: dict = {"extraction_method": "heuristic", "title": title}
+    sm = _SALARY_RE.search(text)
+    if sm:
+        out["salary_min"] = float(sm.group(1).replace(",", ""))
+        out["salary_max"] = float(sm.group(2).replace(",", ""))
+        out["salary_currency"] = "CAD"
+    for marker, etype in _EMPLOYMENT_TYPES:
+        if marker in lower:
+            out["employment_type"] = etype
+            break
+    cm = re.search(r"(?:company|employer|organization):\s*([^\n]+)", text, re.I)
+    if cm:
+        out["company"] = cm.group(1).strip()
+    lm = re.search(r"location:\s*([^\n]+)", text, re.I)
+    if lm:
+        out["location"] = lm.group(1).strip()
+    return out
+
+
+_REFNUM_RE = re.compile(
+    r"(?:reference|ref\.?|solicitation|tender)\s*(?:no\.?|number|#):?\s*([A-Z0-9][\w/-]+)",
+    re.I)
+_CLOSING_RE = re.compile(
+    r"(?:closing date|submission deadline|proposal deadline|closes?)[:\s]+"
+    r"(\d{4}-\d{2}-\d{2}|\w+ \d{1,2},? \d{4})", re.I)
+_BUDGET_RE = re.compile(
+    r"budget[:\s]+\$\s?([\d,]+)(?:\s*(?:-|to)\s*\$?\s?([\d,]+))?", re.I)
+
+
+def extract_rfp(title: str, text: str, url: str = "") -> dict | None:
+    lower = f"{title} {text}".lower()
+    if _count_keywords(lower, RFP_KEYWORDS) < MIN_KEYWORD_MATCHES:
+        return None
+    doc_type = ""
+    if "notice to industry" in lower or "proactive disclosure" in lower:
+        doc_type = "notice"
+    elif "request for information" in lower or re.search(r"\brfi\b", lower):
+        doc_type = "rfi"
+    out: dict = {"extraction_method": "heuristic", "title": title,
+                 "document_type": doc_type, "source_url": url}
+    rm = _REFNUM_RE.search(text)
+    if rm:
+        out["reference_number"] = rm.group(1)
+    cm = _CLOSING_RE.search(text)
+    if cm:
+        out["closing_date"] = cm.group(1)
+    bm = _BUDGET_RE.search(text)
+    if bm:
+        out["budget_min"] = float(bm.group(1).replace(",", ""))
+        if bm.group(2):
+            out["budget_max"] = float(bm.group(2).replace(",", ""))
+        out["budget_currency"] = "CAD"
+    return out
+
+
+_EMAIL_RE = re.compile(r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}")
+_TITLE_DELIMS = (" - ", " | ", ": ", " announces ", " receives ",
+                 " awarded ", " launches ")
+
+
+def extract_need_signal(title: str, text: str, url: str = "") -> dict | None:
+    combined = f"{title} {text}".lower()
+    best_type, best_hits, matched = "", 0, []
+    for stype, kws in SIGNAL_CATEGORY_KEYWORDS.items():
+        hits = [kw for kw in kws if kw in combined]
+        if len(hits) > best_hits:
+            best_type, best_hits, matched = stype, len(hits), hits
+    if _count_keywords(combined, NEED_SIGNAL_KEYWORDS) < MIN_KEYWORD_MATCHES:
+        return None
+    org = title
+    for d in _TITLE_DELIMS:
+        if d in org:
+            org = org.split(d)[0]
+            break
+    em = _EMAIL_RE.search(text)
+    return {
+        "signal_type": best_type or "new_program",
+        "organization_name": org.strip(),
+        "contact_email": em.group(0) if em else "",
+        "source_url": url,
+        "keywords": matched,
+        "confidence": KEYWORD_HEURISTIC_CONFIDENCE,
+    }
+
+
+# ---------------- gazetteer location classifier ----------------
+
+# Major Canadian cities (public facts: StatCan census metropolitan areas),
+# the same data family the reference curates in data/canadian_cities.go.
+CANADIAN_CITIES: dict[str, str] = {
+    # Ontario
+    "toronto": "ON", "ottawa": "ON", "mississauga": "ON", "brampton": "ON",
+    "hamilton": "ON", "london": "ON", "markham": "ON", "vaughan": "ON",
+    "kitchener": "ON", "windsor": "ON", "sudbury": "ON", "barrie": "ON",
+    "guelph": "ON", "kingston": "ON", "oshawa": "ON", "waterloo": "ON",
+    "peterborough": "ON", "timmins": "ON",
+    # Quebec
+    "montreal": "QC", "quebec city": "QC", "laval": "QC", "gatineau": "QC",
+    "longueuil": "QC", "sherbrooke": "QC", "saguenay": "QC",
+    "trois-rivieres": "QC",
+    # British Columbia
+    "vancouver": "BC", "surrey": "BC", "burnaby": "BC", "richmond": "BC",
+    "victoria": "BC", "kelowna": "BC", "kamloops": "BC", "nanaimo": "BC",
+    "abbotsford": "BC", "coquitlam": "BC",
+    # Alberta
+    "calgary": "AB", "edmonton": "AB", "red deer": "AB", "lethbridge": "AB",
+    "fort mcmurray": "AB", "grande prairie": "AB",
+    # Prairies
+    "winnipeg": "MB", "brandon": "MB", "saskatoon": "SK", "regina": "SK",
+    "moose jaw": "SK",
+    # Atlantic
+    "halifax": "NS", "sydney": "NS", "moncton": "NB", "fredericton": "NB",
+    "saint john": "NB", "charlottetown": "PE", "st. john's": "NL",
+    # North
+    "whitehorse": "YT", "yellowknife": "NT", "iqaluit": "NU",
+}
+# multi-word city names need phrase matching alongside single-word hits
+_MULTIWORD_CITIES = {c: p for c, p in CANADIAN_CITIES.items() if " " in c}
+
+PROVINCE_PATTERNS = {
+    r"\bontario\b": "ON", r"\bquebec\b": "QC", r"\bbritish columbia\b": "BC",
+    r"\balberta\b": "AB", r"\bmanitoba\b": "MB", r"\bsaskatchewan\b": "SK",
+    r"\bnova scotia\b": "NS", r"\bnew brunswick\b": "NB",
+    r"\bnewfoundland\b": "NL", r"\bprince edward island\b": "PE",
+    r"\bnorthwest territories\b": "NT", r"\byukon\b": "YT", r"\bnunavut\b": "NU",
+}
+COUNTRY_PATTERNS = {
+    r"\bcanada\b": "canada", r"\bcanadian\b": "canada",
+    r"\bunited states\b": "united_states", r"\bu\.s\.\b": "united_states",
+    r"\busa\b": "united_states", r"\bamerican?\b": "united_states",
+}
+_PROVINCE_RES = {re.compile(p, re.I): c for p, c in PROVINCE_PATTERNS.items()}
+_COUNTRY_RES = {re.compile(p, re.I): c for p, c in COUNTRY_PATTERNS.items()}
+_CAP_WORD_RE = re.compile(r"\b([A-Z][a-z]+)\b")
+
+HEADLINE_WEIGHT, LEDE_WEIGHT, BODY_WEIGHT = 3.0, 2.5, 1.0
+CITY_BONUS, PROVINCE_BONUS, COUNTRY_BONUS = 3, 2, 1
+DOMINANCE_THRESHOLD = 0.30
+AMBIGUOUS_CONF, HIGH_CONF, BASE_CONF, CONF_RANGE = 0.5, 0.95, 0.6, 0.35
+
+
+def _extract_entities(text: str) -> list[tuple[str, str, str]]:
+    """(entity_type, normalized, province) mentions in one text zone."""
+    out, seen = [], set()
+    lower = text.lower()
+    for w in _CAP_WORD_RE.findall(text):
+        n = w.lower()
+        if n in seen or n not in CANADIAN_CITIES:
+            continue
+        seen.add(n)
+        out.append(("city", n.replace(" ", "-"), CANADIAN_CITIES[n]))
+    for phrase, prov in _MULTIWORD_CITIES.items():
+        if phrase in lower and phrase not in seen:
+            seen.add(phrase)
+            out.append(("city", phrase.replace(" ", "-").replace(".", ""), prov))
+    for rex, code in _PROVINCE_RES.items():
+        if rex.search(text) and ("province:" + code) not in seen:
+            seen.add("province:" + code)
+            out.append(("province", code, ""))
+    for rex, country in _COUNTRY_RES.items():
+        if rex.search(text) and ("country:" + country) not in seen:
+            seen.add("country:" + country)
+            out.append(("country", country, ""))
+    return out
+
+
+def classify_location(title: str, text: str) -> dict:
+    """location.go:188-330: weighted zone scoring + 30% dominance rule."""
+    lede = text.split("\n\n", 1)[0][:500]
+    scores: dict[str, list] = {}
+    for zone, weight in ((title, HEADLINE_WEIGHT), (lede, LEDE_WEIGHT),
+                         (text, BODY_WEIGHT)):
+        for etype, norm, prov in _extract_entities(zone):
+            bonus = {"city": CITY_BONUS, "province": PROVINCE_BONUS,
+                     "country": COUNTRY_BONUS}[etype]
+            key = f"{etype}:{norm}"
+            if key in scores:
+                scores[key][0] += weight * bonus
+            else:
+                scores[key] = [weight * bonus, etype, norm, prov]
+    unknown = {"city": "", "province": "", "country": "unknown",
+               "specificity": "unknown", "confidence": 0.0}
+    if not scores:
+        return unknown
+    ranked = sorted(scores.values(), key=lambda s: -s[0])
+    first = ranked[0]
+    second = ranked[1] if len(ranked) > 1 else None
+    if second is not None:
+        margin = (first[0] - second[0]) / first[0]
+        if margin < DOMINANCE_THRESHOLD:
+            return {**unknown, "confidence": AMBIGUOUS_CONF}
+        conf = BASE_CONF + (margin - DOMINANCE_THRESHOLD) / (
+            1 - DOMINANCE_THRESHOLD) * CONF_RANGE
+    else:
+        conf = HIGH_CONF
+    _, etype, norm, prov = first
+    if etype == "city":
+        return {"city": norm, "province": prov, "country": "canada",
+                "specificity": "city", "confidence": conf}
+    if etype == "province":
+        return {"city": "", "province": norm, "country": "canada",
+                "specificity": "province", "confidence": conf}
+    return {"city": "", "province": "", "country": norm,
+            "specificity": "country", "confidence": conf}
+
+
+# ---------------- sidecar routing (J5, ResolveSidecars) ----------------
+
+ROUTING_TABLE: dict[str, tuple[str, ...]] = {
+    "article": ("crime", "mining", "entertainment", "location"),
+    "article:recipe": ("recipe",),
+    "article:job": ("job", "location"),
+    "article:rfp": ("rfp", "location"),
+    "article:need_signal": ("need_signal", "location"),
+    "article:event": ("location",),
+    "article:obituary": ("location",),
+    "page": (),
+    "listing": (),
+}
+
+
+def resolve_sidecars(content_type: str, subtype: str = "") -> tuple[str, ...]:
+    """classifier.go:126-150: article:<subtype> first, then article, then
+    the bare content type; unknown keys run nothing."""
+    if content_type == "article" and subtype:
+        key = f"article:{subtype}"
+        if key in ROUTING_TABLE:
+            return ROUTING_TABLE[key]
+        return ROUTING_TABLE.get("article", ())
+    return ROUTING_TABLE.get(content_type, ())
+
+
+# ---------------- Ray stage ----------------
+
+class StructuredExtractStage:
+    """map_batches stage over classified doc rows (doc_id, url, title,
+    body, content_type): detects the 12-type subtype, routes to the
+    structured extractors per the routing table, and emits the nested
+    results as JSON-string columns (Arrow-stable schema)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        subtypes, methods, recipes, jobs, rfps, signals, locations = \
+            [], [], [], [], [], [], []
+        for url, title, body, ctype in zip(
+                batch["url"], batch["title"], batch["body"],
+                batch["content_type"]):
+            title, body = title or "", body or ""
+            sub = detect_content_type_from_url(url)
+            method = "url_pattern" if sub else ""
+            if not sub:
+                sub, _, method = classify_subtype_from_text(title, body)
+            subtypes.append(sub)
+            methods.append(method)
+            sidecars = resolve_sidecars(ctype, sub)
+            recipes.append(json.dumps(extract_recipe(title, body))
+                           if "recipe" in sidecars else "null")
+            jobs.append(json.dumps(extract_job(title, body))
+                        if "job" in sidecars else "null")
+            rfps.append(json.dumps(extract_rfp(title, body, url))
+                        if "rfp" in sidecars else "null")
+            signals.append(json.dumps(extract_need_signal(title, body, url))
+                           if "need_signal" in sidecars else "null")
+            locations.append(json.dumps(classify_location(title, body))
+                             if "location" in sidecars else "null")
+        out = batch[["doc_id", "url", "content_type"]].copy()
+        out["content_subtype"] = subtypes
+        out["subtype_method"] = methods
+        out["recipe"] = recipes
+        out["job"] = jobs
+        out["rfp"] = rfps
+        out["need_signal"] = signals
+        out["location"] = locations
+        return out

@@ -1,0 +1,159 @@
+"""Unit tests for 12-type detection, structured extractors, gazetteer
+location scoring and sidecar routing (M8 / sidecar domains / gazetteer)."""
+
+import json
+
+import pandas as pd
+
+from north_cloud_ray.stages.structured import (
+    StructuredExtractStage,
+    classify_location,
+    classify_subtype_from_text,
+    detect_content_type,
+    detect_content_type_from_url,
+    extract_job,
+    extract_need_signal,
+    extract_recipe,
+    extract_rfp,
+    resolve_sidecars,
+)
+
+
+def test_url_pattern_detection_first_match_wins():
+    assert detect_content_type_from_url("https://x.test/press/launch") == "press_release"
+    assert detect_content_type_from_url("https://x.test/events/fair") == "event"
+    assert detect_content_type_from_url("https://x.test/alerts/storm") == "advisory"
+    assert detect_content_type_from_url("https://x.test/blotter/weekly") == "blotter"
+    assert detect_content_type_from_url("https://x.test/investors/q3") == "company_announcement"
+    assert detect_content_type_from_url("https://x.test/obits/jane") == "obituary"
+    assert detect_content_type_from_url("https://x.test/recipes/pie") == "recipe"
+    assert detect_content_type_from_url("https://x.test/careers/dev") == "job"
+    assert detect_content_type_from_url("https://x.test/tenders/roads") == "rfp"
+    assert detect_content_type_from_url("https://x.test/files/annual.pdf") == "report"
+    assert detect_content_type_from_url("https://x.test/entry/12") == ""
+
+
+def test_detection_priority_jsonld_over_url_over_og():
+    assert detect_content_type("https://x.test/recipes/pie",
+                               jsonld_type="NewsArticle") == "article"
+    assert detect_content_type("https://x.test/recipes/pie", og_type="article") == "recipe"
+    assert detect_content_type("https://x.test/entry/1", og_type="Article") == "article"
+    assert detect_content_type("https://x.test/entry/1") == ""
+    assert detect_content_type("https://x.test/e", jsonld_type="SpecialAnnouncement") == "advisory"
+
+
+def test_keyword_heuristics():
+    sub, conf, method = classify_subtype_from_text(
+        "Best Pie", "Ingredients: flour\nMix 2 cups sugar and bake at 350.")
+    assert (sub, conf, method) == ("recipe", 0.80, "keyword_heuristic")
+    sub, _, _ = classify_subtype_from_text(
+        "Dev wanted", "Apply now. Salary is competitive. Send a resume.")
+    assert sub == "job"
+    sub, _, _ = classify_subtype_from_text(
+        "RFP 2024-01", "Request for proposal. Submission deadline is June 1.")
+    assert sub == "rfp"
+    sub, _, _ = classify_subtype_from_text(
+        "Grant news", "The town receives funding for a website redesign.")
+    assert sub == "need_signal"
+    sub, _, _ = classify_subtype_from_text("Plain", "Nothing special here.")
+    assert sub == ""
+
+
+def test_recipe_extractor_sections():
+    text = ("A lovely tart.\n\nIngredients:\n- 2 cups flour\n* 1 tsp salt\n"
+            "3. butter\n\nInstructions:\nMix everything.\nBake it well.\n\n"
+            "Prep time: 15 minutes\nServings: 8")
+    r = extract_recipe("Tart", text)
+    assert r["ingredients"] == ["2 cups flour", "1 tsp salt", "butter"]
+    assert r["instructions"] == "Mix everything.\nBake it well."
+    assert r["prep_time_minutes"] == 15
+    assert r["servings"] == "8"
+    assert extract_recipe("T", "no recipe sections at all") is None
+
+
+def test_job_extractor():
+    text = ("Apply now for this role. Salary $60,000 - $80,000 per year.\n"
+            "Company: Acme Widgets\nLocation: Sudbury, ON\n"
+            "This is a full-time position. Send your resume.")
+    j = extract_job("Developer", text)
+    assert j["salary_min"] == 60000.0 and j["salary_max"] == 80000.0
+    assert j["employment_type"] == "full_time"
+    assert j["company"] == "Acme Widgets"
+    assert j["location"] == "Sudbury, ON"
+
+
+def test_rfp_extractor():
+    text = ("Request for proposal for road work. Procurement rules apply.\n"
+            "Reference No: RFP-2024-17\nClosing date: 2024-07-01\n"
+            "Budget: $100,000 to $250,000")
+    r = extract_rfp("Road RFP", text, url="https://city.test/rfp/roads")
+    assert r["reference_number"] == "RFP-2024-17"
+    assert r["closing_date"] == "2024-07-01"
+    assert r["budget_min"] == 100000.0 and r["budget_max"] == 250000.0
+    assert r["document_type"] == ""
+    rfi = extract_rfp("RFI", "Request for information: procurement scan. "
+                             "Submission deadline soon.", "")
+    assert rfi["document_type"] == "rfi"
+
+
+def test_need_signal_extractor():
+    text = ("The library announces a website redesign project moving off "
+            "Drupal 7. Contact webmaster@library.test for details.")
+    s = extract_need_signal("Greenfield Library - News", text,
+                            "https://library.test/news")
+    assert s["signal_type"] == "outdated_website"
+    assert s["organization_name"] == "Greenfield Library"
+    assert s["contact_email"] == "webmaster@library.test"
+    assert "website redesign" in s["keywords"]
+
+
+def test_location_dominance_and_specificity():
+    # city dominates via headline weight
+    r = classify_location("Sudbury council votes",
+                          "The Sudbury decision affects northern residents.")
+    assert r["city"] == "sudbury" and r["province"] == "ON"
+    assert r["specificity"] == "city" and r["confidence"] >= 0.6
+    # competing locations inside the 30% margin -> ambiguous
+    r2 = classify_location("", "Toronto and Vancouver both made bids.")
+    assert r2["specificity"] == "unknown" and r2["confidence"] == 0.5
+    # province-only mention
+    r3 = classify_location("Ontario budget", "The Ontario plan was tabled.")
+    assert r3["province"] == "ON" and r3["specificity"] == "province"
+    # no mentions
+    r4 = classify_location("Nothing", "No places are named here.")
+    assert r4 == {"city": "", "province": "", "country": "unknown",
+                  "specificity": "unknown", "confidence": 0.0}
+
+
+def test_routing_table_fallbacks():
+    assert resolve_sidecars("article", "recipe") == ("recipe",)
+    assert "crime" in resolve_sidecars("article", "")
+    # unknown subtype falls back to the article route (all sidecars)
+    assert "crime" in resolve_sidecars("article", "blotter")
+    assert resolve_sidecars("listing") == ()
+    assert resolve_sidecars("unknown_type") == ()
+
+
+def test_structured_stage_batch(ray_session):
+    import ray
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "url": ["https://x.test/recipes/pie", "https://x.test/careers/dev",
+                "https://x.test/entry/9"],
+        "title": ["Pie", "Developer - Acme", "Sudbury story"],
+        "body": ["Ingredients:\n- 2 cups flour\n\nInstructions:\nBake.",
+                 "Apply now, salary $50,000 - $60,000, send resume.",
+                 "Sudbury news about the city of Sudbury."],
+        "content_type": ["article", "article", "article"],
+    })
+    out = (ray.data.from_pandas(df)
+           .map_batches(StructuredExtractStage(), batch_format="pandas")
+           .to_pandas())
+    by_id = {r["doc_id"]: r for _, r in out.iterrows()}
+    assert by_id["a"]["content_subtype"] == "recipe"
+    assert json.loads(by_id["a"]["recipe"])["ingredients"] == ["2 cups flour"]
+    assert by_id["b"]["content_subtype"] == "job"
+    assert json.loads(by_id["b"]["job"])["salary_min"] == 50000.0
+    assert by_id["c"]["content_subtype"] == ""
+    assert json.loads(by_id["c"]["location"])["city"] == "sudbury"
