@@ -40,11 +40,32 @@ BENCH_WINDOW_US = 480 * 1_000_000
 
 
 def _quiet_data_context():
+    import logging
+
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+
+    # Ray's sort/shuffle all-to-all operators emit EMPTY blocks with no
+    # schema for key-range gaps (their own workaround notes this:
+    # ray/data/_internal/planner/plan_udf_map_op.py "TODO(hchen): ... some
+    # all-to-all operators output empty blocks with no schema"), which
+    # trips the executor's schema-divergence warning. Every UDF here emits
+    # typed (possibly empty) batches — the remaining warnings are that
+    # known-benign Ray-internal artifact, so filter exactly that message.
+    class _EmptySchemaFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "produced a RefBundle with a different schema" in msg
+                and ("new schema: ." in msg or "names=[], types=[]" in msg)
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaFilter())
 
 
 def run_headline(num_cpus: int) -> dict:
@@ -210,7 +231,8 @@ def run_queries(sf_dir: str) -> dict:
         "frontier_submit_merge", "events_tumbling_window", "events_sessionize",
         "doc_token_stats", "exact_dedup_docs", "minhash_dedup_docs",
         "knn_bruteforce", "simhash_docs", "orders_lineitem_join",
-        "events_sliding_window", "f1_span_stats",
+        "events_sliding_window", "f1_span_stats", "embedding_near_dup",
+        "embedding_dup_pairs", "html_extraction", "location_scores",
     ]
     import ray.data
 

@@ -97,6 +97,11 @@ class CrawlConfig:
     use_feeds: bool = False
     use_sitemaps: bool = False
 
+    # S10: archive raw HTML bodies to a per-round blob sink
+    # (results/blobs/, binary column) — the archive.UploadTask analog
+    # (crawler collector.go:394-400). Off by default: doubles fetch I/O.
+    archive_html: bool = False
+
     # total fetches allowed per host per round is derived:
     def host_slots(self, min_delay_us: int) -> int:
         d = max(1, min_delay_us)

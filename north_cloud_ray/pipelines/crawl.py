@@ -873,6 +873,45 @@ class CrawlRunner:
             ds = ds.map_batches(_keep_winners, batch_format="pyarrow")
         return ds
 
+    def blobs_dataset(self) -> "ray.data.Dataset":
+        """S10 raw-HTML blob archive as a streaming Dataset (binary `html`
+        column). Populated only when cfg.archive_html; rows carry
+        (url_hash, url, host, crawled_at, html)."""
+        import glob
+
+        paths = sorted(glob.glob(os.path.join(
+            self.store.root, "rounds", "*", "results", "blobs", "*.parquet")))
+        if not paths:
+            return ray.data.from_arrow(pa.table({
+                "url_hash": pa.array([], type=pa.string()),
+                "url": pa.array([], type=pa.string()),
+                "host": pa.array([], type=pa.string()),
+                "crawled_at": pa.array([], type=pa.int64()),
+                "html": pa.array([], type=pa.binary()),
+            }))
+        return ray.data.read_parquet(paths)
+
+    def count_by_origin_since(self, origin: str, since_us: int,
+                              rnd: int | None = None) -> int:
+        """G2 discovery-budget count (frontier_repository.go:81-91):
+        COUNT(*) WHERE origin = X AND discovered_at >= since, as a pruned
+        filtered read over the partitioned frontier (no full-row scan)."""
+        import glob
+
+        rnd = rnd if rnd is not None else self.store.latest_committed_round()
+        paths = sorted(glob.glob(
+            os.path.join(self.store.state_dir(rnd), "frontier-shard-*.parquet")
+        ))
+        total = 0
+        for p in paths:
+            t = pq.read_table(
+                p, columns=["origin"],
+                filters=[("origin", "=", origin),
+                         ("discovered_at", ">=", since_us)],
+            )
+            total += t.num_rows
+        return total
+
     def frontier_dataset(self, rnd: int | None = None) -> "ray.data.Dataset":
         import glob
 

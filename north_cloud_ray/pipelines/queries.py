@@ -820,6 +820,36 @@ def sidecar_scores(sf_dir: str):
     return score_documents(classified)
 
 
+def publisher_telemetry_q(sf_dir: str):
+    """G8: per-channel publish counters over the routed publishes."""
+    from ..stages.classify import classify_documents
+    from ..stages.publish import publish, publisher_telemetry
+
+    runner = _crawl("publish")
+    classified = classify_documents(runner.documents_dataset(), concurrency=2)
+    return publisher_telemetry(publish(classified))
+
+
+def origin_budget(sf_dir: str):
+    """G2 discovery-budget counts: frontier rows per origin discovered
+    since T, over the partitioned frontier state (filtered pruned reads +
+    a small grouped count)."""
+    runner = _crawl("budget")
+    fr = runner.frontier_dataset()
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["discovered_at"] >= 0]
+        return keep.groupby("origin", as_index=False).agg(
+            n=("origin", "size"))
+
+    from ..stages.agg import hash_grouped_agg
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("origin", as_index=False).agg(n=("n", "sum"))
+
+    return hash_grouped_agg(fr, ["origin"], count, combine, num_partitions=4)
+
+
 def structured_extraction(sf_dir: str):
     """M8 12-type detection + structured sidecar extractors (recipe/job/
     rfp/need_signal/location) routed per the ResolveSidecars table over
@@ -833,8 +863,10 @@ def structured_extraction(sf_dir: str):
         lambda b: b[["doc_id", "url", "title", "body", "content_type"]],
         batch_format="pandas",
     )
-    return keep.map_batches(StructuredExtractStage, concurrency=2,
-                            batch_format="pandas")
+    # plain tasks, not an actor pool: the stage is stateless, and chaining
+    # a second reserved pool behind the classify actors can starve the
+    # upstream read tasks on small sessions (2+2 actors == 4 CPUs)
+    return keep.map_batches(StructuredExtractStage(), batch_format="pandas")
 
 
 def location_scores(sf_dir: str):
@@ -956,6 +988,8 @@ QUERIES = {
     "html_extraction": html_extraction,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
+    "origin_budget": origin_budget,
+    "publisher_telemetry": publisher_telemetry_q,
 }
 
 ORACLE_SQL = {

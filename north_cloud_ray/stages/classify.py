@@ -33,6 +33,7 @@ import math
 import re
 from collections import Counter
 
+import pandas as pd
 import pyarrow as pa
 
 from ..config import TopicRule, default_topic_rules
@@ -238,6 +239,25 @@ class ClassifyActor:
 _CLASSIFY_STATE: dict = {}
 
 
+MAX_URL_LENGTH = 2048  # M21, classifier/processor/poller.go:300-320
+
+
+def validate_url(url: str) -> str:
+    """URL truncation guard for classification-history rows: defensive cap
+    at 2048 chars (poller.go validateURL). Warning-level logging in the
+    reference; here the truncation itself is the contract."""
+    if url is None or len(url) <= MAX_URL_LENGTH:
+        return url
+    return url[:MAX_URL_LENGTH]
+
+
+def validate_url_column(urls: pd.Series) -> pd.Series:
+    lens = urls.str.len()
+    if (lens <= MAX_URL_LENGTH).all():
+        return urls
+    return urls.str.slice(0, MAX_URL_LENGTH)
+
+
 def _classify_fn(batch: pa.Table, *, rules) -> pa.Table:
     actor = _CLASSIFY_STATE.get(rules)
     if actor is None:
@@ -297,6 +317,7 @@ def classify_and_store(runner, rules: tuple[TopicRule, ...] | None = None,
 
     def statusify(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
+        batch["url"] = validate_url_column(batch["url"])  # M21 guard
         batch["classification_status"] = np.where(
             batch["quality_score"] >= min_quality, "classified", "filtered"
         )

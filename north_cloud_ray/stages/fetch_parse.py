@@ -150,6 +150,26 @@ def _parse_html_dom(html: str) -> tuple[str, list[dict], list[str]]:
     return title, spans, links
 
 
+_CF_CHALLENGE_PHRASES = ("just a moment", "checking your browser",
+                         "ddos protection by cloudflare", "please wait...")
+
+
+def is_cloudflare_challenge(headers: dict | None, body: str | None) -> bool:
+    """M19 metrics-only mask (collector.go:724-748): Cf-Ray + Cf-Mitigated:
+    challenge, OR challenge body phrases with a Cloudflare header. The
+    fetch loop counts challenges (``cloudflare_challenges`` in the
+    per-process stage counters) without changing status routing, matching
+    the reference's log-and-count behavior."""
+    h = {k.lower(): v for k, v in (headers or {}).items()}
+    has_cf_ray = bool(h.get("cf-ray"))
+    has_mitigated = (h.get("cf-mitigated") or "").lower() == "challenge"
+    body_l = (body or "").lower()
+    has_phrase = any(p in body_l for p in _CF_CHALLENGE_PHRASES)
+    has_cf_server = "cloudflare" in (h.get("server") or "").lower()
+    return (has_cf_ray and has_mitigated) or (
+        has_phrase and (has_cf_ray or has_cf_server))
+
+
 def isHTML(content_type: str) -> bool:
     """worker.go:499-505: empty content-type counts as HTML."""
     if not content_type:
@@ -447,6 +467,10 @@ class FetchParseActor:
         self.robots = RobotsCache(ttl_us=crawl_cfg.robots_ttl_us,
                                   max_bytes=crawl_cfg.robots_max_bytes)
         self.num_shards = crawl_cfg.num_shards
+        self.cloudflare_challenges = 0  # M19 metrics-only counter
+        # S10 blob archiver staging: populated per batch when
+        # cfg.archive_html; drained by fetch_parse_fn's fused sink
+        self.pending_blobs: list[dict] = []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         claims = batch.to_pylist()
@@ -466,6 +490,15 @@ class FetchParseActor:
                     claim["url"], etag=claim.get("etag"),
                     last_modified=claim.get("last_modified"),
                 )
+            if is_cloudflare_challenge(res.get("headers"), res.get("body")):
+                self.cloudflare_challenges += 1  # metrics-only, no routing change
+            if (self.cfg.archive_html and res.get("status") == 200
+                    and res.get("body")):
+                self.pending_blobs.append({
+                    "url_hash": claim["url_hash"], "url": claim["url"],
+                    "host": claim["host"], "crawled_at": claim["claim_at"],
+                    "html": res["body"].encode(),
+                })
             upd, doc, links = route_fetch(claim, res, self.cfg)
             upd["rec"] = "update"
             upd["shard"] = int(claim["host_hash"] % self.num_shards)
@@ -530,6 +563,7 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
         actor = _PROCESS_STATE[key] = FetchParseActor(web_cfg, crawl_cfg)
     full = actor(batch)
     if out_dir is None:
+        actor.pending_blobs = []  # no sink to drain into
         return full
     import uuid
 
@@ -539,6 +573,19 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
     docs = full.filter(pc.equal(full["rec"], "doc"))
     if docs.num_rows:
         _atomic_write(docs, out_dir, stem)
+    if actor.pending_blobs:  # S10: raw-HTML blob archive (binary column)
+        blobs, actor.pending_blobs = actor.pending_blobs, []
+        _atomic_write(
+            pa.Table.from_arrays(
+                [pa.array([b["url_hash"] for b in blobs], type=pa.string()),
+                 pa.array([b["url"] for b in blobs], type=pa.string()),
+                 pa.array([b["host"] for b in blobs], type=pa.string()),
+                 pa.array([b["crawled_at"] for b in blobs], type=pa.int64()),
+                 pa.array([b["html"] for b in blobs], type=pa.binary())],
+                names=["url_hash", "url", "host", "crawled_at", "html"],
+            ),
+            f"{out_dir}/blobs", stem,
+        )
     light = full.filter(pc.invert(pc.equal(full["rec"], "doc"))).select(LIGHT_COLS)
     shards = light.column("shard").to_numpy(zero_copy_only=False)
     for s in np.unique(shards):

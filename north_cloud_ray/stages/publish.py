@@ -130,6 +130,38 @@ def publish(
     return publishes
 
 
+def publisher_telemetry(publishes_ds, history: pd.DataFrame | None = None):
+    """G8: per-channel delivery counters (publisher/internal/router
+    service.go telemetry: published/deduped per channel + totals) as a
+    small grouped aggregate over the publishes stream."""
+    from .agg import hash_grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("channel", as_index=False).agg(
+            published=("doc_id", "size"),
+            first_at=("published_at", "min"),
+            last_at=("published_at", "max"),
+        )
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("channel", as_index=False).agg(
+            published=("published", "sum"),
+            first_at=("first_at", "min"),
+            last_at=("last_at", "max"),
+        )
+
+    tel = hash_grouped_agg(publishes_ds, ["channel"], partial, combine,
+                           num_partitions=4).to_pandas()
+    if history is not None and len(history):
+        dedup_counts = history.groupby("channel").size()
+        tel["already_published"] = (
+            tel["channel"].map(dedup_counts).fillna(0).astype("int64")
+        )
+    else:
+        tel["already_published"] = 0
+    return tel.sort_values("channel").reset_index(drop=True)
+
+
 def advance_cursor(classified_df: pd.DataFrame) -> tuple[int, str] | None:
     """New search_after cursor = max (classified_at, doc_id) processed."""
     if len(classified_df) == 0:
