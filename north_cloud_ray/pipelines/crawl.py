@@ -81,7 +81,7 @@ CLAIM_COLS = [
     "url", "url_hash", "host", "host_hash", "source_id", "origin",
     "parent_url", "depth", "priority", "next_fetch_at", "etag",
     "last_modified", "retry_count", "fetch_count", "discovered_at",
-    "last_error",
+    "last_error", "content_hash",
 ]
 
 CLAIMS_SCHEMA = pa.schema(
@@ -102,6 +102,7 @@ CLAIMS_SCHEMA = pa.schema(
         ("fetch_count", pa.int32()),
         ("discovered_at", pa.int64()),
         ("last_error", pa.string()),
+        ("content_hash", pa.string()),
         ("claim_at", pa.int64()),
     ]
 )
@@ -818,34 +819,40 @@ class CrawlRunner:
 
             from ..stages.agg import hash_grouped_agg
 
+            from ..stages.agg import default_partitions
+
             light = ray.data.read_parquet(
                 paths,
                 filter=pa.compute.field("rec") == "doc",
                 columns=["rec", "doc_id", "crawled_at", "source_id", "url"],
+                # coalesce: one block per part file (100s of tiny files)
+                # triples the sort-shuffle orchestration cost
+                override_num_blocks=default_partitions(),
             ).drop_columns(["rec"])
 
+            # ONE shuffle computes both the per-id multiplicity and the
+            # first-writer winner key; only the (bounded) n>1 slice comes
+            # back to the driver
             def _partial(b: pd.DataFrame) -> pd.DataFrame:
-                return b.groupby("doc_id", as_index=False).agg(
-                    n=("doc_id", "size"))
+                b = b.sort_values(["doc_id", "crawled_at", "source_id", "url"],
+                                  kind="mergesort")
+                g = b.groupby("doc_id", as_index=False).agg(
+                    n=("doc_id", "size"), crawled_at=("crawled_at", "first"),
+                    source_id=("source_id", "first"), url=("url", "first"))
+                return g
 
             def _combine(p: pd.DataFrame) -> pd.DataFrame:
-                return p.groupby("doc_id", as_index=False).agg(n=("n", "sum"))
+                p = p.sort_values(["doc_id", "crawled_at", "source_id", "url"],
+                                  kind="mergesort")
+                out = p.groupby("doc_id", as_index=False).agg(
+                    n=("n", "sum"), crawled_at=("crawled_at", "first"),
+                    source_id=("source_id", "first"), url=("url", "first"))
+                return out[out["n"] > 1]  # only duplicates leave the workers
 
-            counts = hash_grouped_agg(
+            dups = hash_grouped_agg(
                 light, ["doc_id"], _partial, _combine).to_pandas()
-            dup_ids = set(counts.loc[counts["n"] > 1, "doc_id"])
-            if not dup_ids:
+            if not len(dups):
                 return ds
-            dup_ref = ray.put(dup_ids)
-
-            def _dup_rows(b: pd.DataFrame) -> pd.DataFrame:
-                return b[b["doc_id"].isin(ray.get(dup_ref))]
-
-            dups = light.map_batches(
-                _dup_rows, batch_format="pandas").to_pandas()
-            dups = dups.sort_values(
-                ["doc_id", "crawled_at", "source_id", "url"], kind="mergesort"
-            ).drop_duplicates("doc_id")
             winner_ref = ray.put({
                 d: (c, s, u) for d, c, s, u in zip(
                     dups["doc_id"], dups["crawled_at"],

@@ -269,9 +269,17 @@ def route_fetch(
     doc_id = upd["final_url_hash"] if upd["renamed"] else claim["url_hash"]
     wc = word_count_of(spans)
     doc = None
+    # IndexRawContentIfAbsent at the source (raw_content_indexer.go:95-125
+    # op_type=create): an unchanged recrawl (claim's stored content_hash ==
+    # new hash) re-produces the byte-identical doc the first fetch already
+    # indexed — suppress it here so recrawl volume never inflates the doc
+    # sink or the first-writer dedup's duplicate set (which stays bounded
+    # by renames + changed-content recrawls + task retries).
+    unchanged_recrawl = (claim.get("content_hash") is not None
+                         and claim.get("content_hash") == chash)
     # crawl-side quality gate (rawcontent/service.go:25-27,187-201):
     # indexable only with a title+text and >= 50 words
-    if title and wc >= 50:
+    if title and wc >= 50 and not unchanged_recrawl:
         texts = [s["text"] for s in spans if s["kind"] == "text"]
         doc = {
             "doc_id": doc_id,
@@ -565,11 +573,15 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
     if out_dir is None:
         actor.pending_blobs = []  # no sink to drain into
         return full
-    import uuid
-
     import pyarrow.compute as pc
 
-    stem = f"part-{uuid.uuid4().hex}"
+    # deterministic stem: a retried Ray task re-executes the same claim
+    # batch and atomically OVERWRITES its own part files (os.replace)
+    # instead of appending a second identical copy — the fused sink is
+    # idempotent under task retries by construction
+    uh = batch.column("url_hash")
+    stem_key = f"{uh[0].as_py()}:{uh[-1].as_py()}:{len(uh)}"
+    stem = "part-" + hashlib.sha256(stem_key.encode()).hexdigest()[:20]
     docs = full.filter(pc.equal(full["rec"], "doc"))
     if docs.num_rows:
         _atomic_write(docs, out_dir, stem)
