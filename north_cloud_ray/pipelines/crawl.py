@@ -796,18 +796,31 @@ class CrawlRunner:
         if not paths:  # no round produced a doc yet
             return ray.data.from_arrow(RESULT_SCHEMA.empty_table().select(
                 ["doc_id", "url", "source_id", "host", "title", "spans",
-                 "body", "n_media", "first_text_len", "content_hash",
-                 "word_count", "crawled_at"]
+                 "n_media", "first_text_len", "content_hash",
+                 "word_count", "crawled_at", "body"]
             ))
         ds = ray.data.read_parquet(
             paths,
             filter=pa.compute.field("rec") == "doc",
             columns=["rec", "doc_id", "url", "source_id", "host", "title",
-                     "spans", "body", "n_media", "first_text_len",
+                     "spans", "n_media", "first_text_len",
                      "content_hash", "word_count", "claim_at", "crawled_at"],
             override_num_blocks=override_num_blocks,
         )
         ds = ds.drop_columns(["rec", "claim_at"])
+
+        # `body` (raw_text alias, classifier.go:624-655) is derived from the
+        # stored spans at read time — the sink stores the text once
+        def _add_body(t: pa.Table) -> pa.Table:
+            spans = t.column("spans").to_pylist()
+            body = [
+                "\n".join(s["text"] for s in sp if s["kind"] == "text")
+                if sp is not None else ""
+                for sp in spans
+            ]
+            return t.append_column("body", pa.array(body, type=pa.string()))
+
+        ds = ds.map_batches(_add_body, batch_format="pyarrow")
         if dedup:
             # First-writer-wins WITHOUT shuffling the span/body payloads:
             # duplicate doc_ids only arise from redirect double-fetches,

@@ -584,7 +584,10 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
     stem = "part-" + hashlib.sha256(stem_key.encode()).hexdigest()[:20]
     docs = full.filter(pc.equal(full["rec"], "doc"))
     if docs.num_rows:
-        _atomic_write(docs, out_dir, stem)
+        # `body` is exactly the joined text spans — storing both nearly
+        # doubles the doc payload bytes on the (shared) sink disk; drop it
+        # here, documents_dataset() reconstructs it vectorized at read time
+        _atomic_write(docs.drop_columns(["body"]), out_dir, stem)
     if actor.pending_blobs:  # S10: raw-HTML blob archive (binary column)
         blobs, actor.pending_blobs = actor.pending_blobs, []
         _atomic_write(
