@@ -850,6 +850,42 @@ def origin_budget(sf_dir: str):
     return hash_grouped_agg(fr, ["origin"], count, combine, num_partitions=4)
 
 
+def extraction_quality(sf_dir: str):
+    """G5 ExtractionQualityMetrics shape (quality_metrics.go:23-36):
+    pages by type, extraction by method, word-count histogram buckets —
+    grouped counts over the extraction stage's output."""
+    from ..sources.html_fixtures import FIXTURES
+    from ..stages.extract_html import ExtractHtmlStage
+
+    names = sorted(FIXTURES)
+    df = pd.DataFrame({
+        "url": [f"https://{n}.fixture.test/page" for n in names],
+        "html": [FIXTURES[n] for n in names],
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out = ds.map_batches(ExtractHtmlStage(), batch_format="pandas")
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        bounds = [0, 50, 200, 500, 1000, 2000]
+        b["wc_bucket"] = pd.cut(
+            b["word_count"], bounds + [np.inf],
+            labels=[f"{lo}+" for lo in bounds], right=False,
+        ).astype(str)
+        return b.groupby(["page_type", "extraction_method", "wc_bucket"],
+                         as_index=False).agg(n=("url", "size"))
+
+    from ..stages.agg import hash_grouped_agg
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby(["page_type", "extraction_method", "wc_bucket"],
+                         as_index=False).agg(n=("n", "sum"))
+
+    return hash_grouped_agg(
+        out, ["page_type", "extraction_method", "wc_bucket"],
+        bucketize, combine, num_partitions=4)
+
+
 def structured_extraction(sf_dir: str):
     """M8 12-type detection + structured sidecar extractors (recipe/job/
     rfp/need_signal/location) routed per the ResolveSidecars table over
@@ -990,6 +1026,7 @@ QUERIES = {
     "location_scores": location_scores,
     "origin_budget": origin_budget,
     "publisher_telemetry": publisher_telemetry_q,
+    "extraction_quality": extraction_quality,
 }
 
 ORACLE_SQL = {
