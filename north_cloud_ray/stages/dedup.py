@@ -80,6 +80,81 @@ def cluster_pairs(pairs_df: pd.DataFrame) -> dict:
     return {x: find(x) for x in parent}
 
 
+DIST_CC_PAIR_THRESHOLD = 2_000_000
+
+
+def cluster_labels_distributed(pairs_ds, num_partitions: int = 8,
+                               max_iters: int = 25):
+    """Distributed connected components over a candidate-pair Dataset —
+    the extreme-scale fallback for :func:`cluster_pairs` (driver union-find
+    assumes the pair set fits one process; this path never materializes
+    edges or labels on the driver).
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round, each node takes the min of its own label and its
+    neighbors' labels (hash join edges x labels + grouped min), until a
+    round changes nothing. Rounds needed = graph diameter, which for
+    near-dup clusters is small. Returns a Dataset (node, label).
+    """
+    import ray.data as rd
+
+    from .agg import hash_grouped_agg
+
+    # symmetrical edge list: (node, nbr) in both directions
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([b["a"], b["b"]], ignore_index=True),
+            "nbr": pd.concat([b["b"], b["a"]], ignore_index=True),
+        })
+
+    edges = pairs_ds.map_batches(sym, batch_format="pandas")
+
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("node", as_index=False).agg(label=("label", "min"))
+
+    def min_combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("node", as_index=False).agg(label=("label", "min"))
+
+    # initial labels: each node labels itself
+    labels = hash_grouped_agg(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["node"]}),
+            batch_format="pandas"),
+        ["node"], min_partial, min_combine, num_partitions,
+    ).materialize()
+
+    for _ in range(max_iters):
+        lab_r = labels.map_batches(
+            lambda b: b.rename(columns={"node": "_lnode", "label": "_nlabel"}),
+            batch_format="pandas")
+        j = edges.join(lab_r, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("nbr",), right_on=("_lnode",))
+        msgs = j.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["_nlabel"]}),
+            batch_format="pandas")
+        new_labels = hash_grouped_agg(
+            msgs.union(labels), ["node"], min_partial, min_combine,
+            num_partitions,
+        ).materialize()
+        # convergence: count nodes whose label shrank (small aggregate)
+        old_r = labels.map_batches(
+            lambda b: b.rename(columns={"node": "_onode", "label": "_olabel"}),
+            batch_format="pandas")
+        cmp = new_labels.join(old_r, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("node",), right_on=("_onode",))
+        changed = cmp.map_batches(
+            lambda b: pd.DataFrame(
+                {"c": [int((b["label"] != b["_olabel"]).sum())]}),
+            batch_format="pandas",
+        ).sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 # ---------------- minhash ----------------
 
 _MERSENNE = (1 << 61) - 1
@@ -207,6 +282,7 @@ def minhash_lsh_dedup(
     seed: int = 42,
     concurrency: int = 4,
     join_partitions: int = 8,
+    dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD,
 ):
     """Returns a Dataset of (doc_id, cluster_id) where cluster_id is the min
     doc_id of the near-dup cluster (singletons map to themselves).
@@ -338,6 +414,28 @@ def minhash_lsh_dedup(
 
         verified = j.map_batches(verify, batch_format="pandas").to_pandas()
 
+    if len(verified) > dist_cc_threshold:
+        # extreme-scale path: cluster + assign without driver-side label
+        # state — distributed min-label CC, then a left-join assignment
+        import ray.data as rd
+
+        labels = cluster_labels_distributed(
+            rd.from_pandas(verified).repartition(join_partitions),
+            num_partitions=join_partitions,
+        ).map_batches(
+            lambda b: b.rename(columns={"node": "_cnode",
+                                        "label": "cluster_id"}),
+            batch_format="pandas")
+        ids = ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
+        out = ids.join(labels, join_type="left_outer",
+                       num_partitions=join_partitions,
+                       on=(id_col,), right_on=("_cnode",))
+        return out.map_batches(
+            lambda b: pd.DataFrame(
+                {id_col: b[id_col],
+                 "cluster_id": b["cluster_id"].fillna(b[id_col])}),
+            batch_format="pandas")
+
     label_ref = ray.put(cluster_pairs(verified))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -350,6 +448,10 @@ def minhash_lsh_dedup(
 
 
 # ---------------- simhash ----------------
+
+# buckets larger than this sub-block on the remaining bits instead of
+# running one O(n^2) matmul (module-level so tests can force the path)
+SIMHASH_HOT_BUCKET_CAP = 4096
 
 
 _SIMHASH_BIT_CACHE: dict[str, np.ndarray] = {}
@@ -413,34 +515,64 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
+    def _hamming_pairs(ids: np.ndarray, h: np.ndarray):
+        """Exact pairwise Hamming <= max_hamming within one group:
+        unpack to a bit matrix B, D = |b_i| + |b_j| - 2 B B^T."""
+        n = len(ids)
+        bytes_view = h.copy().view(np.uint8).reshape(n, 8)
+        B = np.unpackbits(bytes_view, axis=1).astype(np.int16)  # (n, 64)
+        ones = B.sum(axis=1)
+        D = ones[:, None] + ones[None, :] - 2 * (B @ B.T)
+        ii, jj = np.where(np.triu(D <= max_hamming, k=1))
+        return ids[ii], ids[jj]
+
+    def _bucket_pairs(ids: np.ndarray, h: np.ndarray, band_id: int,
+                      depth: int = 0):
+        """O(n^2) matmul for normal buckets; HOT buckets sub-block exactly:
+        the <=3 differing bits of a qualifying pair all live in the 48
+        bits OUTSIDE the shared band, so pigeonhole over 4 sub-bands of 12
+        of those bits guarantees one equal sub-band — recall-lossless
+        salting for skewed keys (the r01 TODO). depth caps recursion for
+        degenerate groups of identical signatures (they can't sub-split)."""
+        if len(ids) <= SIMHASH_HOT_BUCKET_CAP or depth >= 3:
+            return [_hamming_pairs(ids, h)]
+        other = [b for b in range(4) if b != band_id]
+        rest = np.zeros(len(ids), dtype=np.uint64)  # 48 remaining bits
+        for k, b in enumerate(other):
+            chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            rest |= chunk << np.uint64(16 * k)
+        out = []
+        for s in range(4):
+            sub = (rest >> np.uint64(12 * s)) & np.uint64(0xFFF)
+            order = np.argsort(sub, kind="stable")
+            ss, ii, hh = sub[order], ids[order], h[order]
+            bounds = np.nonzero(np.diff(ss))[0] + 1
+            for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, len(ss)]):
+                if hi - lo >= 2:
+                    out.extend(_bucket_pairs(ii[lo:hi], hh[lo:hi], band_id,
+                                             depth + 1))
+        return out
+
     def bucket_pairs_part(part: pd.DataFrame) -> pd.DataFrame:
         """Pairwise Hamming for every colliding bucket in one hash
-        partition. Vectorized: unpack signatures to a bit matrix B,
-        D = |b_i| + |b_j| - 2 B B^T per bucket; singleton buckets are
-        dropped by a vectorized duplicated() pre-filter so the Python loop
-        only touches real collisions. Skewed buckets stay O(n^2) but run
-        as one int matmul; at 10^10 scale hot buckets additionally need
-        key salting (SURVEY.md §7.3)."""
+        partition. Singleton buckets are dropped by a vectorized
+        duplicated() pre-filter so the Python loop only touches real
+        collisions; hot buckets sub-block (see _bucket_pairs)."""
         empty = pd.DataFrame({"a": pd.Series(dtype=object),
                               "b": pd.Series(dtype=object)})
         dup = part[part.duplicated(["band_id", "band_key"], keep=False)]
         if dup.empty:
             return empty
         out_a, out_b = [], []
-        for _, g in dup.groupby(["band_id", "band_key"], sort=False):
+        for (band_id, _), g in dup.groupby(["band_id", "band_key"], sort=False):
             g = g.drop_duplicates(id_col).sort_values(id_col)
-            n = len(g)
-            if n < 2:
+            if len(g) < 2:
                 continue
-            ids = g[id_col].to_numpy()
-            h = g["simhash"].to_numpy().astype(np.uint64)
-            bytes_view = h.copy().view(np.uint8).reshape(n, 8)
-            B = np.unpackbits(bytes_view, axis=1).astype(np.int16)  # (n, 64)
-            ones = B.sum(axis=1)
-            D = ones[:, None] + ones[None, :] - 2 * (B @ B.T)
-            ii, jj = np.where(np.triu(D <= max_hamming, k=1))
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
+            for ii, jj in _bucket_pairs(
+                    g[id_col].to_numpy(),
+                    g["simhash"].to_numpy().astype(np.uint64), int(band_id)):
+                out_a.append(ii)
+                out_b.append(jj)
         if not out_a:
             return empty
         return pd.DataFrame({"a": np.concatenate(out_a),

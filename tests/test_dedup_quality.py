@@ -91,3 +91,73 @@ def test_minhash_band_rows_carry_no_text():
     src = inspect.getsource(dedup.minhash_lsh_dedup)
     explode_src = src.split("def explode_bands")[1].split("def ")[0]
     assert "text_col" not in explode_src
+
+
+def test_distributed_cc_matches_union_find(ray_session):
+    """The extreme-scale connected-components fallback must produce the
+    same min-label clusters as the driver union-find."""
+    import numpy as np
+    import ray
+
+    from north_cloud_ray.stages.dedup import (
+        cluster_labels_distributed,
+        cluster_pairs,
+    )
+
+    # small-diameter components (stars + a short chain) keep the iteration
+    # count — and so the join count of this test — low
+    edges = set()
+    for hub in (0, 40, 80):  # three stars
+        for leaf in range(hub + 1, hub + 8):
+            edges.add((f"n{hub:04d}", f"n{leaf:04d}"))
+    edges |= {("n0100", "n0101"), ("n0101", "n0102"),
+              ("n0102", "n0103")}  # one chain, diameter 3
+    pairs_df = pd.DataFrame(sorted(edges), columns=["a", "b"])
+
+    uf = cluster_pairs(pairs_df)
+    expected = {n: uf.get(n, n) for n in
+                set(pairs_df["a"]) | set(pairs_df["b"])}
+
+    labels = cluster_labels_distributed(
+        ray.data.from_pandas(pairs_df).repartition(4), num_partitions=4
+    ).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == expected
+
+
+def test_minhash_distributed_cc_branch(ray_session):
+    """Forcing dist_cc_threshold=0 must yield the same clusters as the
+    driver union-find path on the real documents table."""
+    import ray
+
+    from north_cloud_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    base = minhash_lsh_dedup(ds, jaccard_threshold=0.8).to_pandas()
+    dist = minhash_lsh_dedup(ds, jaccard_threshold=0.8,
+                             dist_cc_threshold=0, join_partitions=4).to_pandas()
+    a = dict(zip(base["doc_id"], base["cluster_id"]))
+    b = dict(zip(dist["doc_id"], dist["cluster_id"]))
+    assert a == b
+
+
+def test_simhash_hot_bucket_salting_lossless(ray_session, monkeypatch):
+    """Sub-blocking hot buckets on the remaining 48 bits must find the
+    exact same pair set as the plain O(n^2) scan (pigeonhole: d<=3 pairs
+    share one of 4 12-bit sub-bands)."""
+    import ray
+
+    from north_cloud_ray.stages import dedup as D
+
+    df = pd.read_parquet(f"{SF001}/documents.parquet",
+                         columns=["doc_id", "text"]).head(200)
+    ds = ray.data.from_pandas(df).repartition(4)
+    base = D.simhash_dedup(ds, max_hamming=3).to_pandas()
+    monkeypatch.setattr(D, "SIMHASH_HOT_BUCKET_CAP", 4)  # force salting
+    salted = D.simhash_dedup(ds, max_hamming=3).to_pandas()
+    a = dict(zip(base["doc_id"], base["cluster_id"]))
+    b = dict(zip(salted["doc_id"], salted["cluster_id"]))
+    assert a == b
