@@ -4,15 +4,20 @@ embedding-cosine near-dup.
 Scale shapes (ray_guide patterns):
 - exact: hash column in a vectorized map_batches, then
   groupby(hash).map_groups(first) — hash-partitioned, no driver state.
-- MinHash-LSH: per-batch shingle->minhash (numpy, 64 perms), explode to
-  (band_id, band_hash, doc_id) rows, hash-partitioned band grouping ->
-  candidate pairs, verify true Jaccard, connected components via
-  union-find over the (bounded) candidate-pair set on the driver — the
-  corpus itself never leaves the workers.
-- SimHash: 64-bit signature, banded into 4x16-bit keys for blocking,
-  verify Hamming distance.
-- embedding: normalize, LSH by random-hyperplane signs (seeded), verify
-  cosine within buckets.
+- MinHash-LSH: per-batch vectorized shingle->minhash (numpy, 64 perms),
+  explode to LIGHT (doc_id, band_id, band_hash int64) rows (text never
+  enters the band shuffle), hash-partitioned bucket grouping with a
+  vectorized collision pre-filter -> candidate pairs, verify true Jaccard
+  (broadcast-filtered shingle sets for bounded pair sets, distributed
+  text hash-join above a size threshold), then connected components:
+  driver union-find for bounded pair sets, distributed min-label
+  propagation (cluster_labels_distributed) + left-join assignment above
+  DIST_CC_PAIR_THRESHOLD — nothing O(corpus) touches the driver.
+- SimHash: 64-bit signature, banded into 4x16-bit keys for blocking;
+  hot buckets sub-block recall-losslessly on the remaining 48 bits;
+  exact Hamming verification.
+- embedding: normalize, multi-table random-hyperplane LSH (8x16 planes),
+  light (id, table, bucket) band rows, exact float64 cosine verify.
 
 All randomness is derived from fixed seeds — identical across runs/nodes.
 """

@@ -318,6 +318,15 @@ def extract_need_signal(title: str, text: str, url: str = "") -> dict | None:
     }
 
 
+def slugify(s: str) -> str:
+    """Canonical slug form (publisher/ARCHITECTURE.md:204,231,270 +
+    canadian_cities.go toSlug): lowercase, spaces/underscores/dots ->
+    hyphens, strip everything else, collapse repeats."""
+    s = re.sub(r"[\s_.]+", "-", (s or "").strip().lower())
+    s = re.sub(r"[^a-z0-9-]", "", s)
+    return re.sub(r"-{2,}", "-", s).strip("-")
+
+
 # ---------------- gazetteer location classifier ----------------
 
 # Major Canadian cities (public facts: StatCan census metropolitan areas),

@@ -230,3 +230,13 @@ def test_html_blob_archive(ray_session, tmp_path):
     assert isinstance(row["html"], bytes)
     # the archived bytes are exactly the synthetic page body for that URL
     assert row["html"].decode() == web.fetch(row["url"])["body"]
+
+
+def test_slugify():
+    from north_cloud_ray.stages.structured import slugify
+
+    assert slugify("Sault Ste. Marie") == "sault-ste-marie"
+    assert slugify("Thunder_Bay") == "thunder-bay"
+    assert slugify("  Mixed   CASE  name ") == "mixed-case-name"
+    assert slugify("already-a-slug") == "already-a-slug"
+    assert slugify("") == ""
