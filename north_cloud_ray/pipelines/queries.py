@@ -267,6 +267,30 @@ def orders_lineitem_join(sf_dir: str):
     return joined.map_batches(project, batch_format="pandas")
 
 
+def events_type_topk(sf_dir: str):
+    """Per-group top-k (T-family): each user's top-3 event types by count
+    (ties by event_type asc) — partial counts per batch, per-user combine
+    with a local head(3), SQL-checked."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum"))
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("user_id", as_index=False).head(3).copy()
+        out["rnk"] = out.groupby("user_id").cumcount() + 1
+        return out
+
+    return hash_grouped_agg(ev, ["user_id"], partial, combine)
+
+
 def events_sliding_window(sf_dir: str):
     """Sliding 2h windows advancing hourly, per event_type: each event
     contributes to the window containing it and the previous one (overlap
@@ -988,6 +1012,7 @@ QUERIES = {
     "orders_lineitem_join": orders_lineitem_join,
     "supplier_nation_stats": supplier_nation_stats,
     "events_sliding_window": events_sliding_window,
+    "events_type_topk": events_type_topk,
     "top_parts_by_revenue": top_parts_by_revenue,
     "frontier_submit_merge": frontier_submit_merge,
     "claim_ordering": claim_ordering,
@@ -1116,6 +1141,16 @@ ORACLE_SQL = {
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "events_type_topk": """
+        SELECT user_id, event_type, n, rnk FROM (
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, event_type
+                   ) AS rnk
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rnk <= 3
     """,
     "events_sessionize": """
         WITH x AS (
