@@ -161,3 +161,40 @@ def test_simhash_hot_bucket_salting_lossless(ray_session, monkeypatch):
     a = dict(zip(base["doc_id"], base["cluster_id"]))
     b = dict(zip(salted["doc_id"], salted["cluster_id"]))
     assert a == b
+
+
+def test_simhash_blocking_matches_bruteforce(ray_session):
+    """4x16-bit band blocking is EXACT for Hamming<=3 (pigeonhole), so
+    simhash clusters must equal the brute-force all-pairs clusters."""
+    import ray
+
+    from north_cloud_ray.stages.dedup import (
+        cluster_pairs,
+        simhash64,
+        simhash_dedup,
+    )
+
+    df = pd.read_parquet(f"{SF001}/documents.parquet",
+                         columns=["doc_id", "text"])
+    h = np.array([simhash64(t or "") for t in df["text"]], dtype=np.uint64)
+    ids = list(df["doc_id"])
+    n = len(ids)
+    B = np.unpackbits(h.copy().view(np.uint8).reshape(n, 8), axis=1).astype(np.int16)
+    ones = B.sum(axis=1)
+    D = ones[:, None] + ones[None, :] - 2 * (B @ B.T)
+    ii, jj = np.where(np.triu(D <= 3, k=1))
+    exact_pairs = pd.DataFrame({
+        "a": [min(ids[i], ids[j]) for i, j in zip(ii, jj)],
+        "b": [max(ids[i], ids[j]) for i, j in zip(ii, jj)],
+    })
+    lab = cluster_pairs(exact_pairs)
+    expected = {i: lab.get(i, i) for i in ids}
+
+    ds = ray.data.read_parquet(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    out = simhash_dedup(ds, max_hamming=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert len(exact_pairs) > 0, "corpus should contain near-dup signatures"
+    assert got == expected
