@@ -251,8 +251,10 @@ def _claim_task(
     t_end: int,
     crawl_cfg: CrawlConfig,
     web_cfg: SyntheticWebConfig,
-) -> tuple[int, int, pa.Table]:
-    """Per-shard claim step. Returns (n_pending_total, n_claims, host_state)."""
+    n_chunks: int = 1,
+):
+    """Per-shard claim step. Returns ((n_pending_total, n_claims,
+    host_state), *claims_chunks) — call with num_returns=1+n_chunks."""
     pending = pq.read_table(
         frontier_path,
         filters=[("status", "=", STATUS_PENDING)],
@@ -292,7 +294,15 @@ def _claim_task(
         ],
         schema=HOST_STATE_RUNTIME_SCHEMA,
     )
-    return n_pending_total, claims_tbl.num_rows, hs_tbl
+    # claims come back as n_chunks separate arrow tables so the driver can
+    # hand them straight to ray.data.from_arrow_refs: the fetch pipeline
+    # starts streaming a shard's claims the moment ITS claim task finishes
+    # instead of barriering on all shards + re-reading the claims parquet
+    meta = (n_pending_total, claims_tbl.num_rows, hs_tbl)
+    n = claims_tbl.num_rows
+    step = max(1, -(-n // n_chunks))  # ceil
+    chunks = [claims_tbl.slice(i * step, step) for i in range(n_chunks)]
+    return (meta, *chunks)
 
 
 UPDATE_COLS = [
@@ -515,9 +525,29 @@ class CrawlRunner:
         if os.path.isdir(store.round_dir(rnd)):
             _shutil0.rmtree(store.round_dir(rnd))
 
-        # 1. claim, per shard
+        import shutil as _shutil
+
+        results_dir = store.results_dir(rnd)
+        if os.path.isdir(results_dir):
+            # stale partial output from a crashed, uncommitted round
+            _shutil.rmtree(results_dir)
+
+        # 1+2. claim per shard, PIPELINED into fetch+parse: each claim task
+        # returns its claims as `chunks_per_shard` arrow tables alongside a
+        # meta tuple; from_arrow_refs hands the chunk refs to the streaming
+        # executor so fetch tasks start on a shard's claims the moment that
+        # shard's claim finishes — no all-shard barrier, no claims parquet
+        # re-read (the parquet stays as checkpoint lineage). The fetch
+        # stage is the streaming hot path: stateless tasks with per-
+        # worker-process caches; each task writes its result blocks to the
+        # fused partitioned sink and returns only the bounded renamed-
+        # update rows.
+        from functools import partial as _partial
+
+        chunks_per_shard = max(
+            1, -(-2 * cfg.fetch_concurrency // cfg.num_shards))
         claim_refs = [
-            _claim_task.remote(
+            _claim_task.options(num_returns=1 + chunks_per_shard).remote(
                 store.frontier_path(rnd, s),
                 store.host_state_path(rnd, s),
                 os.path.join(store.claims_dir(rnd), f"shard-{s:03d}.parquet"),
@@ -525,63 +555,39 @@ class CrawlRunner:
                 t_end,
                 cfg,
                 self.web_cfg,
+                chunks_per_shard,
             )
             for s in range(cfg.num_shards)
         ]
-        claim_out = ray.get(claim_refs)
-        _mark("claim")
+        meta_refs = [r[0] for r in claim_refs]
+        chunk_refs = [c for r in claim_refs for c in r[1:]]
+        ds = ray.data.from_arrow_refs(chunk_refs)
+        light_ds = ds.map_batches(
+            _partial(fetch_parse_fn, web_cfg=self.web_cfg, crawl_cfg=cfg,
+                     out_dir=results_dir),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+        )
+        ren_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
+        claim_out = ray.get(meta_refs)  # long since done — no extra wait
         n_pending = sum(c[0] for c in claim_out)
         n_claims = sum(c[1] for c in claim_out)
         host_states = [c[2] for c in claim_out]
-
-        import shutil as _shutil
+        _mark("fetch")  # includes the (overlapped) claim phase
 
         import pyarrow.compute as pc
 
-        results_dir = store.results_dir(rnd)
-        if os.path.isdir(results_dir):
-            # stale partial output from a crashed, uncommitted round
-            _shutil.rmtree(results_dir)
-        if n_claims > 0:
-            # 2. fetch + parse: the streaming hot path. Stateless tasks with
-            # per-worker-process caches — no per-round actor-pool respawn.
-            # Each task writes its full result block to a parquet part file
-            # itself (fused sink) and emits only the light update/outlink
-            # columns, which ARE the downstream merge input — the heavy doc
-            # payloads never travel through the object store.
-            from functools import partial as _partial
-
-            # enough input blocks that the fetch stage can use every slot
-            # (shard-count parquet files would otherwise cap parallelism)
-            n_blocks = max(
-                cfg.num_shards, 2 * cfg.fetch_concurrency,
-                n_claims // max(1, cfg.fetch_batch_size),
-            )
-            ds = ray.data.read_parquet(
-                store.claims_dir(rnd), override_num_blocks=n_blocks
-            )
-            light_ds = ds.map_batches(
-                _partial(fetch_parse_fn, web_cfg=self.web_cfg, crawl_cfg=cfg,
-                         out_dir=results_dir),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-            )
-            # the map output is ONLY the bounded renamed-update rows
-            # (~redirect_rate * claims); updates/outlinks went to
-            # results/light/shard-SSS/ pre-partitioned inside the tasks
-            ren_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
-            renames_tbl = pa.concat_tables(
-                [t for t in ren_tbls if t.num_rows] or ren_tbls[:1],
-                promote_options="default",
-            )
-        else:
+        nonempty = [t for t in ren_tbls if t.num_rows]
+        renames_tbl = (
+            pa.concat_tables(nonempty, promote_options="default")
+            if nonempty else RESULT_SCHEMA.empty_table().select(LIGHT_COLS)
+        )
+        if n_claims == 0:
             os.makedirs(results_dir, exist_ok=True)
             pq.write_table(
                 RESULT_SCHEMA.empty_table(),
                 os.path.join(results_dir, "empty.parquet"),
             )
-            renames_tbl = RESULT_SCHEMA.empty_table().select(LIGHT_COLS)
-        _mark("fetch")
 
         renames_tbl = renames_tbl.select(UPDATE_COLS)
         renames_all = renames_tbl.to_pandas()
