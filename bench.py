@@ -94,10 +94,9 @@ def run_headline(num_cpus: int) -> dict:
     t_crawl = time.perf_counter() - t0
 
     t1 = time.perf_counter()
-    classified = classify_documents(
-        runner.documents_dataset(override_num_blocks=4 * num_cpus),
-        batch_size=1024,
-    )
+    docs_ds = runner.documents_dataset(override_num_blocks=4 * num_cpus)
+    t_dedup = time.perf_counter() - t1  # eager first-writer-wins prep
+    classified = classify_documents(docs_ds, batch_size=1024)
     n_docs = classified.count()
     t_classify = time.perf_counter() - t1
 
@@ -119,6 +118,7 @@ def run_headline(num_cpus: int) -> dict:
         "new_urls": new_urls,
         "sec_crawl": round(t_crawl, 3),
         "sec_classify": round(t_classify, 3),
+        "sec_doc_dedup": round(t_dedup, 3),
         "sec_total": round(t_crawl + t_classify, 3),
         "pages_per_sec": round(summary["claims"] / t_crawl, 1),
         "frontier_ops_per_sec": round(ops / t_crawl, 1),

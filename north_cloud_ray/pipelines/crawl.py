@@ -450,6 +450,9 @@ class CrawlRunner:
         self.cfg = crawl_cfg or CrawlConfig()
         self.web_cfg = web_cfg or SyntheticWebConfig()
         self.store = CheckpointStore(out_dir, self.cfg.num_shards)
+        # memoized dedup winner map per doc-part-file set (committed rounds
+        # are immutable, so the file list is a sound cache key)
+        self._dedup_cache: tuple[tuple[str, ...], object] | None = None
 
     # ---- bootstrap ----
     def init_state(self, seeds: list[dict] | None = None) -> None:
@@ -828,55 +831,9 @@ class CrawlRunner:
 
         ds = ds.map_batches(_add_body, batch_format="pyarrow")
         if dedup:
-            # First-writer-wins WITHOUT shuffling the span/body payloads:
-            # duplicate doc_ids only arise from redirect double-fetches,
-            # adaptive recrawls and task retries — a small fraction of the
-            # corpus. Count per doc_id over a column-pruned light read,
-            # broadcast the (bounded) duplicate winner map, and stream
-            # every unique doc_id through untouched.
-            import pyarrow.compute as _pc
-
-            from ..stages.agg import hash_grouped_agg
-
-            from ..stages.agg import default_partitions
-
-            light = ray.data.read_parquet(
-                paths,
-                filter=pa.compute.field("rec") == "doc",
-                columns=["rec", "doc_id", "crawled_at", "source_id", "url"],
-                # coalesce: one block per part file (100s of tiny files)
-                # triples the sort-shuffle orchestration cost
-                override_num_blocks=default_partitions(),
-            ).drop_columns(["rec"])
-
-            # ONE shuffle computes both the per-id multiplicity and the
-            # first-writer winner key; only the (bounded) n>1 slice comes
-            # back to the driver
-            def _partial(b: pd.DataFrame) -> pd.DataFrame:
-                b = b.sort_values(["doc_id", "crawled_at", "source_id", "url"],
-                                  kind="mergesort")
-                g = b.groupby("doc_id", as_index=False).agg(
-                    n=("doc_id", "size"), crawled_at=("crawled_at", "first"),
-                    source_id=("source_id", "first"), url=("url", "first"))
-                return g
-
-            def _combine(p: pd.DataFrame) -> pd.DataFrame:
-                p = p.sort_values(["doc_id", "crawled_at", "source_id", "url"],
-                                  kind="mergesort")
-                out = p.groupby("doc_id", as_index=False).agg(
-                    n=("n", "sum"), crawled_at=("crawled_at", "first"),
-                    source_id=("source_id", "first"), url=("url", "first"))
-                return out[out["n"] > 1]  # only duplicates leave the workers
-
-            dups = hash_grouped_agg(
-                light, ["doc_id"], _partial, _combine).to_pandas()
-            if not len(dups):
+            winner_ref = self._dedup_winner_ref(paths)
+            if winner_ref is None:
                 return ds
-            winner_ref = ray.put({
-                d: (c, s, u) for d, c, s, u in zip(
-                    dups["doc_id"], dups["crawled_at"],
-                    dups["source_id"], dups["url"])
-            })
 
             def _keep_winners(t: pa.Table) -> pa.Table:
                 winners = ray.get(winner_ref)
@@ -898,6 +855,59 @@ class CrawlRunner:
 
             ds = ds.map_batches(_keep_winners, batch_format="pyarrow")
         return ds
+
+    def _dedup_winner_ref(self, paths: list[str]):
+        """First-writer-wins winner map for duplicate doc_ids, memoized per
+        doc-part-file set (committed rounds are immutable). Returns a
+        ``ray.put`` ref of {doc_id: (crawled_at, source_id, url)}, or None
+        when the corpus has no duplicate ids.
+
+        Duplicates only arise from redirect double-fetches, changed-content
+        recrawls and (pre-deterministic-stem) task retries — a bounded
+        fraction. ONE shuffle over a column-pruned light read computes both
+        the per-id multiplicity and the winner key; only the n>1 slice
+        comes back to the driver."""
+        key = tuple(paths)
+        if self._dedup_cache is not None and self._dedup_cache[0] == key:
+            return self._dedup_cache[1]
+
+        from ..stages.agg import default_partitions, hash_grouped_agg
+
+        light = ray.data.read_parquet(
+            paths,
+            filter=pa.compute.field("rec") == "doc",
+            columns=["rec", "doc_id", "crawled_at", "source_id", "url"],
+            # coalesce: one block per part file (100s of tiny files)
+            # triples the sort-shuffle orchestration cost
+            override_num_blocks=default_partitions(),
+        ).drop_columns(["rec"])
+
+        def _partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.sort_values(["doc_id", "crawled_at", "source_id", "url"],
+                              kind="mergesort")
+            return b.groupby("doc_id", as_index=False).agg(
+                n=("doc_id", "size"), crawled_at=("crawled_at", "first"),
+                source_id=("source_id", "first"), url=("url", "first"))
+
+        def _combine(p: pd.DataFrame) -> pd.DataFrame:
+            p = p.sort_values(["doc_id", "crawled_at", "source_id", "url"],
+                              kind="mergesort")
+            out = p.groupby("doc_id", as_index=False).agg(
+                n=("n", "sum"), crawled_at=("crawled_at", "first"),
+                source_id=("source_id", "first"), url=("url", "first"))
+            return out[out["n"] > 1]  # only duplicates leave the workers
+
+        dups = hash_grouped_agg(
+            light, ["doc_id"], _partial, _combine).to_pandas()
+        winner_ref = None
+        if len(dups):
+            winner_ref = ray.put({
+                d: (c, s, u) for d, c, s, u in zip(
+                    dups["doc_id"], dups["crawled_at"],
+                    dups["source_id"], dups["url"])
+            })
+        self._dedup_cache = (key, winner_ref)
+        return winner_ref
 
     def blobs_dataset(self) -> "ray.data.Dataset":
         """S10 raw-HTML blob archive as a streaming Dataset (binary `html`
