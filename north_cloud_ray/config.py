@@ -127,6 +127,10 @@ class SyntheticWebConfig:
     redirect_rate: float = 0.05
     links_same_host_frac: float = 0.85
     frac_binary_links: float = 0.10
+    # hosts fronted by a synthetic Cloudflare that answers every page
+    # with a challenge (Cf-Ray header + challenge body) — exercises the
+    # M19 detector end-to-end; 0 = feature off
+    frac_cloudflare: float = 0.0
     # multiplies per-span word counts; 1 = the F1 generation rule, larger
     # values make bench pages article-sized (~1000+ words) so fetch+parse is
     # compute-dominated like a real crawl

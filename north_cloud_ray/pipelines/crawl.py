@@ -670,6 +670,15 @@ class CrawlRunner:
             "timings": timings,
             "shards": shard_metrics,
         }
+        # fetch-stage counters flushed by the fused sink (M19 etc.)
+        import glob as _glob
+
+        cfiles = _glob.glob(os.path.join(results_dir, "counters", "*.parquet"))
+        if cfiles:
+            ct = pq.read_table(cfiles).to_pandas()
+            metrics["counters"] = (
+                ct.groupby("counter")["n"].sum().astype(int).to_dict()
+            )
         store.write_metrics(rnd, metrics)
         return metrics
 

@@ -340,6 +340,17 @@ class SyntheticWeb:
         if self._host_index(host) is None:
             return FetchResult(status=0, body=None, final_url=url, content_type="",
                                etag=None, last_modified=None, error="dns_error")
+        if _hx(c.seed, host, "cf") % 1000 < int(c.frac_cloudflare * 1000):
+            # synthetic Cloudflare front: every page answers a challenge
+            # (503 + Cf-Ray header + challenge body). Routing treats it as
+            # a retryable failure; the M19 detector counts it.
+            return FetchResult(
+                status=503, body="<html>Just a moment...</html>",
+                final_url=url, content_type="text/html", etag=None,
+                last_modified=None, error=None,
+                headers={"Cf-Ray": f"{_hx(c.seed, host, 'cfray') % 16**8:08x}",
+                         "Server": "cloudflare"},
+            )
         if path.startswith("/media/"):
             return FetchResult(status=_STATUS_OK, body="\x89BINARY", final_url=url,
                                content_type="image/jpeg", etag=None,

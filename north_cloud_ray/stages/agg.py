@@ -64,9 +64,9 @@ def hash_grouped_agg(
 
     ``partial_fn``: vectorized per-batch pre-aggregation (rows keyed by
     ``keys``). ``combine_fn``: merges partial rows of one hash partition
-    (sees all partials for each of its keys). ``combine_fn`` is also
-    invoked on the typed empty frame for empty partitions so every output
-    block carries the same schema (no RefBundle schema drift).
+    (sees all partials for each of its keys). NOTE: an entirely empty
+    input stream yields an empty, schema-less result — callers that can
+    receive zero rows must guard for missing columns.
     """
     if num_partitions is None:
         num_partitions = default_partitions()
@@ -112,53 +112,6 @@ def hash_grouped_map(
         return part.iloc[0:0]
 
     return routed.groupby("_pkey").map_groups(run, batch_format="pandas")
-
-
-def hash_grouped_first_arrow(
-    ds,
-    key: str,
-    order_cols: list[str],
-    num_partitions: int | None = None,
-):
-    """First-writer-wins per key, Arrow-native end to end.
-
-    Same hash-partition shape as ``hash_grouped_map`` but blocks stay
-    ``pyarrow.Table`` throughout, so nested payload columns (list<struct>
-    spans, binary bodies) never round-trip through pandas object arrays.
-    Winner per key = min over ``order_cols`` (ascending, NULLS LAST).
-    """
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    if num_partitions is None:
-        num_partitions = default_partitions()
-
-    def add_pkey(t: pa.Table) -> pa.Table:
-        # hash only the key column (cheap); deterministic across processes
-        k = (
-            pd.util.hash_pandas_object(
-                pd.Series(t.column(key).to_pylist()), index=False
-            ).to_numpy()
-            % num_partitions
-        ).astype("int32")
-        return t.append_column("_pkey", pa.array(k))
-
-    routed = ds.map_batches(add_pkey, batch_format="pyarrow")
-    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
-
-    def first(t: pa.Table) -> pa.Table:
-        t = t.drop(["_pkey"])
-        if t.num_rows == 0:
-            return t
-        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-        arr = np.asarray(t.column(key).to_pylist(), dtype=object)
-        mask = np.empty(len(arr), dtype=bool)
-        mask[0] = True
-        mask[1:] = arr[1:] != arr[:-1]
-        return t.filter(pa.array(mask))
-
-    return routed.groupby("_pkey").map_groups(first, batch_format="pyarrow")
 
 
 def grouped_sum_topk(

@@ -156,8 +156,11 @@ def cluster_labels_distributed(pairs_ds, num_partitions: int = 8,
         ).sum("c")
         labels = new_labels
         if not changed:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"cluster_labels_distributed did not converge in {max_iters} "
+        f"rounds — a component's diameter exceeds the cap; raise max_iters "
+        f"(labels would silently split otherwise)")
 
 
 # ---------------- minhash ----------------
@@ -201,10 +204,12 @@ def shingle_hashes_batch(texts, k: int = 3) -> list[np.ndarray]:
         if n == 0:
             out.append(np.zeros(0, dtype=np.uint64))
         elif n < k:
-            acc = np.uint64(0)
+            # fold on a length-1 array: scalar uint64 ops emit overflow
+            # RuntimeWarnings on wraparound, array ops wrap silently
+            acc = np.zeros(1, dtype=np.uint64)
             for x in h:
                 acc = acc * _SHINGLE_MIX + x
-            out.append(np.array([acc], dtype=np.uint64))
+            out.append(acc)
         else:
             acc = np.zeros(n - k + 1, dtype=np.uint64)
             for j in range(k):
@@ -285,7 +290,6 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
-    concurrency: int = 4,
     join_partitions: int = 8,
     dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD,
 ):
@@ -546,6 +550,10 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         for k, b in enumerate(other):
             chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
             rest |= chunk << np.uint64(16 * k)
+        if (rest == rest[0]).all():
+            # identical remaining bits can never sub-split — recursing
+            # would redo the same full matmul 4^depth times; do it once
+            return [_hamming_pairs(ids, h)]
         out = []
         for s in range(4):
             sub = (rest >> np.uint64(12 * s)) & np.uint64(0xFFF)

@@ -476,6 +476,7 @@ class FetchParseActor:
                                   max_bytes=crawl_cfg.robots_max_bytes)
         self.num_shards = crawl_cfg.num_shards
         self.cloudflare_challenges = 0  # M19 metrics-only counter
+        self._cf_reported = 0  # portion already flushed to the sink
         # S10 blob archiver staging: populated per batch when
         # cfg.archive_html; drained by fetch_parse_fn's fused sink
         self.pending_blobs: list[dict] = []
@@ -588,6 +589,14 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
         # doubles the doc payload bytes on the (shared) sink disk; drop it
         # here, documents_dataset() reconstructs it vectorized at read time
         _atomic_write(docs.drop_columns(["body"]), out_dir, stem)
+    cf_delta = actor.cloudflare_challenges - actor._cf_reported
+    if cf_delta > 0:  # M19: flush the challenge-counter delta to the sink
+        actor._cf_reported = actor.cloudflare_challenges
+        _atomic_write(
+            pa.table({"counter": ["cloudflare_challenges"],
+                      "n": pa.array([cf_delta], type=pa.int64())}),
+            f"{out_dir}/counters", stem,
+        )
     if actor.pending_blobs:  # S10: raw-HTML blob archive (binary column)
         blobs, actor.pending_blobs = actor.pending_blobs, []
         _atomic_write(

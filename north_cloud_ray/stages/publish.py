@@ -152,13 +152,21 @@ def publisher_telemetry(publishes_ds, history: pd.DataFrame | None = None):
 
     tel = hash_grouped_agg(publishes_ds, ["channel"], partial, combine,
                            num_partitions=4).to_pandas()
+    if "channel" not in tel.columns:  # empty publishes stream
+        tel = pd.DataFrame({"channel": pd.Series(dtype=str),
+                            "published": pd.Series(dtype="int64"),
+                            "first_at": pd.Series(dtype="int64"),
+                            "last_at": pd.Series(dtype="int64")})
     if history is not None and len(history):
-        dedup_counts = history.groupby("channel").size()
-        tel["already_published"] = (
-            tel["channel"].map(dedup_counts).fillna(0).astype("int64")
+        # total (channel, doc) rows already recorded per channel — the
+        # channel's cumulative delivery history, NOT this batch's
+        # suppressed count (which publish() filters before this stage)
+        hist_counts = history.groupby("channel").size()
+        tel["history_total"] = (
+            tel["channel"].map(hist_counts).fillna(0).astype("int64")
         )
     else:
-        tel["already_published"] = 0
+        tel["history_total"] = 0
     return tel.sort_values("channel").reset_index(drop=True)
 
 

@@ -139,18 +139,33 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     The bucketed index is on disk partitioned by bucket; the probe issues
     a read over ONLY the probed buckets' partition directories (true
     partition pruning — no full-corpus scan or per-row filter). Pass
-    ``index_dir`` to reuse a previously built index."""
+    ``index_dir`` to reuse a previously built index; without it an
+    ephemeral index is built in a temp dir and removed before returning."""
     import os
+    import shutil
     import tempfile
 
     import ray.data  # noqa: F401 — ray.data.read_parquet below
 
-    if index_dir is None or not os.path.exists(
+    ephemeral = index_dir is None
+    if ephemeral or not os.path.exists(
             os.path.join(index_dir, "_centroids.parquet")):
         index_dir = index_dir or tempfile.mkdtemp(prefix="ncray-ivf-")
         C = build_ivf_index(ds, index_dir, n_clusters, id_col, vec_col)
     else:
         C = load_ivf_centroids(index_dir)
+    try:
+        return _ivf_probe(index_dir, C, queries, k, nprobe, id_col, vec_col,
+                          concurrency)
+    finally:
+        if ephemeral:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _ivf_probe(index_dir: str, C: np.ndarray, queries: np.ndarray, k: int,
+               nprobe: int, id_col: str, vec_col: str,
+               concurrency: int) -> pd.DataFrame:
+    import os
 
     Q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)

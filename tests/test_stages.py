@@ -125,7 +125,7 @@ def test_exact_dedup(dup_ds):
 
 
 def test_minhash_lsh_dedup(dup_ds):
-    out = minhash_lsh_dedup(dup_ds, jaccard_threshold=0.5, concurrency=2).to_pandas()
+    out = minhash_lsh_dedup(dup_ds, jaccard_threshold=0.5).to_pandas()
     m = dict(zip(out["doc_id"], out["cluster_id"]))
     assert m[0] == m[1] == m[2] == 0
     assert m[3] == 3 and m[4] == 4

@@ -240,3 +240,25 @@ def test_slugify():
     assert slugify("  Mixed   CASE  name ") == "mixed-case-name"
     assert slugify("already-a-slug") == "already-a-slug"
     assert slugify("") == ""
+
+
+def test_cloudflare_counter_flows_to_round_metrics(ray_session, tmp_path):
+    """M19 end-to-end: synthetic Cloudflare hosts produce challenges that
+    the fetch stage counts and the round metrics surface."""
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+
+    runner = CrawlRunner(
+        str(tmp_path / "out"),
+        CrawlConfig(num_shards=2, fetch_concurrency=2, fetch_batch_size=64),
+        SyntheticWebConfig(n_hosts=6, frac_cloudflare=0.9),
+    )
+    runner.run(max_rounds=2)
+    total = 0
+    for rnd in range(2):
+        try:
+            m = runner.store.read_metrics(rnd)
+        except FileNotFoundError:
+            continue
+        total += m.get("counters", {}).get("cloudflare_challenges", 0)
+    assert total > 0
