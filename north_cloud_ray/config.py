@@ -97,6 +97,17 @@ class CrawlConfig:
     use_feeds: bool = False
     use_sitemaps: bool = False
 
+    # A5: proxy URLs for the domain-sticky rotation pool (empty = direct).
+    # Proxy choice is a transport concern: it selects the egress for a
+    # fetch and rotates on failures, but cannot change the deterministic
+    # synthetic response — so oracle equality is proxy-independent.
+    proxies: tuple[str, ...] = ()
+
+    # S7: dispatch render-mode hosts through the render worker client
+    # (render/client.go). On by default — hosts only exist when the web's
+    # frac_render > 0; off turns dynamic hosts into docless fetches.
+    use_render: bool = True
+
     # S10: archive raw HTML bodies to a per-round blob sink
     # (results/blobs/, binary column) — the archive.UploadTask analog
     # (crawler collector.go:394-400). Off by default: doubles fetch I/O.
@@ -131,6 +142,9 @@ class SyntheticWebConfig:
     # with a challenge (Cf-Ray header + challenge body) — exercises the
     # M19 detector end-to-end; 0 = feature off
     frac_cloudflare: float = 0.0
+    # JS-heavy hosts: plain GET serves an empty shell (title only, no
+    # content spans); the render worker (S7) returns the full page
+    frac_render: float = 0.0
     # multiplies per-span word counts; 1 = the F1 generation rule, larger
     # values make bench pages article-sized (~1000+ words) so fetch+parse is
     # compute-dominated like a real crawl

@@ -41,6 +41,7 @@ from ..frontier.normalize import (
 )
 from ..sources.synthetic_web import SyntheticWeb
 from ..stages.fetch_parse import route_fetch
+from ..stages.render import RenderClient, perform_fetch
 from ..state.robots import RobotsCache
 
 
@@ -62,6 +63,9 @@ class OracleSimulator:
         self.cfg = crawl_cfg or CrawlConfig()
         self.web = SyntheticWeb(web_cfg or SyntheticWebConfig())
         self.robots = RobotsCache(ttl_us=self.cfg.robots_ttl_us)
+        self.render_client = (
+            RenderClient(self.web) if self.cfg.use_render else None
+        )
         self.frontier: dict[str, dict] = {}
         self.host_state: dict[str, tuple[int, int]] = {}  # host -> (avail, delay)
         self.claim_log: list[dict] = []   # round, claim_at, url_hash, ...
@@ -186,8 +190,7 @@ class OracleSimulator:
             if not rules.test_agent(path.split("?")[0], cfg.user_agent):
                 res = {"robots_blocked": True}
             else:
-                res = self.web.fetch(row["url"], etag=row["etag"],
-                                     last_modified=row["last_modified"])
+                res = perform_fetch(self.web, self.render_client, row)
             claim = dict(row)
             claim["claim_at"] = claim_at
             upd, doc, links = route_fetch(claim, res, cfg)

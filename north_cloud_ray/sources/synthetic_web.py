@@ -321,8 +321,22 @@ class SyntheticWeb:
     def _etag(self, host: str, j: int) -> str:
         return f'W/"{_hx(self.cfg.seed, host, j, "etag") % 10**12:012d}"'
 
+    def needs_render(self, host: str) -> bool:
+        """S7 render-mode gate: JS-heavy hosts whose plain GET serves an
+        empty shell; only the render worker yields the full page."""
+        return (_hx(self.cfg.seed, host, "render") % 1000
+                < int(self.cfg.frac_render * 1000))
+
+    def render(self, url: str, etag: str | None = None,
+               last_modified: str | None = None) -> FetchResult:
+        """Full semantic fetch of a render-mode page — what the Playwright
+        render worker returns after executing the page's JS."""
+        return self.fetch(url, etag=etag, last_modified=last_modified,
+                          _rendered=True)
+
     def fetch(self, url: str, etag: str | None = None,
-              last_modified: str | None = None) -> FetchResult:
+              last_modified: str | None = None,
+              _rendered: bool = False) -> FetchResult:
         """Deterministic GET. Mirrors the reference fetch contract
         (fetcher/worker.go:464-538): returns final_url after redirects,
         content_type, body capped upstream, conditional-GET 304s."""
@@ -340,6 +354,20 @@ class SyntheticWeb:
         if self._host_index(host) is None:
             return FetchResult(status=0, body=None, final_url=url, content_type="",
                                etag=None, last_modified=None, error="dns_error")
+        if not _rendered and self.needs_render(host):
+            # plain GET of a JS-heavy page: titled shell, no content spans
+            try:
+                title = self.title_for(url_hash(url))
+            except Exception:
+                title = "Loading"
+            return FetchResult(
+                status=_STATUS_OK,
+                body=(f"<html><head><title>{title}</title></head><body>"
+                      f'<div id="app"></div>'
+                      f'<script src="/static/app.js"></script></body></html>'),
+                final_url=url, content_type="text/html", etag=None,
+                last_modified=None, error=None,
+            )
         if _hx(c.seed, host, "cf") % 1000 < int(c.frac_cloudflare * 1000):
             # synthetic Cloudflare front: every page answers a challenge
             # (503 + Cf-Ray header + challenge body). Routing treats it as

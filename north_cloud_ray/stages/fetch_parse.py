@@ -477,6 +477,19 @@ class FetchParseActor:
         self.num_shards = crawl_cfg.num_shards
         self.cloudflare_challenges = 0  # M19 metrics-only counter
         self._cf_reported = 0  # portion already flushed to the sink
+        # S7: render-mode hosts dispatch through the render client
+        from .render import RenderClient
+
+        self.render_client = (
+            RenderClient(self.web) if crawl_cfg.use_render else None
+        )
+        # A5: domain-sticky proxy rotation (per worker process, like the
+        # reference's per-crawler pool); empty config = direct egress
+        from ..state.proxypool import ProxyPool
+
+        self.proxy_pool = (
+            ProxyPool(list(crawl_cfg.proxies)) if crawl_cfg.proxies else None
+        )
         # S10 blob archiver staging: populated per batch when
         # cfg.archive_html; drained by fetch_parse_fn's fused sink
         self.pending_blobs: list[dict] = []
@@ -495,10 +508,16 @@ class FetchParseActor:
             if not rules.test_agent(path.split("?")[0], self.cfg.user_agent):
                 res = {"robots_blocked": True}
             else:
-                res = self.web.fetch(
-                    claim["url"], etag=claim.get("etag"),
-                    last_modified=claim.get("last_modified"),
-                )
+                from .render import perform_fetch
+
+                proxy = None
+                if self.proxy_pool is not None:
+                    proxy = self.proxy_pool.proxy_for(host, claim["claim_at"])
+                res = perform_fetch(self.web, self.render_client, claim)
+                if proxy is not None and (
+                        res.get("error") or (res.get("status") or 0) >= 500):
+                    # transport-level failure: rotate this host's egress
+                    self.proxy_pool.mark_unhealthy(proxy, claim["claim_at"])
             if is_cloudflare_challenge(res.get("headers"), res.get("body")):
                 self.cloudflare_challenges += 1  # metrics-only, no routing change
             if (self.cfg.archive_html and res.get("status") == 200
