@@ -27,7 +27,8 @@ def entry() -> Any:
         out,
         CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128,
                         use_feeds=True, use_sitemaps=True),
-        SyntheticWebConfig(n_hosts=8),
+        SyntheticWebConfig(n_hosts=8, frac_render=0.25,
+                           frac_cloudflare=0.1),
     )
     runner.run(max_rounds=4)
     classified = classify_documents(runner.documents_dataset(), concurrency=2)
