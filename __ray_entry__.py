@@ -28,7 +28,7 @@ def entry() -> Any:
         CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128,
                         use_feeds=True, use_sitemaps=True),
         SyntheticWebConfig(n_hosts=8, frac_render=0.25,
-                           frac_cloudflare=0.1),
+                           frac_cloudflare=0.4),  # selects host 7 at seed 42
     )
     runner.run(max_rounds=4)
     classified = classify_documents(runner.documents_dataset(), concurrency=2)

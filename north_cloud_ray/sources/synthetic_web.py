@@ -354,20 +354,6 @@ class SyntheticWeb:
         if self._host_index(host) is None:
             return FetchResult(status=0, body=None, final_url=url, content_type="",
                                etag=None, last_modified=None, error="dns_error")
-        if not _rendered and self.needs_render(host):
-            # plain GET of a JS-heavy page: titled shell, no content spans
-            try:
-                title = self.title_for(url_hash(url))
-            except Exception:
-                title = "Loading"
-            return FetchResult(
-                status=_STATUS_OK,
-                body=(f"<html><head><title>{title}</title></head><body>"
-                      f'<div id="app"></div>'
-                      f'<script src="/static/app.js"></script></body></html>'),
-                final_url=url, content_type="text/html", etag=None,
-                last_modified=None, error=None,
-            )
         if _hx(c.seed, host, "cf") % 1000 < int(c.frac_cloudflare * 1000):
             # synthetic Cloudflare front: every page answers a challenge
             # (503 + Cf-Ray header + challenge body). Routing treats it as
@@ -394,7 +380,8 @@ class SyntheticWeb:
             # site root 301s to the canonical front page — doc identity always
             # follows the canonical URL, and every seed exercises the
             # UpdateFetchedWithFinalURL path
-            return self._serve(host, 0, self.url_for(host, 0), etag)
+            return self._serve(host, 0, self.url_for(host, 0), etag,
+                               rendered=_rendered)
         j = self._page_table(host).get(path)
         if j is None:
             return FetchResult(status=_STATUS_NOT_FOUND, body=None, final_url=url,
@@ -427,7 +414,7 @@ class SyntheticWeb:
             if t == j:
                 t = (j + 1) % self.page_count(host)
             final = self.url_for(host, t)
-            return self._serve(host, t, final, etag)
+            return self._serve(host, t, final, etag, rendered=_rendered)
         if b < econn:
             return FetchResult(status=0, body=None, final_url=url, content_type="",
                                etag=None, last_modified=None,
@@ -436,9 +423,24 @@ class SyntheticWeb:
             return FetchResult(status=_STATUS_OK, body="{}", final_url=url,
                                content_type="application/json",
                                etag=None, last_modified=None, error=None)
-        return self._serve(host, j, url, etag)
+        return self._serve(host, j, url, etag, rendered=_rendered)
 
-    def _serve(self, host: str, j: int, final_url: str, req_etag: str | None) -> FetchResult:
+    def _serve(self, host: str, j: int, final_url: str, req_etag: str | None,
+               rendered: bool = True) -> FetchResult:
+        if not rendered and self.needs_render(host):
+            # plain GET of a JS-heavy page: titled shell, no content spans.
+            # Gated HERE — after the Cloudflare front, 404/5xx behaviors,
+            # redirects and media paths — so a render-mode host still fails
+            # and redirects exactly like any other host under plain GET.
+            title = self.title_for(url_hash(final_url))
+            return FetchResult(
+                status=_STATUS_OK,
+                body=(f"<html><head><title>{title}</title></head><body>"
+                      f'<div id="app"></div>'
+                      f'<script src="/static/app.js"></script></body></html>'),
+                final_url=final_url, content_type="text/html", etag=None,
+                last_modified=None, error=None,
+            )
         cur_etag = self._etag(host, j)
         if req_etag is not None and req_etag == cur_etag:
             return FetchResult(status=_STATUS_NOT_MODIFIED, body=None,

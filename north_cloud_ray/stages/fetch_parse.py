@@ -60,6 +60,7 @@ from ..frontier.normalize import (
 )
 from ..sources.synthetic_web import SyntheticWeb
 from ..state.robots import RobotsCache
+from .render import perform_fetch
 
 _TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
 _SPAN_RE = re.compile(r"<p>(.*?)</p>|<img src=\"([^\"]*)\"\s*/?>", re.S)
@@ -508,15 +509,15 @@ class FetchParseActor:
             if not rules.test_agent(path.split("?")[0], self.cfg.user_agent):
                 res = {"robots_blocked": True}
             else:
-                from .render import perform_fetch
-
                 proxy = None
                 if self.proxy_pool is not None:
                     proxy = self.proxy_pool.proxy_for(host, claim["claim_at"])
                 res = perform_fetch(self.web, self.render_client, claim)
-                if proxy is not None and (
-                        res.get("error") or (res.get("status") or 0) >= 500):
-                    # transport-level failure: rotate this host's egress
+                if proxy is not None and res.get("error"):
+                    # TRANSPORT failure (dns/conn/redirect-loop): rotate this
+                    # host's egress. Origin-side 5xx (incl. Cloudflare 503
+                    # challenges) is NOT the proxy's fault — marking it would
+                    # poison the whole pool under steady CF traffic.
                     self.proxy_pool.mark_unhealthy(proxy, claim["claim_at"])
             if is_cloudflare_challenge(res.get("headers"), res.get("body")):
                 self.cloudflare_challenges += 1  # metrics-only, no routing change

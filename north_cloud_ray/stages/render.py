@@ -22,6 +22,9 @@ from __future__ import annotations
 class RenderClient:
     def __init__(self, web=None, backend: str = "synthetic",
                  timeout_ms: int = 30_000, wait_until: str = "networkidle"):
+        # timeout_ms/wait_until mirror RenderRequest fields; they shape the
+        # 'real' backend's HTTP payload and are RESERVED here — the
+        # synthetic renderer is instantaneous and ignores them.
         if backend == "real":
             raise NotImplementedError(
                 "Playwright render sidecar is not available in this "

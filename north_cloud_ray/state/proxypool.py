@@ -68,13 +68,14 @@ class ProxyPool:
 
     def _next_healthy(self, now_us: int) -> str:
         start = self._robin
-        self._robin += 1
         n = len(self.proxies)
         for i in range(n):
             cand = self.proxies[(start + i) % n]
             until = self._health.get(cand)
-            if until is None or now_us > until:
+            if until is None or now_us >= until:  # same boundary as sticky
+                self._robin = (start + i + 1) % n  # advance PAST the pick
                 return cand
+        self._robin = (start + 1) % n
         return self.proxies[start % n]  # all unhealthy: best-effort
 
     def _evict_stale(self, now_us: int) -> None:
