@@ -327,16 +327,18 @@ def classify_and_store(runner, rules: tuple[TopicRule, ...] | None = None,
         return batch.drop(columns=[c for c in ("topic_scores",)
                                    if c in batch.columns])
 
-    from .agg import hash_grouped_map
+    from .agg import hash_grouped_agg
 
     flat = classified.map_batches(statusify, batch_format="pandas")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        # IndexRawContentIfAbsent first-writer-wins per doc_id
-        return g.sort_values(["crawled_at", "source_id", "url"],
-                             kind="mergesort").head(1)
+    def first(b: pd.DataFrame) -> pd.DataFrame:
+        # IndexRawContentIfAbsent first-writer-wins per doc_id: min by
+        # (crawled_at, source_id, url) is associative, so the vectorized
+        # sort + drop_duplicates works as both partial and combine
+        return b.sort_values(["doc_id", "crawled_at", "source_id", "url"],
+                             kind="mergesort").drop_duplicates("doc_id")
 
-    stored = hash_grouped_map(flat, ["doc_id"], first)
+    stored = hash_grouped_agg(flat, ["doc_id"], first, first)
     stored.write_parquet(out_dir)
     import ray.data as _rd
 

@@ -43,18 +43,21 @@ def add_text_sha(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per exact text hash, hash-partitioned (S7-style
-    first-wins)."""
-    from .agg import hash_grouped_map
+    """Keep the min-id row per exact text hash, hash-partitioned
+    first-wins. Min-by-id is associative, so it runs as a fully vectorized
+    sort + drop_duplicates at BOTH levels (per-batch partial, per-partition
+    combine) — no per-key Python dispatch."""
+    from .agg import hash_grouped_agg
 
     ds = ds.map_batches(
         lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
     )
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col, kind="mergesort").head(1)
+    def keep_min(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["text_sha", id_col], kind="mergesort") \
+                .drop_duplicates("text_sha", keep="first")
 
-    return hash_grouped_map(ds, ["text_sha"], first)
+    return hash_grouped_agg(ds, ["text_sha"], keep_min, keep_min)
 
 
 # ---------------- clustering helper ----------------
