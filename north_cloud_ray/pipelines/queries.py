@@ -415,24 +415,28 @@ def events_tumbling_window(sf_dir: str):
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user via sorted
-    map_groups — ordering assumption: (ts, event_id) within user."""
-    from ..stages.agg import hash_grouped_map
+    """Session windows (30-min inactivity gap) per user. Events hash-route
+    by user so each partition holds its users' FULL event streams; the
+    session count is then one vectorized sort + shifted-diff over the
+    whole partition (ordering: (ts, event_id) within user) — no per-user
+    Python dispatch."""
+    from ..stages.agg import hash_grouped_agg
 
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
-            }
-        )
+    def sessions_part(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"user_id": pd.Series(dtype=object),
+                                 "n_sessions": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = p["user_id"].ne(p["user_id"].shift())
+        gap = (p["ts"].diff() > pd.Timedelta(minutes=30)) & ~new_user
+        p = p.assign(_start=(new_user | gap).astype("int64"))
+        return p.groupby("user_id", as_index=False).agg(
+            n_sessions=("_start", "sum"), n_events=("_start", "size"))
 
-    return hash_grouped_map(ev, ["user_id"], sessions)
+    return hash_grouped_agg(ev, ["user_id"], lambda b: b, sessions_part)
 
 
 # ---------------- text / documents ----------------
