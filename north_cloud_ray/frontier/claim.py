@@ -20,6 +20,8 @@ sequences (SURVEY.md §7.4.2).
 
 from __future__ import annotations
 
+import heapq
+
 import numpy as np
 import pandas as pd
 
@@ -37,6 +39,11 @@ def claim_host(
     at least (url_hash, priority, next_fetch_at[int us]).
     Returns ([(row_index, claim_at_us), ...], new_host_available_us).
     Row indices are positional into ``urls``.
+
+    O((n + claims) log n): rows enter a preference-rank min-heap as the
+    host clock passes their next_fetch_at (released in nfa order via one
+    argsort); each claim pops the best AVAILABLE row instead of rescanning
+    the full preference order (the old O(claims × n) inner loop).
     """
     n = len(urls)
     if n == 0:
@@ -46,25 +53,31 @@ def claim_host(
     if np.issubdtype(nfa.dtype, np.datetime64):
         nfa = nfa.astype("datetime64[us]").astype(np.int64)
     uh = urls["url_hash"].to_numpy()
-    # pre-sort by claim preference: priority DESC, next_fetch_at ASC, url_hash ASC
+    # preference order: priority DESC, next_fetch_at ASC, url_hash ASC.
+    # rank[i] = position of row i in that order; the heap holds ranks, so
+    # popping the min rank == picking the first eligible preference row.
     order = np.lexsort((uh, nfa, -prio.astype(np.int64)))
-    claimed = np.zeros(n, dtype=bool)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    by_nfa = np.argsort(nfa, kind="stable")
+    nfa_sorted = nfa[by_nfa].tolist()
+    rank_by_nfa = rank[by_nfa].tolist()
+
+    avail: list[int] = []  # heap of preference ranks with nfa <= h_time
+    ptr = 0
     out: list[tuple[int, int]] = []
     h_time = max(t_start, host_available_us)
     min_delay_us = max(1, min_delay_us)
     while h_time < t_end:
-        pick = -1
-        for idx in order:
-            if not claimed[idx] and nfa[idx] <= h_time:
-                pick = idx
+        while ptr < n and nfa_sorted[ptr] <= h_time:
+            heapq.heappush(avail, rank_by_nfa[ptr])
+            ptr += 1
+        if not avail:
+            if ptr >= n or nfa_sorted[ptr] >= t_end:
                 break
-        if pick < 0:
-            future = nfa[(~claimed) & (nfa > h_time) & (nfa < t_end)]
-            if len(future) == 0:
-                break
-            h_time = int(future.min())
+            h_time = int(nfa_sorted[ptr])  # jump to the next due row
             continue
-        claimed[pick] = True
+        pick = order[heapq.heappop(avail)]
         out.append((int(pick), h_time))
         h_time += min_delay_us
     new_avail = h_time if out else host_available_us

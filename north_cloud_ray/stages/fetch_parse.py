@@ -586,6 +586,11 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
       the only per-round rows the driver-side rename resolution needs.
 
     Without ``out_dir`` the full result table is returned (unit tests)."""
+    if batch.num_rows == 0:
+        # Ray's batcher currently skips empty blocks, but don't bet a round
+        # on that: the stem derivation below indexes url_hash[0]/[-1]
+        empty = RESULT_SCHEMA.empty_table()
+        return empty if out_dir is None else empty.select(LIGHT_COLS)
     key = (web_cfg, crawl_cfg)
     actor = _PROCESS_STATE.get(key)
     if actor is None:

@@ -52,6 +52,81 @@ def test_claim_host_carryover():
     assert picks2 == [(0, 1_000_000)]
 
 
+def _claim_host_bruteforce(urls, t_start, t_end, min_delay_us, avail):
+    """The original O(claims x n) reference loop, kept as the test oracle
+    for the heap-based implementation."""
+    import numpy as np
+
+    n = len(urls)
+    if n == 0:
+        return [], avail
+    prio = urls["priority"].to_numpy()
+    nfa = urls["next_fetch_at"].to_numpy()
+    uh = urls["url_hash"].to_numpy()
+    order = np.lexsort((uh, nfa, -prio.astype(np.int64)))
+    claimed = np.zeros(n, dtype=bool)
+    out = []
+    h_time = max(t_start, avail)
+    min_delay_us = max(1, min_delay_us)
+    while h_time < t_end:
+        pick = -1
+        for idx in order:
+            if not claimed[idx] and nfa[idx] <= h_time:
+                pick = idx
+                break
+        if pick < 0:
+            future = nfa[(~claimed) & (nfa > h_time) & (nfa < t_end)]
+            if len(future) == 0:
+                break
+            h_time = int(future.min())
+            continue
+        claimed[pick] = True
+        out.append((int(pick), h_time))
+        h_time += min_delay_us
+    return out, (h_time if out else avail)
+
+
+def test_claim_host_heap_equals_bruteforce_randomized():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(1, 60))
+        urls = _urls([
+            (f"u{rng.integers(0, 10**6):06d}", int(rng.integers(1, 11)),
+             int(rng.integers(0, 8_000_000)))
+            for _ in range(n)
+        ])
+        t0 = int(rng.integers(0, 2_000_000))
+        t1 = t0 + int(rng.integers(1_000_000, 9_000_000))
+        delay = int(rng.integers(1, 4)) * 500_000
+        avail = int(rng.integers(0, 3_000_000))
+        got = claim_host(urls, t0, t1, delay, avail)
+        want = _claim_host_bruteforce(urls, t0, t1, delay, avail)
+        assert got == want, f"trial {trial}"
+
+
+def test_claim_host_mega_host_fast():
+    """10^5 pending rows, 10^3 claim slots: must finish in O((n+c) log n),
+    i.e. well under a second — the old inner loop took ~minutes here."""
+    import time
+
+    import numpy as np
+
+    n = 100_000
+    rng = np.random.default_rng(3)
+    urls = pd.DataFrame({
+        "url_hash": [f"h{i:07d}" for i in rng.permutation(n)],
+        "priority": rng.integers(1, 11, n).astype(np.int8),
+        "next_fetch_at": rng.integers(0, 10_000_000, n).astype(np.int64),
+    })
+    t0 = time.perf_counter()
+    picks, avail = claim_host(urls, 0, 10_000_000, 10_000, 0)
+    dt = time.perf_counter() - t0
+    assert len(picks) == 1000  # window/delay slots all filled
+    assert dt < 2.0, f"claim_host took {dt:.2f}s on a 10^5-row host"
+
+
 def test_claim_shard_unknown_host_claimable():
     """LEFT JOIN semantics: unknown host => claimable immediately."""
     pending = pd.DataFrame(
