@@ -23,12 +23,16 @@ def entry() -> Any:
     import tempfile
 
     out = tempfile.mkdtemp(prefix="ncray-entry-")
+    from north_cloud_ray.config import US_PER_SEC
+
     runner = CrawlRunner(
         out,
         CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128,
-                        use_feeds=True, use_sitemaps=True),
+                        use_feeds=True, use_sitemaps=True,
+                        recrawl_baseline_us=60 * US_PER_SEC),  # A4 on
         SyntheticWebConfig(n_hosts=8, frac_render=0.25,
-                           frac_cloudflare=0.4),  # selects host 7 at seed 42
+                           frac_cloudflare=0.4,  # selects host 7 at seed 42
+                           frac_changing=0.2),
     )
     runner.run(max_rounds=4)
     classified = classify_documents(runner.documents_dataset(), concurrency=2)

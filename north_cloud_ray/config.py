@@ -113,6 +113,15 @@ class CrawlConfig:
     # (crawler collector.go:394-400). Off by default: doubles fetch I/O.
     archive_html: bool = False
 
+    # A4: adaptive recrawl baseline (hash_tracker.go:20-27). When > 0,
+    # fetched rows re-enter the claimable set once
+    # last_fetched_at + baseline * 2^unchanged_count (capped 24 h) elapses:
+    # the merge step stamps that due time into next_fetch_at, and the claim
+    # step considers status='fetched' rows alongside 'pending' ones. The
+    # stored etag then drives the conditional-GET 304 path on the refetch
+    # (fetcher/worker.go:528-538). 0 = recrawl off (fetch-once crawl).
+    recrawl_baseline_us: int = 0
+
     # total fetches allowed per host per round is derived:
     def host_slots(self, min_delay_us: int) -> int:
         d = max(1, min_delay_us)
@@ -149,6 +158,11 @@ class SyntheticWebConfig:
     # values make bench pages article-sized (~1000+ words) so fetch+parse is
     # compute-dominated like a real crawl
     text_scale: int = 1
+    # fraction of pages whose text content (and etag) changes every
+    # change_period_us of virtual time — exercises the changed-content
+    # recrawl path (A4). 0 = fully static web (every recrawl 304s).
+    frac_changing: float = 0.0
+    change_period_us: int = 120 * US_PER_SEC
 
 
 @dataclass(frozen=True)

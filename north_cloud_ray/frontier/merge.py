@@ -76,6 +76,7 @@ def merge_shard(
     rename_inserts: pd.DataFrame,
     rename_rejected: set[str],
     max_retries: int,
+    recrawl_baseline_us: int = 0,
 ) -> pd.DataFrame:
     """One shard's frontier partition through one round.
 
@@ -89,8 +90,16 @@ def merge_shard(
                          accepted INTO this shard; may originate in another shard).
     ``rename_rejected``— url_hashes whose rename lost/conflicted: fall back to
                          plain UpdateFetched on the original row (23505 path).
+    ``recrawl_baseline_us`` — A4 adaptive recrawl baseline (0 = off). When
+                         on, fetched rows track unchanged_count (304 or
+                         hash-equal 200 increments, change resets —
+                         hash_tracker.go:108-174) and get next_fetch_at =
+                         last_fetched_at + baseline * 2^unchanged_count
+                         (capped 24 h) so the claim step can re-queue them.
     """
     df = old.copy()
+    if "unchanged_count" not in df.columns:  # pre-A4 frames / test fixtures
+        df["unchanged_count"] = np.int32(0)
     df.set_index("url_hash", drop=False, inplace=True)
 
     # --- (3) submits against pending, non-claimed rows ---
@@ -124,6 +133,7 @@ def merge_shard(
             add["last_modified"] = None
             add["retry_count"] = np.int8(0)
             add["last_error"] = None
+            add["unchanged_count"] = np.int32(0)
             add = add.reindex(columns=df.columns, fill_value=None)
             add.set_index("url_hash", drop=False, inplace=True)
             df = pd.concat([df, add])
@@ -146,12 +156,29 @@ def merge_shard(
         fetched = upd.loc[upd["outcome"] == "fetched"]
         if len(fetched):
             ix = fetched["url_hash"].to_numpy()
+            # A4 tracker update BEFORE content_hash is overwritten: 304
+            # (null new hash) or hash-equal 200 increments, change resets
+            new_hash = fetched["content_hash"].to_numpy()
+            old_hash = df.loc[ix, "content_hash"].to_numpy()
+            old_uc = df.loc[ix, "unchanged_count"].to_numpy().astype(np.int64)
+            unchanged = pd.isna(new_hash) | (
+                ~pd.isna(old_hash) & (new_hash == old_hash)
+            )
+            uc_new = np.where(unchanged, old_uc + 1, 0).astype(np.int32)
+            df.loc[ix, "unchanged_count"] = uc_new
             df.loc[ix, "status"] = STATUS_FETCHED
             df.loc[ix, "last_fetched_at"] = fetched["claim_at"].to_numpy()
             df.loc[ix, "fetch_count"] = df.loc[ix, "fetch_count"].to_numpy() + 1
             df.loc[ix, "retry_count"] = np.int8(0)
             for col in ("content_hash", "etag", "last_modified"):
                 df.loc[ix, col] = fetched[col].to_numpy()
+            if recrawl_baseline_us > 0:
+                from ..state.adaptive import interval_us_array
+
+                df.loc[ix, "next_fetch_at"] = (
+                    fetched["claim_at"].to_numpy()
+                    + interval_us_array(recrawl_baseline_us, uc_new)
+                )
 
         failed = upd.loc[upd["outcome"] == "failed"]
         if len(failed):

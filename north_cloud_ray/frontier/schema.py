@@ -31,6 +31,9 @@ FRONTIER_SCHEMA = pa.schema(
         ("retry_count", pa.int8()),
         ("last_error", pa.string()),
         ("discovered_at", pa.int64()),
+        # A4 adaptive-recrawl tracker state (hash_tracker.go:20-27): number
+        # of consecutive unchanged fetches; recrawl interval doubles with it
+        ("unchanged_count", pa.int32()),
     ]
 )
 

@@ -143,6 +143,7 @@ def seed_frontier_table(seeds: list[dict], num_shards: int) -> pd.DataFrame:
     df["last_modified"] = None
     df["retry_count"] = np.int8(0)
     df["last_error"] = None
+    df["unchanged_count"] = np.int32(0)
     df["shard"] = (df["host_hash"].to_numpy(dtype=np.uint64) % num_shards).astype(np.int32)
     return df
 
@@ -255,11 +256,23 @@ def _claim_task(
 ):
     """Per-shard claim step. Returns ((n_pending_total, n_claims,
     host_state), *claims_chunks) — call with num_returns=1+n_chunks."""
+    from ..config import STATUS_FETCHED
+
+    # A4: with adaptive recrawl on, fetched rows are claimable again once
+    # their merge-stamped next_fetch_at (last fetch + adaptive interval)
+    # arrives — still a pushdown-pruned read, never a full-frontier scan
+    statuses = [STATUS_PENDING]
+    if crawl_cfg.recrawl_baseline_us > 0:
+        statuses.append(STATUS_FETCHED)
     pending = pq.read_table(
         frontier_path,
-        filters=[("status", "=", STATUS_PENDING)],
+        filters=[("status", "in", statuses)],
     )
-    n_pending_total = pending.num_rows
+    n_pending_total = int(
+        pa.compute.sum(
+            pa.compute.equal(pending["status"], STATUS_PENDING)
+        ).as_py() or 0
+    )
     due = pending.filter(pa.compute.less(pending["next_fetch_at"], t_end))
     web = SyntheticWeb(web_cfg)
 
@@ -367,6 +380,7 @@ def _merge_task(
     max_retries: int,
     cuckoo_in: str | None = None,
     cuckoo_out: str | None = None,
+    recrawl_baseline_us: int = 0,
 ) -> dict:
     """Per-shard merge step: apply submits + outcomes, write round r+1 state.
 
@@ -382,7 +396,8 @@ def _merge_task(
     cands = cands[CAND_COLS[:-1]]
     ins = rename_inserts.to_pandas() if rename_inserts is not None else pd.DataFrame()
     merged = merge_shard(
-        old, claimed, updates, cands, ins, set(rename_rejected), max_retries
+        old, claimed, updates, cands, ins, set(rename_rejected), max_retries,
+        recrawl_baseline_us=recrawl_baseline_us,
     )
     CheckpointStore.write_table(_frontier_to_table(merged), out_frontier)
     CheckpointStore.write_table(host_state, out_host_state)
@@ -652,6 +667,7 @@ class CrawlRunner:
                 cfg.max_retries,
                 store.cuckoo_path(rnd, s),
                 store.cuckoo_path(rnd + 1, s),
+                cfg.recrawl_baseline_us,
             )
             for s in range(cfg.num_shards)
         ]
@@ -756,7 +772,15 @@ class CrawlRunner:
                     "depth": j["depth"].astype("int32"),
                     "priority": j["priority"].astype("int8"),
                     "status": "fetched",
-                    "next_fetch_at": j["next_fetch_at"].astype("int64"),
+                    # a renamed row is a NEW url_hash identity: its tracker
+                    # starts at 0, and with recrawl on its due time is one
+                    # baseline after this fetch
+                    "unchanged_count": np.int32(0),
+                    "next_fetch_at": (
+                        j["claim_at"].astype("int64") + cfg.recrawl_baseline_us
+                        if cfg.recrawl_baseline_us > 0
+                        else j["next_fetch_at"].astype("int64")
+                    ),
                     "last_fetched_at": j["claim_at"].astype("int64"),
                     "fetch_count": (j["fetch_count"] + 1).astype("int32"),
                     "content_hash": j["content_hash"],

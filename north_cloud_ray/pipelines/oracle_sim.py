@@ -54,6 +54,7 @@ def _new_row(url, uh, host, source_id, origin, parent_url, depth, priority, nfa,
         "next_fetch_at": nfa, "last_fetched_at": 0, "fetch_count": 0,
         "content_hash": None, "etag": None, "last_modified": None,
         "retry_count": 0, "last_error": None, "discovered_at": disc,
+        "unchanged_count": 0,
     }
 
 
@@ -129,8 +130,11 @@ class OracleSimulator:
     # ---- claim (independent implementation) ----
     def _claim_round(self, t_start: int, t_end: int) -> list[tuple[dict, int]]:
         by_host: dict[str, list[dict]] = {}
+        claimable = {STATUS_PENDING}
+        if self.cfg.recrawl_baseline_us > 0:  # A4: recrawl fetched rows
+            claimable.add(STATUS_FETCHED)
         for row in self.frontier.values():
-            if row["status"] == STATUS_PENDING and row["next_fetch_at"] < t_end:
+            if row["status"] in claimable and row["next_fetch_at"] < t_end:
                 by_host.setdefault(row["host"], []).append(row)
         claims: list[tuple[dict, int]] = []
         for host in sorted(by_host):
@@ -187,12 +191,13 @@ class OracleSimulator:
             rules = self.robots.get_or_fetch(row["host"], claim_at,
                                              self.web.robots_fetch)
             path = "/" + row["url"].split("://", 1)[1].partition("/")[2]
+            claim = dict(row)
+            claim["claim_at"] = claim_at
             if not rules.test_agent(path.split("?")[0], cfg.user_agent):
                 res = {"robots_blocked": True}
             else:
-                res = perform_fetch(self.web, self.render_client, row)
-            claim = dict(row)
-            claim["claim_at"] = claim_at
+                # claim (not row): claim_at selects changing-page epochs
+                res = perform_fetch(self.web, self.render_client, claim)
             upd, doc, links = route_fetch(claim, res, cfg)
             outcomes.append((row, upd, doc, links, claim_at))
 
@@ -286,7 +291,8 @@ class OracleSimulator:
         # (5) apply outcomes
         for row, upd, doc, links, claim_at in outcomes:
             if upd["outcome"] == "fetched":
-                if upd["renamed"] and row["url_hash"] not in rejected:
+                renamed_ok = upd["renamed"] and row["url_hash"] not in rejected
+                if renamed_ok:
                     del self.frontier[row["url_hash"]]
                     row = dict(row)
                     row["url"] = upd["final_url"]
@@ -294,6 +300,17 @@ class OracleSimulator:
                     row["host"] = upd["final_host"]
                     row["host_hash"] = upd["final_host_hash"]
                     self.frontier[row["url_hash"]] = row
+                # A4 tracker (same rule as merge_shard): renamed rows are a
+                # new url_hash identity and reset; 304 (null new hash) or
+                # hash-equal 200 increments; change resets
+                if renamed_ok:
+                    row["unchanged_count"] = 0
+                else:
+                    new_h, old_h = upd["content_hash"], row["content_hash"]
+                    if new_h is None or (old_h is not None and new_h == old_h):
+                        row["unchanged_count"] = row.get("unchanged_count", 0) + 1
+                    else:
+                        row["unchanged_count"] = 0
                 row["status"] = STATUS_FETCHED
                 row["last_fetched_at"] = claim_at
                 row["fetch_count"] += 1
@@ -301,6 +318,12 @@ class OracleSimulator:
                 row["content_hash"] = upd["content_hash"]
                 row["etag"] = upd["etag"]
                 row["last_modified"] = upd["last_modified"]
+                if self.cfg.recrawl_baseline_us > 0:
+                    from ..state.adaptive import adaptive_interval_us
+
+                    row["next_fetch_at"] = claim_at + adaptive_interval_us(
+                        self.cfg.recrawl_baseline_us, row["unchanged_count"]
+                    )
             elif upd["outcome"] == "failed":
                 rc = row["retry_count"]
                 row["retry_count"] = rc + 1

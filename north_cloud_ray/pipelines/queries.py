@@ -627,12 +627,19 @@ def _crawl(tag: str):
         import tempfile
 
         out = tempfile.mkdtemp(prefix="ncray-crawl-")
+        from ..config import US_PER_SEC
+
         runner = CrawlRunner(
             out,
             CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128,
-                        use_feeds=True, use_sitemaps=True),
+                        use_feeds=True, use_sitemaps=True,
+                        # A4: adaptive recrawl on — fetched rows re-enter the
+                        # claim set one baseline (doubling per unchanged
+                        # fetch) after their last fetch
+                        recrawl_baseline_us=60 * US_PER_SEC),
             SyntheticWebConfig(n_hosts=8, frac_render=0.25,
-                           frac_cloudflare=0.4),  # selects host 7 at seed 42
+                           frac_cloudflare=0.4,  # selects host 7 at seed 42
+                           frac_changing=0.2),
         )
         runner.run(max_rounds=4)
         _CRAWL_CACHE["runner"] = runner
@@ -726,30 +733,55 @@ def source_reputation_q(sf_dir: str):
 def crawl_claim_log(sf_dir: str):
     """SURVEY §7.3 crawl-order verification output: the global claim
     sequence, deterministically ordered by (round, claim_at, priority DESC,
-    next_fetch_at, url_hash) — byte-stable across runs (rows-only)."""
+    next_fetch_at, url_hash) — byte-stable across runs (rows-only).
+
+    Fully a Dataset pipeline: the per-round claims parquet is read
+    distributed (round derived from the file path), the dense claim_seq is
+    a per-round rank plus a per-round offset — the only driver-side state
+    is the #rounds-sized offset table, never the claim rows themselves."""
     import glob as _glob
     import os as _os
 
-    import pyarrow.parquet as _pq
+    import ray.data as rd
 
     runner = _crawl("claimlog")
-    frames = []
-    for d in sorted(_glob.glob(_os.path.join(runner.store.root, "rounds", "round-*"))):
-        rnd = int(_os.path.basename(d).split("-")[1])
-        files = _glob.glob(_os.path.join(d, "claims", "*.parquet"))
-        if not files:
-            continue
-        df = _pq.read_table(files).to_pandas()
-        if len(df):
-            df["round"] = rnd
-            frames.append(df)
-    log = pd.concat(frames, ignore_index=True).sort_values(
-        ["round", "claim_at", "priority", "next_fetch_at", "url_hash"],
-        ascending=[True, True, False, True, True], kind="mergesort",
-    ).reset_index(drop=True)
-    log["claim_seq"] = np.arange(len(log), dtype=np.int64)
-    return log[["claim_seq", "round", "claim_at", "url_hash", "url", "host",
-                "priority"]]
+    paths = sorted(_glob.glob(_os.path.join(
+        runner.store.root, "rounds", "round-*", "claims", "*.parquet")))
+    ds = rd.read_parquet(paths, include_paths=True)
+
+    def add_round(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["round"] = (
+            b["path"].str.extract(r"round-(\d+)")[0].astype("int64")
+        )
+        return b.drop(columns=["path"])
+
+    ds = ds.map_batches(add_round, batch_format="pandas")
+    # per-round claim counts: bounded by the number of rounds
+    counts = {
+        int(r["round"]): int(r["count()"])
+        for r in ds.groupby("round").count().take_all()
+    }
+    offsets, acc = {}, 0
+    for r in sorted(counts):
+        offsets[r] = acc
+        acc += counts[r]
+
+    def seq_one_round(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["claim_at", "priority", "next_fetch_at", "url_hash"],
+            ascending=[True, False, True, True], kind="mergesort",
+        ).reset_index(drop=True)
+        g["claim_seq"] = offsets[int(g["round"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64)
+        return g[["claim_seq", "round", "claim_at", "url_hash", "url",
+                  "host", "priority"]]
+
+    return (
+        ds.groupby("round")
+        .map_groups(seq_one_round, batch_format="pandas")
+        .sort("claim_seq")
+    )
 
 
 def round_metrics(sf_dir: str):

@@ -227,13 +227,28 @@ class SyntheticWeb:
 
     # ---- page content ----
 
-    def expected_spans(self, url: str) -> list[dict]:
-        """The F1 span list for a page URL (the parse-stage oracle)."""
+    def expected_spans(self, url: str, now_us: int = 0) -> list[dict]:
+        """The F1 span list for a page URL (the parse-stage oracle).
+        ``now_us`` selects the content epoch for changing pages (A4)."""
         doc_id = url_hash(url)
         host = url.split("/", 3)[2]
-        return self._spans_for(doc_id, host)
+        path = "/" + url.split("://", 1)[1].partition("/")[2]
+        path = path.split("?", 1)[0].split("#", 1)[0]
+        j = self._page_table(host).get(path)
+        epoch = self._content_epoch(host, j, now_us) if j is not None else 0
+        return self._spans_for(doc_id, host, epoch=epoch)
 
-    def _spans_for(self, doc_id: str, host: str) -> list[dict]:
+    def is_changing(self, host: str, j: int) -> bool:
+        """Pages whose content varies by virtual-time epoch (A4 test knob)."""
+        return (_hx(self.cfg.seed, host, j, "chg") % 1000
+                < int(self.cfg.frac_changing * 1000))
+
+    def _content_epoch(self, host: str, j: int, now_us: int) -> int:
+        if now_us <= 0 or not self.is_changing(host, j):
+            return 0
+        return now_us // max(1, self.cfg.change_period_us)
+
+    def _spans_for(self, doc_id: str, host: str, epoch: int = 0) -> list[dict]:
         # one hash per span (not per word): span k's digest bytes index the
         # word pool directly, keeping generation deterministic but ~20x
         # cheaper than hashing every word separately
@@ -241,8 +256,11 @@ class SyntheticWeb:
         n = 3 + _hx(s, doc_id, "n") % 12
         spans = []
         nw_pool = len(_WORDS)
+        # epoch 0 keys are byte-identical to the static-web generation rule;
+        # later epochs re-derive every span's content (changed recrawl)
+        salt = "" if epoch == 0 else f":e{epoch}"
         for k in range(n):
-            dig = hashlib.sha256(f"{s}:{doc_id}:{k}:sp".encode()).digest()
+            dig = hashlib.sha256(f"{s}:{doc_id}:{k}:sp{salt}".encode()).digest()
             if dig[0] % 100 < 25:
                 ref = f"https://{host}/media/{dig[1:7].hex()}.jpg"
                 spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": k})
@@ -292,7 +310,7 @@ class SyntheticWeb:
             out.append(u)
         return out
 
-    def render_html(self, host: str, j: int) -> str:
+    def render_html(self, host: str, j: int, epoch: int = 0) -> str:
         url = self.url_for(host, j)
         doc_id = url_hash(url)
         title = self.title_for(doc_id)
@@ -302,7 +320,7 @@ class SyntheticWeb:
             if self.has_feed(host) else ""
         )
         parts = [f"<html><head><title>{title}</title>{feed_link}</head><body>"]
-        for sp in self._spans_for(doc_id, host):
+        for sp in self._spans_for(doc_id, host, epoch=epoch):
             if sp["kind"] == "text":
                 parts.append(f"<p>{sp['text']}</p>")
             else:
@@ -318,8 +336,12 @@ class SyntheticWeb:
     def _behavior(self, host: str, j: int) -> int:
         return _hx(self.cfg.seed, host, j, "beh") % 1000
 
-    def _etag(self, host: str, j: int) -> str:
-        return f'W/"{_hx(self.cfg.seed, host, j, "etag") % 10**12:012d}"'
+    def _etag(self, host: str, j: int, epoch: int = 0) -> str:
+        # epoch-0 etags are byte-identical to the static rule; a changing
+        # page's etag rolls with its content epoch so conditional GETs 200
+        key = (_hx(self.cfg.seed, host, j, "etag") if epoch == 0
+               else _hx(self.cfg.seed, host, j, "etag", epoch))
+        return f'W/"{key % 10**12:012d}"'
 
     def needs_render(self, host: str) -> bool:
         """S7 render-mode gate: JS-heavy hosts whose plain GET serves an
@@ -328,15 +350,16 @@ class SyntheticWeb:
                 < int(self.cfg.frac_render * 1000))
 
     def render(self, url: str, etag: str | None = None,
-               last_modified: str | None = None) -> FetchResult:
+               last_modified: str | None = None,
+               now_us: int = 0) -> FetchResult:
         """Full semantic fetch of a render-mode page — what the Playwright
         render worker returns after executing the page's JS."""
         return self.fetch(url, etag=etag, last_modified=last_modified,
-                          _rendered=True)
+                          _rendered=True, now_us=now_us)
 
     def fetch(self, url: str, etag: str | None = None,
               last_modified: str | None = None,
-              _rendered: bool = False) -> FetchResult:
+              _rendered: bool = False, now_us: int = 0) -> FetchResult:
         """Deterministic GET. Mirrors the reference fetch contract
         (fetcher/worker.go:464-538): returns final_url after redirects,
         content_type, body capped upstream, conditional-GET 304s."""
@@ -381,7 +404,7 @@ class SyntheticWeb:
             # follows the canonical URL, and every seed exercises the
             # UpdateFetchedWithFinalURL path
             return self._serve(host, 0, self.url_for(host, 0), etag,
-                               rendered=_rendered)
+                               rendered=_rendered, now_us=now_us)
         j = self._page_table(host).get(path)
         if j is None:
             return FetchResult(status=_STATUS_NOT_FOUND, body=None, final_url=url,
@@ -414,7 +437,8 @@ class SyntheticWeb:
             if t == j:
                 t = (j + 1) % self.page_count(host)
             final = self.url_for(host, t)
-            return self._serve(host, t, final, etag, rendered=_rendered)
+            return self._serve(host, t, final, etag, rendered=_rendered,
+                               now_us=now_us)
         if b < econn:
             return FetchResult(status=0, body=None, final_url=url, content_type="",
                                etag=None, last_modified=None,
@@ -423,10 +447,11 @@ class SyntheticWeb:
             return FetchResult(status=_STATUS_OK, body="{}", final_url=url,
                                content_type="application/json",
                                etag=None, last_modified=None, error=None)
-        return self._serve(host, j, url, etag, rendered=_rendered)
+        return self._serve(host, j, url, etag, rendered=_rendered,
+                           now_us=now_us)
 
     def _serve(self, host: str, j: int, final_url: str, req_etag: str | None,
-               rendered: bool = True) -> FetchResult:
+               rendered: bool = True, now_us: int = 0) -> FetchResult:
         if not rendered and self.needs_render(host):
             # plain GET of a JS-heavy page: titled shell, no content spans.
             # Gated HERE — after the Cloudflare front, 404/5xx behaviors,
@@ -441,12 +466,14 @@ class SyntheticWeb:
                 final_url=final_url, content_type="text/html", etag=None,
                 last_modified=None, error=None,
             )
-        cur_etag = self._etag(host, j)
+        epoch = self._content_epoch(host, j, now_us)
+        cur_etag = self._etag(host, j, epoch)
         if req_etag is not None and req_etag == cur_etag:
             return FetchResult(status=_STATUS_NOT_MODIFIED, body=None,
                                final_url=final_url, content_type="text/html",
                                etag=cur_etag, last_modified=None, error=None)
-        return FetchResult(status=_STATUS_OK, body=self.render_html(host, j),
+        return FetchResult(status=_STATUS_OK,
+                           body=self.render_html(host, j, epoch=epoch),
                            final_url=final_url, content_type="text/html; charset=utf-8",
                            etag=cur_etag, last_modified="Wed, 01 May 2024 00:00:00 GMT",
                            error=None)

@@ -38,20 +38,23 @@ class RenderClient:
         self.wait_until = wait_until
 
     def render(self, url: str, etag: str | None = None,
-               last_modified: str | None = None) -> dict:
+               last_modified: str | None = None, now_us: int = 0) -> dict:
         """RenderRequest -> fetch-result dict (same contract as
         SyntheticWeb.fetch, so route_fetch needs no special casing)."""
-        return self.web.render(url, etag=etag, last_modified=last_modified)
+        return self.web.render(url, etag=etag, last_modified=last_modified,
+                               now_us=now_us)
 
 
 def perform_fetch(web, render_client, claim: dict) -> dict:
     """Fetch dispatch shared by the distributed fetch stage and the oracle
     simulator: render-mode hosts go through the render client (S7), the
     rest through plain GET — identical routing on both sides keeps the
-    oracle equality meaningful."""
+    oracle equality meaningful. The claim's virtual fetch time selects the
+    content epoch of changing pages (A4)."""
+    now_us = int(claim.get("claim_at") or 0)
     if render_client is not None and web.needs_render(claim["host"]):
         return render_client.render(
             claim["url"], etag=claim.get("etag"),
-            last_modified=claim.get("last_modified"))
+            last_modified=claim.get("last_modified"), now_us=now_us)
     return web.fetch(claim["url"], etag=claim.get("etag"),
-                     last_modified=claim.get("last_modified"))
+                     last_modified=claim.get("last_modified"), now_us=now_us)

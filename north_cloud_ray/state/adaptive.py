@@ -28,10 +28,22 @@ def adaptive_interval_us(baseline_us: int, unchanged_count: int) -> int:
 def update_unchanged_count(prev_hash: str | None, new_hash: str | None,
                            unchanged_count: int) -> int:
     """Unchanged content increments the counter; a change (or first fetch)
-    resets it (hash_tracker.go:108-174)."""
-    if prev_hash is None or new_hash is None or prev_hash != new_hash:
+    resets it (hash_tracker.go:108-174). ``new_hash is None`` is the
+    conditional-GET 304 path — the strongest not-modified signal — and
+    increments. (The reference's 304 quirk then CLEARS the stored
+    hash/etag, worker.go:411-417, so the following recrawl is an
+    unconditional 200 whose hash compares against None and resets.)"""
+    if new_hash is None:
+        return unchanged_count + 1
+    if prev_hash is None or prev_hash != new_hash:
         return 0
     return unchanged_count + 1
+
+
+def interval_us_array(baseline_us: int, unchanged_counts: "np.ndarray") -> "np.ndarray":
+    """Vectorized adaptive_interval_us over an int array (merge-step kernel)."""
+    exp = np.minimum(np.asarray(unchanged_counts, dtype=np.int64), 32)
+    return np.minimum(baseline_us * (np.int64(1) << exp), HOURS_24_US)
 
 
 def requeue_fetched(frontier: pd.DataFrame, now_us: int,

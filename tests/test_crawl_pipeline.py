@@ -21,7 +21,7 @@ FRONTIER_CMP_COLS = [
     "url", "url_hash", "host", "source_id", "origin", "parent_url", "depth",
     "priority", "status", "next_fetch_at", "last_fetched_at", "fetch_count",
     "content_hash", "etag", "last_modified", "retry_count", "last_error",
-    "discovered_at",
+    "discovered_at", "unchanged_count",
 ]
 
 
