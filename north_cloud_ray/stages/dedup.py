@@ -17,7 +17,13 @@ Scale shapes (ray_guide patterns):
   hot buckets sub-block recall-losslessly on the remaining 48 bits;
   exact Hamming verification.
 - embedding: normalize, multi-table random-hyperplane LSH (8x16 planes),
-  light (id, table, bucket) band rows, exact float64 cosine verify.
+  light (id, table, bucket) band rows, exact float64 cosine verify
+  (broadcast pullback for bounded pair sets, distributed hash-join of
+  packed vectors above VERIFY_BROADCAST_THRESHOLD).
+
+All three near-dup operators share cluster_assign: driver union-find for
+bounded pair sets, distributed min-label CC + join assignment above
+DIST_CC_PAIR_THRESHOLD.
 
 All randomness is derived from fixed seeds — identical across runs/nodes.
 """
@@ -89,6 +95,12 @@ def cluster_pairs(pairs_df: pd.DataFrame) -> dict:
 
 
 DIST_CC_PAIR_THRESHOLD = 2_000_000
+
+# pair sets at or below this broadcast the candidate-id set and verify on
+# the driver / against pulled-back candidate payloads; above it, payloads
+# are attached by a distributed hash join instead (shared by minhash and
+# embedding verify)
+VERIFY_BROADCAST_THRESHOLD = 200_000
 
 
 def cluster_labels_distributed(pairs_ds, num_partitions: int = 8,
@@ -164,6 +176,65 @@ def cluster_labels_distributed(pairs_ds, num_partitions: int = 8,
         f"cluster_labels_distributed did not converge in {max_iters} "
         f"rounds — a component's diameter exceeds the cap; raise max_iters "
         f"(labels would silently split otherwise)")
+
+
+def cluster_assign(ds, id_col: str, verified, join_partitions: int = 8,
+                   dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD,
+                   carry_cols: tuple[str, ...] = ()):
+    """Size-adaptive clustering + label assignment shared by the minhash /
+    simhash / embedding near-dup operators.
+
+    ``verified`` is the verified pair set as either a pandas DataFrame
+    (bounded, already driver-side) or a Dataset of (a, b) rows. Pair sets
+    above ``dist_cc_threshold`` cluster via distributed min-label CC and
+    assign labels with a left-outer hash join — no O(pairs) driver state;
+    smaller sets use the O(P α(P)) driver union-find + a broadcast map.
+    Returns a Dataset of (id_col, *carry_cols, cluster_id) where
+    cluster_id = min id of the connected component (singletons map to
+    themselves)."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(verified, pd.DataFrame):
+        n_pairs, pairs_ds = len(verified), None
+    else:
+        pairs_ds = verified.materialize()
+        n_pairs = pairs_ds.count()
+    cols = [id_col, *carry_cols]
+
+    if n_pairs > dist_cc_threshold:
+        if pairs_ds is None:
+            pairs_ds = rd.from_pandas(verified).repartition(join_partitions)
+        labels = cluster_labels_distributed(
+            pairs_ds, num_partitions=join_partitions
+        ).map_batches(
+            lambda b: b.rename(columns={"node": "_cnode",
+                                        "label": "cluster_id"}),
+            batch_format="pandas")
+        out = ds.map_batches(
+            lambda b: b[cols], batch_format="pandas"
+        ).join(labels, join_type="left_outer",
+               num_partitions=join_partitions,
+               on=(id_col,), right_on=("_cnode",))
+
+        def finish(b: pd.DataFrame) -> pd.DataFrame:
+            o = b[cols].copy()
+            o["cluster_id"] = b["cluster_id"].fillna(b[id_col])
+            return o
+
+        return out.map_batches(finish, batch_format="pandas")
+
+    if pairs_ds is not None:
+        verified = pairs_ds.to_pandas()
+    label_ref = ray.put(cluster_pairs(verified))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        label = ray.get(label_ref)
+        out = batch[cols].copy()
+        out["cluster_id"] = [label.get(i, i) for i in batch[id_col]]
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
 
 
 # ---------------- minhash ----------------
@@ -377,7 +448,7 @@ def minhash_lsh_dedup(
     # stays off the driver.
     if len(pairs_df) == 0:
         verified = pairs_df
-    elif len(pairs_df) <= 200_000:
+    elif len(pairs_df) <= VERIFY_BROADCAST_THRESHOLD:
         cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
         ids_ref = ray.put(cand_ids)
 
@@ -424,39 +495,12 @@ def minhash_lsh_dedup(
             return pd.DataFrame({"a": pd.Series(keep_a, dtype=object),
                                  "b": pd.Series(keep_b, dtype=object)})
 
-        verified = j.map_batches(verify, batch_format="pandas").to_pandas()
+        # stays a Dataset: cluster_assign only pulls it to the driver when
+        # the verified count is under the distributed-CC threshold
+        verified = j.map_batches(verify, batch_format="pandas")
 
-    if len(verified) > dist_cc_threshold:
-        # extreme-scale path: cluster + assign without driver-side label
-        # state — distributed min-label CC, then a left-join assignment
-        import ray.data as rd
-
-        labels = cluster_labels_distributed(
-            rd.from_pandas(verified).repartition(join_partitions),
-            num_partitions=join_partitions,
-        ).map_batches(
-            lambda b: b.rename(columns={"node": "_cnode",
-                                        "label": "cluster_id"}),
-            batch_format="pandas")
-        ids = ds.map_batches(lambda b: b[[id_col]], batch_format="pandas")
-        out = ids.join(labels, join_type="left_outer",
-                       num_partitions=join_partitions,
-                       on=(id_col,), right_on=("_cnode",))
-        return out.map_batches(
-            lambda b: pd.DataFrame(
-                {id_col: b[id_col],
-                 "cluster_id": b["cluster_id"].fillna(b[id_col])}),
-            batch_format="pandas")
-
-    label_ref = ray.put(cluster_pairs(verified))
-
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        label = ray.get(label_ref)
-        batch = batch[[id_col]].copy()
-        batch["cluster_id"] = [label.get(i, i) for i in batch[id_col]]
-        return batch
-
-    return ds.map_batches(assign, batch_format="pandas")
+    return cluster_assign(ds, id_col, verified, join_partitions,
+                          dist_cc_threshold)
 
 
 # ---------------- simhash ----------------
@@ -499,9 +543,17 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, join_partitions: int = 8,
+                  dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD):
     """(doc_id, simhash, cluster_id) via 4x16-bit band blocking + Hamming
     verification (pigeonhole: distance<=3 => at least one of 4 bands equal)."""
+    if not 0 <= max_hamming <= 3:
+        # both the 4x16 top-level banding and the hot-bucket 4x12 sub-bands
+        # are recall-lossless ONLY for distance <= 3; a looser threshold
+        # would silently drop pairs instead of failing loudly
+        raise ValueError(
+            f"simhash_dedup banding guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming}); add bands to loosen")
 
     def add_simhash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -600,18 +652,10 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         sigged.map_batches(explode, batch_format="pandas"),
         ["band_id", "band_key"], lambda b: b, bucket_pairs_part,
     )
-    import ray
-
-    pairs_df = pairs.to_pandas().drop_duplicates()
-    label_ref = ray.put(cluster_pairs(pairs_df))
-
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        label = ray.get(label_ref)
-        out = batch[[id_col, "simhash"]].copy()
-        out["cluster_id"] = [label.get(i, i) for i in batch[id_col]]
-        return out
-
-    return sigged.map_batches(assign, batch_format="pandas")
+    # duplicate pairs (same pair via multiple bands) are harmless: union
+    # and min-label are both idempotent
+    return cluster_assign(sigged, id_col, pairs, join_partitions,
+                          dist_cc_threshold, carry_cols=("simhash",))
 
 
 # ---------------- n-gram jaccard (pairwise verify kernel) ----------------
@@ -634,6 +678,9 @@ def embedding_near_dup(
     n_planes: int = 16,
     n_tables: int = 8,
     seed: int = 42,
+    join_partitions: int = 8,
+    dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD,
+    verify_broadcast_threshold: int = VERIFY_BROADCAST_THRESHOLD,
 ):
     """(id, cluster_id) for embedding near-duplicates.
 
@@ -699,7 +746,13 @@ def embedding_near_dup(
         .drop_duplicates()
     )
 
-    if len(pairs_df):
+    # verify is size-adaptive like minhash: bounded pair sets pull back
+    # only the candidates' vectors for one driver-side einsum; above the
+    # threshold the vectors are attached by a distributed hash join and
+    # verified per batch, so driver memory never scales with candidates
+    if len(pairs_df) == 0:
+        verified = pairs_df
+    elif len(pairs_df) <= verify_broadcast_threshold:
         cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
         ids_ref = ray.put(cand_ids)
 
@@ -715,17 +768,48 @@ def embedding_near_dup(
         ia = pairs_df["a"].map(pos).to_numpy()
         ib = pairs_df["b"].map(pos).to_numpy()
         sims = np.einsum("ij,ij->i", V[ia], V[ib])
-        pairs_df = pairs_df[sims >= cosine_threshold]
+        verified = pairs_df[sims >= cosine_threshold]
+    else:
+        import ray.data as rd
 
-    label_ref = ray.put(cluster_pairs(pairs_df))
+        # vectors ride the join as packed float64 bytes: Acero joins reject
+        # tensor-extension payload columns, and bytes are also ~2x lighter
+        # on the exchange than list<double>
+        def pack(b: pd.DataFrame, out_id: str, out_vec: str) -> pd.DataFrame:
+            return pd.DataFrame({
+                out_id: b[id_col].to_numpy(),
+                out_vec: [np.asarray(v, dtype=np.float64).tobytes()
+                          for v in b[vec_col]],
+            })
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        label = ray.get(label_ref)
-        out = batch[[id_col]].copy()
-        out["cluster_id"] = [label.get(i, i) for i in batch[id_col]]
-        return out
+        vecs = ds.map_batches(
+            lambda b: b[[id_col, vec_col]], batch_format="pandas")
+        va = vecs.map_batches(
+            lambda b: pack(b, "_ida", "_vec_a"), batch_format="pandas")
+        vb = vecs.map_batches(
+            lambda b: pack(b, "_idb", "_vec_b"), batch_format="pandas")
+        pairs = rd.from_pandas(pairs_df).repartition(join_partitions)
+        j = pairs.join(va, join_type="inner", num_partitions=join_partitions,
+                       on=("a",), right_on=("_ida",))
+        j = j.join(vb, join_type="inner", num_partitions=join_partitions,
+                   on=("b",), right_on=("_idb",))
 
-    return ds.map_batches(assign, batch_format="pandas")
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return batch.reindex(columns=["a", "b"])
+            A = np.stack([np.frombuffer(x, dtype=np.float64)
+                          for x in batch["_vec_a"]])
+            B = np.stack([np.frombuffer(x, dtype=np.float64)
+                          for x in batch["_vec_b"]])
+            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            keep = np.einsum("ij,ij->i", A, B) >= cosine_threshold
+            return batch.loc[keep, ["a", "b"]]
+
+        verified = j.map_batches(verify, batch_format="pandas")
+
+    return cluster_assign(ds, id_col, verified, join_partitions,
+                          dist_cc_threshold)
 
 
 def embedding_dup_pairs_exact(

@@ -198,3 +198,58 @@ def test_simhash_blocking_matches_bruteforce(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert len(exact_pairs) > 0, "corpus should contain near-dup signatures"
     assert got == expected
+
+
+def test_simhash_distributed_cc_branch(ray_session):
+    """simhash with dist_cc_threshold=0 (distributed min-label CC +
+    left-join assignment) must equal the driver union-find path."""
+    import ray
+
+    from north_cloud_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    base = simhash_dedup(ds, max_hamming=3).to_pandas()
+    dist = simhash_dedup(ds, max_hamming=3, dist_cc_threshold=0,
+                         join_partitions=4).to_pandas()
+    a = dict(zip(base["doc_id"], base["cluster_id"]))
+    b = dict(zip(dist["doc_id"], dist["cluster_id"]))
+    assert a == b
+    # carry column survives both paths
+    sa = dict(zip(base["doc_id"], base["simhash"]))
+    sb = dict(zip(dist["doc_id"], dist["simhash"]))
+    assert sa == sb
+
+
+def test_simhash_rejects_loose_hamming():
+    from north_cloud_ray.stages.dedup import simhash_dedup
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_dedup(None, max_hamming=4)
+
+
+def test_embedding_distributed_paths(ray_session):
+    """embedding_near_dup with verify_broadcast_threshold=0 (distributed
+    hash-join verify) AND dist_cc_threshold=0 (distributed CC) must equal
+    the broadcast-verify + driver union-find path."""
+    from north_cloud_ray.pipelines import queries as Q
+    from north_cloud_ray.stages.dedup import embedding_near_dup
+
+    sf = "/root/testdata/sf0.01"
+    ds = Q._augmented_embeddings_ds(sf) if hasattr(Q, "_augmented_embeddings_ds") \
+        else None
+    if ds is None:
+        import ray
+
+        df = Q._augmented_embeddings(sf)
+        ds = ray.data.from_pandas(df).repartition(4)
+    base = embedding_near_dup(ds, cosine_threshold=0.98).to_pandas()
+    dist = embedding_near_dup(ds, cosine_threshold=0.98,
+                              dist_cc_threshold=0,
+                              verify_broadcast_threshold=0,
+                              join_partitions=4).to_pandas()
+    a = dict(zip(base["vec_id"], base["cluster_id"]))
+    b = dict(zip(dist["vec_id"], dist["cluster_id"]))
+    assert a == b
