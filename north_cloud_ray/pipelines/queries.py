@@ -102,8 +102,13 @@ def q3_top_orders(sf_dir: str):
         return batch[mask]
 
     orders_b = orders.map_batches(filt, batch_format="pandas")
-    okeys = orders_b.to_pandas()[["o_orderkey", "o_orderdate"]]  # bounded
-    okey_arr = np.sort(okeys["o_orderkey"].to_numpy())
+    # broadcast ONLY the sorted key array (int64 column), never the
+    # qualifying-order rows: the mid-state stays O(keys) not O(rows)
+    okey_arr = np.sort(
+        orders_b.map_batches(
+            lambda b: b[["o_orderkey"]], batch_format="pandas"
+        ).to_pandas()["o_orderkey"].to_numpy()
+    )
     okey_ref = ray.put(okey_arr)
 
     li = _read(sf_dir, "lineitem",
@@ -124,8 +129,15 @@ def q3_top_orders(sf_dir: str):
         li.map_batches(rev, batch_format="pandas"),
         key="l_orderkey", value_col="revenue_cents", k=10,
     )
-    date_map = dict(zip(okeys["o_orderkey"], okeys["o_orderdate"]))
-    df["o_orderdate"] = df["l_orderkey"].map(date_map)
+    # o_orderdate only for the k winners: one pushdown-pruned point read
+    import pyarrow.parquet as _pq
+
+    dates = _pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+        filters=[("o_orderkey", "in", [int(k) for k in df["l_orderkey"]])],
+    ).to_pandas()
+    df = df.merge(dates, left_on="l_orderkey", right_on="o_orderkey") \
+           .drop(columns=["o_orderkey"])
     return df.rename(columns={"l_orderkey": "o_orderkey"})
 
 

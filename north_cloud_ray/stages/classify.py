@@ -33,6 +33,7 @@ import math
 import re
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -179,56 +180,176 @@ TOPIC_SCORE_TYPE = pa.list_(pa.struct([("topic", pa.string()), ("score", pa.floa
 
 
 class ClassifyActor:
-    """map_batches stage: doc rows in, classified rows out (appended cols)."""
+    """map_batches stage: doc rows in, classified rows out (appended cols).
+
+    The batch path is fully vectorized (token explode + grouped counts for
+    the topic TF formula, np.select tiers for quality/content-type); the
+    scalar functions above remain the executable spec and the golden test
+    asserts byte-identical outputs between the two."""
 
     def __init__(self, rules: tuple[TopicRule, ...] | None = None):
         self.rules = rules if rules is not None else default_topic_rules()
+        # rule tables, name-ascending so a stable score-desc argsort gets
+        # the (score DESC, name ASC) order for free
+        rs = sorted(self.rules, key=lambda r: r.topic_name)
+        self.rule_names = [r.topic_name for r in rs]
+        self.rule_single = [
+            [k.lower().strip() for k in r.keywords
+             if k.lower().strip() and " " not in k.lower().strip()]
+            for r in rs
+        ]
+        self.rule_multi = [
+            [k.lower().strip() for k in r.keywords
+             if k.lower().strip() and " " in k.lower().strip()]
+            for r in rs
+        ]
+        # scalar spec divides coverage by the RAW keyword-tuple length
+        self.rule_nkw = np.array([max(1, len(r.keywords)) for r in rs],
+                                 dtype=np.float64)
+        self.rule_thresh = np.array(
+            [max(r.min_confidence, MIN_GLOBAL_CONFIDENCE) for r in rs]
+        )
+        self.vocab = sorted({k for ks in self.rule_single for k in ks})
+
+    def _topic_scores(self, titles: pd.Series, bodies: pd.Series) -> np.ndarray:
+        """(n_docs, n_rules) score matrix — the topic.go:167-247 formula
+        computed with one token explode + grouped count, no per-doc loop."""
+        n = len(titles)
+        cleaned = (
+            (titles.fillna("") + " " + bodies.fillna(""))
+            .str.lower()
+            .str.replace(_PUNCT_RE, " ", regex=True)
+        )
+        cleaned.index = pd.RangeIndex(n)
+        # per-(doc, keyword-token) occurrence counts, C-speed
+        ex = cleaned.str.split().explode()
+        ex = ex[ex.isin(self.vocab)]
+        if len(ex):
+            tok = pd.DataFrame({"d": ex.index.to_numpy(), "k": ex.to_numpy()})
+            occ = tok.groupby(["d", "k"]).size().unstack(fill_value=0)
+            occ = occ.reindex(index=pd.RangeIndex(n), columns=self.vocab,
+                              fill_value=0)
+        else:
+            occ = pd.DataFrame(0, index=pd.RangeIndex(n), columns=self.vocab)
+        occ_m = occ.to_numpy(dtype=np.int64)
+        col = {k: i for i, k in enumerate(self.vocab)}
+
+        scores = np.zeros((n, len(self.rule_names)))
+        for ri, (singles, multis) in enumerate(
+                zip(self.rule_single, self.rule_multi)):
+            if not singles and not multis:
+                continue
+            idx = [col[k] for k in singles]
+            sub = occ_m[:, idx] if idx else np.zeros((n, 0), dtype=np.int64)
+            total = sub.sum(axis=1)
+            unique = (sub > 0).sum(axis=1)
+            for mk in multis:  # multi-word keywords: substring presence
+                hit = cleaned.str.contains(mk, regex=False).to_numpy()
+                total = total + hit
+                unique = unique + hit
+            # math.log over the (few) distinct integer counts: numpy's
+            # vectorized log can differ from libm by 1 ulp, which would
+            # break byte-equality with the scalar spec
+            uq, inv = np.unique(total, return_inverse=True)
+            logs = np.array([math.log(1 + int(v)) for v in uq])
+            tf = np.minimum(1.0, logs[inv] / TF_NORM)
+            cov = unique / self.rule_nkw[ri]
+            s = np.minimum(1.0, 0.5 * tf + 0.5 * cov)
+            scores[:, ri] = np.where(total > 0, s, 0.0)
+        return scores
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        titles = batch["title"].to_pylist()
-        urls = batch["url"].to_pylist()
-        wcs = batch["word_count"].to_pylist()
+        n = batch.num_rows
+        titles = batch["title"].to_pandas()
+        urls = batch["url"].to_pandas()
+        wc = batch["word_count"].to_numpy(zero_copy_only=False).astype(np.int64)
         # flat body/n_media/first_text_len columns (written at parse time)
         # keep this stage off the nested span column entirely
-        bodies = batch["body"].to_pylist() if "body" in batch.column_names else None
-        n_medias = (
-            batch["n_media"].to_pylist() if "n_media" in batch.column_names else None
-        )
-        ftls = (
-            batch["first_text_len"].to_pylist()
-            if "first_text_len" in batch.column_names else None
-        )
-        if bodies is None:
+        if "body" in batch.column_names:
+            bodies = batch["body"].to_pandas()
+            n_media = batch["n_media"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ftl = batch["first_text_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
             spans_col = batch["spans"].to_pylist()
-            bodies, n_medias, ftls = [], [], []
+            b_l, m_l, f_l = [], [], []
             for spans in spans_col:
                 texts = [s["text"] for s in spans if s["kind"] == "text"]
-                bodies.append("\n".join(texts))
-                n_medias.append(sum(1 for s in spans if s["kind"] == "media"))
-                ftls.append(len(texts[0]) if texts else 0)
+                b_l.append("\n".join(texts))
+                m_l.append(sum(1 for s in spans if s["kind"] == "media"))
+                f_l.append(len(texts[0]) if texts else 0)
+            bodies = pd.Series(b_l)
+            n_media = np.asarray(m_l, dtype=np.int64)
+            ftl = np.asarray(f_l, dtype=np.int64)
 
-        ctypes, confs, methods, qualities = [], [], [], []
-        topics_col, tscores_col = [], []
-        for title, url, wc, body, n_media, ftl in zip(
-            titles, urls, wcs, bodies, n_medias, ftls
-        ):
-            ctype, conf, method = classify_content_type(url, wc)
-            ctypes.append(ctype)
-            confs.append(conf)
-            methods.append(method)
-            qualities.append(quality_score(wc, bool(title), ftl, url, n_media))
-            ts = classify_topics(title, body, self.rules)
-            topics_col.append([t for t, _ in ts])
-            tscores_col.append([{"topic": t, "score": s} for t, s in ts])
+        # ---- content type (content_type.go:34-130), vectorized ----
+        path = ("/" + urls.str.split("://", n=1).str[-1].str.partition("/")[2])
+        path = path.str.split("?").str[0].str.split("#").str[0]
+        lower = path.str.lower().str.rstrip("/")
+        lower = lower.where(lower != "", "/")
+        import re as _re
+
+        excl_re = "^(?:" + "|".join(
+            _re.escape(p) for p in ALWAYS_EXCLUDED_PREFIXES) + ")"
+        is_excl = lower.str.match(excl_re).to_numpy()
+        is_section = lower.isin(SECTION_INDEX_PATHS).to_numpy()
+        from ..frontier.content_url import is_content_url_mask
+
+        content_m = is_content_url_mask(
+            pa.array(urls.tolist(), type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        conds = [is_excl, is_section, content_m & (wc >= 100), wc >= 300]
+        ctypes = np.select(conds, ["page", "listing", "article", "article"],
+                           default="page")
+        confs = np.select(conds, [0.9, 0.85, 0.75, 0.65], default=0.6)
+        methods = np.select(
+            conds,
+            ["url_exclusion", "section_index", "heuristic",
+             "relaxed_heuristic"],
+            default="default")
+
+        # ---- quality (quality.go tiers), vectorized ----
+        wc_pts = np.select(
+            [wc < 100, wc < 300, wc < 500, wc < 1000], [0, 10, 15, 20], 25)
+        # the scalar spec searches the FULL url (quality_score's url_path
+        # argument is the url) — keep that behavior exactly
+        has_date = urls.str.contains(_DATE_PATH_RE, regex=True).to_numpy()
+        meta = (
+            5 * (titles.fillna("") != "").to_numpy()
+            + 5 * (ftl >= 80)
+            + 5 * has_date
+            + 5 * (n_media > 0)
+        )
+        rich = 10 * (n_media > 0)
+        read = np.select([wc >= 200, wc >= 100], [20, 15], 10)
+        qualities = np.minimum(100, wc_pts + meta + rich + read).astype(np.int32)
+
+        # ---- topics ----
+        S = self._topic_scores(titles, bodies)
+        cand = S >= self.rule_thresh[None, :]
+        n_cand = cand.sum(axis=1)
+        noisy = n_cand > NOISY_FANOUT_THRESHOLD  # topic.go:28 fanout drop
+        order = np.argsort(-S, axis=1, kind="stable")  # name-asc tiebreak
+        names = self.rule_names
+        topics_col: list[list[str]] = []
+        tscores_col: list[list[dict]] = []
+        for i in range(n):
+            if noisy[i] or n_cand[i] == 0:
+                topics_col.append([])
+                tscores_col.append([])
+                continue
+            picks = [r for r in order[i] if cand[i, r]][:MAX_TOPICS]
+            topics_col.append([names[r] for r in picks])
+            tscores_col.append(
+                [{"topic": names[r], "score": float(S[i, r])} for r in picks])
 
         out = batch
-        out = out.append_column("content_type", pa.array(ctypes, type=pa.string()))
+        out = out.append_column("content_type", pa.array(ctypes.tolist(), type=pa.string()))
         out = out.append_column(
             "highest_topic",
             pa.array([t[0] if t else "" for t in topics_col], type=pa.string()),
         )
         out = out.append_column("confidence", pa.array(confs, type=pa.float64()))
-        out = out.append_column("method", pa.array(methods, type=pa.string()))
+        out = out.append_column("method", pa.array(methods.tolist(), type=pa.string()))
         out = out.append_column("quality_score", pa.array(qualities, type=pa.int32()))
         out = out.append_column("topics", pa.array(topics_col, type=pa.list_(pa.string())))
         out = out.append_column("topic_scores", pa.array(tscores_col, type=TOPIC_SCORE_TYPE))

@@ -212,3 +212,60 @@ def test_multimodal_decode(ray_session):
 def test_multimodal_real_backend_is_gated():
     with pytest.raises(NotImplementedError):
         ImageDecodeActor(decode_backend="real")
+
+
+def test_classify_vectorized_matches_scalar_spec():
+    """The vectorized ClassifyActor batch path must be byte-identical to
+    the scalar spec functions (classify_topics / quality_score /
+    classify_content_type) over a diverse synthetic corpus."""
+    import pyarrow as pa
+
+    from north_cloud_ray.stages.classify import (
+        ClassifyActor,
+        classify_content_type,
+        classify_topics,
+        quality_score,
+    )
+
+    rows = []
+    texts = [
+        "police arrest court theft assault charged in the mine near the river",
+        "gold nickel ore drill mineral mining permit hearing",
+        "music film festival concert artist show downtown",
+        "the quick brown fox jumps over the lazy dog " * 40,
+        "",
+        "software internet data computer digital network data data data",
+        "council mayor election government minister policy budget",
+    ]
+    urls = [
+        "https://h.test/news/2024/05/police-story-1",
+        "https://h.test/category/mining-stuff",
+        "https://h.test/news",
+        "https://h.test/entry/77",
+        "https://h.test/login/account",
+        "https://h.test/news/2024/11/02/tech-data",
+        "https://h.test/entry/9",
+    ]
+    for i, (t, u) in enumerate(zip(texts, urls)):
+        rows.append({
+            "doc_id": f"d{i}", "url": u,
+            "title": "" if i == 4 else f"Title {i} gold police",
+            "body": t, "word_count": len(t.split()),
+            "n_media": i % 3, "first_text_len": min(len(t), 200),
+        })
+    batch = pa.Table.from_pylist(rows)
+    out = ClassifyActor()(batch).to_pylist()
+
+    for r_in, r_out in zip(rows, out):
+        ts = classify_topics(r_in["title"], r_in["body"],
+                             ClassifyActor().rules)
+        assert r_out["topics"] == [t for t, _ in ts], r_in["url"]
+        assert r_out["topic_scores"] == [
+            {"topic": t, "score": s} for t, s in ts], r_in["url"]
+        assert r_out["highest_topic"] == (ts[0][0] if ts else "")
+        ct, conf, meth = classify_content_type(r_in["url"], r_in["word_count"])
+        assert (r_out["content_type"], r_out["confidence"],
+                r_out["method"]) == (ct, conf, meth), r_in["url"]
+        q = quality_score(r_in["word_count"], bool(r_in["title"]),
+                          r_in["first_text_len"], r_in["url"], r_in["n_media"])
+        assert r_out["quality_score"] == q, r_in["url"]
