@@ -64,6 +64,8 @@ SECTION_INDEX_PATHS = (
 )
 
 _DATE_PATH_RE = re.compile(r"/\d{4}/\d{2}(/\d{2})?/[^/]+")
+# non-capturing twin for vectorized str.contains (same language)
+_DATE_PATH_RE_NC = re.compile(r"/\d{4}/\d{2}(?:/\d{2})?/[^/]+")
 
 
 def tokenize(text: str) -> list[str]:
@@ -212,50 +214,43 @@ class ClassifyActor:
         self.vocab = sorted({k for ks in self.rule_single for k in ks})
 
     def _topic_scores(self, titles: pd.Series, bodies: pd.Series) -> np.ndarray:
-        """(n_docs, n_rules) score matrix — the topic.go:167-247 formula
-        computed with one token explode + grouped count, no per-doc loop."""
+        """(n_docs, n_rules) score matrix — the topic.go:167-247 formula.
+
+        Cleaning is one vectorized pass; the counting itself is a per-doc
+        Counter + O(vocab) dict lookups per rule. (An explode +
+        string-groupby variant was measured 4x SLOWER on article-sized
+        pages — factorizing millions of token strings costs more than
+        per-doc C-level Counters; see bench notes r3.)"""
         n = len(titles)
         cleaned = (
             (titles.fillna("") + " " + bodies.fillna(""))
             .str.lower()
             .str.replace(_PUNCT_RE, " ", regex=True)
-        )
-        cleaned.index = pd.RangeIndex(n)
-        # per-(doc, keyword-token) occurrence counts, C-speed
-        ex = cleaned.str.split().explode()
-        ex = ex[ex.isin(self.vocab)]
-        if len(ex):
-            tok = pd.DataFrame({"d": ex.index.to_numpy(), "k": ex.to_numpy()})
-            occ = tok.groupby(["d", "k"]).size().unstack(fill_value=0)
-            occ = occ.reindex(index=pd.RangeIndex(n), columns=self.vocab,
-                              fill_value=0)
-        else:
-            occ = pd.DataFrame(0, index=pd.RangeIndex(n), columns=self.vocab)
-        occ_m = occ.to_numpy(dtype=np.int64)
-        col = {k: i for i, k in enumerate(self.vocab)}
-
-        scores = np.zeros((n, len(self.rule_names)))
-        for ri, (singles, multis) in enumerate(
-                zip(self.rule_single, self.rule_multi)):
-            if not singles and not multis:
-                continue
-            idx = [col[k] for k in singles]
-            sub = occ_m[:, idx] if idx else np.zeros((n, 0), dtype=np.int64)
-            total = sub.sum(axis=1)
-            unique = (sub > 0).sum(axis=1)
-            for mk in multis:  # multi-word keywords: substring presence
-                hit = cleaned.str.contains(mk, regex=False).to_numpy()
-                total = total + hit
-                unique = unique + hit
-            # math.log over the (few) distinct integer counts: numpy's
-            # vectorized log can differ from libm by 1 ulp, which would
-            # break byte-equality with the scalar spec
-            uq, inv = np.unique(total, return_inverse=True)
-            logs = np.array([math.log(1 + int(v)) for v in uq])
-            tf = np.minimum(1.0, logs[inv] / TF_NORM)
-            cov = unique / self.rule_nkw[ri]
-            s = np.minimum(1.0, 0.5 * tf + 0.5 * cov)
-            scores[:, ri] = np.where(total > 0, s, 0.0)
+        ).to_numpy()
+        R = len(self.rule_names)
+        scores = np.zeros((n, R))
+        rule_iter = list(zip(range(R), self.rule_single, self.rule_multi,
+                             self.rule_nkw))
+        log = math.log
+        for i in range(n):
+            text = cleaned[i]
+            freq = Counter(text.split())
+            get = freq.get
+            for ri, singles, multis, nkw in rule_iter:
+                total = 0
+                unique = 0
+                for k in singles:
+                    occ = get(k, 0)
+                    if occ:
+                        total += occ
+                        unique += 1
+                for mk in multis:
+                    if mk in text:
+                        total += 1
+                        unique += 1
+                if total:
+                    tf = min(1.0, log(1 + total) / TF_NORM)
+                    scores[i, ri] = min(1.0, 0.5 * tf + 0.5 * (unique / nkw))
         return scores
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -312,7 +307,7 @@ class ClassifyActor:
             [wc < 100, wc < 300, wc < 500, wc < 1000], [0, 10, 15, 20], 25)
         # the scalar spec searches the FULL url (quality_score's url_path
         # argument is the url) — keep that behavior exactly
-        has_date = urls.str.contains(_DATE_PATH_RE, regex=True).to_numpy()
+        has_date = urls.str.contains(_DATE_PATH_RE_NC, regex=True).to_numpy()
         meta = (
             5 * (titles.fillna("") != "").to_numpy()
             + 5 * (ftl >= 80)

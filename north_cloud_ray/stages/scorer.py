@@ -45,6 +45,12 @@ _RULE_ML_DISAGREE_WEIGHT = 0.7
 _ML_OVERRIDE_THRESHOLD = 0.90
 _ML_OVERRIDE_WEIGHT = 0.8
 
+# Pattern tables for the five reference sidecar domains. Single-token
+# patterns match whitespace tokens; patterns containing a space match as
+# substrings (the phrase form of the reference's regex alternations —
+# indigenous_rules.go:63-102, coforge_rules.go:33-49). Confidences follow
+# the unified 0.6+0.1/hit matrix rather than each sidecar's bespoke
+# constants (documented divergence; the matrix semantics are shared).
 DOMAIN_PATTERNS: dict[str, dict[str, tuple[str, ...]]] = {
     "crime": {
         "core": ("police", "arrest", "court", "assault", "theft"),
@@ -58,25 +64,47 @@ DOMAIN_PATTERNS: dict[str, dict[str, tuple[str, ...]]] = {
         "core": ("film", "music", "festival", "concert", "artist"),
         "peripheral": ("show", "gallery"),
     },
+    # indigenous_rules.go:63-102 (multilingual signal set, abridged)
+    "indigenous": {
+        "core": ("anishinaabe", "ojibwe", "first nations", "inuit",
+                 "aboriginal", "treaty rights", "residential school",
+                 "indigenous peoples", "tribal sovereignty", "land rights"),
+        "peripheral": ("indigenous", "reconciliation", "first nation",
+                       "reservation"),
+    },
+    # coforge_rules.go:33-49 (dev+entrepreneur intersection signal)
+    "coforge": {
+        "core": ("developer platform", "dev tool", "open source sdk",
+                 "developer experience", "devtools"),
+        "peripheral": ("startup", "funding", "sdk", "api", "saas",
+                       "open source", "github", "ipo", "merger"),
+    },
 }
 
 # J5 routing table (classifier.go:126-150): content subtype -> sidecar list,
 # fallback 'article'
 ROUTING_TABLE: dict[str, tuple[str, ...]] = {
-    "article": ("crime", "mining", "entertainment"),
+    "article": ("crime", "mining", "entertainment", "indigenous", "coforge"),
     "page": (),
     "listing": (),
 }
 
 
 def rule_score(text: str, domain: str) -> tuple[str, float]:
-    """Pattern side: relevance class + confidence (ml-sidecars/README.md:231)."""
+    """Pattern side: relevance class + confidence (ml-sidecars/README.md:231).
+    Space-containing patterns match as phrases (substring), single tokens
+    match the whitespace token set."""
     pats = DOMAIN_PATTERNS[domain]
-    words = set(text.lower().split())
-    core_hits = sum(1 for p in pats["core"] if p in words)
+    lower = text.lower()
+    words = set(lower.split())
+
+    def hit(p: str) -> bool:
+        return (p in lower) if " " in p else (p in words)
+
+    core_hits = sum(1 for p in pats["core"] if hit(p))
     if core_hits:
         return RELEVANCE_CORE, min(0.95, 0.6 + 0.1 * core_hits)
-    if any(p in words for p in pats["peripheral"]):
+    if any(hit(p) for p in pats["peripheral"]):
         return RELEVANCE_PERIPHERAL, 0.65
     return RELEVANCE_NOT, 0.6
 

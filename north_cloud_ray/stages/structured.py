@@ -29,6 +29,7 @@ state, linear scale-out.
 from __future__ import annotations
 
 import json
+import math
 import re
 
 import pandas as pd
@@ -448,6 +449,87 @@ def classify_location(title: str, text: str) -> dict:
             "specificity": "country", "confidence": conf}
 
 
+# ---------------- ICP sector alignment (infrastructure/icp/matcher.go) ----
+
+ICP_MODEL_VERSION = "v1"
+
+# Deterministic seed mirroring the shape of the reference's three canonical
+# segments (icp/seed.go ValidateSeed requires exactly these names;
+# source-manager/data/icp-segments.yml is the data model). Terms abridged.
+ICP_SEGMENTS: tuple[dict, ...] = (
+    {
+        "name": "indigenous_channel",
+        "keywords": ("first nation", "first nations", "indigenous",
+                     "indigenous business", "band council", "tribal council",
+                     "metis nation", "inuit", "economic development corporation",
+                     "impact benefit agreement"),
+        "topics": ("indigenous",),
+        "required_any": ("first nation", "indigenous", "metis", "inuit",
+                         "treaty", "band council", "tribal council",
+                         "ontario", "canada", "canadian", "anishinaabe",
+                         "cree", "ojibwe"),
+        "min_score": 0.08,
+    },
+    {
+        "name": "northern_ontario_industry",
+        "keywords": ("northern ontario", "sudbury", "thunder bay", "timmins",
+                     "north bay", "algoma", "manitoulin", "mining", "mine",
+                     "nickel", "forestry", "sawmill", "hydro", "municipality",
+                     "municipal"),
+        "topics": ("mining", "energy"),
+        "required_any": (),
+        "min_score": 0.30,
+    },
+    {
+        "name": "private_sector_smb",
+        "keywords": ("law firm", "accounting firm", "consulting firm",
+                     "saas startup", "bootstrapped", "family-owned",
+                     "small business", "canadian company", "privately held",
+                     "professional services firm"),
+        "topics": ("business", "technology"),
+        "required_any": (),
+        "min_score": 0.30,
+    },
+)
+
+
+def match_icp(title: str, body: str, source_name: str = "", url: str = "",
+              topics=(), segments: tuple[dict, ...] = ICP_SEGMENTS) -> dict | None:
+    """Sector-alignment matcher (icp/matcher.go:28-120): per segment,
+    required_any gate -> keyword substring + topic matches -> score
+    1.5*kw_frac (cap .85) + 0.5*topic_frac (cap .30) + 0.10 if >=3 kw hits,
+    capped at 1, rounded half-up to 2dp, kept when >= min_score. Returns
+    {"segments": [...score desc, name asc...], "model_version": "v1"} or
+    None when nothing matches."""
+    text = " ".join([title or "", body or "", source_name or "",
+                     url or ""]).lower()
+    doc_topics = {str(t).lower() for t in topics}
+    matches = []
+    for seg in segments:
+        req = seg["required_any"]
+        if req and not any(t in text for t in req):
+            continue
+        kw_hits = [k for k in seg["keywords"] if k in text]
+        tp_hits = ["topic:" + t for t in seg["topics"] if t in doc_topics]
+        if not kw_hits and not tp_hits:
+            continue
+        kscore = min(len(kw_hits) / max(len(seg["keywords"]), 1) * 1.5, 0.85)
+        tscore = min(len(tp_hits) / max(len(seg["topics"]), 1) * 0.5, 0.30)
+        score = kscore + tscore
+        if len(kw_hits) >= 3:
+            score += 0.10
+        score = min(score, 1.0)
+        score = math.floor(score * 100 + 0.5) / 100  # Go math.Round half-up
+        if score < seg["min_score"]:
+            continue
+        matches.append({"segment": seg["name"], "score": score,
+                        "matched_keywords": sorted(kw_hits + tp_hits)})
+    if not matches:
+        return None
+    matches.sort(key=lambda m: (-m["score"], m["segment"]))
+    return {"segments": matches, "model_version": ICP_MODEL_VERSION}
+
+
 # ---------------- sidecar routing (J5, ResolveSidecars) ----------------
 
 ROUTING_TABLE: dict[str, tuple[str, ...]] = {
@@ -483,11 +565,15 @@ class StructuredExtractStage:
     results as JSON-string columns (Arrow-stable schema)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        subtypes, methods, recipes, jobs, rfps, signals, locations = \
-            [], [], [], [], [], [], []
-        for url, title, body, ctype in zip(
+        subtypes, methods, recipes, jobs, rfps, signals, locations, icps = \
+            [], [], [], [], [], [], [], []
+        sources = (batch["source_id"] if "source_id" in batch.columns
+                   else pd.Series([""] * len(batch)))
+        topics_col = (batch["topics"] if "topics" in batch.columns
+                      else pd.Series([()] * len(batch)))
+        for url, title, body, ctype, src, tps in zip(
                 batch["url"], batch["title"], batch["body"],
-                batch["content_type"]):
+                batch["content_type"], sources, topics_col):
             title, body = title or "", body or ""
             sub = detect_content_type_from_url(url)
             method = "url_pattern" if sub else ""
@@ -506,6 +592,13 @@ class StructuredExtractStage:
                            if "need_signal" in sidecars else "null")
             locations.append(json.dumps(classify_location(title, body))
                              if "location" in sidecars else "null")
+            # ICP sector alignment runs for every doc (classifier.go:202
+            # runSectorAlignment is not routing-table gated)
+            if isinstance(tps, str):
+                tps = [t for t in tps.split(",") if t]
+            icps.append(json.dumps(match_icp(
+                title, body, source_name=src or "", url=url,
+                topics=tps if tps is not None else ())))
         out = batch[["doc_id", "url", "content_type"]].copy()
         out["content_subtype"] = subtypes
         out["subtype_method"] = methods
@@ -514,4 +607,5 @@ class StructuredExtractStage:
         out["rfp"] = rfps
         out["need_signal"] = signals
         out["location"] = locations
+        out["icp"] = icps
         return out

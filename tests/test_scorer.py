@@ -87,3 +87,53 @@ def test_score_documents_stage(ray_session):
     # rules-only fallback when the sidecar is down
     down = score_documents(docs, concurrency=2, ml_available=False).to_pandas()
     assert set(down["decision_path"]) <= {PATH_RULES_ONLY, PATH_DEFAULT}
+
+
+def test_indigenous_coforge_domains_routed_and_scored():
+    """The two sidecar domains the reference also runs (classifier.go:79-81)
+    are in the pattern table and the article route; phrase patterns match
+    as substrings, single tokens as words."""
+    from north_cloud_ray.stages.scorer import (
+        DOMAIN_PATTERNS,
+        RELEVANCE_CORE,
+        RELEVANCE_NOT,
+        RELEVANCE_PERIPHERAL,
+        ROUTING_TABLE,
+        rule_score,
+    )
+
+    assert {"indigenous", "coforge"} <= set(DOMAIN_PATTERNS)
+    assert {"indigenous", "coforge"} <= set(ROUTING_TABLE["article"])
+
+    rel, conf = rule_score(
+        "the first nations council discussed treaty rights today",
+        "indigenous")
+    assert rel == RELEVANCE_CORE and conf > 0.6
+    rel, _ = rule_score("a plain hockey story", "indigenous")
+    assert rel == RELEVANCE_NOT
+    rel, conf = rule_score(
+        "the startup raised funding for its developer platform", "coforge")
+    assert rel == RELEVANCE_CORE
+    rel, conf = rule_score("the company completed an ipo", "coforge")
+    assert rel == RELEVANCE_PERIPHERAL and conf == 0.65
+
+
+def test_scorer_matrix_covers_new_domains(ray_session):
+    """score_documents emits rows for all five routed domains."""
+    import pandas as pd
+    import ray
+
+    from north_cloud_ray.stages.scorer import score_documents
+
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(4)],
+        "body": ["police arrest near the mine",
+                 "first nations band council meeting",
+                 "startup funding for an sdk",
+                 "a concert and film festival"],
+        "content_type": ["article"] * 4,
+    })
+    out = score_documents(ray.data.from_pandas(docs)).to_pandas()
+    assert set(out["domain"]) == {"crime", "mining", "entertainment",
+                                  "indigenous", "coforge"}
+    assert (out.groupby("doc_id").size() == 5).all()

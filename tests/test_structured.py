@@ -262,3 +262,65 @@ def test_cloudflare_counter_flows_to_round_metrics(ray_session, tmp_path):
             continue
         total += m.get("counters", {}).get("cloudflare_challenges", 0)
     assert total > 0
+
+
+def test_icp_matcher_semantics():
+    """icp/matcher.go scoring: required_any gate, keyword fraction *1.5
+    cap .85, topic fraction *0.5 cap .30, +0.10 at >=3 keyword hits,
+    half-up 2dp rounding, min_score filter, (score desc, name asc) order."""
+    from north_cloud_ray.stages.structured import ICP_SEGMENTS, match_icp
+
+    # no required_any term present -> indigenous_channel gated out
+    r = match_icp("Sawmill expansion", "the sudbury sawmill adds a shift "
+                  "with forestry and mining jobs", topics=["mining"])
+    assert r is not None
+    names = [m["segment"] for m in r["segments"]]
+    assert names == ["northern_ontario_industry"]
+    m = r["segments"][0]
+    # 4 keyword hits (sudbury, mining, sawmill, forestry... plus 'mine' in
+    # 'mining') -> verify against the formula rather than a hard count
+    seg = next(s for s in ICP_SEGMENTS if s["name"] == m["segment"])
+    kw_hits = [k for k in seg["keywords"]
+               if k in "sawmill expansion the sudbury sawmill adds a shift "
+                       "with forestry and mining jobs"]
+    import math
+    ks = min(len(kw_hits) / len(seg["keywords"]) * 1.5, 0.85)
+    ts = min(1 / len(seg["topics"]) * 0.5, 0.30)
+    want = min(ks + ts + (0.10 if len(kw_hits) >= 3 else 0), 1.0)
+    assert m["score"] == math.floor(want * 100 + 0.5) / 100
+    assert m["matched_keywords"] == sorted(kw_hits + ["topic:mining"])
+
+    # topics-only match passes the no-keyword gate via topic hits
+    r2 = match_icp("Quarterly results", "canadian company growth and revenue",
+                   topics=["business"])
+    assert r2 is not None and r2["model_version"] == "v1"
+    assert "private_sector_smb" in [m["segment"] for m in r2["segments"]]
+
+    # nothing relevant -> None
+    assert match_icp("Weather", "sunny with clouds", topics=[]) is None
+
+
+def test_structured_stage_emits_icp_column(ray_session):
+    import json
+
+    import pandas as pd
+    import ray
+
+    from north_cloud_ray.stages.structured import StructuredExtractStage
+
+    docs = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "url": ["https://h.test/news/2024/05/mining-story",
+                "https://h.test/entry/1"],
+        "title": ["Sudbury mining jobs", "Plain"],
+        "body": ["the sudbury mine adds nickel jobs", "nothing here"],
+        "content_type": ["article", "page"],
+        "source_id": ["src-0", "src-1"],
+        "topics": ["mining", ""],
+    })
+    out = ray.data.from_pandas(docs).map_batches(
+        StructuredExtractStage, batch_format="pandas", concurrency=1
+    ).to_pandas()
+    icp_a = json.loads(out.loc[out["doc_id"] == "a", "icp"].iloc[0])
+    assert icp_a["segments"][0]["segment"] == "northern_ontario_industry"
+    assert json.loads(out.loc[out["doc_id"] == "b", "icp"].iloc[0]) is None
