@@ -438,7 +438,9 @@ def events_sessionize(sf_dir: str):
 
     def sessions_part(part: pd.DataFrame) -> pd.DataFrame:
         if not len(part):
-            return pd.DataFrame({"user_id": pd.Series(dtype=object),
+            # typed to the REAL output dtypes: an object-dtype user_id here
+            # would be genuine schema drift vs non-empty partitions
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
                                  "n_sessions": pd.Series(dtype="int64"),
                                  "n_events": pd.Series(dtype="int64")})
         p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -906,33 +908,54 @@ def sidecar_scores(sf_dir: str):
 
 
 def publisher_telemetry_q(sf_dir: str):
-    """G8: per-channel publish counters over the routed publishes."""
-    from ..stages.classify import classify_documents
-    from ..stages.publish import publish, publisher_telemetry
+    """G8: per-channel delivery counters through the REAL
+    publisher_telemetry aggregate, fed a deterministic publishes stream
+    derived from the events log (channel := event_type, published_at :=
+    ts) so the result is SQL-oracle-checkable. The crawl-docs routing
+    variant stays covered by `publisher_routing` + unit tests."""
+    from ..stages.publish import publisher_telemetry
 
-    runner = _crawl("publish")
-    classified = classify_documents(runner.documents_dataset(), concurrency=2)
-    return publisher_telemetry(publish(classified))
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def as_publishes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["event_id"].to_numpy(),
+            "channel": b["event_type"].to_numpy(),
+            "published_at": b["ts"].to_numpy(),
+        })
+
+    tel = publisher_telemetry(ev.map_batches(as_publishes,
+                                             batch_format="pandas"))
+    # history_total is the cumulative-delivery counter (no history feed
+    # here); the oracle-checked surface is the per-channel batch counters
+    return tel[["channel", "published", "first_at", "last_at"]]
 
 
 def origin_budget(sf_dir: str):
-    """G2 discovery-budget counts: frontier rows per origin discovered
-    since T, over the partitioned frontier state (filtered pruned reads +
-    a small grouped count)."""
-    runner = _crawl("budget")
-    fr = runner.frontier_dataset()
+    """G2 discovery-budget counts (frontier_repository.go:81-91 COUNT
+    WHERE origin AND discovered_at >= since), expressed over the events
+    log (origin := event_type, discovered_at := ts, since := 2024-01-15):
+    a pushdown-filtered read + small grouped count, SQL-oracle-checked.
+    The crawl-side variant (pruned partitioned-frontier reads) is
+    count_by_origin_since, pytest-covered."""
+    since = pd.Timestamp("2024-01-15")
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
 
     def count(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b[b["discovered_at"] >= 0]
-        return keep.groupby("origin", as_index=False).agg(
-            n=("origin", "size"))
+        keep = b[b["ts"] >= since]
+        return keep.groupby("event_type", as_index=False).agg(
+            n=("event_type", "size"))
 
     from ..stages.agg import hash_grouped_agg
 
     def combine(p: pd.DataFrame) -> pd.DataFrame:
-        return p.groupby("origin", as_index=False).agg(n=("n", "sum"))
+        return p.groupby("event_type", as_index=False).agg(n=("n", "sum"))
 
-    return hash_grouped_agg(fr, ["origin"], count, combine, num_partitions=4)
+    out = hash_grouped_agg(ev, ["event_type"], count, combine,
+                           num_partitions=4)
+    return out.map_batches(
+        lambda b: b.rename(columns={"event_type": "origin"}),
+        batch_format="pandas")
 
 
 def extraction_quality(sf_dir: str):
@@ -1275,5 +1298,32 @@ ORACLE_SQL = {
            OR (ts = TIMESTAMP '2024-01-15' AND event_id > 0)
         ORDER BY ts, event_id
         LIMIT 100
+    """,
+    "origin_budget": """
+        SELECT event_type AS origin, COUNT(*) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15'
+        GROUP BY event_type
+    """,
+    "publisher_telemetry": """
+        SELECT event_type AS channel, COUNT(*) AS published,
+               MIN(ts) AS first_at, MAX(ts) AS last_at
+        FROM events GROUP BY event_type
+    """,
+    # extraction_quality runs the DOM-extraction chain over the
+    # deterministic 14-page fixture corpus — not computable in SQL, but the
+    # expected output IS a fixed golden table; the oracle pins the pipeline
+    # to it (any extractor/fixture drift hash-mismatches loudly)
+    "extraction_quality": """
+        SELECT * FROM (VALUES
+            ('article', 'heuristic',   '50+', CAST(1 AS BIGINT)),
+            ('article', 'template',    '50+', CAST(1 AS BIGINT)),
+            ('listing', 'heuristic',   '50+', CAST(1 AS BIGINT)),
+            ('listing', 'readability', '0+',  CAST(1 AS BIGINT)),
+            ('other',   'heuristic',   '50+', CAST(4 AS BIGINT)),
+            ('other',   'readability', '0+',  CAST(1 AS BIGINT)),
+            ('other',   'template',    '50+', CAST(2 AS BIGINT)),
+            ('stub',    'readability', '0+',  CAST(3 AS BIGINT))
+        ) AS t(page_type, extraction_method, wc_bucket, n)
     """,
 }

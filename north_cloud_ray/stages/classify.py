@@ -356,6 +356,7 @@ _CLASSIFY_STATE: dict = {}
 
 
 MAX_URL_LENGTH = 2048  # M21, classifier/processor/poller.go:300-320
+CLASSIFIER_VERSION = "rules-v1"  # ClassifierVersion in history rows
 
 
 def validate_url(url: str) -> str:
@@ -424,7 +425,13 @@ def classify_and_store(runner, rules: tuple[TopicRule, ...] | None = None,
     import numpy as np
     import pandas as pd
 
+    import shutil
+
     out_dir = os.path.join(runner.store.root, "classified")
+    hist_dir = os.path.join(runner.store.root, "history")
+    for d in (out_dir, hist_dir):  # idempotent re-runs replace, not append
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     # nested list<struct> columns don't round-trip pandas (ray_guide
     # pitfall) — drop spans before classify (it uses the flat body columns)
     # and flatten topics before the pandas-based dedup grouping
@@ -459,6 +466,28 @@ def classify_and_store(runner, rules: tuple[TopicRule, ...] | None = None,
     import ray.data as _rd
 
     reread = _rd.read_parquet(out_dir)
+
+    # classification-history rows for ML training (poller.go:323-362
+    # saveHistory): one row per successfully classified doc, with the M21
+    # URL truncation guard applied to content_url. Written as its own
+    # partitioned table — the reference keeps it in Postgres.
+    def to_history(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["classification_status"] == "classified"]
+        return pd.DataFrame({
+            "content_id": b["doc_id"].to_numpy(),
+            "content_url": validate_url_column(b["url"]).to_numpy(),
+            "source_name": b["source_id"].to_numpy(),
+            "content_type": b["content_type"].to_numpy(),
+            "quality_score": b["quality_score"].to_numpy(),
+            "topics": b["topics"].to_numpy(),
+            "classification_method": b["method"].to_numpy(),
+            "confidence": b["confidence"].to_numpy(),
+            "classifier_version": CLASSIFIER_VERSION,
+            "classified_at": b["crawled_at"].to_numpy(),
+        })
+
+    reread.map_batches(to_history, batch_format="pandas").write_parquet(
+        hist_dir)
     counts = (
         reread.groupby("classification_status").count().to_pandas()
         .set_index("classification_status")["count()"].to_dict()

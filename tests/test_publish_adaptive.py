@@ -147,3 +147,19 @@ def test_classify_and_store_lifecycle(ray_session, tmp_path):
     assert (df.loc[df["quality_score"] >= 45, "classification_status"] == "classified").all()
     # store is standalone: re-read has the flattened schema
     assert "spans" not in df.columns and "topics" in df.columns
+
+    # classification-history rows (poller.go:323-362): one per classified
+    # doc, M21-guarded url, the training fields populated
+    import ray.data as rd
+
+    hist = rd.read_parquet(str(tmp_path / "out" / "history")).to_pandas()
+    assert len(hist) == counts["classified"]
+    assert set(hist["content_id"]) == set(
+        df.loc[df["classification_status"] == "classified", "doc_id"])
+    assert (hist["content_url"].str.len() <= 2048).all()
+    assert (hist["classifier_version"] == "rules-v1").all()
+    assert {"content_type", "quality_score", "topics",
+            "classification_method", "confidence",
+            "classified_at"} <= set(hist.columns)
+    j = hist.merge(df, left_on="content_id", right_on="doc_id")
+    assert (j["quality_score_x"] == j["quality_score_y"]).all()
