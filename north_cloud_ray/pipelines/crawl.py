@@ -586,6 +586,26 @@ class CrawlRunner:
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
         )
+        # 2b. feed polls due at round start contribute candidates
+        # (origin=feed, priority 7) through the same submit merge. Runs on
+        # the DRIVER while the claim tasks + fetch stream execute remotely
+        # — it only needs the round-start feed state, so overlapping it
+        # here removes a serial term from the round barrier (the candidate
+        # merge in step 3 is order-independent by the dedup rule).
+        new_feed_state = None
+        feed_cands = pd.DataFrame(columns=CAND_COLS)
+        if cfg.use_feeds:
+            from ..sources.feeds import FEED_STATE_SCHEMA, poll_feeds_batch
+
+            fs_path = os.path.join(store.state_dir(rnd), "feedstate.parquet")
+            fstate = pq.read_table(fs_path).to_pandas()
+            poll = poll_feeds_batch(fstate, SyntheticWeb(self.web_cfg), t_start)
+            new_feed_state = pa.Table.from_pandas(
+                poll.new_state, schema=FEED_STATE_SCHEMA, preserve_index=False
+            )
+            if len(poll.candidates):
+                feed_cands = _expand_candidates(poll.candidates, cfg.num_shards)
+
         ren_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
         claim_out = ray.get(meta_refs)  # long since done — no extra wait
         n_pending = sum(c[0] for c in claim_out)
@@ -615,22 +635,6 @@ class CrawlRunner:
             index=renames_all.index,
         )
         _mark("read")
-
-        # 2b. feed polls due at round start contribute candidates
-        # (origin=feed, priority 7) through the same submit merge
-        new_feed_state = None
-        feed_cands = pd.DataFrame(columns=CAND_COLS)
-        if cfg.use_feeds:
-            from ..sources.feeds import FEED_STATE_SCHEMA, poll_feeds_batch
-
-            fs_path = os.path.join(store.state_dir(rnd), "feedstate.parquet")
-            fstate = pq.read_table(fs_path).to_pandas()
-            poll = poll_feeds_batch(fstate, SyntheticWeb(self.web_cfg), t_start)
-            new_feed_state = pa.Table.from_pandas(
-                poll.new_state, schema=FEED_STATE_SCHEMA, preserve_index=False
-            )
-            if len(poll.candidates):
-                feed_cands = _expand_candidates(poll.candidates, cfg.num_shards)
 
         # 3. redirect-rename resolution (bounded: ~redirect_rate * claims)
         feed_hashes_by_shard = {
