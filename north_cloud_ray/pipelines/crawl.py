@@ -29,6 +29,13 @@ Scale notes (10^10-frontier design, tested single-node):
   because they are co-partitioned two-sided merges against a partitioned
   store — expressing them as a Dataset groupby would re-shuffle the full
   frontier every round.
+- Shard sizing bounds per-task memory: a claim/merge task holds ONE
+  shard's pending slice / partition as a single frame, so num_shards must
+  be sized so a partition fits a worker (10^10-URL frontier at ~200 B/row
+  -> ~2 TB total -> >=4k shards for 512 MB partitions). If partitions
+  must exceed worker memory, the next step is row-group streaming inside
+  the merge (sorted-by-url_hash partitions + a streaming two-way merge);
+  the current whole-partition frame is the documented simplification.
 """
 
 from __future__ import annotations
@@ -149,6 +156,8 @@ def seed_frontier_table(seeds: list[dict], num_shards: int) -> pd.DataFrame:
 
 
 def _frontier_to_table(df: pd.DataFrame) -> pa.Table:
+    if "unchanged_count" not in df.columns:  # pre-A4 builders (bench seeding)
+        df = df.assign(unchanged_count=np.int32(0))
     cols = [f.name for f in FRONTIER_SCHEMA]
     return pa.Table.from_pandas(df[cols], schema=FRONTIER_SCHEMA, preserve_index=False)
 

@@ -1004,7 +1004,8 @@ def structured_extraction(sf_dir: str):
     runner = _crawl("structured")
     classified = classify_documents(runner.documents_dataset(), concurrency=2)
     keep = classified.map_batches(
-        lambda b: b[["doc_id", "url", "title", "body", "content_type"]],
+        lambda b: b[["doc_id", "url", "title", "body", "content_type",
+                     "source_id", "topics"]],
         batch_format="pandas",
     )
     # plain tasks, not an actor pool: the stage is stateless, and chaining
