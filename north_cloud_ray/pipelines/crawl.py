@@ -74,6 +74,7 @@ from ..stages.fetch_parse import (
     fetch_parse_fn,
     light_shard_dir,
 )
+from ..state.adaptive import adaptive_interval_us as _adaptive_interval_us
 from ..state.checkpoint import CheckpointStore
 
 HOST_STATE_RUNTIME_SCHEMA = pa.schema(
@@ -787,10 +788,12 @@ class CrawlRunner:
                     "status": "fetched",
                     # a renamed row is a NEW url_hash identity: its tracker
                     # starts at 0, and with recrawl on its due time is one
-                    # baseline after this fetch
+                    # capped baseline interval after this fetch (same
+                    # adaptive_interval_us the oracle and merge use)
                     "unchanged_count": np.int32(0),
                     "next_fetch_at": (
-                        j["claim_at"].astype("int64") + cfg.recrawl_baseline_us
+                        j["claim_at"].astype("int64")
+                        + _adaptive_interval_us(cfg.recrawl_baseline_us, 0)
                         if cfg.recrawl_baseline_us > 0
                         else j["next_fetch_at"].astype("int64")
                     ),
@@ -826,7 +829,16 @@ class CrawlRunner:
             m = self.run_round(rnd)
             summary["rounds"] += 1
             summary["claims"] += m["claims"]
-            if m["claims"] == 0 and m["pending_before"] == 0:
+            # stop when the post-round frontier has nothing claimable left:
+            # pending is counted AFTER this round's submits (a feed poll in
+            # an otherwise idle round keeps the crawl alive — same rule as
+            # the oracle), and with adaptive recrawl on, fetched rows are
+            # future work, so an idle round must not end the crawl
+            pending_after = sum(
+                s.get("status_pending", 0) for s in m["shards"])
+            recrawlable = self.cfg.recrawl_baseline_us > 0 and any(
+                s.get("status_fetched", 0) for s in m["shards"])
+            if m["claims"] == 0 and pending_after == 0 and not recrawlable:
                 break
         return summary
 

@@ -355,7 +355,12 @@ class OracleSimulator:
         for rnd in range(max_rounds):
             n = self.run_round(rnd)
             total += n
-            if n == 0 and not any(
+            # same stop rule as CrawlRunner.run: post-round pending check,
+            # and with adaptive recrawl on, fetched rows are future work
+            recrawlable = self.cfg.recrawl_baseline_us > 0 and any(
+                r["status"] == STATUS_FETCHED for r in self.frontier.values()
+            )
+            if n == 0 and not recrawlable and not any(
                 r["status"] == STATUS_PENDING for r in self.frontier.values()
             ):
                 break

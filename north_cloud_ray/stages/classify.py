@@ -212,6 +212,9 @@ class ClassifyActor:
             [max(r.min_confidence, MIN_GLOBAL_CONFIDENCE) for r in rs]
         )
         self.vocab = sorted({k for ks in self.rule_single for k in ks})
+        self._excl_re = re.compile(
+            "^(?:" + "|".join(re.escape(p) for p in ALWAYS_EXCLUDED_PREFIXES)
+            + ")")
 
     def _topic_scores(self, titles: pd.Series, bodies: pd.Series) -> np.ndarray:
         """(n_docs, n_rules) score matrix — the topic.go:167-247 formula.
@@ -281,11 +284,7 @@ class ClassifyActor:
         path = path.str.split("?").str[0].str.split("#").str[0]
         lower = path.str.lower().str.rstrip("/")
         lower = lower.where(lower != "", "/")
-        import re as _re
-
-        excl_re = "^(?:" + "|".join(
-            _re.escape(p) for p in ALWAYS_EXCLUDED_PREFIXES) + ")"
-        is_excl = lower.str.match(excl_re).to_numpy()
+        is_excl = lower.str.match(self._excl_re).to_numpy()
         is_section = lower.isin(SECTION_INDEX_PATHS).to_numpy()
         from ..frontier.content_url import is_content_url_mask
 

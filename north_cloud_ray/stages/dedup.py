@@ -217,12 +217,21 @@ def cluster_assign(ds, id_col: str, verified, join_partitions: int = 8,
                num_partitions=join_partitions,
                on=(id_col,), right_on=("_cnode",))
 
-        def finish(b: pd.DataFrame) -> pd.DataFrame:
-            o = b[cols].copy()
-            o["cluster_id"] = b["cluster_id"].fillna(b[id_col])
-            return o
+        def finish(t: pa.Table) -> pa.Table:
+            # null-fill in ARROW: a pandas pass here would coerce the
+            # nullable int64 cluster_id to float64 and corrupt ids > 2^53
+            # (and drift the dtype vs the union-find path)
+            import pyarrow.compute as pc
 
-        return out.map_batches(finish, batch_format="pandas")
+            cid = pc.coalesce(
+                t["cluster_id"],
+                pc.cast(t[id_col], t["cluster_id"].type) if
+                t["cluster_id"].type != t[id_col].type else t[id_col],
+            )
+            return pa.table(
+                {**{c: t[c] for c in cols}, "cluster_id": cid})
+
+        return out.map_batches(finish, batch_format="pyarrow")
 
     if pairs_ds is not None:
         verified = pairs_ds.to_pandas()
@@ -782,12 +791,15 @@ def embedding_near_dup(
                           for v in b[vec_col]],
             })
 
-        vecs = ds.map_batches(
-            lambda b: b[[id_col, vec_col]], batch_format="pandas")
-        va = vecs.map_batches(
-            lambda b: pack(b, "_ida", "_vec_a"), batch_format="pandas")
-        vb = vecs.map_batches(
-            lambda b: pack(b, "_idb", "_vec_b"), batch_format="pandas")
+        # pack ONCE and materialize: va/vb as independent lazy consumers
+        # would each re-execute the full read+pack pass
+        packed = ds.map_batches(
+            lambda b: pack(b, "_ida", "_vec_a"), batch_format="pandas"
+        ).materialize()
+        va = packed
+        vb = packed.map_batches(
+            lambda b: b.rename(columns={"_ida": "_idb", "_vec_a": "_vec_b"}),
+            batch_format="pandas")
         pairs = rd.from_pandas(pairs_df).repartition(join_partitions)
         j = pairs.join(va, join_type="inner", num_partitions=join_partitions,
                        on=("a",), right_on=("_ida",))

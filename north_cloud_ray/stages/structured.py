@@ -596,9 +596,11 @@ class StructuredExtractStage:
             # runSectorAlignment is not routing-table gated)
             if isinstance(tps, str):
                 tps = [t for t in tps.split(",") if t]
+            elif tps is None or (
+                    not hasattr(tps, "__iter__") and pd.isna(tps)):
+                tps = ()  # scalar NaN (e.g. from a join) is "no topics"
             icps.append(json.dumps(match_icp(
-                title, body, source_name=src or "", url=url,
-                topics=tps if tps is not None else ())))
+                title, body, source_name=src or "", url=url, topics=tps)))
         out = batch[["doc_id", "url", "content_type"]].copy()
         out["content_subtype"] = subtypes
         out["subtype_method"] = methods

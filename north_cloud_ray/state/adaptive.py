@@ -41,9 +41,19 @@ def update_unchanged_count(prev_hash: str | None, new_hash: str | None,
 
 
 def interval_us_array(baseline_us: int, unchanged_counts: "np.ndarray") -> "np.ndarray":
-    """Vectorized adaptive_interval_us over an int array (merge-step kernel)."""
-    exp = np.minimum(np.asarray(unchanged_counts, dtype=np.int64), 32)
-    return np.minimum(baseline_us * (np.int64(1) << exp), HOURS_24_US)
+    """Vectorized adaptive_interval_us over an int array (merge-step kernel).
+
+    The exponent is clamped to the smallest value that already reaches the
+    24 h cap for THIS baseline, so ``baseline * 2^exp`` never exceeds
+    2*cap — no int64 overflow for any baseline (a fixed exp cap of 32
+    overflowed for baselines over ~36 min)."""
+    import math
+
+    uc = np.asarray(unchanged_counts, dtype=np.int64)
+    b = max(1, int(baseline_us))
+    cap_exp = max(0, math.ceil(math.log2(max(HOURS_24_US / b, 1.0))))
+    exp = np.minimum(np.maximum(uc, 0), cap_exp)
+    return np.minimum(b * (np.int64(1) << exp), HOURS_24_US)
 
 
 def requeue_fetched(frontier: pd.DataFrame, now_us: int,

@@ -163,3 +163,22 @@ def test_classify_and_store_lifecycle(ray_session, tmp_path):
             "classified_at"} <= set(hist.columns)
     j = hist.merge(df, left_on="content_id", right_on="doc_id")
     assert (j["quality_score_x"] == j["quality_score_y"]).all()
+
+
+def test_interval_array_matches_scalar_no_overflow():
+    """interval_us_array must equal the scalar spec for ANY baseline —
+    including hour-scale baselines where a fixed exponent cap overflowed
+    int64 into negative intervals (r3 review finding)."""
+    import numpy as np
+
+    from north_cloud_ray.state.adaptive import (
+        adaptive_interval_us,
+        interval_us_array,
+    )
+
+    for base in (1, 1_000_000, 60_000_000, 3_600_000_000, 90_000_000_000):
+        uc = np.array([0, 1, 5, 31, 32, 33, 100])
+        got = interval_us_array(base, uc)
+        want = [adaptive_interval_us(base, int(k)) for k in uc]
+        assert got.tolist() == want, base
+        assert (got > 0).all()
