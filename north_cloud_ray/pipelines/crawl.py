@@ -877,15 +877,25 @@ class CrawlRunner:
         ds = ds.drop_columns(["rec", "claim_at"])
 
         # `body` (raw_text alias, classifier.go:624-655) is derived from the
-        # stored spans at read time — the sink stores the text once
+        # stored spans at read time — the sink stores the text once. Pure
+        # Arrow list kernels: flatten -> filter text spans -> regroup by
+        # parent row -> binary_join, no per-row Python
         def _add_body(t: pa.Table) -> pa.Table:
-            spans = t.column("spans").to_pylist()
-            body = [
-                "\n".join(s["text"] for s in sp if s["kind"] == "text")
-                if sp is not None else ""
-                for sp in spans
-            ]
-            return t.append_column("body", pa.array(body, type=pa.string()))
+            spans = t.column("spans").combine_chunks()
+            if t.num_rows == 0:
+                return t.append_column("body", pa.array([], type=pa.string()))
+            flat = pa.compute.list_flatten(spans)
+            parents = pa.compute.list_parent_indices(spans).to_numpy(
+                zero_copy_only=False)
+            is_text = pa.compute.equal(flat.field("kind"), "text")
+            keep = is_text.to_numpy(zero_copy_only=False)
+            texts = flat.field("text").filter(is_text)
+            counts = np.bincount(parents[keep], minlength=t.num_rows)
+            offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
+            np.cumsum(counts.astype(np.int32), out=offsets[1:])
+            grouped = pa.ListArray.from_arrays(pa.array(offsets), texts)
+            body = pa.compute.binary_join(grouped, "\n")
+            return t.append_column("body", body)
 
         ds = ds.map_batches(_add_body, batch_format="pyarrow")
         if dedup:
