@@ -21,6 +21,7 @@ from ..stages.dedup import (
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_dedup,
+    ngram_jaccard_pairs,
     simhash_dedup,
 )
 from ..stages.similarity import brute_force_topk, ivf_topk
@@ -493,6 +494,16 @@ def exact_dedup_docs(sf_dir: str):
         return batch[["doc_id", "text_sha"]]
 
     return out.map_batches(select, batch_format="pandas")
+
+
+def ngram_jaccard_docs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity join at J >= 0.5 over the
+    documents table (All-Pairs/PPJoin prefix filtering; the exact operator
+    that minhash_dedup_docs approximates). SQL-oracle-checked: jaccard is
+    one float64 division of exact intersection/size counts, so the value
+    is bit-identical to DuckDB's."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
 def lang_stats(sf_dir: str):
@@ -1108,6 +1119,7 @@ QUERIES = {
     "doc_quality_gate": doc_quality_gate,
     "exact_dedup_docs": exact_dedup_docs,
     "lang_stats": lang_stats,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
     # non-SQL operators
@@ -1270,6 +1282,31 @@ ORACLE_SQL = {
     "lang_stats": """
         SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
+    """,
+    "ngram_jaccard_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM toks, unnest(range(1, greatest(len(ws)-2, 0)+1)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        ov AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ov.doc_a, ov.doc_b,
+               CAST(ov.c AS DOUBLE) / (sa.n + sb.n - ov.c) AS jaccard
+        FROM ov
+        JOIN sizes sa ON sa.doc_id = ov.doc_a
+        JOIN sizes sb ON sb.doc_id = ov.doc_b
+        WHERE CAST(ov.c AS DOUBLE) / (sa.n + sb.n - ov.c) >= 0.5
+        ORDER BY doc_a, doc_b
     """,
     "embedding_dup_pairs": _AUG_SQL + """
         SELECT a.vec_id AS a, b.vec_id AS b

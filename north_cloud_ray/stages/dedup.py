@@ -857,3 +857,343 @@ def embedding_dup_pairs_exact(
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     return ds.map_batches(pairs, batch_format="pandas")
+
+
+# ---------------- exact n-gram Jaccard similarity join ----------------
+
+# distinct-shingle document-frequency tables below this row count are
+# broadcast (ray.put) for the prefix ordering; above it the order is
+# attached via a distributed hash join on the shingle key
+DF_BROADCAST_THRESHOLD = 2_000_000
+
+# prefix-index tables below this row count are broadcast and candidate
+# generation is a map-side sorted probe (no shuffle); above it candidates
+# come from a hash-partitioned prefix-x-full merge
+PREF_BROADCAST_THRESHOLD = 4_000_000
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+    df_broadcast_threshold: int = DF_BROADCAST_THRESHOLD,
+    pref_broadcast_threshold: int = PREF_BROADCAST_THRESHOLD,
+    verify_broadcast_threshold: int = VERIFY_BROADCAST_THRESHOLD,
+    join_partitions: int = 8,
+):
+    """EXACT word-``k``-gram Jaccard similarity join: every unordered doc
+    pair with ``J(A,B) >= threshold``, as a Dataset of
+    ``(doc_a, doc_b, jaccard)``.
+
+    Unlike MinHash-LSH (probabilistic candidates, same verify metric),
+    this is the exact operator, implemented with All-Pairs/PPJoin-style
+    prefix filtering (Bayardo et al., WWW 2007 — public algorithm):
+
+    1. one pass shingles each doc to its DISTINCT k-gram hash set and
+       emits LIGHT ``(id, sh int64, n)`` rows — text never re-enters;
+    2. a hash-partitioned count yields each shingle's document frequency
+       (df); shingles are globally ordered by ``(df ASC, sh ASC)`` so the
+       rarest shingles come first;
+    3. each doc indexes only its PREFIX — the first
+       ``n - ceil(threshold*n) + 1`` shingles under that order. J >= t
+       implies ``|A∩B| > (ceil(t*|A|)-1) + (ceil(t*|B|)-1)`` shared
+       shingles cannot all hide in both suffixes, so every qualifying
+       pair shares a shingle that sits in at least ONE side's prefix:
+       probing prefix rows against FULL rows is lossless;
+    4. candidates get the symmetric length filter
+       ``min(na,nb) >= threshold*max(na,nb)`` and are verified with the
+       exact set intersection — float64 ``c/(na+nb-c)``.
+
+    Scale notes (100 TB): every shuffled row is 24 bytes; hot shingles
+    (high df) sort to the END of the prefix order, so the frequent-token
+    inverted lists that would blow up a naive shingle join contribute few
+    or no prefix rows; the df table broadcast degrades to a distributed
+    join above ``df_broadcast_threshold``; candidate generation is a
+    shuffle-free map-side probe against the broadcast prefix index under
+    ``pref_broadcast_threshold`` rows and a hash-partitioned prefix-x-full
+    merge above it; verification mirrors the minhash size-adaptive
+    strategy (broadcast pullback of candidate shingle sets under
+    ``verify_broadcast_threshold`` pairs, distributed hash-join of
+    per-doc shingle lists above). Reference parity:
+    crawler/internal/dedup has no exact similarity join — this is one of
+    the added LLM-corpus operators (brief §dedup family).
+    """
+    import ray
+
+    from .agg import default_partitions, hash_grouped_agg, hash_grouped_map
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def to_sh_rows(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("")
+        wc = texts.str.split().str.len().fillna(0).to_numpy()
+        keep = wc >= k  # <k words -> empty shingle set (matches oracle)
+        empty = pd.DataFrame({
+            id_col: np.zeros(0, dtype=np.int64),
+            "sh": np.zeros(0, dtype=np.int64),
+            "n": np.zeros(0, dtype=np.int64),
+        })
+        if not keep.any():
+            return empty
+        shs = shingle_hashes_batch(list(texts[keep]), k)
+        ids = b[id_col].to_numpy()[keep]
+        n = np.array([len(s) for s in shs], dtype=np.int64)
+        return pd.DataFrame({
+            id_col: np.repeat(ids, n),
+            "sh": np.concatenate(shs).view(np.int64),
+            "n": np.repeat(n, n),
+        })
+
+    # one shingling pass; the light rows feed df-count, prefix selection
+    # and verification (24 B/row, object-store backed and spillable)
+    sh_rows = ds.map_batches(to_sh_rows, batch_format="pandas").materialize()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("sh", as_index=False).size().rename(
+            columns={"size": "df"})
+
+    def df_combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("sh", as_index=False)["df"].sum()
+
+    # materialized: count() and to_pandas() below must not re-run the
+    # aggregation pipeline
+    df_ds = hash_grouped_agg(sh_rows, ["sh"], df_partial, df_combine,
+                             num_partitions).materialize()
+
+    def prefix_len(n: np.ndarray) -> np.ndarray:
+        return n - np.ceil(threshold * n).astype(np.int64) + 1
+
+    out_schema = {
+        "doc_a": np.zeros(0, np.int64), "doc_b": np.zeros(0, np.int64),
+        "jaccard": np.zeros(0, np.float64),
+    }
+    n_shingles = df_ds.count()
+    if n_shingles == 0:
+        return ray.data.from_pandas(pd.DataFrame(out_schema))
+    if n_shingles <= df_broadcast_threshold:
+        dfp = df_ds.to_pandas()
+        sh_sorted = dfp["sh"].to_numpy()
+        order = np.argsort(sh_sorted, kind="mergesort")
+        df_ref = ray.put((sh_sorted[order],
+                          dfp["df"].to_numpy()[order]))
+
+        def take_prefix(b: pd.DataFrame) -> pd.DataFrame:
+            # stage-1 batches keep each doc's rows contiguous, so prefix
+            # selection is a per-batch kernel — no doc-level shuffle
+            if len(b) == 0:
+                return b
+            sh_keys, df_vals = ray.get(df_ref)
+            dfs = df_vals[np.searchsorted(sh_keys, b["sh"].to_numpy())]
+            out = []
+            start = 0
+            ids = b[id_col].to_numpy()
+            bounds = np.flatnonzero(np.diff(ids)) + 1
+            for end in [*bounds.tolist(), len(b)]:
+                g = b.iloc[start:end]
+                o = np.lexsort((g["sh"].to_numpy(), dfs[start:end]))
+                p = int(prefix_len(g["n"].to_numpy()[:1])[0])
+                out.append(g.iloc[o[:p]])
+                start = end
+            return pd.concat(out, ignore_index=True)
+
+        pref = sh_rows.map_batches(take_prefix, batch_format="pandas")
+    else:
+        joined = sh_rows.join(
+            df_ds, join_type="inner", num_partitions=join_partitions,
+            on=("sh",), right_on=("sh",),
+        )
+
+        def group_prefix(g: pd.DataFrame) -> pd.DataFrame:
+            o = np.lexsort((g["sh"].to_numpy(), g["df"].to_numpy()))
+            p = int(prefix_len(g["n"].to_numpy()[:1])[0])
+            return g.iloc[o[:p]][[id_col, "sh", "n"]]
+
+        pref = hash_grouped_map(joined, [id_col], group_prefix,
+                                num_partitions)
+
+    _EMPTY_PAIRS = pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64)})
+
+    def _orient(fid, fn_, gid, gn) -> pd.DataFrame:
+        """id-inequality + symmetric length filter + (min,max) orientation
+        over parallel candidate arrays."""
+        lo = np.minimum(fn_, gn).astype(np.float64)
+        hi = np.maximum(fn_, gn).astype(np.float64)
+        keep = (fid != gid) & (lo >= threshold * hi)
+        return pd.DataFrame({
+            "a": np.minimum(fid[keep], gid[keep]),
+            "b": np.maximum(fid[keep], gid[keep]),
+        }).drop_duplicates()
+
+    pref_mat = pref.materialize()
+    if pref_mat.count() <= pref_broadcast_threshold:
+        # map-side candidates: probe every light row against the
+        # broadcast, sh-sorted prefix index — no shuffle at all
+        pp = pref_mat.to_pandas()
+        o = np.argsort(pp["sh"].to_numpy(), kind="mergesort")
+        pref_ref = ray.put((pp["sh"].to_numpy()[o],
+                            pp[id_col].to_numpy()[o],
+                            pp["n"].to_numpy()[o]))
+
+        def probe(b: pd.DataFrame) -> pd.DataFrame:
+            psh, pid, pn = ray.get(pref_ref)
+            sh = b["sh"].to_numpy()
+            lo_i = np.searchsorted(psh, sh, side="left")
+            hi_i = np.searchsorted(psh, sh, side="right")
+            cnt = hi_i - lo_i
+            m = cnt > 0
+            if not m.any():
+                return _EMPTY_PAIRS
+            counts = cnt[m]
+            starts = lo_i[m]
+            # vectorized concatenation of [start, start+count) ranges
+            total = int(counts.sum())
+            idx = (np.repeat(starts, counts) + np.arange(total)
+                   - np.repeat(np.cumsum(counts) - counts, counts))
+            fid = np.repeat(b[id_col].to_numpy()[m], counts)
+            fn_ = np.repeat(b["n"].to_numpy()[m], counts)
+            return _orient(fid, fn_, pid[idx], pn[idx])
+
+        pairs_df = sh_rows.map_batches(probe, batch_format="pandas").to_pandas()
+    else:
+        # prefix index too large to broadcast: hash-partitioned
+        # prefix-x-full merge on the shingle key
+        def tag(flag: bool):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                b = b[[id_col, "sh", "n"]].copy()
+                b["pref"] = np.full(len(b), flag)
+                return b
+            return fn
+
+        tagged = pref_mat.map_batches(tag(True), batch_format="pandas").union(
+            sh_rows.map_batches(tag(False), batch_format="pandas"))
+
+        def pair_gen(part: pd.DataFrame) -> pd.DataFrame:
+            # prefix rows x full rows sharing a shingle, inside one hash
+            # partition of the shingle key: a vectorized merge, not a loop
+            p = part[part["pref"]]
+            f = part[~part["pref"]]
+            if len(p) == 0 or len(f) == 0:
+                return _EMPTY_PAIRS
+            m = p.merge(f, on="sh", suffixes=("_p", "_f"))
+            if len(m) == 0:
+                return _EMPTY_PAIRS
+            return _orient(m[f"{id_col}_p"].to_numpy(),
+                           m["n_p"].to_numpy(),
+                           m[f"{id_col}_f"].to_numpy(),
+                           m["n_f"].to_numpy())
+
+        pairs_df = (
+            hash_grouped_agg(tagged, ["sh"], lambda b: b, pair_gen,
+                             num_partitions)
+            .to_pandas()
+        )
+    if len(pairs_df):
+        pairs_df = pairs_df.drop_duplicates().reset_index(drop=True)
+
+    if len(pairs_df) == 0:
+        return ray.data.from_pandas(pd.DataFrame(out_schema))
+
+    if len(pairs_df) <= verify_broadcast_threshold:
+        cand = set(pairs_df["a"]) | set(pairs_df["b"])
+        ids_ref = ray.put(cand)
+
+        def cand_rows(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b[id_col].isin(ray.get(ids_ref))][[id_col, "sh"]]
+
+        # bounded by candidate docs, not corpus; packed as (sorted ids,
+        # offsets, per-doc-sorted flat shingles) and broadcast once — the
+        # per-pair intersections run as PARALLEL map tasks, not a driver
+        # loop
+        sh_df = (
+            sh_rows.map_batches(cand_rows, batch_format="pandas")
+            .to_pandas()
+            .sort_values([id_col, "sh"], kind="mergesort")
+        )
+        ids_arr = sh_df[id_col].to_numpy()
+        ids_u, starts = np.unique(ids_arr, return_index=True)
+        offs = np.append(starts, len(ids_arr))
+        sets_ref = ray.put((ids_u, offs, sh_df["sh"].to_numpy()))
+
+        def verify_chunk(b: pd.DataFrame) -> pd.DataFrame:
+            ids_u_, offs_, flat = ray.get(sets_ref)
+            rows_a, rows_b, rows_j = [], [], []
+            ia = np.searchsorted(ids_u_, b["a"].to_numpy())
+            ib = np.searchsorted(ids_u_, b["b"].to_numpy())
+            for a, b_, i, j_ in zip(b["a"], b["b"], ia, ib):
+                A = flat[offs_[i]:offs_[i + 1]]
+                B = flat[offs_[j_]:offs_[j_ + 1]]
+                c = len(np.intersect1d(A, B, assume_unique=True))
+                jac = c / (len(A) + len(B) - c)
+                if jac >= threshold:
+                    rows_a.append(a)
+                    rows_b.append(b_)
+                    rows_j.append(jac)
+            return pd.DataFrame({
+                "doc_a": np.array(rows_a, dtype=np.int64),
+                "doc_b": np.array(rows_b, dtype=np.int64),
+                "jaccard": np.array(rows_j, dtype=np.float64),
+            })
+
+        chunks = max(1, min(64, len(pairs_df) // 2048))
+        edges = np.linspace(0, len(pairs_df), chunks + 1, dtype=np.int64)
+        pairs_chunked = ray.data.from_pandas(
+            [pairs_df.iloc[s:e] for s, e in zip(edges[:-1], edges[1:])])
+        out = (
+            pairs_chunked.map_batches(verify_chunk, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        return ray.data.from_pandas(out)
+
+    # huge candidate sets: join per-doc shingle LISTS to the pairs by id
+    # on both sides — per-pair set transfer stays off the driver
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        # packed binary, not list<int64>: Arrow's hash join supports
+        # binary payload columns but not list payloads
+        return pd.DataFrame({
+            id_col: g[id_col].iloc[:1].to_numpy(),
+            "shl": [np.sort(g["sh"].to_numpy()).tobytes()],
+        })
+
+    lists = hash_grouped_map(
+        sh_rows.map_batches(lambda b: b[[id_col, "sh"]],
+                            batch_format="pandas"),
+        [id_col], gather, num_partitions)
+    la = lists.map_batches(
+        lambda b: b.rename(columns={id_col: "_ida", "shl": "_shl_a"}),
+        batch_format="pandas")
+    lb = lists.map_batches(
+        lambda b: b.rename(columns={id_col: "_idb", "shl": "_shl_b"}),
+        batch_format="pandas")
+    pairs = ray.data.from_pandas(pairs_df)
+    j = pairs.join(la, join_type="inner", num_partitions=join_partitions,
+                   on=("a",), right_on=("_ida",))
+    j = j.join(lb, join_type="inner", num_partitions=join_partitions,
+               on=("b",), right_on=("_idb",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, rows_j = [], [], []
+        for a, b, A, B in zip(batch["a"], batch["b"],
+                              batch["_shl_a"], batch["_shl_b"]):
+            A = np.frombuffer(A, dtype=np.int64)
+            B = np.frombuffer(B, dtype=np.int64)
+            c = len(np.intersect1d(A, B, assume_unique=True))
+            jac = c / (len(A) + len(B) - c)
+            if jac >= threshold:
+                rows_a.append(a)
+                rows_b.append(b)
+                rows_j.append(jac)
+        return pd.DataFrame({
+            "doc_a": np.array(rows_a, dtype=np.int64),
+            "doc_b": np.array(rows_b, dtype=np.int64),
+            "jaccard": np.array(rows_j, dtype=np.float64),
+        })
+
+    return j.map_batches(verify, batch_format="pandas").sort(
+        ["doc_a", "doc_b"])

@@ -253,3 +253,66 @@ def test_embedding_distributed_paths(ray_session):
     a = dict(zip(base["vec_id"], base["cluster_id"]))
     b = dict(zip(dist["vec_id"], dist["cluster_id"]))
     assert a == b
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    """The PPJoin-style prefix-filtered similarity join is EXACT: pairs and
+    jaccard values must equal the all-pairs brute force on real testdata."""
+    import ray
+
+    from north_cloud_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = pd.read_parquet(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    oracle = _bruteforce_pairs(df, 0.5)
+
+    ds = ray.data.read_parquet(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    mine = set(zip(out["doc_a"], out["doc_b"]))
+    assert len(oracle) > 0, "testdata should contain near-dups"
+    assert mine == oracle
+    # verify values: recompute each pair's exact jaccard
+    sh = {i: set(s.tolist())
+          for i, s in zip(df["doc_id"],
+                          shingle_hashes_batch(list(df["text"]), 3))}
+    for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"]):
+        assert j == jaccard(sh[a], sh[b])
+
+
+def test_ngram_jaccard_distributed_paths(ray_session):
+    """Forced df-join + distributed list-join verify paths produce the
+    same pairs as the broadcast paths."""
+    import ray
+
+    from north_cloud_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    fast = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    forced = ngram_jaccard_pairs(
+        ds, threshold=0.5, df_broadcast_threshold=0,
+        pref_broadcast_threshold=0, verify_broadcast_threshold=0,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  forced.reset_index(drop=True))
+
+
+def test_ngram_jaccard_short_docs(ray_session):
+    """Docs with fewer than k words have an EMPTY shingle set (matches the
+    SQL oracle's empty gram list) — they never pair, even when identical."""
+    import ray
+
+    from north_cloud_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["hi there", "hi there", "", None,
+                 "one two three four five"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert len(out) == 0
