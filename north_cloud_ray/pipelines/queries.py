@@ -629,13 +629,15 @@ def knn_ivf(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
+    """Rolling Rabin-Karp document fingerprint + stopword-voting language
+    ID per doc. SQL-oracle-checked end to end: the per-word hash is
+    DuckDB's md5_number_upper and the fold is mod 2^61-1, so both columns
+    are reproduced exactly by the oracle SQL."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = text_stats(docs, concurrency=2, langid=False)
+    out = text_stats(docs, concurrency=2)
 
     def select(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[["doc_id", "fingerprint", "lang_pred"]] if "lang_pred" in batch \
-            else batch[["doc_id", "fingerprint"]]
-        return batch
+        return batch[["doc_id", "fingerprint", "lang_pred"]]
 
     return out.map_batches(select, batch_format="pandas")
 
@@ -1282,6 +1284,54 @@ ORACLE_SQL = {
     "lang_stats": """
         SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
+    """,
+    "doc_fingerprints": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9_]+') AS tw
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id,
+            list_transform(tw, w -> CAST(md5_number_upper(w) AS HUGEINT)) AS hl,
+            list_distinct(list_slice(tw, 1, 400)) AS w400
+          FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, hl,
+            len(list_intersect(w400, ['der','die','das','und','ist','von',
+              'den','mit','auf','für','des','ein','eine','im','nicht',
+              'sich'])) AS c_de,
+            len(list_intersect(w400, ['the','and','of','to','a','in','is',
+              'that','for','it','with','was','on','as','are','at','be',
+              'this','have'])) AS c_en,
+            len(list_intersect(w400, ['el','la','los','las','de','y','en',
+              'que','es','un','una','del','por','con','para','no',
+              'se'])) AS c_es,
+            len(list_intersect(w400, ['le','la','les','de','des','et','un',
+              'une','du','en','est','que','pour','dans','qui','au','pas',
+              'sur'])) AS c_fr
+          FROM feats
+        )
+        SELECT doc_id,
+          CAST(CASE
+            WHEN len(hl) = 0 THEN 0
+            WHEN len(hl) < 8 THEN
+              list_reduce(hl, (a, b) -> (a * 1000003 + b)
+                          % 2305843009213693951) % 2305843009213693951
+            ELSE list_min(list_transform(range(1, len(hl) - 6), i ->
+              list_reduce(list_slice(hl, i, i + 7), (a, b) ->
+                (a * 1000003 + b) % 2305843009213693951)
+              % 2305843009213693951))
+          END AS BIGINT) AS fingerprint,
+          CASE
+            WHEN greatest(c_de, c_en, c_es, c_fr) < 2 THEN 'und'
+            WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+            ELSE 'fr'
+          END AS lang_pred
+        FROM votes
     """,
     "ngram_jaccard_docs": r"""
         WITH toks AS (

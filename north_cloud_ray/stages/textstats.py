@@ -89,11 +89,16 @@ _RK_MOD = (1 << 61) - 1
 
 def rolling_fingerprint(text: str, window: int = 8) -> int:
     """Document fingerprint: min Rabin-Karp rolling hash over word
-    ``window``-grams (deterministic, shift-invariant)."""
+    ``window``-grams (deterministic, shift-invariant).
+
+    The per-word hash is the first 8 md5 bytes little-endian — exactly
+    DuckDB's ``md5_number_upper`` — and the fold is mod 2^61-1, so the
+    whole fingerprint is reproducible in ANSI SQL (see the
+    ``doc_fingerprints`` oracle) and fits in an int64."""
     words = _WORD_RE.findall(text.lower())
     if not words:
         return 0
-    hs = [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+    hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
           for w in words]
     if len(hs) < window:
         acc = 0
@@ -130,8 +135,9 @@ class TextStatsActor:
         if self.langid:
             batch["lang_pred"] = batch["text"].fillna("").map(detect_language)
         if self.fingerprint:
+            # < 2^61, so int64 (uint64 silently corrupts through pandas)
             batch["fingerprint"] = (
-                batch["text"].fillna("").map(rolling_fingerprint).astype("uint64")
+                batch["text"].fillna("").map(rolling_fingerprint).astype("int64")
             )
         return batch
 
