@@ -747,6 +747,71 @@ def publisher_routing(sf_dir: str):
     return pubs.map_batches(dedup, batch_format="pandas")
 
 
+_ROUTE_CUR_AT = 1704844800000000  # 2024-01-10 00:00:00 UTC in epoch-us
+
+
+def publisher_routing_events(sf_dir: str):
+    """J5/J6/J7 + S11 through the REAL publish() operator (include AND
+    exclude topic matching, min-quality, content-type gate, cursor skip,
+    publish-history anti-join), fed a deterministic classified stream
+    derived from the events table so the whole route is
+    SQL-oracle-checked. The crawl-docs variant stays `publisher_routing`."""
+    from ..stages.publish import Channel, publish
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    topic_map = {"click": "crime", "view": "business", "purchase": "sports",
+                 "signup": "mining", "error": "politics"}
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy()
+        prim = b["event_type"].map(topic_map)
+        topics = pd.Series(
+            np.where(eid % 4 == 0, prim + ",sports", prim), dtype=object)
+        return pd.DataFrame({
+            "doc_id": eid,
+            "content_type": np.select(
+                [eid % 3 == 0, eid % 3 == 1], ["page", "article"], "other"),
+            "quality_score": (eid * 37) % 101,
+            "topics": topics,
+            "crawled_at": b["ts"].astype("datetime64[us]").astype("int64"),
+        })
+
+    channels = (
+        Channel("content:crime", include_topics=("crime",), min_quality=40),
+        Channel("content:business", include_topics=("business", "mining"),
+                min_quality=40),
+        Channel("content:no-sports", exclude_topics=("sports",),
+                min_quality=60),
+        Channel("content:high-quality", min_quality=80,
+                content_types=("article", "page")),
+    )
+    history = pd.DataFrame({
+        "channel": "content:crime",
+        "doc_id": np.arange(0, 2000, 10, dtype=np.int64),
+    })
+    return publish(ev.map_batches(derive, batch_format="pandas"),
+                   channels=channels, history=history,
+                   cursor=(_ROUTE_CUR_AT, 0))
+
+
+def source_reputation_events(sf_dir: str):
+    """A8 through the REAL source_reputation aggregate (integer-cents mean
+    quality per source) on a deterministic events-derived stream —
+    SQL-oracle-checked; the crawl-docs variant stays `source_reputation`."""
+    from ..stages.publish import source_reputation
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source_id": b["user_id"].to_numpy() % 50,
+            "quality_score": (b["event_id"].to_numpy() * 37) % 101,
+        })
+
+    return source_reputation(ev.map_batches(derive, batch_format="pandas"))
+
+
 def source_reputation_q(sf_dir: str):
     """A8: per-source running quality aggregate over classified docs."""
     from ..stages.classify import classify_documents
@@ -1139,6 +1204,8 @@ QUERIES = {
     "round_metrics": round_metrics,
     "publisher_cursor_scan": publisher_cursor_scan,
     "publisher_routing": publisher_routing,
+    "publisher_routing_events": publisher_routing_events,
+    "source_reputation_events": source_reputation_events,
     "source_reputation": source_reputation_q,
     "sidecar_scores": sidecar_scores,
     "corpus_prep": corpus_prep,
@@ -1284,6 +1351,51 @@ ORACLE_SQL = {
     "lang_stats": """
         SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
+    """,
+    "publisher_routing_events": """
+        WITH base AS (
+          SELECT event_id AS doc_id,
+                 epoch_us(ts) AS crawled_at,
+                 (event_id * 37) % 101 AS q,
+                 CASE WHEN event_id % 3 = 0 THEN 'page'
+                      WHEN event_id % 3 = 1 THEN 'article'
+                      ELSE 'other' END AS ct,
+                 CASE event_type WHEN 'click' THEN 'crime'
+                      WHEN 'view' THEN 'business'
+                      WHEN 'purchase' THEN 'sports'
+                      WHEN 'signup' THEN 'mining'
+                      ELSE 'politics' END AS prim,
+                 (event_type = 'purchase' OR event_id % 4 = 0) AS has_sports
+          FROM events
+          WHERE epoch_us(ts) > 1704844800000000
+             OR (epoch_us(ts) = 1704844800000000 AND event_id > 0)
+        ),
+        routed AS (
+          SELECT 'content:crime' AS channel, doc_id,
+                 crawled_at AS published_at
+          FROM base WHERE prim = 'crime' AND ct = 'article' AND q >= 40
+          UNION ALL
+          SELECT 'content:business', doc_id, crawled_at
+          FROM base WHERE prim IN ('business', 'mining')
+                      AND ct = 'article' AND q >= 40
+          UNION ALL
+          SELECT 'content:no-sports', doc_id, crawled_at
+          FROM base WHERE NOT has_sports AND ct = 'article' AND q >= 60
+          UNION ALL
+          SELECT 'content:high-quality', doc_id, crawled_at
+          FROM base WHERE ct IN ('article', 'page') AND q >= 80
+        )
+        SELECT channel, doc_id, published_at FROM routed
+        WHERE NOT (channel = 'content:crime' AND doc_id % 10 = 0
+                   AND doc_id < 2000)
+    """,
+    "source_reputation_events": """
+        SELECT user_id % 50 AS source_id,
+               COUNT(*) AS n_docs,
+               CAST((SUM((event_id * 37) % 101) * 100) // COUNT(*)
+                    AS BIGINT) AS reputation
+        FROM events
+        GROUP BY user_id % 50
     """,
     "doc_fingerprints": r"""
         WITH toks AS (

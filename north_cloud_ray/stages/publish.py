@@ -81,8 +81,11 @@ def route_batch(batch: pd.DataFrame, channels: tuple[Channel, ...]) -> pd.DataFr
                 )
             )
     if not outs:
+        # inherit the input's doc_id dtype so empty blocks don't diverge
+        # from non-empty ones (int64 for events-derived streams, string
+        # for crawl docs)
         return pd.DataFrame({"channel": pd.Series(dtype=str),
-                             "doc_id": pd.Series(dtype=object),
+                             "doc_id": batch["doc_id"].iloc[:0],
                              "published_at": pd.Series(dtype="int64")})
     return pd.concat(outs, ignore_index=True)
 
