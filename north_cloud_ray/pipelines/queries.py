@@ -985,6 +985,99 @@ def sidecar_scores(sf_dir: str):
     return score_documents(classified)
 
 
+def sidecar_scores_docs(sf_dir: str):
+    """A6 hybrid rules+ML matrix through the REAL score_documents stage
+    (all five sidecar domains, J5 routing gate, decision-path matrix) over
+    the documents table — fully SQL-oracle-checked: the oracle SQL is
+    GENERATED from the same DOMAIN_PATTERNS table (no drift), the stub-ML
+    score is sha256-hex-byte arithmetic DuckDB reproduces exactly, and
+    every confidence is per-row float arithmetic. The crawl-docs variant
+    stays `sidecar_scores`."""
+    from ..stages.scorer import score_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "body": b["text"].fillna(""),
+            "content_type": np.where(b["doc_id"].to_numpy() % 4 == 0,
+                                     "page", "article"),
+        })
+
+    return score_documents(docs.map_batches(derive, batch_format="pandas"))
+
+
+def _sidecar_hit_expr(p: str) -> str:
+    if " " in p:
+        return f"(strpos(lt, '{p}') > 0)"
+    return f"list_contains(ws, '{p}')"
+
+
+def _sidecar_oracle_sql() -> str:
+    """Oracle for sidecar_scores_docs, generated from the live
+    DOMAIN_PATTERNS table so pattern edits can't drift from the SQL."""
+    from ..stages.scorer import DOMAIN_PATTERNS
+
+    selects = []
+    for d, pats in DOMAIN_PATTERNS.items():
+        core = " + ".join(
+            f"(CASE WHEN {_sidecar_hit_expr(p)} THEN 1 ELSE 0 END)"
+            for p in pats["core"])
+        periph = " OR ".join(_sidecar_hit_expr(p)
+                             for p in pats["peripheral"])
+        sha = f"sha256('42:{d}:' || CAST(doc_id AS VARCHAR))"
+        selects.append(f"""
+          SELECT doc_id, '{d}' AS domain,
+                 ({core}) AS core_hits, ({periph}) AS periph,
+                 ('0x' || substr({sha}, 1, 2))::INTEGER / 255.0 AS mscore,
+                 0.5 + (('0x' || substr({sha}, 3, 2))::INTEGER / 255.0) / 2.0
+                   AS m_conf
+          FROM d""")
+    body = " UNION ALL ".join(selects)
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS lt,
+             string_split_regex(lower(text), '\s+') AS ws
+      FROM documents WHERE doc_id % 4 <> 0
+    ),
+    s AS ({body}),
+    m AS (
+      SELECT doc_id, domain, m_conf,
+        CASE WHEN core_hits > 0 THEN 'core'
+             WHEN periph THEN 'peripheral' ELSE 'not' END AS r_rel,
+        CASE WHEN core_hits > 0 THEN least(0.95, 0.6 + 0.1 * core_hits)
+             WHEN periph THEN 0.65 ELSE 0.6 END AS r_conf,
+        CASE WHEN mscore >= 0.7 THEN 'core'
+             WHEN mscore >= 0.3 THEN 'peripheral' ELSE 'not' END AS m_rel
+      FROM s
+    )
+    SELECT doc_id, domain,
+      CASE WHEN r_rel = 'core' THEN 'core'
+           WHEN m_rel = 'core' AND m_conf >= 0.90 THEN 'peripheral'
+           WHEN r_rel = 'peripheral' AND m_rel = 'core' THEN 'core'
+           ELSE r_rel END AS relevance,
+      round(CASE
+           WHEN r_rel = 'core' AND m_rel = 'core' THEN (r_conf + m_conf) / 2.0
+           WHEN r_rel = 'core' AND m_rel = 'not' THEN r_conf * 0.7
+           WHEN r_rel = 'core' THEN r_conf
+           WHEN m_rel = 'core' AND m_conf >= 0.90 THEN m_conf * 0.8
+           WHEN r_rel = 'peripheral' AND m_rel = 'core' THEN m_conf
+           ELSE r_conf END, 6) AS final_confidence,
+      r_rel AS rule_relevance, m_rel AS ml_relevance,
+      ((r_rel = 'core' AND m_rel = 'not')
+        OR (r_rel <> 'core' AND m_rel = 'core' AND m_conf >= 0.90))
+        AS review_required,
+      CASE WHEN r_rel = 'core' AND m_rel = 'core' THEN 'both_agree'
+           WHEN r_rel = 'core' AND m_rel = 'not' THEN 'rule_override_ml'
+           WHEN r_rel = 'core' THEN 'rules_only'
+           WHEN m_rel = 'core' AND m_conf >= 0.90 THEN 'ml_override'
+           WHEN r_rel = 'peripheral' AND m_rel = 'core' THEN 'ml_upgrade'
+           ELSE 'default' END AS decision_path
+    FROM m
+    """
+
+
 def publisher_telemetry_q(sf_dir: str):
     """G8: per-channel delivery counters through the REAL
     publisher_telemetry aggregate, fed a deterministic publishes stream
@@ -1207,6 +1300,7 @@ QUERIES = {
     "publisher_routing_events": publisher_routing_events,
     "source_reputation_events": source_reputation_events,
     "source_reputation": source_reputation_q,
+    "sidecar_scores_docs": sidecar_scores_docs,
     "sidecar_scores": sidecar_scores,
     "corpus_prep": corpus_prep,
     "f1_span_stats": f1_span_stats,
@@ -1352,6 +1446,7 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
     """,
+    "sidecar_scores_docs": _sidecar_oracle_sql(),
     "publisher_routing_events": """
         WITH base AS (
           SELECT event_id AS doc_id,

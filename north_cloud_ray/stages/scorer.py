@@ -189,7 +189,7 @@ class ScorerActor:
                      "review_required": review, "decision_path": path}
                 )
         return pa.Table.from_pylist(out_rows) if out_rows else pa.Table.from_pydict(
-            {"doc_id": pa.array([], type=pa.string()),
+            {"doc_id": pa.array([], type=batch["doc_id"].type),
              "domain": pa.array([], type=pa.string()),
              "relevance": pa.array([], type=pa.string()),
              "final_confidence": pa.array([], type=pa.float64()),
