@@ -1008,6 +1008,113 @@ def sidecar_scores_docs(sf_dir: str):
     return score_documents(docs.map_batches(derive, batch_format="pandas"))
 
 
+_CTD_TITLES = ("ingredients instructions preheat",
+               "apply now qualifications salary",
+               "request for proposal submission deadline",
+               "website redesign funding announcement",
+               "")
+_CTD_SEGMENTS = ("/press/", "/events/", "/recipes/", "/jobs/", "/tenders/",
+                 "/obituaries/")
+
+
+def content_type_detection_docs(sf_dir: str):
+    """M8 content-type detection through the REAL detection functions
+    (URL-pattern table incl. the .pdf/query-string rules, then the
+    keyword-heuristic subtype fallback) over deterministically derived
+    URLs/titles on the documents table — SQL-oracle-checked; the full
+    extraction chain stays `structured_extraction`."""
+    from ..stages.structured import (
+        classify_subtype_from_text,
+        detect_content_type_from_url,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def detect(b: pd.DataFrame) -> pd.DataFrame:
+        subs, methods = [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            v = doc_id % 8
+            if v == 7:
+                url = f"https://ex.test/files/item-{doc_id}.pdf?utm=x"
+            elif v == 6:
+                url = f"https://ex.test/notes/item-{doc_id}"
+            else:
+                url = f"https://ex.test{_CTD_SEGMENTS[v]}item-{doc_id}"
+            title = _CTD_TITLES[(doc_id // 8) % 5] if v == 6 else ""
+            sub = detect_content_type_from_url(url)
+            method = "url_pattern" if sub else ""
+            if not sub:
+                sub, _, method = classify_subtype_from_text(title, text or "")
+            subs.append(sub)
+            methods.append(method)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "subtype": subs, "method": methods})
+
+    return docs.map_batches(detect, batch_format="pandas")
+
+
+def _ctd_oracle_sql() -> str:
+    """Oracle for content_type_detection_docs, generated from the live
+    keyword tables (no drift)."""
+    from ..stages.structured import (
+        JOB_KEYWORDS,
+        NEED_SIGNAL_KEYWORDS,
+        RECIPE_KEYWORDS,
+        RFP_KEYWORDS,
+    )
+
+    def hits(kws) -> str:
+        return " + ".join(
+            f"(CASE WHEN strpos(combined, '{kw}') > 0 THEN 1 ELSE 0 END)"
+            for kw in kws)
+
+    qty_re = (r"\b\d+\s?(?:cups?|tbsp|tablespoons?|tsp|teaspoons?|ml|g|"
+              r"grams|kg|oz|ounces?)\b")
+    titles = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_CTD_TITLES) if t)
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS v,
+        lower((CASE WHEN doc_id % 8 = 6 THEN
+                 (CASE (doc_id // 8) % 5 {titles} ELSE '' END)
+               ELSE '' END) || ' ' || coalesce(text, '')) AS combined
+      FROM documents
+    ),
+    kw AS (
+      SELECT doc_id, v, combined,
+        ({hits(RECIPE_KEYWORDS)}) AS rh0,
+        ({hits(JOB_KEYWORDS)}) AS jh,
+        ({hits(RFP_KEYWORDS)}) AS fh,
+        ({hits(NEED_SIGNAL_KEYWORDS)}) AS sh,
+        CASE v WHEN 0 THEN 'press_release' WHEN 1 THEN 'event'
+               WHEN 2 THEN 'recipe' WHEN 3 THEN 'job' WHEN 4 THEN 'rfp'
+               WHEN 5 THEN 'obituary' WHEN 7 THEN 'report'
+               ELSE '' END AS usub
+      FROM d
+    ),
+    adj AS (
+      SELECT doc_id, usub,
+        rh0 + (CASE WHEN rh0 < 2
+                     AND regexp_matches(combined, '{qty_re}', 'i')
+                    THEN 1 ELSE 0 END) AS rh,
+        jh, fh, sh
+      FROM kw
+    )
+    SELECT doc_id,
+      CASE WHEN usub <> '' THEN usub
+           WHEN rh >= 2 THEN 'recipe'
+           WHEN jh >= 2 THEN 'job'
+           WHEN fh >= 2 THEN 'rfp'
+           WHEN sh >= 2 THEN 'need_signal'
+           ELSE '' END AS subtype,
+      CASE WHEN usub <> '' THEN 'url_pattern'
+           WHEN rh >= 2 OR jh >= 2 OR fh >= 2 OR sh >= 2
+             THEN 'keyword_heuristic'
+           ELSE '' END AS method
+    FROM adj
+    """
+
+
 def _sidecar_hit_expr(p: str) -> str:
     if " " in p:
         return f"(strpos(lt, '{p}') > 0)"
@@ -1307,6 +1414,7 @@ QUERIES = {
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
     "html_extraction": html_extraction,
+    "content_type_detection_docs": content_type_detection_docs,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
@@ -1446,6 +1554,7 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
     """,
+    "content_type_detection_docs": _ctd_oracle_sql(),
     "sidecar_scores_docs": _sidecar_oracle_sql(),
     "publisher_routing_events": """
         WITH base AS (
