@@ -974,6 +974,127 @@ def f1_span_validation(sf_dir: str):
     return ds.map_batches(validate_span_order, batch_format="pyarrow")
 
 
+_F1_DOCS_CHUNK_W = 20  # words per synthesized text span
+
+
+def _docs_to_spans(b: pd.DataFrame) -> pa.Table:
+    """Deterministic interleaved-span synthesis from documents.text (the
+    F1 input_hint shape, derivable in SQL): text spans of 20 words each, a
+    media span after every 2nd text span with
+    media_ref='media://{doc_id}/{j}', sequential offsets. Docs with
+    doc_id%97==0 get their FIRST media ref blanked so the span validator
+    has real negatives to catch."""
+    from ..frontier.schema import SPAN_TYPE
+
+    ids = b["doc_id"].to_numpy()
+    span_lists = []
+    for doc_id, text in zip(ids, b["text"].fillna("")):
+        ws = text.split()
+        spans: list[dict] = []
+        off = j = n_text = 0
+        for i in range(0, len(ws), _F1_DOCS_CHUNK_W):
+            spans.append({"kind": "text",
+                          "text": " ".join(ws[i:i + _F1_DOCS_CHUNK_W]),
+                          "media_ref": "", "offset": off})
+            off += 1
+            n_text += 1
+            if n_text % 2 == 0:
+                ref = ("" if (doc_id % 97 == 0 and j == 0)
+                       else f"media://{doc_id}/{j}")
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": ref, "offset": off})
+                off += 1
+                j += 1
+        span_lists.append(spans)
+    return pa.Table.from_arrays(
+        [pa.array(ids), pa.array(span_lists, type=pa.list_(SPAN_TYPE))],
+        names=["doc_id", "spans"])
+
+
+def f1_span_stats_docs(sf_dir: str):
+    """The F1 interleaved-span operators (span_stats + validate_span_order,
+    the input_hint's core kernels) through the REAL pyarrow list kernels,
+    over spans synthesized arithmetically from the documents table so the
+    whole chain is SQL-oracle-checked (the synthetic-web-driven variants
+    stay `f1_span_stats` / `f1_span_validation`, whose span contract is
+    checked against the crawl output by pytest instead)."""
+    from ..sources.f1 import span_stats, validate_span_order
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pa.Table:
+        spans_tbl = _docs_to_spans(b)
+        st = span_stats(spans_tbl)
+        va = validate_span_order(spans_tbl)
+        return st.append_column("spans_valid", va["spans_valid"])
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+def multimodal_features_docs(sf_dir: str):
+    """The multimodal decode chain (synthesis -> binary payload column ->
+    REAL ImageDecodeActor pool) over media refs derived from the documents
+    table with the same n_media rule as `f1_span_stats_docs`. Payloads are
+    ASCII-hex bytes (sha256 hexdigest repeated to the 64+h[0]*4 size rule)
+    so DuckDB's VARCHAR-only sha256 reproduces every digest the actor
+    computes — width/height/thumb are SQL-oracle-checked end to end. The
+    crawl/f1-driven variant stays `multimodal_features`."""
+    import hashlib
+
+    from ..stages.multimodal import MEDIA_SCHEMA, decode_images
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def refs(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        nw = (b["text"].fillna("").str.split().str.len()
+              .to_numpy().astype(np.int64))
+        n_media = np.where(nw == 0, 0, (nw + 19) // 20) // 2
+        rep_ids = np.repeat(ids, n_media)
+        total = int(n_media.sum())
+        j = (np.arange(total)
+             - np.repeat(np.cumsum(n_media) - n_media, n_media))
+        return pd.DataFrame({
+            "doc_id": rep_ids,
+            "media_ref": [f"media://{d}/{k}" for d, k in zip(rep_ids, j)],
+        })
+
+    def synth(b: pd.DataFrame) -> pa.Table:
+        ids, docs_, types, payloads, lens = [], [], [], [], []
+        for doc_id, ref in zip(b["doc_id"], b["media_ref"]):
+            hhex = hashlib.sha256(f"42:{ref}".encode()).hexdigest()
+            size = 64 + int(hhex[:2], 16) * 4
+            payload = (hhex * (size // 64 + 1))[:size].encode()
+            ids.append(hashlib.sha256(ref.encode()).hexdigest()[:16])
+            docs_.append(str(doc_id))
+            types.append("image")
+            payloads.append(payload)
+            lens.append(len(payload))
+        return pa.Table.from_arrays(
+            [pa.array(ids, type=pa.string()),
+             pa.array(docs_, type=pa.string()),
+             pa.array(types, type=pa.string()),
+             pa.array(payloads, type=pa.binary()),
+             pa.array(lens, type=pa.int64())],
+            schema=MEDIA_SCHEMA)
+
+    media = (docs.map_batches(refs, batch_format="pandas")
+             .map_batches(synth, batch_format="pandas"))
+    out = decode_images(media, concurrency=2)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": batch["media_id"],
+            "doc_id": batch["doc_id"],
+            "byte_len": batch["byte_len"].astype("int64"),
+            "width": batch["width"].astype("int64"),
+            "height": batch["height"].astype("int64"),
+            "thumb_hex": batch["thumb_digest"].map(bytes.hex),
+        })
+
+    return out.map_batches(select, batch_format="pandas")
+
+
 def sidecar_scores(sf_dir: str):
     """A6: hybrid rules+ML sidecar scoring with the review_required merge
     matrix over classified crawl docs (rows-only)."""
@@ -1411,8 +1532,10 @@ QUERIES = {
     "sidecar_scores": sidecar_scores,
     "corpus_prep": corpus_prep,
     "f1_span_stats": f1_span_stats,
+    "f1_span_stats_docs": f1_span_stats_docs,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
+    "multimodal_features_docs": multimodal_features_docs,
     "html_extraction": html_extraction,
     "content_type_detection_docs": content_type_detection_docs,
     "structured_extraction": structured_extraction,
@@ -1555,6 +1678,72 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
     "content_type_detection_docs": _ctd_oracle_sql(),
+    "f1_span_stats_docs": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, len(ws) AS nw,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (len(ws) + 19) // 20 END AS nt,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE list_sum(list_transform(ws, w -> length(w)))
+                      END AS sumlen
+          FROM d
+        )
+        SELECT doc_id,
+          CAST(nt + nt // 2 AS BIGINT) AS n_spans,
+          CAST(nt // 2 AS BIGINT) AS n_media,
+          CAST(nt AS BIGINT) AS n_text,
+          CAST(CASE WHEN nw = 0 THEN 0
+                    ELSE sumlen + nw - nt END AS BIGINT) AS total_text_chars,
+          NOT (doc_id % 97 = 0 AND nt >= 2) AS spans_valid
+        FROM s
+    """,
+    "multimodal_features_docs": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x <> '')) AS nw
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 (CASE WHEN nw = 0 THEN 0
+                       ELSE (nw + 19) // 20 END) // 2 AS n_media
+          FROM d
+        ),
+        refs AS (
+          SELECT doc_id,
+                 'media://' || CAST(doc_id AS VARCHAR) || '/'
+                   || CAST(j AS VARCHAR) AS ref
+          FROM m, unnest(range(0, n_media)) AS t(j)
+        ),
+        p AS (
+          SELECT doc_id, ref, sha256('42:' || ref) AS hhex,
+                 64 + ('0x' || substr(sha256('42:' || ref), 1, 2))::INTEGER
+                   * 4 AS size
+          FROM refs
+        ),
+        pay AS (
+          SELECT doc_id, ref, size,
+                 substr(repeat(hhex, size // 64 + 1), 1, size) AS pstr
+          FROM p
+        )
+        SELECT substr(sha256(ref), 1, 16) AS media_id,
+               CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(size AS BIGINT) AS byte_len,
+               CAST(160 + ('0x' || substr(sha256(pstr), 3, 2))::INTEGER * 8
+                    AS BIGINT) AS width,
+               CAST(120 + ('0x' || substr(sha256(pstr), 5, 2))::INTEGER * 8
+                    AS BIGINT) AS height,
+               substr(sha256(pstr || '|thumb'), 1, 32) AS thumb_hex
+        FROM pay
+    """,
     "sidecar_scores_docs": _sidecar_oracle_sql(),
     "publisher_routing_events": """
         WITH base AS (
