@@ -866,10 +866,15 @@ def embedding_dup_pairs_exact(
 # attached via a distributed hash join on the shingle key
 DF_BROADCAST_THRESHOLD = 2_000_000
 
-# prefix-index tables below this row count are broadcast and candidate
-# generation is a map-side sorted probe (no shuffle); above it candidates
-# come from a hash-partitioned prefix-x-full merge
+# prefix-index tables below this row count are pulled to the driver and
+# self-merged there (PPJoin prefix-prefix candidates, no shuffle); above
+# it candidates come from a hash-partitioned prefix-x-prefix merge
 PREF_BROADCAST_THRESHOLD = 4_000_000
+
+# candidate-pair sets at or below this count are verified inline on the
+# driver (the fan-out round-trip dwarfs the intersection cost); larger
+# sets verify as parallel map tasks over the broadcast packed sets
+DRIVER_VERIFY_PAIRS = 5_000
 
 
 def ngram_jaccard_pairs(
@@ -882,6 +887,7 @@ def ngram_jaccard_pairs(
     df_broadcast_threshold: int = DF_BROADCAST_THRESHOLD,
     pref_broadcast_threshold: int = PREF_BROADCAST_THRESHOLD,
     verify_broadcast_threshold: int = VERIFY_BROADCAST_THRESHOLD,
+    driver_verify_pairs: int = DRIVER_VERIFY_PAIRS,
     join_partitions: int = 8,
 ):
     """EXACT word-``k``-gram Jaccard similarity join: every unordered doc
@@ -898,11 +904,12 @@ def ngram_jaccard_pairs(
        (df); shingles are globally ordered by ``(df ASC, sh ASC)`` so the
        rarest shingles come first;
     3. each doc indexes only its PREFIX — the first
-       ``n - ceil(threshold*n) + 1`` shingles under that order. J >= t
-       implies ``|A∩B| > (ceil(t*|A|)-1) + (ceil(t*|B|)-1)`` shared
-       shingles cannot all hide in both suffixes, so every qualifying
-       pair shares a shingle that sits in at least ONE side's prefix:
-       probing prefix rows against FULL rows is lossless;
+       ``n - ceil(threshold*n) + 1`` shingles under that order. PPJoin
+       Lemma 1: J >= t forces ``|A∩B| >= t*max(|A|,|B|)``, so the
+       smallest shared shingle (under the global order) cannot sit in
+       either doc's suffix — every qualifying pair shares a shingle in
+       BOTH prefixes, and a self-join of the prefix index alone is a
+       lossless candidate generator;
     4. candidates get the symmetric length filter
        ``min(na,nb) >= threshold*max(na,nb)`` and are verified with the
        exact set intersection — float64 ``c/(na+nb-c)``.
@@ -912,12 +919,15 @@ def ngram_jaccard_pairs(
     inverted lists that would blow up a naive shingle join contribute few
     or no prefix rows; the df table broadcast degrades to a distributed
     join above ``df_broadcast_threshold``; candidate generation is a
-    shuffle-free map-side probe against the broadcast prefix index under
-    ``pref_broadcast_threshold`` rows and a hash-partitioned prefix-x-full
-    merge above it; verification mirrors the minhash size-adaptive
-    strategy (broadcast pullback of candidate shingle sets under
-    ``verify_broadcast_threshold`` pairs, distributed hash-join of
-    per-doc shingle lists above). Reference parity:
+    shuffle-free driver-side self-merge of the prefix index under
+    ``pref_broadcast_threshold`` rows (with a quadratic-blowup guard on
+    per-shingle group sizes) and a hash-partitioned prefix-x-prefix
+    merge above it; driver-resident pair sets verify against the
+    broadcast packed candidate shingle sets (inline when the pair count
+    is tiny, as parallel map tasks otherwise), while distributed pair
+    sets above ``verify_broadcast_threshold`` never touch the driver —
+    they verify through a distributed hash-join of per-doc shingle
+    lists. Reference parity:
     crawler/internal/dedup has no exact similarity join — this is one of
     the added LLM-corpus operators (brief §dedup family).
     """
@@ -983,22 +993,21 @@ def ngram_jaccard_pairs(
 
         def take_prefix(b: pd.DataFrame) -> pd.DataFrame:
             # stage-1 batches keep each doc's rows contiguous, so prefix
-            # selection is a per-batch kernel — no doc-level shuffle
+            # selection is a per-batch kernel — no doc-level shuffle. One
+            # lexsort by (doc, df, sh) + rank-within-doc < prefix_len:
+            # no per-doc slicing or concat
             if len(b) == 0:
                 return b
             sh_keys, df_vals = ray.get(df_ref)
             dfs = df_vals[np.searchsorted(sh_keys, b["sh"].to_numpy())]
-            out = []
-            start = 0
-            ids = b[id_col].to_numpy()
-            bounds = np.flatnonzero(np.diff(ids)) + 1
-            for end in [*bounds.tolist(), len(b)]:
-                g = b.iloc[start:end]
-                o = np.lexsort((g["sh"].to_numpy(), dfs[start:end]))
-                p = int(prefix_len(g["n"].to_numpy()[:1])[0])
-                out.append(g.iloc[o[:p]])
-                start = end
-            return pd.concat(out, ignore_index=True)
+            codes = pd.factorize(b[id_col].to_numpy())[0]
+            o = np.lexsort((b["sh"].to_numpy(), dfs, codes))
+            sc = codes[o]
+            starts = np.flatnonzero(np.diff(sc, prepend=sc[0] - 1))
+            sizes = np.diff(np.append(starts, len(sc)))
+            rank = np.arange(len(sc)) - np.repeat(starts, sizes)
+            plen = prefix_len(b["n"].to_numpy()[o])
+            return b.iloc[o[rank < plen]].reset_index(drop=True)
 
         pref = sh_rows.map_batches(take_prefix, batch_format="pandas")
     else:
@@ -1030,75 +1039,74 @@ def ngram_jaccard_pairs(
         }).drop_duplicates()
 
     pref_mat = pref.materialize()
+    pairs_df = None
     if pref_mat.count() <= pref_broadcast_threshold:
-        # map-side candidates: probe every light row against the
-        # broadcast, sh-sorted prefix index — no shuffle at all
+        # PPJoin Lemma 1: both sides of a qualifying pair carry the
+        # shared shingle in their PREFIX, so a self-join of the prefix
+        # index alone generates all candidates — done on the driver from
+        # the (broadcast-sized) table, with no probe pass over the full
+        # light rows
         pp = pref_mat.to_pandas()
-        o = np.argsort(pp["sh"].to_numpy(), kind="mergesort")
-        pref_ref = ray.put((pp["sh"].to_numpy()[o],
-                            pp[id_col].to_numpy()[o],
-                            pp["n"].to_numpy()[o]))
-
-        def probe(b: pd.DataFrame) -> pd.DataFrame:
-            psh, pid, pn = ray.get(pref_ref)
-            sh = b["sh"].to_numpy()
-            lo_i = np.searchsorted(psh, sh, side="left")
-            hi_i = np.searchsorted(psh, sh, side="right")
-            cnt = hi_i - lo_i
-            m = cnt > 0
-            if not m.any():
-                return _EMPTY_PAIRS
-            counts = cnt[m]
-            starts = lo_i[m]
-            # vectorized concatenation of [start, start+count) ranges
-            total = int(counts.sum())
-            idx = (np.repeat(starts, counts) + np.arange(total)
-                   - np.repeat(np.cumsum(counts) - counts, counts))
-            fid = np.repeat(b[id_col].to_numpy()[m], counts)
-            fn_ = np.repeat(b["n"].to_numpy()[m], counts)
-            return _orient(fid, fn_, pid[idx], pn[idx])
-
-        pairs_df = sh_rows.map_batches(probe, batch_format="pandas").to_pandas()
-    else:
-        # prefix index too large to broadcast: hash-partitioned
-        # prefix-x-full merge on the shingle key
-        def tag(flag: bool):
-            def fn(b: pd.DataFrame) -> pd.DataFrame:
-                b = b[[id_col, "sh", "n"]].copy()
-                b["pref"] = np.full(len(b), flag)
-                return b
-            return fn
-
-        tagged = pref_mat.map_batches(tag(True), batch_format="pandas").union(
-            sh_rows.map_batches(tag(False), batch_format="pandas"))
-
+        sh_arr = pp["sh"].to_numpy()
+        if len(sh_arr) == 0:
+            pairs_df = _EMPTY_PAIRS
+        else:
+            o = np.argsort(sh_arr, kind="mergesort")
+            sh_s = sh_arr[o]
+            id_s = pp[id_col].to_numpy()[o]
+            n_s = pp["n"].to_numpy()[o]
+            starts = np.flatnonzero(np.diff(sh_s, prepend=sh_s[0] - 1))
+            sizes = np.diff(np.append(starts, len(sh_s)))
+            # quadratic-blowup guard: df-ordering keeps hot shingles out
+            # of prefixes, but if one sneaks in (tiny corpus of clones),
+            # fall through to the partitioned merge instead
+            if (sizes.astype(np.float64) ** 2).sum() <= \
+                    4.0 * pref_broadcast_threshold:
+                keep = np.repeat(sizes, sizes) >= 2
+                sub = pd.DataFrame({"sh": sh_s[keep], "i": id_s[keep],
+                                    "n": n_s[keep]})
+                if len(sub) == 0:
+                    pairs_df = _EMPTY_PAIRS
+                else:
+                    m = sub.merge(sub, on="sh")
+                    pairs_df = _orient(
+                        m["i_x"].to_numpy(), m["n_x"].to_numpy(),
+                        m["i_y"].to_numpy(), m["n_y"].to_numpy())
+    pairs_ds = None
+    if pairs_df is None:
+        # prefix index too large (or too skewed) for the driver:
+        # hash-partition the PREFIX rows by shingle and self-merge inside
+        # each partition — still prefix-x-prefix, never the full table
         def pair_gen(part: pd.DataFrame) -> pd.DataFrame:
-            # prefix rows x full rows sharing a shingle, inside one hash
-            # partition of the shingle key: a vectorized merge, not a loop
-            p = part[part["pref"]]
-            f = part[~part["pref"]]
-            if len(p) == 0 or len(f) == 0:
+            if len(part) < 2:
                 return _EMPTY_PAIRS
-            m = p.merge(f, on="sh", suffixes=("_p", "_f"))
+            m = part.merge(part, on="sh")
             if len(m) == 0:
                 return _EMPTY_PAIRS
-            return _orient(m[f"{id_col}_p"].to_numpy(),
-                           m["n_p"].to_numpy(),
-                           m[f"{id_col}_f"].to_numpy(),
-                           m["n_f"].to_numpy())
+            return _orient(m[f"{id_col}_x"].to_numpy(),
+                           m["n_x"].to_numpy(),
+                           m[f"{id_col}_y"].to_numpy(),
+                           m["n_y"].to_numpy())
 
-        pairs_df = (
-            hash_grouped_agg(tagged, ["sh"], lambda b: b, pair_gen,
-                             num_partitions)
-            .to_pandas()
-        )
-    if len(pairs_df):
-        pairs_df = pairs_df.drop_duplicates().reset_index(drop=True)
+        cand_ds = hash_grouped_agg(
+            pref_mat, ["sh"],
+            lambda b: b[[id_col, "sh", "n"]], pair_gen,
+            num_partitions)
+        # a pair sharing prefix shingles in SEVERAL shingle partitions is
+        # emitted once per partition — dedup distributed, by pair key
+        dd = lambda b: b.drop_duplicates()  # noqa: E731
+        pairs_ds = hash_grouped_agg(cand_ds, ["a", "b"], dd, dd,
+                                    num_partitions).materialize()
+        if pairs_ds.count() <= verify_broadcast_threshold:
+            pairs_df = pairs_ds.to_pandas()
 
-    if len(pairs_df) == 0:
-        return ray.data.from_pandas(pd.DataFrame(out_schema))
-
-    if len(pairs_df) <= verify_broadcast_threshold:
+    if pairs_df is not None:
+        # pairs are driver-resident. The candidate shingle-set pullback is
+        # bounded by the corpus light rows, which the driver-candidates
+        # branch already bounds at ~pref_broadcast_threshold/(1-t) rows —
+        # broadcast verify is always safe here
+        if len(pairs_df) == 0:
+            return ray.data.from_pandas(pd.DataFrame(out_schema))
         cand = set(pairs_df["a"]) | set(pairs_df["b"])
         ids_ref = ray.put(cand)
 
@@ -1117,10 +1125,10 @@ def ngram_jaccard_pairs(
         ids_arr = sh_df[id_col].to_numpy()
         ids_u, starts = np.unique(ids_arr, return_index=True)
         offs = np.append(starts, len(ids_arr))
-        sets_ref = ray.put((ids_u, offs, sh_df["sh"].to_numpy()))
+        flat_sh = sh_df["sh"].to_numpy()
 
-        def verify_chunk(b: pd.DataFrame) -> pd.DataFrame:
-            ids_u_, offs_, flat = ray.get(sets_ref)
+        def _verify_pairs(b: pd.DataFrame, ids_u_, offs_, flat
+                          ) -> pd.DataFrame:
             rows_a, rows_b, rows_j = [], [], []
             ia = np.searchsorted(ids_u_, b["a"].to_numpy())
             ib = np.searchsorted(ids_u_, b["b"].to_numpy())
@@ -1139,6 +1147,20 @@ def ngram_jaccard_pairs(
                 "jaccard": np.array(rows_j, dtype=np.float64),
             })
 
+        if len(pairs_df) <= driver_verify_pairs:
+            # the fan-out round-trip costs more than the handful of
+            # intersections it would parallelize — verify inline
+            out = (_verify_pairs(pairs_df, ids_u, offs, flat_sh)
+                   .sort_values(["doc_a", "doc_b"])
+                   .reset_index(drop=True))
+            return ray.data.from_pandas(out)
+
+        sets_ref = ray.put((ids_u, offs, flat_sh))
+
+        def verify_chunk(b: pd.DataFrame) -> pd.DataFrame:
+            ids_u_, offs_, flat = ray.get(sets_ref)
+            return _verify_pairs(b, ids_u_, offs_, flat)
+
         chunks = max(1, min(64, len(pairs_df) // 2048))
         edges = np.linspace(0, len(pairs_df), chunks + 1, dtype=np.int64)
         pairs_chunked = ray.data.from_pandas(
@@ -1151,8 +1173,10 @@ def ngram_jaccard_pairs(
         )
         return ray.data.from_pandas(out)
 
-    # huge candidate sets: join per-doc shingle LISTS to the pairs by id
-    # on both sides — per-pair set transfer stays off the driver
+    # huge candidate sets (distributed generation, count above the
+    # broadcast threshold): join per-doc shingle LISTS to the pair
+    # Dataset by id on both sides — pairs and per-pair set transfer stay
+    # off the driver entirely
     def gather(g: pd.DataFrame) -> pd.DataFrame:
         # packed binary, not list<int64>: Arrow's hash join supports
         # binary payload columns but not list payloads
@@ -1171,9 +1195,8 @@ def ngram_jaccard_pairs(
     lb = lists.map_batches(
         lambda b: b.rename(columns={id_col: "_idb", "shl": "_shl_b"}),
         batch_format="pandas")
-    pairs = ray.data.from_pandas(pairs_df)
-    j = pairs.join(la, join_type="inner", num_partitions=join_partitions,
-                   on=("a",), right_on=("_ida",))
+    j = pairs_ds.join(la, join_type="inner", num_partitions=join_partitions,
+                      on=("a",), right_on=("_ida",))
     j = j.join(lb, join_type="inner", num_partitions=join_partitions,
                on=("b",), right_on=("_idb",))
 

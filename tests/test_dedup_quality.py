@@ -297,6 +297,12 @@ def test_ngram_jaccard_distributed_paths(ray_session):
         ds, threshold=0.5, df_broadcast_threshold=0,
         pref_broadcast_threshold=0, verify_broadcast_threshold=0,
     ).to_pandas()
+    # middle verify tier: broadcast packed sets + parallel fan-out chunks
+    fanout = ngram_jaccard_pairs(
+        ds, threshold=0.5, driver_verify_pairs=0,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  fanout.reset_index(drop=True))
     pd.testing.assert_frame_equal(fast.reset_index(drop=True),
                                   forced.reset_index(drop=True))
 
