@@ -116,9 +116,12 @@ def merge_shard(
             sel = upd_cand[ok]
             if len(sel):
                 ix = sel["url_hash"].to_numpy()
+                # cast back to the frontier column dtype (int8): candidate
+                # priorities arrive int64 and pandas 3 rejects the implicit
+                # downcast on assignment
                 df.loc[ix, "priority"] = np.maximum(
                     df.loc[ix, "priority"].to_numpy(), sel["priority"].to_numpy()
-                )
+                ).astype(df["priority"].dtype, copy=False)
                 df.loc[ix, "next_fetch_at"] = np.minimum(
                     df.loc[ix, "next_fetch_at"].to_numpy(),
                     sel["next_fetch_at"].to_numpy(),
