@@ -233,7 +233,7 @@ def run_queries(sf_dir: str) -> dict:
         "knn_bruteforce", "simhash_docs", "orders_lineitem_join",
         "events_sliding_window", "f1_span_stats", "embedding_near_dup",
         "embedding_dup_pairs", "html_extraction", "location_scores",
-        "ngram_jaccard_docs",
+        "ngram_jaccard_docs", "doc_repetition_stats", "dup_span_docs",
     ]
     import ray.data
 

@@ -506,6 +506,43 @@ def ngram_jaccard_docs(sf_dir: str):
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (top-2/3-gram fraction,
+    within-doc duplicated-5-gram token coverage, keep flag) — pure
+    map_batches, no shuffle. The raw corpus has no within-doc repeats, so
+    docs with ``doc_id % 7 == 3`` (and >= 12 tokens) get their first 12
+    tokens appended — deterministic, mirrored in the oracle CTE — to
+    exercise the duplicate-5-gram path. Fractions are single float64
+    divisions of exact integer counts (bit-identical to DuckDB)."""
+    from ..stages.repetition import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        m = ((b["doc_id"] % 7 == 3)
+             & (toks.str.len().fillna(0) >= 12)).to_numpy()
+        if m.any():
+            first12 = toks.str[:12].str.join(" ")
+            b = b.copy()
+            b["text"] = np.where(m, b["text"] + " " + first12, b["text"])
+        return b
+
+    return repetition_stats(docs.map_batches(augment, batch_format="pandas"))
+
+
+def dup_span_docs(sf_dir: str):
+    """Exact cross-document duplicate 8-gram spans (Lee et al. 2022
+    style): per doc, the number of 8-token windows whose text occurs more
+    than once in the corpus and the fraction of token positions covered
+    by a duplicate window. Hash-prefiltered + string-verified — exact, so
+    SQL-oracle-checked."""
+    from ..stages.repetition import dup_span_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return dup_span_stats(docs, k=8)
+
+
 def lang_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1508,6 +1545,8 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "lang_stats": lang_stats,
     "ngram_jaccard_docs": ngram_jaccard_docs,
+    "doc_repetition_stats": doc_repetition_stats,
+    "dup_span_docs": dup_span_docs,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
     # non-SQL operators
@@ -1862,6 +1901,81 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = ov.doc_b
         WHERE CAST(ov.c AS DOUBLE) / (sa.n + sb.n - ov.c) >= 0.5
         ORDER BY doc_a, doc_b
+    """,
+    "doc_repetition_stats": r"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws0
+          FROM documents
+        ),
+        -- deterministic augmentation mirrored from the Ray query: docs
+        -- with doc_id % 7 = 3 and >= 12 tokens repeat their first 12
+        toks AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 3 AND len(ws0) >= 12
+                      THEN list_concat(ws0, ws0[1:12]) ELSE ws0 END AS ws
+          FROM tk
+        ),
+        g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+               FROM toks, unnest(range(1, greatest(len(ws)-1, 0)+1)) AS t(i)),
+        c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        f2 AS (SELECT doc_id,
+                      CAST(max(c) AS DOUBLE)/CAST(sum(c) AS DOUBLE) AS f
+               FROM c2 GROUP BY doc_id),
+        g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM toks, unnest(range(1, greatest(len(ws)-2, 0)+1)) AS t(i)),
+        c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        f3 AS (SELECT doc_id,
+                      CAST(max(c) AS DOUBLE)/CAST(sum(c) AS DOUBLE) AS f
+               FROM c3 GROUP BY doc_id),
+        g5 AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g
+               FROM toks, unnest(range(1, greatest(len(ws)-4, 0)+1)) AS t(i)),
+        d5 AS (SELECT doc_id, i FROM (
+                 SELECT doc_id, i,
+                        count(*) OVER (PARTITION BY doc_id, g) AS c FROM g5)
+               WHERE c > 1),
+        cov AS (SELECT doc_id, count(DISTINCT p) AS cv
+                FROM d5, unnest(range(i, i+5)) AS u(p) GROUP BY doc_id),
+        base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks)
+        SELECT base.doc_id, n_tokens,
+          coalesce(f2.f, 0.0) AS top_2gram_frac,
+          coalesce(f3.f, 0.0) AS top_3gram_frac,
+          coalesce(CAST(cov.cv AS DOUBLE)/CAST(n_tokens AS DOUBLE), 0.0)
+              AS dup_5gram_token_frac,
+          (coalesce(f2.f, 0.0) <= 0.18 AND coalesce(f3.f, 0.0) <= 0.16
+           AND coalesce(CAST(cov.cv AS DOUBLE)/CAST(n_tokens AS DOUBLE), 0.0)
+               <= 0.15) AS keep
+        FROM base LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+        LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "dup_span_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        w AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
+              FROM toks, unnest(range(1, greatest(len(ws)-7, 0)+1)) AS t(i)),
+        gc AS (SELECT g, count(*) AS c FROM w GROUP BY g),
+        dw AS (SELECT doc_id, i FROM w JOIN gc USING (g) WHERE gc.c > 1),
+        ndw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+                FROM dw GROUP BY doc_id),
+        cov AS (SELECT doc_id, count(DISTINCT p) AS covered
+                FROM dw, unnest(range(i, i+8)) AS u(p) GROUP BY doc_id),
+        base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                        CAST(greatest(len(ws)-7, 0) AS BIGINT) AS n_windows
+                 FROM toks)
+        SELECT base.doc_id, n_tokens, n_windows,
+          coalesce(ndw.n_dup_windows, 0) AS n_dup_windows,
+          CASE WHEN n_tokens > 0
+               THEN CAST(coalesce(cov.covered, 0) AS DOUBLE)
+                    / CAST(n_tokens AS DOUBLE)
+               ELSE 0.0 END AS dup_token_frac
+        FROM base LEFT JOIN ndw USING (doc_id) LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id
     """,
     "embedding_dup_pairs": _AUG_SQL + """
         SELECT a.vec_id AS a, b.vec_id AS b
