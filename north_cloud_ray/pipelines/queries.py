@@ -502,7 +502,7 @@ def ngram_jaccard_docs(sf_dir: str):
     that minhash_dedup_docs approximates). SQL-oracle-checked: jaccard is
     one float64 division of exact intersection/size counts, so the value
     is bit-identical to DuckDB's."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 

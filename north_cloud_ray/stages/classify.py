@@ -211,7 +211,6 @@ class ClassifyActor:
         self.rule_thresh = np.array(
             [max(r.min_confidence, MIN_GLOBAL_CONFIDENCE) for r in rs]
         )
-        self.vocab = sorted({k for ks in self.rule_single for k in ks})
         self._excl_re = re.compile(
             "^(?:" + "|".join(re.escape(p) for p in ALWAYS_EXCLUDED_PREFIXES)
             + ")")

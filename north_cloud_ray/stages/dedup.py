@@ -877,6 +877,26 @@ PREF_BROADCAST_THRESHOLD = 4_000_000
 DRIVER_VERIFY_PAIRS = 5_000
 
 
+def _jaccard_verify_frame(a_vals, b_vals, ab_arrays, threshold: float
+                          ) -> pd.DataFrame:
+    """Exact set-intersection Jaccard filter shared by the broadcast and
+    distributed verify tiers: ``ab_arrays`` yields one unique-sorted
+    (A, B) int64 array pair per (a, b) row."""
+    rows_a, rows_b, rows_j = [], [], []
+    for a, b, (A, B) in zip(a_vals, b_vals, ab_arrays):
+        c = len(np.intersect1d(A, B, assume_unique=True))
+        jac = c / (len(A) + len(B) - c)
+        if jac >= threshold:
+            rows_a.append(a)
+            rows_b.append(b)
+            rows_j.append(jac)
+    return pd.DataFrame({
+        "doc_a": np.array(rows_a, dtype=np.int64),
+        "doc_b": np.array(rows_b, dtype=np.int64),
+        "jaccard": np.array(rows_j, dtype=np.float64),
+    })
+
+
 def ngram_jaccard_pairs(
     ds,
     id_col: str = "doc_id",
@@ -1101,10 +1121,14 @@ def ngram_jaccard_pairs(
             pairs_df = pairs_ds.to_pandas()
 
     if pairs_df is not None:
-        # pairs are driver-resident. The candidate shingle-set pullback is
-        # bounded by the corpus light rows, which the driver-candidates
-        # branch already bounds at ~pref_broadcast_threshold/(1-t) rows —
-        # broadcast verify is always safe here
+        # pairs are driver-resident (bounded: <= verify_broadcast_threshold
+        # 16 B rows). The candidate shingle-set pullback below is bounded
+        # only on the driver-candidates entry (prefix length scales with
+        # doc length, so full rows <= pref_broadcast_threshold/(1-t)); on
+        # the distributed-generation entry the candidate docs' combined
+        # shingle mass is unbounded, so COUNT it distributed first and
+        # fall through to the off-driver list-join verify when it exceeds
+        # the same bound.
         if len(pairs_df) == 0:
             return ray.data.from_pandas(pd.DataFrame(out_schema))
         cand = set(pairs_df["a"]) | set(pairs_df["b"])
@@ -1113,13 +1137,17 @@ def ngram_jaccard_pairs(
         def cand_rows(b: pd.DataFrame) -> pd.DataFrame:
             return b[b[id_col].isin(ray.get(ids_ref))][[id_col, "sh"]]
 
-        # bounded by candidate docs, not corpus; packed as (sorted ids,
-        # offsets, per-doc-sorted flat shingles) and broadcast once — the
-        # per-pair intersections run as PARALLEL map tasks, not a driver
-        # loop
+        cand_sh = sh_rows.map_batches(cand_rows, batch_format="pandas")
+        pullback_cap = int(pref_broadcast_threshold / max(1e-9, 1 - threshold))
+        if pairs_ds is not None and cand_sh.count() > pullback_cap:
+            pairs_df = None  # verify through the distributed list join
+
+    if pairs_df is not None:
+        # packed as (sorted ids, offsets, per-doc-sorted flat shingles)
+        # and broadcast once — the per-pair intersections run as PARALLEL
+        # map tasks, not a driver loop
         sh_df = (
-            sh_rows.map_batches(cand_rows, batch_format="pandas")
-            .to_pandas()
+            cand_sh.to_pandas()
             .sort_values([id_col, "sh"], kind="mergesort")
         )
         ids_arr = sh_df[id_col].to_numpy()
@@ -1129,23 +1157,11 @@ def ngram_jaccard_pairs(
 
         def _verify_pairs(b: pd.DataFrame, ids_u_, offs_, flat
                           ) -> pd.DataFrame:
-            rows_a, rows_b, rows_j = [], [], []
             ia = np.searchsorted(ids_u_, b["a"].to_numpy())
             ib = np.searchsorted(ids_u_, b["b"].to_numpy())
-            for a, b_, i, j_ in zip(b["a"], b["b"], ia, ib):
-                A = flat[offs_[i]:offs_[i + 1]]
-                B = flat[offs_[j_]:offs_[j_ + 1]]
-                c = len(np.intersect1d(A, B, assume_unique=True))
-                jac = c / (len(A) + len(B) - c)
-                if jac >= threshold:
-                    rows_a.append(a)
-                    rows_b.append(b_)
-                    rows_j.append(jac)
-            return pd.DataFrame({
-                "doc_a": np.array(rows_a, dtype=np.int64),
-                "doc_b": np.array(rows_b, dtype=np.int64),
-                "jaccard": np.array(rows_j, dtype=np.float64),
-            })
+            ab = ((flat[offs_[i]:offs_[i + 1]], flat[offs_[j]:offs_[j + 1]])
+                  for i, j in zip(ia, ib))
+            return _jaccard_verify_frame(b["a"], b["b"], ab, threshold)
 
         if len(pairs_df) <= driver_verify_pairs:
             # the fan-out round-trip costs more than the handful of
@@ -1201,22 +1217,10 @@ def ngram_jaccard_pairs(
                on=("b",), right_on=("_idb",))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, rows_j = [], [], []
-        for a, b, A, B in zip(batch["a"], batch["b"],
-                              batch["_shl_a"], batch["_shl_b"]):
-            A = np.frombuffer(A, dtype=np.int64)
-            B = np.frombuffer(B, dtype=np.int64)
-            c = len(np.intersect1d(A, B, assume_unique=True))
-            jac = c / (len(A) + len(B) - c)
-            if jac >= threshold:
-                rows_a.append(a)
-                rows_b.append(b)
-                rows_j.append(jac)
-        return pd.DataFrame({
-            "doc_a": np.array(rows_a, dtype=np.int64),
-            "doc_b": np.array(rows_b, dtype=np.int64),
-            "jaccard": np.array(rows_j, dtype=np.float64),
-        })
+        ab = ((np.frombuffer(A, dtype=np.int64),
+               np.frombuffer(B, dtype=np.int64))
+              for A, B in zip(batch["_shl_a"], batch["_shl_b"]))
+        return _jaccard_verify_frame(batch["a"], batch["b"], ab, threshold)
 
     return j.map_batches(verify, batch_format="pandas").sort(
         ["doc_a", "doc_b"])

@@ -208,9 +208,13 @@ def dup_span_stats(ds, k: int = 8, id_col: str = "doc_id",
     rows); only globally-repeated hashes survive to pass 2, which
     re-emits just those windows WITH gram text for an exact string-keyed
     count — collisions can't fabricate duplicates, and the string
-    shuffle carries only the (near-)duplicated mass. The final per-doc
-    aggregation unions base rows and verified duplicate windows through
-    one doc-keyed hash-partitioned combine.
+    shuffle carries only the (near-)duplicated mass. Pass 2 also emits
+    each doc's base row under a per-doc synthetic key (real grams never
+    contain NUL, so the key spaces are disjoint and base rows distribute
+    uniformly across the gram shuffle), so the corpus is read and
+    tokenized exactly twice — once per pass, never a third time for the
+    base stats. The verified stream then combines per doc in one
+    doc-keyed hash partition pass.
     """
     import ray
 
@@ -237,22 +241,27 @@ def dup_span_stats(ds, k: int = 8, id_col: str = "doc_id",
     hot_ref = ray.put(np.sort(hot_df["h"].to_numpy())
                       if len(hot_df) else np.zeros(0, dtype=np.int64))
 
-    _EMPTY_CAND = pd.DataFrame({
-        "_id": np.zeros(0, dtype=np.int64),
-        "pos": np.zeros(0, dtype=np.int64),
-        "gram": np.zeros(0, dtype=object),
-    })
-
     def pass2(b: pd.DataFrame) -> pd.DataFrame:
-        """Candidate dup windows (globally-repeated HASH) with gram text."""
+        """Base rows (kind=0, per-doc NUL-prefixed synthetic gram key) +
+        candidate dup windows (kind=1, globally-repeated hash, real gram
+        text)."""
         flat, lens = _tokenize_batch(b[text_col])
+        ids = b[id_col].to_numpy()
+        base = pd.DataFrame({
+            id_col: ids,
+            "kind": np.zeros(len(b), dtype=np.int8),
+            "pos": np.zeros(len(b), dtype=np.int64),
+            "n_tokens": lens,
+            "gram": pd.Series(ids.astype(str), dtype=object)
+                    .radd("\x00").to_numpy(),
+        })
         h, dwin, pwin = _window_hashes(flat, lens, k)
         hs = ray.get(hot_ref)
         if len(hs) == 0 or len(h) == 0:
-            return _EMPTY_CAND
+            return base
         cand = hs[np.minimum(np.searchsorted(hs, h), len(hs) - 1)] == h
         if not cand.any():
-            return _EMPTY_CAND
+            return base
         ci = np.flatnonzero(cand)
         # gram text via k strided gathers over the flat token array
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -261,52 +270,36 @@ def dup_span_stats(ds, k: int = 8, id_col: str = "doc_id",
         for j in range(k):
             toks[:, j] = flat[fstart + j]
         grams = pd.Series(toks.tolist()).str.join(" ").to_numpy()
-        return pd.DataFrame({
-            "_id": b[id_col].to_numpy()[dwin[ci]],
+        cw = pd.DataFrame({
+            id_col: ids[dwin[ci]],
+            "kind": np.ones(len(ci), dtype=np.int8),
             "pos": pwin[ci],
+            "n_tokens": np.zeros(len(ci), dtype=np.int64),
             "gram": grams,
         })
+        return pd.concat([base, cw], ignore_index=True)
 
-    cand_ds = ds.map_batches(pass2, batch_format="pandas")
+    mixed = ds.map_batches(pass2, batch_format="pandas")
 
     # exact string verify: a candidate window is a duplicate iff its gram
-    # TEXT occurs >1 time globally — hash collisions die here. Candidates
-    # alone ride this shuffle (base rows would all share one key).
+    # TEXT occurs >1 time globally — hash collisions die here. Base rows
+    # ride through on their disjoint per-doc keys.
     def v_combine(p: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "kind", "pos", "n_tokens"]
         if len(p) == 0:
-            return _EMPTY_CAND[["_id", "pos"]]
-        keep = p.groupby("gram", sort=False)["pos"].transform("size") > 1
-        return p.loc[keep.to_numpy(), ["_id", "pos"]]
-
-    dup_w = hash_grouped_agg(cand_ds, ["gram"], lambda b: b, v_combine,
-                             num_partitions)
-
-    def base_stats(b: pd.DataFrame) -> pd.DataFrame:
-        _, lens = _tokenize_batch(b[text_col])
-        return pd.DataFrame({
-            id_col: b[id_col].to_numpy(),
-            "kind": np.zeros(len(b), dtype=np.int8),
-            "pos": np.zeros(len(b), dtype=np.int64),
-            "n_tokens": lens,
-        })
-
-    def tag_dup(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:  # schema-less empty from an all-unique corpus
             return pd.DataFrame({
                 id_col: np.zeros(0, dtype=np.int64),
                 "kind": np.zeros(0, dtype=np.int8),
                 "pos": np.zeros(0, dtype=np.int64),
                 "n_tokens": np.zeros(0, dtype=np.int64),
             })
-        return pd.DataFrame({
-            id_col: b["_id"].to_numpy(),
-            "kind": np.ones(len(b), dtype=np.int8),
-            "pos": b["pos"].to_numpy(),
-            "n_tokens": np.zeros(len(b), dtype=np.int64),
-        })
+        w = p[p["kind"] == 1]
+        keep = w.groupby("gram", sort=False)["pos"].transform("size") > 1
+        return pd.concat([p.loc[p["kind"] == 0, cols],
+                          w.loc[keep.to_numpy(), cols]], ignore_index=True)
 
-    verified = ds.map_batches(base_stats, batch_format="pandas").union(
-        dup_w.map_batches(tag_dup, batch_format="pandas"))
+    verified = hash_grouped_agg(mixed, ["gram"], lambda b: b, v_combine,
+                                num_partitions)
 
     def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b[[id_col, "kind", "pos", "n_tokens"]]
