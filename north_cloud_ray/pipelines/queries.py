@@ -456,6 +456,26 @@ def events_sessionize(sf_dir: str):
 
 # ---------------- text / documents ----------------
 
+def events_asof_join(sf_dir: str):
+    """Backward as-of join over the events stream: each purchase gets the
+    latest prior-or-simultaneous view by the same user (inclusive ts,
+    max-event_id tie-break, unmatched purchases dropped). One user-keyed
+    shuffle, per-partition vectorized resolve — the custom operator Ray
+    Data lacks, SQL-oracle-checked against a window-function rewrite of
+    DuckDB's ASOF JOIN."""
+    from ..stages.asof import asof_join_backward
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'view'")
+    out = asof_join_backward(left, right, key="user_id", ts="ts",
+                             left_id="event_id", right_val="event_id",
+                             out_val="view_id")
+    return out.map_batches(
+        lambda b: b.rename(columns={"event_id": "purchase_id"}),
+        batch_format="pandas")
+
+
 def doc_token_stats(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = text_stats(docs, concurrency=2, fingerprint=False, langid=False)
@@ -1547,6 +1567,7 @@ QUERIES = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "doc_repetition_stats": doc_repetition_stats,
     "dup_span_docs": dup_span_docs,
+    "events_asof_join": events_asof_join,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
     # non-SQL operators
@@ -1901,6 +1922,27 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = ov.doc_b
         WHERE CAST(ov.c AS DOUBLE) / (sa.n + sb.n - ov.c) >= 0.5
         ORDER BY doc_a, doc_b
+    """,
+    "events_asof_join": """
+        WITH u AS (
+          SELECT user_id, ts, event_id, 1 AS is_l
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, event_id, 0
+          FROM events WHERE event_type = 'view'
+        ),
+        o AS (
+          SELECT user_id, ts, event_id, is_l,
+                 last_value(CASE WHEN is_l = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, is_l, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS view_id
+          FROM u
+        )
+        SELECT event_id AS purchase_id, user_id, ts, view_id
+        FROM o WHERE is_l = 1 AND view_id IS NOT NULL
+        ORDER BY purchase_id
     """,
     "doc_repetition_stats": r"""
         WITH tk AS (

@@ -1,0 +1,87 @@
+"""Distributed backward as-of join — a custom operator Ray Data lacks.
+
+Semantics (classic time-series as-of): for every LEFT row, attach the
+value of the latest RIGHT row with the same key and ``right.ts <=
+left.ts`` (inclusive); ties on equal (key, ts) resolve to the largest
+right value, and left rows with no qualifying right row are dropped
+(inner as-of). Equivalent to DuckDB's ``ASOF JOIN`` with a
+deterministic tie-break.
+
+Distribution: both sides are tagged and hash-routed by key in ONE
+partial/combine pass (the same single-shuffle machinery as sessionize —
+no sort of the full stream, no pairwise join): each partition holds its
+keys' full left+right rows, sorts them once by (key, ts, side, value)
+and resolves every left row with a vectorized last-right-index scan
+(``np.maximum.accumulate`` with per-key reset). Partitioning assumption:
+one key's rows fit one partition — keys are users/hosts here, so skew is
+bounded; a mega-key would need the salted two-phase variant documented
+in stages/agg.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .agg import hash_grouped_agg
+
+
+def asof_join_backward(left, right, key: str, ts: str,
+                       left_id: str, right_val: str,
+                       out_val: str = "matched",
+                       num_partitions: int | None = None):
+    """Inner backward as-of join of two Datasets (see module doc).
+
+    ``left`` must carry columns (key, ts, left_id); ``right`` carries
+    (key, ts, right_val). Output: one row per matched left row with
+    columns (left_id, key, ts, out_val), where out_val is the latest
+    right_val at or before the left row's ts. Both id/val columns must
+    be int64.
+    """
+
+    def tag(side: int, id_col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                key: b[key].to_numpy(),
+                ts: b[ts].to_numpy(),
+                "_side": np.full(len(b), side, dtype=np.int8),
+                "_v": b[id_col].to_numpy(),
+            })
+        return fn
+
+    mixed = right.map_batches(tag(0, right_val), batch_format="pandas").union(
+        left.map_batches(tag(1, left_id), batch_format="pandas"))
+
+    empty = pd.DataFrame({
+        left_id: np.zeros(0, dtype=np.int64),
+        key: np.zeros(0, dtype=np.int64),
+        ts: pd.Series(np.zeros(0, dtype="datetime64[us]")),
+        out_val: np.zeros(0, dtype=np.int64),
+    })
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0:
+            return empty
+        # right rows sort before left at equal ts (inclusive join); right
+        # ties at equal (key, ts) resolve to the LAST = max value
+        p = p.sort_values([key, ts, "_side", "_v"], kind="mergesort")
+        karr = p[key].to_numpy()
+        side = p["_side"].to_numpy()
+        v = p["_v"].to_numpy()
+        n = len(p)
+        idx = np.arange(n, dtype=np.int64)
+        last_r = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        np.not_equal(karr[1:], karr[:-1], out=new_key[1:])
+        key_start = np.maximum.accumulate(np.where(new_key, idx, -1))
+        ok = (side == 1) & (last_r >= key_start)
+        return pd.DataFrame({
+            left_id: v[ok],
+            key: karr[ok],
+            ts: p[ts].to_numpy()[ok],
+            out_val: v[last_r[ok]],
+        })
+
+    return hash_grouped_agg(mixed, [key], lambda b: b, combine,
+                            num_partitions)
