@@ -456,6 +456,29 @@ def events_sessionize(sf_dir: str):
 
 # ---------------- text / documents ----------------
 
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum k-sample: within each language, keep the
+    25 docs ranked smallest by a Knuth multiplicative hash of doc_id
+    (overflow-free: (doc_id % 2^31) * 2654435761 % 2^32, exactly
+    reproducible in SQL) — the reproducible way to subsample a corpus
+    without a shuffle-heavy random_shuffle. Distributed as per-batch
+    local top-k -> key-hashed exact top-k (stages/agg.grouped_topk_rows:
+    at most k rows per stratum per batch ride the shuffle)."""
+    from ..stages.agg import grouped_topk_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["hv"] = ((b["doc_id"].to_numpy() % np.int64(2**31))
+                   * np.int64(2654435761)) % np.int64(2**32)
+        return b
+
+    return grouped_topk_rows(
+        docs.map_batches(hashed, batch_format="pandas"),
+        key="lang", order_cols=["lang", "hv", "doc_id"], k=25)
+
+
 def events_asof_join(sf_dir: str):
     """Backward as-of join over the events stream: each purchase gets the
     latest prior-or-simultaneous view by the same user (inclusive ts,
@@ -1568,6 +1591,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "dup_span_docs": dup_span_docs,
     "events_asof_join": events_asof_join,
+    "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
     # non-SQL operators
@@ -1922,6 +1946,18 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = ov.doc_b
         WHERE CAST(ov.c AS DOUBLE) / (sa.n + sb.n - ov.c) >= 0.5
         ORDER BY doc_a, doc_b
+    """,
+    "doc_stratified_sample": """
+        SELECT lang, doc_id, hv FROM (
+          SELECT lang, doc_id,
+                 (doc_id % 2147483648) * 2654435761 % 4294967296 AS hv,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+                            doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 25
+        ORDER BY lang, hv, doc_id
     """,
     "events_asof_join": """
         WITH u AS (
