@@ -708,6 +708,22 @@ def knn_ivf(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def knn_lsh(sf_dir: str):
+    """Single-table multi-probe hyperplane LSH over the near-dup-bearing
+    augmented corpus (each query has an exact copy at +1M): the
+    data-independent ANN scale path. Deterministic (seeded planes)."""
+    from ..stages.similarity import lsh_topk
+
+    aug = _augmented_embeddings(sf_dir)
+    ds = rd.from_pandas(aug).repartition(8)
+    qdf = aug[aug["vec_id"] < 3].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = lsh_topk(ds, queries, k=10, n_planes=12, hamming_probe=3,
+                   concurrency=2)
+    out["query_id"] = out["query_id"].map(dict(enumerate(qdf["vec_id"])))
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling Rabin-Karp document fingerprint + stopword-voting language
     ID per doc. SQL-oracle-checked end to end: the per-word hash is
@@ -1600,6 +1616,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_ivf": knn_ivf,
+    "knn_lsh": knn_lsh,
     "doc_fingerprints": doc_fingerprints,
     "crawl_frontier": crawl_frontier,
     "crawl_documents": crawl_documents,

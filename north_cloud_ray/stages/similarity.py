@@ -7,6 +7,18 @@
 - ivf_topk: the scale path — deterministic k-means (seeded, few Lloyd
   iterations) builds C centroids; vectors are bucketed by nearest centroid
   (a partitioned index); queries probe only the nprobe nearest buckets.
+- lsh_topk: the data-independent scale path — a single random-hyperplane
+  table (sign-bit codes, ``n_planes`` bits) partitions vectors by code on
+  disk; a query multi-probes every bucket within Hamming distance
+  ``hamming_probe`` of its own code. No training pass, index build is one
+  streaming map + partitioned write; probe reads only the probed buckets'
+  files. Recall is distance-sensitive: for true near neighbors
+  (cos >= 0.9, flip prob ~0.14/bit) radius-3 probing over 12 bits
+  captures ~93% while scanning ~7% of buckets; on a corpus whose nearest
+  neighbors are far (near-uniform vectors), widen the radius or prefer
+  IVF. Partitioning assumption: hyperplane buckets over real embedding
+  corpora are skewed — size n_planes so the HOT bucket's file set still
+  fits a worker (2^n_planes buckets total), not just the average.
 """
 
 from __future__ import annotations
@@ -47,6 +59,19 @@ class TopKScorer:
         return pd.DataFrame(rows)
 
 
+def _topk_reduce(cand: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Driver-side reduce of the k-rows-per-(query, block) candidates.
+    Deterministic tiebreak: cosine DESC then id ASC."""
+    out = []
+    for qid, g in cand.groupby("query_id"):
+        top = heapq.nsmallest(k, g.itertuples(index=False),
+                              key=lambda r: (-r.cosine, getattr(r, id_col)))
+        for rank, r in enumerate(top):
+            out.append({"query_id": qid, id_col: getattr(r, id_col),
+                        "cosine": r.cosine, "rank": rank})
+    return pd.DataFrame(out)
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      concurrency: int = 4, dtype=np.float32) -> pd.DataFrame:
@@ -61,15 +86,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         concurrency=concurrency,
     )
     cand = partial.to_pandas()  # k rows per (query, block) — small
-    out = []
-    for qid, g in cand.groupby("query_id"):
-        # deterministic tiebreak: cosine DESC then id ASC
-        top = heapq.nsmallest(k, g.itertuples(index=False),
-                              key=lambda r: (-r.cosine, getattr(r, id_col)))
-        for rank, r in enumerate(top):
-            out.append({"query_id": qid, id_col: getattr(r, id_col),
-                        "cosine": r.cosine, "rank": rank})
-    return pd.DataFrame(out)
+    return _topk_reduce(cand, k, id_col)
 
 
 def _kmeans(V: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42) -> np.ndarray:
@@ -165,12 +182,142 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 def _ivf_probe(index_dir: str, C: np.ndarray, queries: np.ndarray, k: int,
                nprobe: int, id_col: str, vec_col: str,
                concurrency: int) -> pd.DataFrame:
-    import os
-
     Q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted = sorted({int(b) for row in probe for b in row})
+    return _bucket_probe_topk(
+        index_dir, queries, k, id_col, vec_col, concurrency,
+        wanted=sorted({int(b) for row in probe for b in row}),
+    )
+
+
+# ---------------- random-hyperplane LSH (data-independent scale path) ----
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((n_planes, dim)).astype(np.float64)
+                      ).astype(np.float32)
+
+
+def _lsh_codes(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit code per row: bit i set iff V·plane_i > 0."""
+    bits = (V @ planes.T) > 0  # (n, p)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (bits.astype(np.int64) * weights).sum(axis=1).astype("int32")
+
+
+def build_lsh_index(ds, index_dir: str, n_planes: int = 12,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> np.ndarray:
+    """One streaming pass: code every vector against ``n_planes`` seeded
+    random hyperplanes and write the corpus PARTITIONED BY code bucket
+    (2^n_planes buckets) so a probe reads only its buckets' files. No
+    training sample needed (data-independent — the advantage over IVF
+    when the corpus drifts). Persists the planes next to the partitions."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not 1 <= n_planes <= 30:
+        raise ValueError(f"n_planes must be in [1, 30] (got {n_planes})")
+    first = ds.take(1)[0][vec_col]
+    planes = _hyperplanes(len(first), n_planes, seed)
+    pref = ray.put(planes)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(pref)
+        M = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+        batch = batch.copy()
+        batch["bucket"] = _lsh_codes(M, pl)
+        return batch
+
+    ds.map_batches(bucketize, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"plane": [p.tolist() for p in planes]}),
+        os.path.join(index_dir, "_planes.parquet"),
+    )
+    return planes
+
+
+def load_lsh_planes(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "_planes.parquet"))
+    return np.stack([np.asarray(p, dtype=np.float32)
+                     for p in t["plane"].to_pylist()])
+
+
+def _probe_codes(code: int, n_planes: int, radius: int) -> list[int]:
+    """All codes within Hamming distance <= radius of ``code``
+    (sum_{r<=radius} C(n_planes, r) buckets)."""
+    from itertools import combinations
+
+    out = [code]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            out.append(code ^ mask)
+    return out
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
+             hamming_probe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", concurrency: int = 4,
+             index_dir: str | None = None, seed: int = 42) -> pd.DataFrame:
+    """Approximate top-k via single-table multi-probe hyperplane LSH.
+
+    Each query scans only the buckets within ``hamming_probe`` bit flips
+    of its own code — a partition-pruned read over the bucket-partitioned
+    index, exactly like the IVF probe. Pass ``index_dir`` to reuse a
+    previously built index; without it an ephemeral index is built and
+    removed before returning. For a query whose true neighbors sit at
+    cos >= 0.9 the default (12 planes, radius 3) captures ~93% of them
+    while scanning ~7% of buckets; near-orthogonal "neighbors" need a
+    wider radius (recall measured in tests/test_stages.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    ephemeral = index_dir is None
+    if ephemeral or not os.path.exists(
+            os.path.join(index_dir, "_planes.parquet")):
+        index_dir = index_dir or tempfile.mkdtemp(prefix="ncray-lsh-")
+        planes = build_lsh_index(ds, index_dir, n_planes, id_col, vec_col,
+                                 seed)
+    else:
+        planes = load_lsh_planes(index_dir)
+    try:
+        return _bucket_probe_topk(
+            index_dir, queries, k, id_col, vec_col, concurrency,
+            wanted=sorted({
+                c
+                for code in _lsh_codes(
+                    _normalize(np.asarray(queries, dtype=np.float32)), planes)
+                for c in _probe_codes(int(code), planes.shape[0],
+                                      hamming_probe)
+            }),
+        )
+    finally:
+        if ephemeral:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _bucket_probe_topk(index_dir: str, queries: np.ndarray, k: int,
+                       id_col: str, vec_col: str, concurrency: int,
+                       wanted: list[int]) -> pd.DataFrame:
+    """Shared pruned-partition probe: read ONLY the wanted buckets' files,
+    score every query against the scanned union, reduce to top-k."""
     import glob as _glob
+    import os
+
+    import ray.data  # noqa: F401
 
     paths = [f for b in wanted
              for f in sorted(_glob.glob(
@@ -179,7 +326,7 @@ def _ivf_probe(index_dir: str, C: np.ndarray, queries: np.ndarray, k: int,
         return pd.DataFrame({"query_id": [], id_col: [], "cosine": [],
                              "rank": []})
     sub = ray.data.read_parquet(paths)
-    qref = ray.put(Q)
+    qref = ray.put(_normalize(np.asarray(queries, dtype=np.float32)))
     partial = sub.map_batches(
         TopKScorer,
         fn_constructor_args=(qref, k, id_col, vec_col),
@@ -187,12 +334,4 @@ def _ivf_probe(index_dir: str, C: np.ndarray, queries: np.ndarray, k: int,
         batch_size=4096,
         concurrency=concurrency,
     )
-    cand = partial.to_pandas()
-    out = []
-    for qid, g in cand.groupby("query_id"):
-        top = heapq.nsmallest(k, g.itertuples(index=False),
-                              key=lambda r: (-r.cosine, getattr(r, id_col)))
-        for rank, r in enumerate(top):
-            out.append({"query_id": qid, id_col: getattr(r, id_col),
-                        "cosine": r.cosine, "rank": rank})
-    return pd.DataFrame(out)
+    return _topk_reduce(partial.to_pandas(), k, id_col)

@@ -193,6 +193,63 @@ def test_ivf_topk_recall(ray_session):
     assert recall / 5 >= 0.6
 
 
+def test_lsh_topk_planted_recall(ray_session):
+    """LSH multi-probe must find PLANTED near neighbors (cos >= ~0.97):
+    the actual near-dup retrieval use case, where hyperplane codes agree
+    on almost every bit. Base corpus is near-uniform so the planted rows
+    dominate each query's true top-k."""
+    from north_cloud_ray.stages.similarity import lsh_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((400, 16))
+    qs = base[:5]
+    planted, pids = [], []
+    for q in range(5):
+        for j in range(4):  # 4 close neighbors per query
+            planted.append(qs[q] + 0.12 * rng.standard_normal(16))
+            pids.append(10_000 + q * 10 + j)
+    allv = np.vstack([base, np.asarray(planted)])
+    ids = np.concatenate([np.arange(400), np.asarray(pids)])
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(allv)})
+    ds = rd.from_pandas(df).repartition(4)
+
+    exact = brute_force_topk(ds, qs, k=5, concurrency=2)
+    approx = lsh_topk(ds, qs, k=5, n_planes=10, hamming_probe=3,
+                      concurrency=2)
+    recall = 0.0
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 5 >= 0.8
+    # rank-0 hit must be the query vector itself (hamming 0 bucket)
+    for q in range(5):
+        top = approx[(approx["query_id"] == q) & (approx["rank"] == 0)]
+        assert int(top["vec_id"].iloc[0]) == q
+
+
+def test_lsh_index_reuse(ray_session, tmp_path):
+    """A persisted index answers without rebuilding, identically."""
+    from north_cloud_ray.stages.similarity import build_lsh_index, lsh_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    queries = np.stack(df["embedding"].head(3).to_numpy())
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(ds, idx, n_planes=8)
+    a = lsh_topk(ds, queries, k=5, n_planes=8, hamming_probe=2,
+                 index_dir=idx, concurrency=2)
+    b = lsh_topk(ds, queries, k=5, n_planes=8, hamming_probe=2,
+                 index_dir=idx, concurrency=2)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # self-hit sanity: each query's own vector is rank 0
+    for q in range(3):
+        top = a[(a["query_id"] == q) & (a["rank"] == 0)]
+        assert int(top["vec_id"].iloc[0]) == int(df["vec_id"].iloc[q])
+
+
 # ---- multimodal ----
 
 def test_multimodal_decode(ray_session):
