@@ -486,14 +486,26 @@ def events_asof_join(sf_dir: str):
     shuffle, per-partition vectorized resolve — the custom operator Ray
     Data lacks, SQL-oracle-checked against a window-function rewrite of
     DuckDB's ASOF JOIN."""
-    from ..stages.asof import asof_join_backward
+    from ..stages.asof import asof_join_backward_tagged
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    left = ev.filter(expr="event_type == 'purchase'")
-    right = ev.filter(expr="event_type == 'view'")
-    out = asof_join_backward(left, right, key="user_id", ts="ts",
-                             left_id="event_id", right_val="event_id",
-                             out_val="view_id")
+
+    # both sides come from the SAME table: tag in one scan instead of
+    # unioning two filtered re-reads of events.parquet
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy()
+        m = (et == "purchase") | (et == "view")
+        b = b[m]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "ts": b["ts"].to_numpy(),
+            "_side": (b["event_type"].to_numpy() == "purchase").astype(np.int8),
+            "_v": b["event_id"].to_numpy(),
+        })
+
+    mixed = ev.map_batches(tag, batch_format="pandas")
+    out = asof_join_backward_tagged(mixed, key="user_id", ts="ts",
+                                    left_id="event_id", out_val="view_id")
     return out.map_batches(
         lambda b: b.rename(columns={"event_id": "purchase_id"}),
         batch_format="pandas")

@@ -51,6 +51,18 @@ def asof_join_backward(left, right, key: str, ts: str,
 
     mixed = right.map_batches(tag(0, right_val), batch_format="pandas").union(
         left.map_batches(tag(1, left_id), batch_format="pandas"))
+    return asof_join_backward_tagged(mixed, key, ts, left_id, out_val,
+                                     num_partitions)
+
+
+def asof_join_backward_tagged(mixed, key: str, ts: str, left_id: str,
+                              out_val: str = "matched",
+                              num_partitions: int | None = None):
+    """As-of join over an already-tagged stream: ``mixed`` carries columns
+    (key, ts, _side int8 — 0=right, 1=left, _v int64). Lets a caller whose
+    left and right rows come from ONE source (e.g. two event types of the
+    same table) tag in a single scan instead of unioning two filtered
+    re-reads of the same input."""
 
     empty = pd.DataFrame({
         left_id: np.zeros(0, dtype=np.int64),

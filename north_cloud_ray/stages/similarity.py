@@ -128,6 +128,12 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
         batch["bucket"] = np.argmax(M @ cc.T, axis=1).astype("int32")
         return batch
 
+    # a rebuild must REPLACE stale partitions, not append beside them
+    # (write_parquet adds new UUID-named files — duplicates every vector)
+    import shutil
+
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
     bucketed = ds.map_batches(bucketize, batch_format="pandas")
     bucketed.write_parquet(index_dir, partition_cols=["bucket"])
     os.makedirs(index_dir, exist_ok=True)
@@ -221,6 +227,13 @@ def build_lsh_index(ds, index_dir: str, n_planes: int = 12,
 
     if not 1 <= n_planes <= 30:
         raise ValueError(f"n_planes must be in [1, 30] (got {n_planes})")
+    # a rebuild must REPLACE: write_parquet appends new UUID-named files
+    # beside stale partitions, which would duplicate every vector in the
+    # probe (e.g. after a crash between the data write and the planes write)
+    import shutil
+
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
     first = ds.take(1)[0][vec_col]
     planes = _hyperplanes(len(first), n_planes, seed)
     pref = ray.put(planes)
@@ -293,13 +306,13 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
                                  seed)
     else:
         planes = load_lsh_planes(index_dir)
+    Qn = _normalize(np.asarray(queries, dtype=np.float32))
     try:
         return _bucket_probe_topk(
-            index_dir, queries, k, id_col, vec_col, concurrency,
+            index_dir, Qn, k, id_col, vec_col, concurrency,
             wanted=sorted({
                 c
-                for code in _lsh_codes(
-                    _normalize(np.asarray(queries, dtype=np.float32)), planes)
+                for code in _lsh_codes(Qn, planes)
                 for c in _probe_codes(int(code), planes.shape[0],
                                       hamming_probe)
             }),
@@ -326,7 +339,8 @@ def _bucket_probe_topk(index_dir: str, queries: np.ndarray, k: int,
         return pd.DataFrame({"query_id": [], id_col: [], "cosine": [],
                              "rank": []})
     sub = ray.data.read_parquet(paths)
-    qref = ray.put(_normalize(np.asarray(queries, dtype=np.float32)))
+    # TopKScorer normalizes the broadcast matrix in __init__; don't repeat
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
     partial = sub.map_batches(
         TopKScorer,
         fn_constructor_args=(qref, k, id_col, vec_col),

@@ -59,7 +59,10 @@ def test_asof_oracle_equality(ray_session):
     want["ts"] = pd.to_datetime(want["ts"]).astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
-    # cross-check the window rewrite against DuckDB's native ASOF JOIN
+    # cross-check the window rewrite against DuckDB's native ASOF JOIN.
+    # Native ASOF picks an UNSPECIFIED view when two views share
+    # (user_id, ts) while the rewrite pins max-event_id — so compare only
+    # users with no tied view pair (the agreement the module doc promises).
     native = con.execute("""
         SELECT p.event_id AS purchase_id, p.user_id, p.ts,
                v.event_id AS view_id
@@ -68,8 +71,15 @@ def test_asof_oracle_equality(ray_session):
           ON p.user_id = v.user_id AND v.ts <= p.ts
         ORDER BY purchase_id
     """).df()
-    assert native["purchase_id"].tolist() == want["purchase_id"].tolist()
-    assert native["view_id"].tolist() == want["view_id"].tolist()
+    tied_users = set(con.execute("""
+        SELECT user_id FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts HAVING COUNT(*) > 1
+    """).df()["user_id"])
+    nat = native[~native["user_id"].isin(tied_users)]
+    wnt = want[~want["user_id"].isin(tied_users)]
+    assert len(wnt) > 0
+    assert nat["purchase_id"].tolist() == wnt["purchase_id"].tolist()
+    assert nat["view_id"].tolist() == wnt["view_id"].tolist()
 
 
 def test_asof_empty_right(ray_session):
