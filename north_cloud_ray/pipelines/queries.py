@@ -511,6 +511,36 @@ def events_asof_join(sf_dir: str):
         batch_format="pandas")
 
 
+def events_range_join(sf_dir: str):
+    """Backward RANGE join: every (purchase, view) pair by the same user
+    with the view inside the hour ending at the purchase (both ends
+    inclusive) — the banded custom join, SQL-oracle-checked against a
+    DuckDB interval join. Single scan of events, one user-keyed shuffle,
+    vectorized interval expansion per partition."""
+    from ..stages.asof import range_join_backward_tagged
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy()
+        m = (et == "purchase") | (et == "view")
+        b = b[m]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "ts": b["ts"].to_numpy(),
+            "_side": (b["event_type"].to_numpy() == "purchase").astype(np.int8),
+            "_v": b["event_id"].to_numpy(),
+        })
+
+    mixed = ev.map_batches(tag, batch_format="pandas")
+    out = range_join_backward_tagged(
+        mixed, key="user_id", ts="ts", left_id="event_id",
+        delta=pd.Timedelta(hours=1), out_val="view_id")
+    return out.map_batches(
+        lambda b: b.rename(columns={"event_id": "purchase_id"}),
+        batch_format="pandas")
+
+
 def doc_token_stats(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = text_stats(docs, concurrency=2, fingerprint=False, langid=False)
@@ -1619,6 +1649,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "dup_span_docs": dup_span_docs,
     "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
@@ -2008,6 +2039,15 @@ ORACLE_SQL = {
         SELECT event_id AS purchase_id, user_id, ts, view_id
         FROM o WHERE is_l = 1 AND view_id IS NOT NULL
         ORDER BY purchase_id
+    """,
+    "events_range_join": """
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+               v.event_id AS view_id, v.ts AS ts_right
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        ORDER BY purchase_id, view_id
     """,
     "doc_repetition_stats": r"""
         WITH tk AS (

@@ -82,6 +82,54 @@ def test_asof_oracle_equality(ray_session):
     assert nat["view_id"].tolist() == wnt["view_id"].tolist()
 
 
+def test_range_join_hand_cases(ray_session):
+    from north_cloud_ray.stages.asof import range_join_backward
+
+    right = _mk({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": ["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 12:00",
+               "2024-01-01 10:30", "2024-01-01 09:00", "2024-01-01 09:00"],
+        "event_id": [100, 101, 102, 200, 300, 301],
+    })
+    left = _mk({
+        "user_id": [1, 1, 2, 3, 4],
+        "ts": ["2024-01-01 11:00",  # window [10:00, 11:00] -> 100, 101
+               "2024-01-01 10:30",  # inclusive both ends -> 100, 101
+               "2024-01-01 12:00",  # view 90 min earlier -> no match
+               "2024-01-01 09:30",  # tie pair both in window -> 300, 301
+               "2024-01-01 10:00"],  # user without views -> dropped
+        "event_id": [9, 8, 7, 5, 4],
+    })
+    out = (range_join_backward(left, right, key="user_id", ts="ts",
+                               left_id="event_id", right_val="event_id",
+                               delta=pd.Timedelta(hours=1),
+                               out_val="view_id")
+           .to_pandas().sort_values(["event_id", "view_id"])
+           .reset_index(drop=True))
+    assert out["event_id"].tolist() == [5, 5, 8, 8, 9, 9]
+    assert out["view_id"].tolist() == [300, 301, 100, 101, 100, 101]
+    # right-side ts rides along for band verification
+    assert (out["ts_right"] <= out["ts"]).all()
+    assert (out["ts"] - out["ts_right"] <= pd.Timedelta(hours=1)).all()
+
+
+def test_range_join_oracle_equality(ray_session):
+    from north_cloud_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = (QUERIES["events_range_join"](SF).to_pandas()
+           .sort_values(["purchase_id", "view_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.execute(ORACLE_SQL["events_range_join"]).df()[got.columns]
+            .sort_values(["purchase_id", "view_id"]).reset_index(drop=True))
+    for c in ("ts", "ts_right"):
+        got[c] = pd.to_datetime(got[c]).astype("datetime64[us]")
+        want[c] = pd.to_datetime(want[c]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
 def test_asof_empty_right(ray_session):
     left = _mk({"user_id": [1], "ts": ["2024-01-01"], "event_id": [1]})
     right = _mk({"user_id": np.zeros(0, dtype=np.int64),
