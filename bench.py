@@ -234,7 +234,8 @@ def run_queries(sf_dir: str) -> dict:
         "events_sliding_window", "f1_span_stats", "embedding_near_dup",
         "embedding_dup_pairs", "html_extraction", "location_scores",
         "ngram_jaccard_docs", "doc_repetition_stats", "dup_span_docs",
-        "events_asof_join",
+        "events_asof_join", "events_range_join", "knn_lsh",
+        "doc_stratified_sample",
     ]
     import ray.data
 
