@@ -235,7 +235,8 @@ def run_queries(sf_dir: str) -> dict:
         "embedding_dup_pairs", "html_extraction", "location_scores",
         "ngram_jaccard_docs", "doc_repetition_stats", "dup_span_docs",
         "events_asof_join", "events_range_join", "knn_lsh",
-        "doc_stratified_sample",
+        "doc_stratified_sample", "events_heavy_users",
+        "lineitem_price_quantiles",
     ]
     import ray.data
 

@@ -541,6 +541,31 @@ def events_range_join(sf_dir: str):
         batch_format="pandas")
 
 
+def events_heavy_users(sf_dir: str):
+    """EXACT frequent-user detection at sketch shuffle cost: a mergeable
+    Misra-Gries pass (<= k light rows per batch regardless of user
+    cardinality) finds candidates with a no-false-negative bound, an
+    exact recount of the broadcast candidate set finalizes — equivalent
+    to GROUP BY user_id HAVING COUNT(*) >= 80 (stages/sketch.py)."""
+    from ..stages.sketch import heavy_hitters
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ev, "user_id", min_count=80)
+
+
+def lineitem_price_quantiles(sf_dir: str):
+    """Exact discrete quantiles of l_extendedprice WITHOUT a global sort
+    (distributed selection: seeded pivots + counting passes + bounded
+    pull; stages/sketch.py). Matches quantile_disc exactly; the small-sf
+    corpus resolves in the first bounded pull, the narrowing loop is the
+    100-TB path (forced in tests via max_pull)."""
+    from ..stages.sketch import exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return exact_quantiles(li, "l_extendedprice",
+                           qs=(0.25, 0.5, 0.75, 0.95))
+
+
 def doc_token_stats(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = text_stats(docs, concurrency=2, fingerprint=False, langid=False)
@@ -1650,6 +1675,8 @@ QUERIES = {
     "dup_span_docs": dup_span_docs,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
+    "events_heavy_users": events_heavy_users,
+    "lineitem_price_quantiles": lineitem_price_quantiles,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
@@ -2048,6 +2075,22 @@ ORACLE_SQL = {
           ON p.user_id = v.user_id
          AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         ORDER BY purchase_id, view_id
+    """,
+    "events_heavy_users": """
+        SELECT user_id, COUNT(*) AS n
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 80
+        ORDER BY user_id
+    """,
+    "lineitem_price_quantiles": """
+        SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS value
+        FROM lineitem
+        UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5)
+        FROM lineitem
+        UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75)
+        FROM lineitem
+        UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95)
+        FROM lineitem
+        ORDER BY q
     """,
     "doc_repetition_stats": r"""
         WITH tk AS (

@@ -1,0 +1,236 @@
+"""Mergeable frequency sketches over a Dataset column.
+
+heavy_hitters: EXACT frequent-item detection at sketch shuffle cost.
+Pass 1 is a Misra-Gries summary (Agarwal et al., "Mergeable Summaries",
+PODS'12): each batch's exact value counts are truncated to the top
+``num_counters`` after subtracting the (k+1)-th largest count — so at
+most k light (value, count) rows per batch ride the shuffle regardless
+of column cardinality, and the merged estimate undercounts any value by
+at most n/(k+1). Candidates are everything whose estimate clears
+``min_count`` minus that bound (no false negatives by the MG
+guarantee). Pass 2 re-reads the input and counts ONLY the broadcast
+candidate set exactly, so the output is exact — SQL-oracle equivalent
+to ``GROUP BY col HAVING COUNT(*) >= min_count``.
+
+Scale notes: the sketch pass is the one that must survive 100 TB — it
+carries k rows per batch, combines per hash partition, and never holds
+global state; the verify pass carries |candidates| <= k rows per batch.
+Why it exists at all (vs a plain groupby-count): on a high-cardinality
+column a groupby shuffles every distinct value; the sketch caps shuffle
+traffic at k rows/batch and the exact pass only touches the survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from .agg import hash_grouped_agg
+
+
+def _mg_truncate(vc: pd.Series, k: int) -> pd.Series:
+    """Exact batch counts -> Misra-Gries summary with <= k counters:
+    subtract the (k+1)-th largest count, keep the positive survivors."""
+    if len(vc) <= k:
+        return vc
+    vc = vc.sort_values(ascending=False, kind="mergesort")
+    d = int(vc.iloc[k])
+    kept = vc.iloc[:k] - d
+    return kept[kept > 0]
+
+
+def heavy_hitters(ds, col: str, min_count: int,
+                  num_counters: int | None = None,
+                  num_partitions: int | None = None) -> pd.DataFrame:
+    """All values of ``col`` occurring at least ``min_count`` times, with
+    their EXACT counts. Returns a small DataFrame (col, n) — the heavy
+    set is at most n/min_count values by definition.
+
+    ``num_counters`` sizes the sketch: the MG undercount bound is
+    n/(k+1), so k defaults to 4n/min_count (bound = min_count/4), capped
+    at 65536. A smaller k still returns the exact answer — it only
+    widens the candidate set the exact pass must recount."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    n = ds.count()
+    if num_counters is None:
+        num_counters = min(65536, max(16, -(-4 * n // max(min_count, 1))))
+    k = num_counters
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = _mg_truncate(b[col].value_counts(), k)
+        return pd.DataFrame({col: vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        est = p.groupby(col, sort=False)["n"].sum()
+        # MG guarantee: true(v) - est(v) <= n/(k+1) -> no false negatives
+        keep = est[est >= min_count - n // (k + 1)]
+        return pd.DataFrame({col: keep.index.to_numpy(),
+                             "n": keep.to_numpy().astype(np.int64)})
+
+    cand = hash_grouped_agg(ds, [col], partial, combine, num_partitions)
+    cand_df = cand.to_pandas()  # <= k rows by construction
+    if len(cand_df) == 0:
+        return pd.DataFrame({col: np.zeros(0, dtype=np.int64),
+                             "n": np.zeros(0, dtype=np.int64)})
+    cref = ray.put(cand_df[col].to_numpy())
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cref)
+        vals = b[col]
+        vc = vals[vals.isin(cands)].value_counts()
+        return pd.DataFrame({col: vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def exact_combine(p: pd.DataFrame) -> pd.DataFrame:
+        tot = p.groupby(col, sort=False)["n"].sum()
+        tot = tot[tot >= min_count]
+        return pd.DataFrame({col: tot.index.to_numpy(),
+                             "n": tot.to_numpy().astype(np.int64)})
+
+    out = hash_grouped_agg(ds, [col], exact_partial, exact_combine,
+                           num_partitions).to_pandas()
+    return out.sort_values(col).reset_index(drop=True)
+
+
+# ---------------- exact distributed quantiles ----------------
+
+
+def _rank_of(q: float, n: int) -> int:
+    """DuckDB quantile_disc rank: max(1, ceil(q*n)), 1-indexed — the
+    smallest value whose cumulative count reaches ceil(q*n). Float-safe:
+    an epsilon off q*n must not push ceil over an exact integer."""
+    import math
+
+    x = q * n
+    r = round(x)
+    if abs(x - r) > 1e-9:
+        r = math.ceil(x)
+    return max(1, int(r))
+
+
+def _range_filter(v: np.ndarray, lo, hi, hi_strict: bool) -> np.ndarray:
+    if lo is not None:
+        v = v[v > lo]
+    if hi is not None:
+        v = v[v < hi] if hi_strict else v[v <= hi]
+    return v
+
+
+def _range_counts(ds, col: str, pivots: np.ndarray, lo, hi,
+                  hi_strict: bool) -> tuple[np.ndarray, np.ndarray]:
+    """One streaming pass: per-bucket counts of values in the range,
+    buckets split at ``pivots`` (bucket k = (pivot[k-1], pivot[k]]),
+    PLUS the exact count of values equal to each pivot — so a rank that
+    lands inside a heavy duplicate run of a pivot value resolves without
+    pulling. The shuffle carries tiny count rows only."""
+    nb = len(pivots) + 1
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = _range_filter(b[col].to_numpy(), lo, hi, hi_strict)
+        left = np.searchsorted(pivots, v, side="left")
+        c = np.bincount(left, minlength=nb)
+        on_pivot = left < len(pivots)
+        hits = left[on_pivot][v[on_pivot] == pivots[left[on_pivot]]]
+        e = np.bincount(hits, minlength=len(pivots))
+        return pd.DataFrame({
+            "bucket": np.arange(nb, dtype=np.int64),
+            "cnt": c.astype(np.int64),
+            "eq": np.concatenate([e, [0]]).astype(np.int64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("bucket")[["cnt", "eq"]].sum().reindex(
+        range(nb), fill_value=0)
+    return g["cnt"].to_numpy(), g["eq"].to_numpy()[:-1]
+
+
+def _pull_range(ds, col: str, lo, hi, hi_strict: bool) -> np.ndarray:
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {col: _range_filter(b[col].to_numpy(), lo, hi, hi_strict)})
+
+    return np.sort(
+        ds.map_batches(keep, batch_format="pandas").to_pandas()[col]
+        .to_numpy())
+
+
+def exact_quantiles(ds, col: str, qs, sample_size: int = 4096,
+                    max_pull: int = 1_000_000, seed: int = 42,
+                    max_iters: int = 8) -> pd.DataFrame:
+    """EXACT discrete quantiles of a numeric column without a global
+    sort (distributed selection): a seeded sample picks ~127 pivots, one
+    counting pass (tiny count rows, no data shuffle) locates each target
+    rank's bucket, and each bucket is either pulled+sorted (<= max_pull
+    rows, the explicit driver-memory bound) or narrowed again with fresh
+    pivots inside its range. Semantics match DuckDB ``quantile_disc``:
+    rank max(1, ceil(q*n)), 1-indexed. Returns (q, value) per quantile.
+
+    At 100 TB: every iteration is one streaming pass whose shuffle is a
+    few count rows per batch; driver memory is bounded by max_pull and
+    the sample, never by n."""
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"q": np.zeros(0), "value": np.zeros(0)})
+    # no .limit() after random_sample: limit keeps whichever blocks finish
+    # first and can miss an entire value run; the frac already bounds the
+    # expected sample size
+    frac = min(1.0, (1.2 * sample_size) / n)
+    sample = ds.random_sample(frac, seed=seed).to_pandas()[col].to_numpy()
+
+    def sample_range(lo, hi, hs, m, it):
+        filt = ds.map_batches(
+            lambda b: pd.DataFrame(
+                {col: _range_filter(b[col].to_numpy(), lo, hi, hs)}),
+            batch_format="pandas")
+        f = min(1.0, (1.2 * sample_size) / max(m, 1))
+        return np.sort(filt.random_sample(f, seed=seed + it)
+                       .to_pandas()[col].to_numpy())
+
+    out = []
+    for q in sorted(qs):
+        rank = _rank_of(float(q), n)
+        lo, hi, hs = None, None, False  # range (lo, hi], hs = hi strict
+        r, m, sv = rank, n, np.sort(sample)
+        for it in range(max_iters):
+            if len(sv) < 3 and m > max_pull:
+                # pivot sample exhausted in-range: resample from the
+                # range itself (one extra streaming pass)
+                sv = sample_range(lo, hi, hs, m, it + 1)
+            if m <= max_pull or len(sv) < 3 or it == max_iters - 1:
+                if m > max_pull:
+                    raise ValueError(
+                        "exact_quantiles: range exceeds max_pull and "
+                        "in-range resampling found <3 distinct pivots; "
+                        "raise sample_size or max_pull")
+                vals = _pull_range(ds, col, lo, hi, hs)
+                out.append({"q": float(q), "value": vals[r - 1]})
+                break
+            pivots = np.unique(
+                sv[np.linspace(0, len(sv) - 1, 127).astype(int)])
+            counts, eq = _range_counts(ds, col, pivots, lo, hi, hs)
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, r, side="left"))
+            below = int(cum[b - 1]) if b > 0 else 0
+            if b < len(pivots) and r > below + counts[b] - eq[b]:
+                # rank falls inside the duplicate run of pivot b itself
+                out.append({"q": float(q), "value": pivots[b]})
+                break
+            # narrow to the OPEN interior (p[b-1], p[b]) — the pivot's
+            # own duplicates are excluded, so heavy runs cannot stall
+            lo = pivots[b - 1] if b > 0 else lo
+            if b < len(pivots):
+                hi, hs = pivots[b], True
+                m = int(counts[b] - eq[b])
+            else:
+                m = int(counts[b])
+            r -= below
+            keep = np.ones(len(sv), dtype=bool)
+            if lo is not None:
+                keep &= sv > lo
+            if hi is not None:
+                keep &= (sv < hi) if hs else (sv <= hi)
+            sv = sv[keep]
+    return pd.DataFrame(out)

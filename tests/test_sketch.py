@@ -1,0 +1,84 @@
+"""heavy_hitters: exactness under aggressive sketch truncation (distinct
+cardinality >> counters) + DuckDB oracle equality of the driver query."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from north_cloud_ray.stages.sketch import heavy_hitters
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_heavy_hitters_exact_under_truncation(ray_session):
+    """50k rows, ~10k distinct values, 8 planted heavies; counters forced
+    far below cardinality so every batch truncates — output must still
+    equal the exact pandas answer (MG no-false-negative + exact recount)."""
+    rng = np.random.default_rng(3)
+    tail = rng.integers(0, 10_000, size=50_000)
+    heavies = np.repeat(np.arange(8) + 1_000_000, 900)
+    vals = np.concatenate([tail, heavies])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    ds = rd.from_pandas(df).repartition(16)
+
+    min_count = 500
+    got = heavy_hitters(ds, "v", min_count=min_count, num_counters=64)
+    want = (df["v"].value_counts().loc[lambda s: s >= min_count]
+            .sort_index())
+    assert got["v"].tolist() == want.index.tolist()
+    assert got["n"].tolist() == want.to_numpy().tolist()
+
+
+def test_heavy_hitters_empty_result(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"v": np.arange(100)})).repartition(4)
+    out = heavy_hitters(ds, "v", min_count=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["v", "n"]
+
+
+def test_exact_quantiles_forced_narrowing(ray_session):
+    """max_pull far below n forces the pivot-count-narrow path; result
+    must still equal the exact numpy answer at every rank rule edge."""
+    from north_cloud_ray.stages.sketch import _rank_of, exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.standard_normal(40_000) * 100,
+                           np.repeat(7.5, 5_000)])  # heavy duplicate run
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    qs = (0.0, 0.1, 0.5, 0.9, 0.999, 1.0)
+    got = exact_quantiles(ds, "x", qs, max_pull=2_000, sample_size=2_000)
+    sv = np.sort(vals)
+    for q, v in zip(got["q"], got["value"]):
+        assert v == sv[_rank_of(q, len(sv)) - 1], q
+
+
+def test_quantiles_oracle_equality(ray_session):
+    from north_cloud_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES["lineitem_price_quantiles"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    got = got.sort_values("q").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    want = (con.execute(ORACLE_SQL["lineitem_price_quantiles"])
+            .df()[got.columns].sort_values("q").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(float), want.astype(float),
+                                  check_dtype=False)
+    assert len(got) == 4
+
+
+def test_heavy_users_oracle_equality(ray_session):
+    from north_cloud_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES["events_heavy_users"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    got = got.sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.execute(ORACLE_SQL["events_heavy_users"]).df()[got.columns]
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
