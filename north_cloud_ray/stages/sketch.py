@@ -73,7 +73,10 @@ def heavy_hitters(ds, col: str, min_count: int,
     cand = hash_grouped_agg(ds, [col], partial, combine, num_partitions)
     cand_df = cand.to_pandas()  # <= k rows by construction
     if len(cand_df) == 0:
-        return pd.DataFrame({col: np.zeros(0, dtype=np.int64),
+        # typed empty frame: col keeps the INPUT column's dtype (the empty
+        # aggregate can come back schema-less), not a default int64
+        head = ds.limit(1).to_pandas()
+        return pd.DataFrame({col: head[col].iloc[:0],
                              "n": np.zeros(0, dtype=np.int64)})
     cref = ray.put(cand_df[col].to_numpy())
 
@@ -141,7 +144,17 @@ def _range_counts(ds, col: str, pivots: np.ndarray, lo, hi,
             "eq": np.concatenate([e, [0]]).astype(np.int64),
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("bucket", sort=False)[["cnt", "eq"]].sum(
+        ).reset_index()
+
+    # pre-combine before the driver pull: without it the driver receives
+    # ~nb count rows PER INPUT BATCH (O(batches) at 100 TB); with it each
+    # combine task folds ~128 batch summaries into <= nb rows first
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .map_batches(combine, batch_format="pandas",
+                          batch_size=128 * nb)
+             .to_pandas())
     g = parts.groupby("bucket")[["cnt", "eq"]].sum().reindex(
         range(nb), fill_value=0)
     return g["cnt"].to_numpy(), g["eq"].to_numpy()[:-1]
