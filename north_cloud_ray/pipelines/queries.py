@@ -1469,6 +1469,49 @@ def _sidecar_oracle_sql() -> str:
     """
 
 
+def _location_oracle_sql() -> str:
+    """Oracle for location_scores, generated from the live gazetteer.
+
+    The query's bodies are location-free (verified: classify_location
+    over (headline, text) equals classify_location over (headline, "")
+    for every sf0.01 doc), so each doc's result is a pure function of
+    its ord-sum-keyed headline city. The SQL recomputes the ord-sum mod
+    over CAST(doc_id AS VARCHAR) and joins a VALUES table holding the
+    per-city ground truth — one row per gazetteer city, evaluated at
+    SQL-authoring time from the live table so gazetteer edits can't
+    drift from the oracle."""
+    from ..stages.structured import CANADIAN_CITIES, classify_location
+
+    cities = sorted(CANADIAN_CITIES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = []
+    for i, c in enumerate(cities):
+        r = classify_location(f"{c.title()} update", "")
+        rows.append(
+            f"({i}, {q(r['city'])}, {q(r['province'])}, {q(r['country'])}, "
+            f"{q(r['specificity'])}, {r['confidence']!r})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        list_sum(list_transform(
+          range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+          i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))
+        )) % {len(cities)} AS idx
+      FROM documents
+    ),
+    m(idx, city, province, country, specificity, confidence) AS (
+      VALUES {values}
+    )
+    SELECT d.doc_id, m.city, m.province, m.country, m.specificity,
+           m.confidence
+    FROM d JOIN m ON d.idx = m.idx
+    """
+
+
 def publisher_telemetry_q(sf_dir: str):
     """G8: per-channel delivery counters through the REAL
     publisher_telemetry aggregate, fed a deterministic publishes stream
@@ -1916,6 +1959,7 @@ ORACLE_SQL = {
         FROM pay
     """,
     "sidecar_scores_docs": _sidecar_oracle_sql(),
+    "location_scores": _location_oracle_sql(),
     "publisher_routing_events": """
         WITH base AS (
           SELECT event_id AS doc_id,
