@@ -1524,11 +1524,20 @@ def _minhash_oracle_sql(threshold: float = 0.8) -> str:
     true pairs found, 0 cluster mismatches at sf0.01) — deterministic
     seed + deterministic data, so the equality is stable."""
     return f"""
-    WITH RECURSIVE w AS (
+    WITH RECURSIVE {_jaccard_cc_ctes('documents', threshold)}
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+def _jaccard_cc_ctes(src: str, threshold: float) -> str:
+    """Shared CTE chain: word-3-gram Jaccard >= threshold edges over
+    ``src`` (needs doc_id, text), transitive closure in ``reach(id, r)``
+    — cluster id is min(r) per id. Emitted INSIDE a WITH RECURSIVE."""
+    return f"""w AS (
       SELECT doc_id,
         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
                     x -> x <> '') AS words
-      FROM documents
+      FROM {src}
     ),
     grams AS (
       SELECT DISTINCT doc_id, g FROM (
@@ -1555,11 +1564,51 @@ def _minhash_oracle_sql(threshold: float = 0.8) -> str:
     edges AS (SELECT ia AS a, ib AS b FROM e0
               UNION ALL SELECT ib, ia FROM e0),
     reach(id, r) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT doc_id, doc_id FROM {src}
       UNION
       SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
-    )
-    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    )"""
+
+
+def _corpus_prep_oracle_sql() -> str:
+    """Oracle for corpus_prep: the composite quality gate -> exact sha
+    dedup -> MinHash rep selection, each stage re-expressed in SQL.
+
+    The gate mirrors quality_signals/token_stats exactly (LENGTH chars,
+    digit regexp ratio, any-en-stopword for stopword_ratio > 0); exact
+    dedup is min-doc_id-per-sha256; near-dup reps reuse the verified
+    Jaccard+CC CTE chain over the gated+deduped subset. LSH recall
+    completeness carries over to any subset of the corpus: band
+    collisions are pairwise, so a pair found on the full corpus is found
+    on every subset containing it."""
+    stop_en = sorted({"the", "and", "of", "to", "a", "in", "is", "that",
+                      "for", "it", "with", "was", "on", "as", "are", "at",
+                      "be", "this", "have"})
+    stops = ", ".join(f"'{s}'" for s in stop_en)
+    return f"""
+    WITH RECURSIVE gated AS (
+      SELECT doc_id, text, lang, LENGTH(text) AS n_chars
+      FROM documents
+      WHERE LENGTH(text) >= 100
+        AND (LENGTH(text) -
+             LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))::DOUBLE
+            / GREATEST(LENGTH(text), 1) < 0.3
+        AND len(list_intersect(
+              regexp_extract_all(lower(text), '[a-z0-9_]+'),
+              [{stops}])) > 0
+    ),
+    exact AS (
+      SELECT doc_id, text, lang, n_chars, text_sha FROM (
+        SELECT *, sha256(text) AS text_sha,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+    ),
+    {_jaccard_cc_ctes('exact', 0.8)},
+    clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.doc_id, e.lang, e.n_chars, e.text_sha
+    FROM exact e JOIN clus c ON c.id = e.doc_id
+    WHERE c.cluster_id = e.doc_id
     """
 
 
@@ -2012,6 +2061,7 @@ ORACLE_SQL = {
     "sidecar_scores_docs": _sidecar_oracle_sql(),
     "location_scores": _location_oracle_sql(),
     "minhash_dedup_docs": _minhash_oracle_sql(),
+    "corpus_prep": _corpus_prep_oracle_sql(),
     "publisher_routing_events": """
         WITH base AS (
           SELECT event_id AS doc_id,
