@@ -775,6 +775,26 @@ def knn_ivf(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def knn_ivf_exact(sf_dir: str):
+    """IVF with nprobe = n_clusters: every bucket is probed, so the
+    result is EXACT — this SQL-hash-checks the whole IVF machinery
+    (seeded k-means train, bucket-partitioned index write, per-bucket
+    pruned probe reads, k-per-block reduce) against the brute-force
+    cosine oracle. float64 scoring so ranking matches the SQL."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=16,
+                   concurrency=2, dtype=np.float64)
+    out["query_id"] = out["query_id"].map(dict(enumerate(qdf["vec_id"])))
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def knn_lsh(sf_dir: str):
     """Single-table multi-probe hyperplane LSH over the near-dup-bearing
     augmented corpus (each query has an exact copy at +1M): the
@@ -1829,6 +1849,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup_q,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_ivf": knn_ivf,
+    "knn_ivf_exact": knn_ivf_exact,
     "knn_lsh": knn_lsh,
     "doc_fingerprints": doc_fingerprints,
     "crawl_frontier": crawl_frontier,
@@ -2320,6 +2341,17 @@ ORACLE_SQL = {
           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98
     """,
     "knn_bruteforce": """
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                            v.vec_id
+               ) - 1 AS BIGINT) AS "rank"
+        FROM embeddings q CROSS JOIN embeddings v
+        WHERE q.vec_id < 3
+        QUALIFY "rank" < 10
+    """,
+    "knn_ivf_exact": """
         SELECT q.vec_id AS query_id, v.vec_id,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id

@@ -156,7 +156,8 @@ def load_ivf_centroids(index_dir: str) -> np.ndarray:
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency: int = 4, index_dir: str | None = None) -> pd.DataFrame:
+             concurrency: int = 4, index_dir: str | None = None,
+             dtype=np.float32) -> pd.DataFrame:
     """Approximate top-k: probe the nprobe nearest IVF buckets per query.
 
     The bucketed index is on disk partitioned by bucket; the probe issues
@@ -179,7 +180,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         C = load_ivf_centroids(index_dir)
     try:
         return _ivf_probe(index_dir, C, queries, k, nprobe, id_col, vec_col,
-                          concurrency)
+                          concurrency, dtype)
     finally:
         if ephemeral:
             shutil.rmtree(index_dir, ignore_errors=True)
@@ -187,12 +188,13 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 
 def _ivf_probe(index_dir: str, C: np.ndarray, queries: np.ndarray, k: int,
                nprobe: int, id_col: str, vec_col: str,
-               concurrency: int) -> pd.DataFrame:
+               concurrency: int, dtype=np.float32) -> pd.DataFrame:
     Q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     return _bucket_probe_topk(
         index_dir, queries, k, id_col, vec_col, concurrency,
         wanted=sorted({int(b) for row in probe for b in row}),
+        dtype=dtype,
     )
 
 
@@ -324,7 +326,7 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
 
 def _bucket_probe_topk(index_dir: str, queries: np.ndarray, k: int,
                        id_col: str, vec_col: str, concurrency: int,
-                       wanted: list[int]) -> pd.DataFrame:
+                       wanted: list[int], dtype=np.float32) -> pd.DataFrame:
     """Shared pruned-partition probe: read ONLY the wanted buckets' files,
     score every query against the scanned union, reduce to top-k."""
     import glob as _glob
@@ -340,10 +342,10 @@ def _bucket_probe_topk(index_dir: str, queries: np.ndarray, k: int,
                              "rank": []})
     sub = ray.data.read_parquet(paths)
     # TopKScorer normalizes the broadcast matrix in __init__; don't repeat
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(np.asarray(queries, dtype=dtype))
     partial = sub.map_batches(
         TopKScorer,
-        fn_constructor_args=(qref, k, id_col, vec_col),
+        fn_constructor_args=(qref, k, id_col, vec_col, dtype),
         batch_format="pandas",
         batch_size=4096,
         concurrency=concurrency,
