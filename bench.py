@@ -236,7 +236,8 @@ def run_queries(sf_dir: str) -> dict:
         "ngram_jaccard_docs", "doc_repetition_stats", "dup_span_docs",
         "events_asof_join", "events_range_join", "knn_lsh",
         "doc_stratified_sample", "events_heavy_users",
-        "lineitem_price_quantiles",
+        "lineitem_price_quantiles", "doc_decontaminate",
+        "doc_pack_windows", "doc_unigram_lm",
     ]
     import ray.data
 

@@ -662,6 +662,58 @@ def lang_stats(sf_dir: str):
     )
 
 
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 App. C-style word-k-gram overlap,
+    k=5 for the short synthetic docs): every corpus doc sharing any
+    distinct 5-gram with the held-out eval slice (doc_id % 19 == 0) is
+    flagged. Exact — hit counts are distinct-gram set intersections, the
+    frac one float64 division — so SQL-oracle-checked."""
+    from ..stages.corpus import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    corpus = docs.map_batches(lambda b: b[b["doc_id"] % 19 != 0],
+                              batch_format="pandas")
+    bench = docs.map_batches(lambda b: b[b["doc_id"] % 19 == 0],
+                             batch_format="pandas")
+    return decontaminate(corpus, bench, k=5)
+
+
+def doc_pack_windows(sf_dir: str):
+    """GPT-style sequence packing: concatenate docs in doc_id order and
+    chunk into 256-token windows via a DISTRIBUTED PREFIX SUM (per-bucket
+    token sums -> driver exclusive prefix over the tiny bucket table ->
+    per-bucket cumsum). Integer-only — SQL-oracle-checked against a
+    window-function cumsum."""
+    from ..stages.corpus import pack_windows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return pack_windows(docs, window=256, bucket_width=64)
+
+
+def lang_balanced_sample(sf_dir: str):
+    """Deterministic language-balanced downsample: each language kept at
+    the smallest language's size in expectation via the multiplicative
+    doc-hash threshold (exact integer math; hv*cnt < min_cnt*2^32).
+    SQL-oracle-checked."""
+    from ..stages.corpus import balanced_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return balanced_sample(docs, group_col="lang")
+
+
+def doc_unigram_lm(sf_dir: str):
+    """CCNet-style unigram-LM quality signal: each doc's OOV rate and
+    mean reference-token frequency against the reference slice's
+    (doc_id % 7 == 0) unigram counts. Integer numerators + two single
+    float64 divisions — SQL-oracle-checked."""
+    from ..stages.corpus import unigram_lm_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    ref = docs.map_batches(lambda b: b[b["doc_id"] % 7 == 0],
+                           batch_format="pandas")
+    return unigram_lm_score(docs, ref)
+
+
 # ---------------- embeddings ----------------
 
 def knn_bruteforce(sf_dir: str):
@@ -1836,6 +1888,10 @@ QUERIES = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "doc_repetition_stats": doc_repetition_stats,
     "dup_span_docs": dup_span_docs,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_pack_windows": doc_pack_windows,
+    "lang_balanced_sample": lang_balanced_sample,
+    "doc_unigram_lm": doc_unigram_lm,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_heavy_users": events_heavy_users,
@@ -2333,6 +2389,100 @@ ORACLE_SQL = {
                ELSE 0.0 END AS dup_token_frac
         FROM base LEFT JOIN ndw USING (doc_id) LEFT JOIN cov USING (doc_id)
         ORDER BY doc_id
+    """,
+    "doc_decontaminate": r"""
+        WITH cw AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '') AS ws
+          FROM documents WHERE doc_id % 19 <> 0
+        ),
+        bw AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents WHERE doc_id % 19 = 0
+        ),
+        cg AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4] AS g
+               FROM cw, unnest(range(1, greatest(len(ws)-4, 0)+1)) AS t(i)),
+        bg AS (SELECT DISTINCT
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4] AS g
+               FROM bw, unnest(range(1, greatest(len(ws)-4, 0)+1)) AS t(i)),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM cg GROUP BY doc_id),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM cg WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
+        SELECT c.doc_id,
+               coalesce(t.n_grams, 0) AS n_grams,
+               coalesce(h.n_hit, 0) AS n_hit,
+               coalesce(h.n_hit, 0) > 0 AS contaminated,
+               CASE WHEN coalesce(t.n_grams, 0) > 0
+                    THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_grams
+                    ELSE 0.0 END AS contamination_frac
+        FROM cw c LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+    """,
+    "doc_pack_windows": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off
+          FROM t
+        )
+        SELECT doc_id, n_tokens, off AS "offset",
+               off // 256 AS first_window,
+               (off + greatest(n_tokens, 1) - 1) // 256 AS last_window,
+               (off + greatest(n_tokens, 1) - 1) // 256 - off // 256 + 1
+                 AS n_windows
+        FROM o
+    """,
+    "lang_balanced_sample": """
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        m AS (SELECT min(cnt) AS m FROM c)
+        SELECT d.doc_id, d.lang,
+               CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296
+                    AS BIGINT) AS hv
+        FROM documents d JOIN c USING (lang) CROSS JOIN m
+        WHERE CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296
+                   AS HUGEINT) * c.cnt
+              < CAST(m.m AS HUGEINT) * 4294967296
+    """,
+    "doc_unigram_lm": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        ref AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks WHERE doc_id % 7 = 0 GROUP BY tok),
+        per AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(SUM(CASE WHEN r.cnt IS NULL THEN 1 ELSE 0 END),
+                               0) AS BIGINT) AS n_oov,
+                 CAST(coalesce(SUM(r.cnt), 0) AS BIGINT) AS sum_ref_freq
+          FROM toks t LEFT JOIN ref r USING (tok) GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_oov, 0) AS n_oov,
+               coalesce(p.sum_ref_freq, 0) AS sum_ref_freq,
+               CASE WHEN coalesce(p.n_tokens, 0) > 0
+                    THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens
+                    ELSE 0.0 END AS oov_rate,
+               CASE WHEN coalesce(p.n_tokens, 0) > 0
+                    THEN CAST(p.sum_ref_freq AS DOUBLE) / p.n_tokens
+                    ELSE 0.0 END AS mean_ref_freq
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "embedding_dup_pairs": _AUG_SQL + """
         SELECT a.vec_id AS a, b.vec_id AS b

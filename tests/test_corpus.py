@@ -1,0 +1,88 @@
+"""Training-corpus prep operators (stages/corpus.py): forced-path
+equality (broadcast vs distributed), packing invariants, and sampling
+determinism. The SQL-oracle equality of all four queries runs in
+test_queries_oracle.py via oracle_sql()."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(cols):
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=cols,
+                           override_num_blocks=8)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def test_decontaminate_distributed_path_equals_broadcast(ray_session):
+    from north_cloud_ray.stages.corpus import decontaminate
+
+    docs = _docs(["doc_id", "text"])
+    corpus = docs.map_batches(lambda b: b[b["doc_id"] % 19 != 0],
+                              batch_format="pandas")
+    bench = docs.map_batches(lambda b: b[b["doc_id"] % 19 == 0],
+                             batch_format="pandas")
+    broad = _canon(decontaminate(corpus, bench, k=5).to_pandas())
+    dist = _canon(decontaminate(corpus, bench, k=5,
+                                gram_broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(broad, dist)
+    assert broad["contaminated"].any()  # the eval slice shares grams
+
+
+def test_unigram_lm_distributed_path_equals_broadcast(ray_session):
+    from north_cloud_ray.stages.corpus import unigram_lm_score
+
+    docs = _docs(["doc_id", "text"])
+    ref = docs.map_batches(lambda b: b[b["doc_id"] % 7 == 0],
+                           batch_format="pandas")
+    broad = _canon(unigram_lm_score(docs, ref).to_pandas())
+    dist = _canon(unigram_lm_score(docs, ref,
+                                   vocab_broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(broad, dist)
+    # ref docs score themselves: zero OOV there
+    refids = broad["doc_id"] % 7 == 0
+    assert (broad.loc[refids, "n_oov"] == 0).all()
+    assert (broad.loc[refids, "mean_ref_freq"] >= 1.0).all()
+
+
+def test_pack_windows_prefix_sum_invariants(ray_session):
+    from north_cloud_ray.stages.corpus import pack_windows
+
+    docs = _docs(["doc_id", "text"])
+    out = (pack_windows(docs, window=64, bucket_width=16)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # offsets are the exclusive prefix sum of n_tokens in doc_id order
+    want = np.concatenate([[0], np.cumsum(out["n_tokens"].to_numpy())[:-1]])
+    assert (out["offset"].to_numpy() == want).all()
+    # window interval arithmetic
+    assert (out["first_window"] == out["offset"] // 64).all()
+    assert (out["n_windows"] ==
+            out["last_window"] - out["first_window"] + 1).all()
+    assert (out["n_windows"] >= 1).all()
+
+
+def test_balanced_sample_is_deterministic_and_balanced(ray_session):
+    from north_cloud_ray.stages.corpus import balanced_sample
+
+    docs = _docs(["doc_id", "lang"])
+    a = _canon(balanced_sample(docs).to_pandas())
+    b = _canon(balanced_sample(docs).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    counts = a.groupby("lang").size()
+    full = docs.to_pandas().groupby("lang").size()
+    m = int(full.min())
+    # every group sampled toward the min-group size in expectation:
+    # binomial(cnt, m/cnt) stays within 4 sigma of m
+    for lang, n in counts.items():
+        c = int(full[lang])
+        sd = max((m * (1 - m / c)) ** 0.5, 1.0)
+        assert abs(n - m) <= 4 * sd, (lang, n, m)
+    # min group keeps everything (threshold = 2^32)
+    assert counts[full.idxmin()] == m
