@@ -701,6 +701,17 @@ def lang_balanced_sample(sf_dir: str):
     return balanced_sample(docs, group_col="lang")
 
 
+def source_token_mixture(sf_dir: str):
+    """Token-budget mixture sampling: each source downsampled so its
+    EXPECTED kept token mass equals the smallest source's total tokens
+    (hv * source_tokens < min_tokens * 2^32, exact integer math).
+    SQL-oracle-checked."""
+    from ..stages.corpus import token_budget_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return token_budget_sample(docs, group_col="source")
+
+
 def doc_unigram_lm(sf_dir: str):
     """CCNet-style unigram-LM quality signal: each doc's OOV rate and
     mean reference-token frequency against the reference slice's
@@ -1891,6 +1902,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
+    "source_token_mixture": source_token_mixture,
     "doc_unigram_lm": doc_unigram_lm,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -2455,6 +2467,24 @@ ORACLE_SQL = {
         WHERE CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296
                    AS HUGEINT) * c.cnt
               < CAST(m.m AS HUGEINT) * 4294967296
+    """,
+    "source_token_mixture": r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (SELECT source, SUM(n_tokens) AS tok FROM t GROUP BY source),
+        m AS (SELECT min(tok) AS m FROM c)
+        SELECT d.doc_id, d.source, d.n_tokens,
+               CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296
+                    AS BIGINT) AS hv
+        FROM t d JOIN c USING (source) CROSS JOIN m
+        WHERE CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296
+                   AS HUGEINT) * c.tok
+              < CAST(m.m AS HUGEINT) * 4294967296
+           OR c.tok = 0
     """,
     "doc_unigram_lm": r"""
         WITH toks AS (

@@ -312,6 +312,54 @@ def balanced_sample(ds, id_col: str = "doc_id", group_col: str = "lang"):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def token_budget_sample(ds, id_col: str = "doc_id",
+                        group_col: str = "source",
+                        text_col: str = "text"):
+    """Token-weighted mixture sampling: downsample each group so its
+    EXPECTED kept token mass equals the smallest group's total tokens
+    (the per-source budget equalizer a mixture planner needs, vs
+    ``balanced_sample``'s doc-count balance). Doc kept iff
+    hash(doc_id) * group_tokens < min_group_tokens * 2^32 — exact
+    integer math; per-doc token counts are independent of the hash, so
+    expected kept tokens per group = the min group's total. Two passes:
+    a tiny per-group token-sum aggregate, then a stateless filter.
+    Returns (doc_id, group_col, n_tokens, hv).
+    """
+    import ray
+
+    from .agg import hash_grouped_agg
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({group_col: b[group_col].to_numpy(),
+                             "n_tokens": _ws_token_counts(b[text_col])})
+
+    sums = hash_grouped_agg(
+        ds.map_batches(light, batch_format="pandas"),
+        [group_col],
+        lambda b: b.groupby(group_col, as_index=False)["n_tokens"].sum(),
+        lambda p: p.groupby(group_col, as_index=False)["n_tokens"].sum(),
+    ).to_pandas()
+    m = int(sums["n_tokens"].min())
+    # a zero-token group is necessarily the min: keep all its (empty) docs
+    thr = {g: _HASH_MOD if int(c) == 0 else -((-m * _HASH_MOD) // int(c))
+           for g, c in zip(sums[group_col], sums["n_tokens"])}
+    thr_ref = ray.put(thr)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        hv = _doc_hash(b[id_col].to_numpy())
+        lim = b[group_col].map(t).to_numpy("uint64")
+        keep = hv < lim
+        return pd.DataFrame({
+            "doc_id": b[id_col].to_numpy("int64")[keep],
+            group_col: b[group_col].to_numpy()[keep],
+            "n_tokens": _ws_token_counts(b[text_col])[keep],
+            "hv": hv[keep].astype(np.int64),
+        })
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
 def unigram_lm_score(
     corpus,
     ref,

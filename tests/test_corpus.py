@@ -86,3 +86,21 @@ def test_balanced_sample_is_deterministic_and_balanced(ray_session):
         assert abs(n - m) <= 4 * sd, (lang, n, m)
     # min group keeps everything (threshold = 2^32)
     assert counts[full.idxmin()] == m
+
+
+def test_token_budget_sample_equalizes_token_mass(ray_session):
+    from north_cloud_ray.stages.corpus import token_budget_sample
+
+    docs = _docs(["doc_id", "source", "text"])
+    a = _canon(token_budget_sample(docs, group_col="source").to_pandas())
+    b = _canon(token_budget_sample(docs, group_col="source").to_pandas())
+    pd.testing.assert_frame_equal(a, b)  # deterministic
+    kept = a.groupby("source")["n_tokens"].sum()
+    full = (docs.to_pandas().assign(
+        n_tokens=lambda d: d["text"].str.split().str.len())
+        .groupby("source")["n_tokens"].sum())
+    m = int(full.min())
+    # min-token source keeps ALL its tokens; others land near m
+    assert kept[full.idxmin()] == m
+    for src, tot in kept.items():
+        assert abs(tot - m) / m < 0.5, (src, tot, m)
