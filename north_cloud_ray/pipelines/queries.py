@@ -701,6 +701,17 @@ def lang_balanced_sample(sf_dir: str):
     return balanced_sample(docs, group_col="lang")
 
 
+def doc_shuffle_positions(sf_dir: str):
+    """Deterministic global shuffle for training export: stable position
+    = rank under (multiplicative doc hash, doc_id), computed as a
+    distributed prefix sum over hash-range buckets. SQL-oracle-checked
+    against a window-function row_number."""
+    from ..stages.corpus import shuffle_positions
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_positions(docs)
+
+
 def source_token_mixture(sf_dir: str):
     """Token-budget mixture sampling: each source downsampled so its
     EXPECTED kept token mass equals the smallest source's total tokens
@@ -1902,6 +1913,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
+    "doc_shuffle_positions": doc_shuffle_positions,
     "source_token_mixture": source_token_mixture,
     "doc_unigram_lm": doc_unigram_lm,
     "events_asof_join": events_asof_join,
@@ -2467,6 +2479,15 @@ ORACLE_SQL = {
         WHERE CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296
                    AS HUGEINT) * c.cnt
               < CAST(m.m AS HUGEINT) * 4294967296
+    """,
+    "doc_shuffle_positions": """
+        SELECT doc_id,
+               CAST((doc_id % 2147483648) * 2654435761 % 4294967296
+                    AS BIGINT) AS hv,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+                          doc_id) - 1 AS BIGINT) AS pos
+        FROM documents
     """,
     "source_token_mixture": r"""
         WITH t AS (

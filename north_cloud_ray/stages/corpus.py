@@ -273,6 +273,67 @@ def pack_windows(
                             num_partitions=num_partitions)
 
 
+def shuffle_positions(
+    ds,
+    id_col: str = "doc_id",
+    bucket_bits: int = 8,
+    num_partitions: int | None = None,
+):
+    """Deterministic global shuffle for training export: every doc gets a
+    stable position = its rank under (hash(doc_id), doc_id). Unlike
+    ``random_shuffle`` the order is reproducible across runs and resumes
+    — a failed export can skip finished position ranges. Returns
+    (doc_id, hv, pos).
+
+    The rank is a distributed prefix sum over hash-range buckets (top
+    ``bucket_bits`` of the 32-bit hash): per-bucket counts (tiny, exact)
+    -> driver exclusive prefix over the 2^bucket_bits bucket table ->
+    per-bucket sort + cumsum with the broadcast base. The multiplicative
+    hash is uniform, so buckets are balanced without sampling a key
+    histogram first.
+    """
+    import ray
+
+    from .agg import default_partitions, hash_grouped_agg, hash_grouped_map
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    shift = 32 - bucket_bits
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        hv = _doc_hash(b[id_col].to_numpy())
+        return pd.DataFrame({
+            "doc_id": b[id_col].to_numpy("int64"),
+            "hv": hv.astype(np.int64),
+            "bucket": (hv >> np.uint64(shift)).astype(np.int64),
+        })
+
+    rows = ds.map_batches(light, batch_format="pandas")
+    counts = hash_grouped_agg(
+        rows, ["bucket"],
+        lambda b: b.groupby("bucket", as_index=False).size().rename(
+            columns={"size": "n"}),
+        lambda p: p.groupby("bucket", as_index=False)["n"].sum(),
+        num_partitions=num_partitions,
+    ).to_pandas().sort_values("bucket")
+    base = np.concatenate([[0], np.cumsum(counts["n"].to_numpy("int64"))[:-1]])
+    base_ref = ray.put(dict(zip(counts["bucket"].tolist(), base.tolist())))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            z = pd.Series(dtype="int64")
+            return pd.DataFrame({"doc_id": z, "hv": z, "pos": z})
+        bases = ray.get(base_ref)
+        g = g.sort_values(["hv", "doc_id"], kind="mergesort")
+        pos = int(bases[int(g["bucket"].iloc[0])]) + np.arange(len(g))
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy("int64"),
+                             "hv": g["hv"].to_numpy("int64"),
+                             "pos": pos.astype(np.int64)})
+
+    return hash_grouped_map(rows, ["bucket"], rank_bucket,
+                            num_partitions=num_partitions)
+
+
 def balanced_sample(ds, id_col: str = "doc_id", group_col: str = "lang"):
     """Deterministic group-balanced downsample: keep each group at the
     smallest group's size in expectation via the multiplicative doc hash

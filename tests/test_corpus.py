@@ -88,6 +88,24 @@ def test_balanced_sample_is_deterministic_and_balanced(ray_session):
     assert counts[full.idxmin()] == m
 
 
+def test_shuffle_positions_is_a_permutation(ray_session):
+    from north_cloud_ray.stages.corpus import shuffle_positions
+
+    docs = _docs(["doc_id"])
+    out = shuffle_positions(docs, bucket_bits=4).to_pandas()
+    n = len(out)
+    assert sorted(out["pos"].tolist()) == list(range(n))
+    # positions follow (hv, doc_id) order globally
+    o = out.sort_values("pos")
+    key = list(zip(o["hv"], o["doc_id"]))
+    assert key == sorted(key)
+    # stable across runs and bucket widths
+    again = shuffle_positions(docs, bucket_bits=7).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
 def test_token_budget_sample_equalizes_token_mass(ray_session):
     from north_cloud_ray.stages.corpus import token_budget_sample
 
