@@ -237,7 +237,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_asof_join", "events_range_join", "knn_lsh",
         "doc_stratified_sample", "events_heavy_users",
         "lineitem_price_quantiles", "doc_decontaminate",
-        "doc_pack_windows", "doc_unigram_lm",
+        "doc_pack_windows", "doc_unigram_lm", "training_export",
     ]
     import ray.data
 

@@ -701,6 +701,59 @@ def lang_balanced_sample(sf_dir: str):
     return balanced_sample(docs, group_col="lang")
 
 
+def training_export(sf_dir: str):
+    """End-to-end training-export pipeline, every stage exact so the WHOLE
+    chain is SQL-hash-checked: token-length gate (>= 30 ws tokens) ->
+    exact text dedup (min doc_id per identical text) -> benchmark
+    decontamination (drop the doc_id % 19 eval slice and every doc
+    sharing a word-5-gram with it) -> language-balanced sampling (exact
+    hash threshold) -> sequence packing into 256-token windows
+    (distributed prefix sum) -> deterministic shuffle positions. One row
+    per exported doc with its window interval and shuffle position —
+    the full corpus-prep shape a 100 TB training run needs. ZERO joins:
+    text is tokenized/shingled once up front, and every later stage
+    passes the light (doc_id, lang, n_tokens) metadata through via
+    ``keep_cols`` instead of joining back to the corpus."""
+    from ..stages.corpus import (balanced_sample, decontaminate,
+                                 pack_windows, shuffle_positions,
+                                 _ws_token_counts)
+    from ..stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 blocks=_cpus())
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_tokens"] = _ws_token_counts(b["text"])
+        return b[b["n_tokens"] >= 30]
+
+    gated = docs.map_batches(gate, batch_format="pandas")
+    deduped = exact_dedup(gated)
+
+    bench = docs.map_batches(lambda b: b[b["doc_id"] % 19 == 0],
+                             batch_format="pandas")
+    corpus = deduped.map_batches(
+        lambda b: b.loc[b["doc_id"] % 19 != 0,
+                        ["doc_id", "text", "lang", "n_tokens"]],
+        batch_format="pandas")
+    dec = decontaminate(corpus, bench, k=5, keep_cols=("lang", "n_tokens"))
+    clean = dec.map_batches(
+        lambda b: b.loc[b["n_hit"] == 0, ["doc_id", "lang", "n_tokens"]],
+        batch_format="pandas")
+
+    sampled = balanced_sample(clean, group_col="lang",
+                              keep_cols=("n_tokens",))
+    packed = pack_windows(sampled, tokens_col="n_tokens",
+                          keep_cols=("lang",), window=256, bucket_width=64)
+    out = shuffle_positions(
+        packed, keep_cols=("lang", "n_tokens", "offset", "first_window",
+                           "last_window", "n_windows"))
+    return out.map_batches(
+        lambda b: b[["doc_id", "lang", "n_tokens", "offset", "first_window",
+                     "last_window", "n_windows", "hv", "pos"]],
+        batch_format="pandas")
+
+
 def doc_shuffle_positions(sf_dir: str):
     """Deterministic global shuffle for training export: stable position
     = rank under (multiplicative doc hash, doc_id), computed as a
@@ -1914,6 +1967,7 @@ QUERIES = {
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
     "doc_shuffle_positions": doc_shuffle_positions,
+    "training_export": training_export,
     "source_token_mixture": source_token_mixture,
     "doc_unigram_lm": doc_unigram_lm,
     "events_asof_join": events_asof_join,
@@ -2479,6 +2533,69 @@ ORACLE_SQL = {
         WHERE CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296
                    AS HUGEINT) * c.cnt
               < CAST(m.m AS HUGEINT) * 4294967296
+    """,
+    "training_export": r"""
+        WITH t AS (
+          SELECT doc_id, text, lang,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        gated AS (SELECT * FROM t WHERE n_tokens >= 30),
+        ded AS (
+          SELECT doc_id, text, lang, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) AS rn
+            FROM gated) WHERE rn = 1
+        ),
+        corpus AS (SELECT * FROM ded WHERE doc_id % 19 <> 0),
+        cw AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS ws
+               FROM corpus),
+        bw AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents WHERE doc_id % 19 = 0),
+        cg AS (SELECT DISTINCT doc_id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4] AS g
+               FROM cw, unnest(range(1, greatest(len(ws)-4, 0)+1)) AS u(i)),
+        bg AS (SELECT DISTINCT
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4] AS g
+               FROM bw, unnest(range(1, greatest(len(ws)-4, 0)+1)) AS u(i)),
+        dirty AS (SELECT DISTINCT doc_id FROM cg
+                  WHERE g IN (SELECT g FROM bg)),
+        clean AS (SELECT c.* FROM corpus c
+                  WHERE c.doc_id NOT IN (SELECT doc_id FROM dirty)),
+        cnt AS (SELECT lang, count(*) AS cnt FROM clean GROUP BY lang),
+        mn AS (SELECT min(cnt) AS m FROM cnt),
+        samp AS (
+          SELECT cl.doc_id, cl.lang, cl.n_tokens,
+                 CAST((cl.doc_id % 2147483648) * 2654435761 % 4294967296
+                      AS BIGINT) AS hv
+          FROM clean cl JOIN cnt USING (lang) CROSS JOIN mn
+          WHERE CAST((cl.doc_id % 2147483648) * 2654435761 % 4294967296
+                     AS HUGEINT) * cnt.cnt
+                < CAST(mn.m AS HUGEINT) * 4294967296
+        ),
+        o AS (
+          SELECT doc_id, lang, n_tokens, hv,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off,
+                 CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1
+                      AS BIGINT) AS pos
+          FROM samp
+        )
+        SELECT doc_id, lang, n_tokens, off AS "offset",
+               off // 256 AS first_window,
+               (off + greatest(n_tokens, 1) - 1) // 256 AS last_window,
+               (off + greatest(n_tokens, 1) - 1) // 256 - off // 256 + 1
+                 AS n_windows,
+               hv, pos
+        FROM o
     """,
     "doc_shuffle_positions": """
         SELECT doc_id,

@@ -71,10 +71,12 @@ def decontaminate(
     k: int = 5,
     gram_broadcast_threshold: int = GRAM_BROADCAST_THRESHOLD,
     num_partitions: int | None = None,
+    keep_cols: tuple = (),
 ):
     """Flag every corpus doc that shares >= 1 distinct word-k-gram with
-    ANY benchmark doc. Returns (doc_id, n_grams, n_hit, contaminated,
-    contamination_frac).
+    ANY benchmark doc. Returns (doc_id, *keep_cols, n_grams, n_hit,
+    contaminated, contamination_frac) — ``keep_cols`` are corpus columns
+    passed through so downstream stages need no join back.
 
     Scale shape: the benchmark side is grams of the EVAL sets (MBs, not
     the corpus) — distinct-hashed, then broadcast once via ``ray.put``
@@ -99,10 +101,13 @@ def decontaminate(
 
     def totals_batch(b: pd.DataFrame) -> pd.DataFrame:
         gs = _distinct_grams_batch(b[text_col].tolist(), k)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": b[id_col].to_numpy(),
             "n_grams": np.array([len(g) for g in gs], dtype=np.int64),
         })
+        for c in keep_cols:
+            out[c] = b[c].to_numpy()
+        return out
 
     def bench_grams(b: pd.DataFrame) -> pd.DataFrame:
         gs = _distinct_grams_batch(b[text_col].tolist(), k)
@@ -138,7 +143,9 @@ def decontaminate(
                     minlength=len(gs)).astype(np.int64)
             out = pd.DataFrame({"doc_id": b[id_col].to_numpy("int64"),
                                 "n_grams": lens, "n_hit": n_hit})
-            return _finish(out)
+            for c in keep_cols:
+                out[c] = b[c].to_numpy()
+            return _finish(out, keep_cols)
 
         return corpus.map_batches(probe, batch_format="pandas")
 
@@ -164,35 +171,62 @@ def decontaminate(
     hits = hash_grouped_agg(union, ["gh"], lambda b: b, part_hits,
                             num_partitions=num_partitions)
 
-    # attach hit counts to per-doc totals: tagged union routed by doc_id
+    # attach hit counts to per-doc totals: tagged union routed by doc_id.
+    # keep_cols ride the totals rows; the hits rows carry typed sentinels
+    # so both union sides share one block schema.
+    sentinels = _typed_sentinels(corpus, keep_cols)
+    cols = ["doc_id", "n_grams", "n_hit", *keep_cols]
     hits_tagged = hits.map_batches(
-        lambda b: b.assign(n_grams=np.int64(-1))[
-            ["doc_id", "n_grams", "n_hit"]], batch_format="pandas")
+        lambda b: b.assign(n_grams=np.int64(-1), **sentinels)[cols],
+        batch_format="pandas")
     tot_tagged = totals.map_batches(
-        lambda b: b.assign(n_hit=np.int64(-1))[
-            ["doc_id", "n_grams", "n_hit"]], batch_format="pandas")
+        lambda b: b.assign(n_hit=np.int64(-1))[cols],
+        batch_format="pandas")
 
     def attach(part: pd.DataFrame) -> pd.DataFrame:
-        t = part[part["n_hit"] < 0][["doc_id", "n_grams"]]
+        t = part[part["n_hit"] < 0][["doc_id", "n_grams", *keep_cols]]
         # one partial hit row per (doc, gh-partition): sum before the join
         h = (part[part["n_hit"] >= 0]
              .groupby("doc_id", as_index=False)["n_hit"].sum())
         out = t.merge(h, on="doc_id", how="left")
         out["n_hit"] = out["n_hit"].fillna(0).astype("int64")
-        return _finish(out)
+        return _finish(out, keep_cols)
 
     return hash_grouped_agg(hits_tagged.union(tot_tagged), ["doc_id"],
                             lambda b: b, attach,
                             num_partitions=num_partitions)
 
 
-def _finish(out: pd.DataFrame) -> pd.DataFrame:
+def _typed_sentinels(ds, cols) -> dict:
+    """Schema-derived placeholder values (0 / 0.0 / '') so a tagged union
+    of two light frames shares one block schema."""
+    if not cols:
+        return {}
+    import pyarrow as pa
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    out = {}
+    for c in cols:
+        t = types[c]
+        try:  # pandas-block schema: np.dtype or a plain type (object=str)
+            d = np.dtype(t)
+            is_int = np.issubdtype(d, np.integer)
+            is_float = np.issubdtype(d, np.floating)
+        except TypeError:  # Arrow schema
+            is_int = pa.types.is_integer(t)
+            is_float = pa.types.is_floating(t)
+        out[c] = np.int64(0) if is_int else 0.0 if is_float else ""
+    return out
+
+
+def _finish(out: pd.DataFrame, keep_cols: tuple = ()) -> pd.DataFrame:
     out = out.copy()
     out["contaminated"] = out["n_hit"] > 0
     n = out["n_grams"].to_numpy().astype(np.float64)
     out["contamination_frac"] = np.where(
         n > 0, out["n_hit"].to_numpy().astype(np.float64) / np.where(n > 0, n, 1.0), 0.0)
-    return out[["doc_id", "n_grams", "n_hit", "contaminated",
+    return out[["doc_id", *keep_cols, "n_grams", "n_hit", "contaminated",
                 "contamination_frac"]]
 
 
@@ -207,11 +241,16 @@ def pack_windows(
     window: int = 256,
     bucket_width: int = 4096,
     num_partitions: int | None = None,
+    tokens_col: str | None = None,
+    keep_cols: tuple = (),
 ):
     """GPT-style sequence packing: concatenate docs in ``id`` order and
     chunk into fixed ``window``-token windows. Per doc returns
-    (doc_id, n_tokens, offset, first_window, last_window, n_windows)
-    where ``offset`` is the doc's global start in the token stream.
+    (doc_id, *keep_cols, n_tokens, offset, first_window, last_window,
+    n_windows) where ``offset`` is the doc's global start in the token
+    stream. Pass ``tokens_col`` to reuse a precomputed token count
+    (light input rows, no text re-tokenization); ``keep_cols`` pass
+    through so downstream stages need no join back.
 
     The exclusive prefix sum is distributed: (1) one light pass emits
     (doc_id, n_tokens); (2) per-bucket sums (bucket = doc_id //
@@ -231,11 +270,15 @@ def pack_windows(
 
     def light(b: pd.DataFrame) -> pd.DataFrame:
         ids = b[id_col].to_numpy("int64")
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": ids,
-            "n_tokens": _ws_token_counts(b[text_col]),
+            "n_tokens": (b[tokens_col].to_numpy("int64") if tokens_col
+                         else _ws_token_counts(b[text_col])),
             "bucket": ids // bucket_width,
         })
+        for c in keep_cols:
+            out[c] = b[c].to_numpy()
+        return out
 
     toks = ds.map_batches(light, batch_format="pandas")
 
@@ -253,21 +296,29 @@ def pack_windows(
     def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             z = pd.Series(dtype="int64")
-            return pd.DataFrame({"doc_id": z, "n_tokens": z, "offset": z,
-                                 "first_window": z, "last_window": z,
-                                 "n_windows": z})
+            out = pd.DataFrame({"doc_id": z, "n_tokens": z, "offset": z,
+                                "first_window": z, "last_window": z,
+                                "n_windows": z})
+            for c in keep_cols:
+                out[c] = g[c].iloc[0:0]
+            return out[["doc_id", *keep_cols, "n_tokens", "offset",
+                        "first_window", "last_window", "n_windows"]]
         bases = ray.get(base_ref)
         g = g.sort_values("doc_id", kind="mergesort")
         n = g["n_tokens"].to_numpy("int64")
         off = int(bases[int(g["bucket"].iloc[0])]) + np.cumsum(n) - n
         first = off // window
         last = (off + np.maximum(n, 1) - 1) // window
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": g["doc_id"].to_numpy("int64"),
             "n_tokens": n, "offset": off,
             "first_window": first, "last_window": last,
             "n_windows": last - first + 1,
         })
+        for c in keep_cols:
+            out[c] = g[c].to_numpy()
+        return out[["doc_id", *keep_cols, "n_tokens", "offset",
+                    "first_window", "last_window", "n_windows"]]
 
     return hash_grouped_map(toks, ["bucket"], pack_bucket,
                             num_partitions=num_partitions)
@@ -278,12 +329,13 @@ def shuffle_positions(
     id_col: str = "doc_id",
     bucket_bits: int = 8,
     num_partitions: int | None = None,
+    keep_cols: tuple = (),
 ):
     """Deterministic global shuffle for training export: every doc gets a
     stable position = its rank under (hash(doc_id), doc_id). Unlike
     ``random_shuffle`` the order is reproducible across runs and resumes
     — a failed export can skip finished position ranges. Returns
-    (doc_id, hv, pos).
+    (doc_id, *keep_cols, hv, pos).
 
     The rank is a distributed prefix sum over hash-range buckets (top
     ``bucket_bits`` of the 32-bit hash): per-bucket counts (tiny, exact)
@@ -302,11 +354,14 @@ def shuffle_positions(
 
     def light(b: pd.DataFrame) -> pd.DataFrame:
         hv = _doc_hash(b[id_col].to_numpy())
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": b[id_col].to_numpy("int64"),
             "hv": hv.astype(np.int64),
             "bucket": (hv >> np.uint64(shift)).astype(np.int64),
         })
+        for c in keep_cols:
+            out[c] = b[c].to_numpy()
+        return out
 
     rows = ds.map_batches(light, batch_format="pandas")
     counts = hash_grouped_agg(
@@ -322,25 +377,32 @@ def shuffle_positions(
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             z = pd.Series(dtype="int64")
-            return pd.DataFrame({"doc_id": z, "hv": z, "pos": z})
+            out = pd.DataFrame({"doc_id": z, "hv": z, "pos": z})
+            for c in keep_cols:
+                out[c] = g[c].iloc[0:0]
+            return out[["doc_id", *keep_cols, "hv", "pos"]]
         bases = ray.get(base_ref)
         g = g.sort_values(["hv", "doc_id"], kind="mergesort")
         pos = int(bases[int(g["bucket"].iloc[0])]) + np.arange(len(g))
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy("int64"),
-                             "hv": g["hv"].to_numpy("int64"),
-                             "pos": pos.astype(np.int64)})
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy("int64"),
+                            "hv": g["hv"].to_numpy("int64"),
+                            "pos": pos.astype(np.int64)})
+        for c in keep_cols:
+            out[c] = g[c].to_numpy()
+        return out[["doc_id", *keep_cols, "hv", "pos"]]
 
     return hash_grouped_map(rows, ["bucket"], rank_bucket,
                             num_partitions=num_partitions)
 
 
-def balanced_sample(ds, id_col: str = "doc_id", group_col: str = "lang"):
+def balanced_sample(ds, id_col: str = "doc_id", group_col: str = "lang",
+                    keep_cols: tuple = ()):
     """Deterministic group-balanced downsample: keep each group at the
     smallest group's size in expectation via the multiplicative doc hash
     — doc kept iff hash(doc_id) * group_count < min_count * 2^32 (exact
     integer math, no RNG). Two passes: a tiny per-group count aggregate
     (pre-aggregated per batch, broadcast back), then a stateless filter.
-    Returns (doc_id, group_col, hv).
+    Returns (doc_id, group_col, *keep_cols, hv).
     """
     import ray
 
@@ -364,11 +426,14 @@ def balanced_sample(ds, id_col: str = "doc_id", group_col: str = "lang"):
         hv = _doc_hash(b[id_col].to_numpy())
         lim = b[group_col].map(t).to_numpy("uint64")
         keep = hv < lim
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": b[id_col].to_numpy("int64")[keep],
             group_col: b[group_col].to_numpy()[keep],
-            "hv": hv[keep].astype(np.int64),
         })
+        for c in keep_cols:
+            out[c] = b[c].to_numpy()[keep]
+        out["hv"] = hv[keep].astype(np.int64)
+        return out
 
     return ds.map_batches(pick, batch_format="pandas")
 

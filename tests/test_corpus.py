@@ -36,6 +36,24 @@ def test_decontaminate_distributed_path_equals_broadcast(ray_session):
     assert broad["contaminated"].any()  # the eval slice shares grams
 
 
+def test_decontaminate_keep_cols_survive_both_paths(ray_session):
+    from north_cloud_ray.stages.corpus import decontaminate
+
+    docs = _docs(["doc_id", "text", "lang"])
+    corpus = docs.map_batches(lambda b: b[b["doc_id"] % 19 != 0],
+                              batch_format="pandas")
+    bench = docs.map_batches(lambda b: b[b["doc_id"] % 19 == 0],
+                             batch_format="pandas")
+    broad = _canon(decontaminate(corpus, bench, k=5,
+                                 keep_cols=("lang",)).to_pandas())
+    dist = _canon(decontaminate(corpus, bench, k=5, keep_cols=("lang",),
+                                gram_broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(broad, dist)
+    # passthrough values match the source rows
+    src = docs.to_pandas().set_index("doc_id")["lang"]
+    assert (broad.set_index("doc_id")["lang"] == src[broad["doc_id"]].values).all()
+
+
 def test_unigram_lm_distributed_path_equals_broadcast(ray_session):
     from north_cloud_ray.stages.corpus import unigram_lm_score
 
