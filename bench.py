@@ -238,6 +238,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_stratified_sample", "events_heavy_users",
         "lineitem_price_quantiles", "doc_decontaminate",
         "doc_pack_windows", "doc_unigram_lm", "training_export",
+        "semdedup_docs",
     ]
     import ray.data
 

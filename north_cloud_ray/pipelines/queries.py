@@ -872,6 +872,29 @@ def embedding_near_dup_q(sf_dir: str):
     return embedding_near_dup(ds, cosine_threshold=0.98)
 
 
+def semdedup_exact(sf_dir: str):
+    """SemDeDup degenerate setting n_clusters=1 == EXACT all-pairs cosine
+    dedup over the augmented embeddings — SQL-oracle-checked against a
+    recursive connected-components CTE, so the whole cluster_assign
+    machinery (pairs -> CC -> min-id labels) is hash-verified."""
+    from ..stages.dedup import semdedup
+
+    aug = _augmented_embeddings(sf_dir)
+    ds = rd.from_pandas(aug).repartition(8)
+    return semdedup(ds, n_clusters=1, cosine_threshold=0.98)
+
+
+def semdedup_docs(sf_dir: str):
+    """SemDeDup proper (k-means partition + within-cluster exact cosine
+    dedup, n_clusters=8): the O(N^2/n_clusters) scale path whose recall
+    vs the exact twin is measured in test_dedup_quality."""
+    from ..stages.dedup import semdedup
+
+    aug = _augmented_embeddings(sf_dir)
+    ds = rd.from_pandas(aug).repartition(8)
+    return semdedup(ds, n_clusters=8, cosine_threshold=0.98)
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Exact near-dup pairs at cos>=0.98 via broadcast matmul — the
     oracle-checked baseline the LSH near-dup path is measured against."""
@@ -1963,6 +1986,8 @@ QUERIES = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "doc_repetition_stats": doc_repetition_stats,
     "dup_span_docs": dup_span_docs,
+    "semdedup_exact": semdedup_exact,
+    "semdedup_docs": semdedup_docs,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -2651,6 +2676,23 @@ ORACLE_SQL = {
                     THEN CAST(p.sum_ref_freq AS DOUBLE) / p.n_tokens
                     ELSE 0.0 END AS mean_ref_freq
         FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "semdedup_exact": _AUG_SQL.replace("WITH aug", "WITH RECURSIVE aug") + """
+        , e0 AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+        ),
+        edges AS (SELECT ia AS a, ib AS b FROM e0
+                  UNION ALL SELECT ib, ia FROM e0),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM aug
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        )
+        SELECT id AS vec_id, CAST(0 AS BIGINT) AS kcluster,
+               CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id
     """,
     "embedding_dup_pairs": _AUG_SQL + """
         SELECT a.vec_id AS a, b.vec_id AS b

@@ -859,6 +859,80 @@ def embedding_dup_pairs_exact(
     return ds.map_batches(pairs, batch_format="pandas")
 
 
+def semdedup(
+    ds,
+    n_clusters: int = 16,
+    cosine_threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    k-means partition the embedding space on a seeded random sample, then
+    EXACT pairwise-cosine dedup WITHIN each k-means cluster. Near-dups
+    straddling a centroid boundary are the (measured) recall cost that
+    buys an O(N^2 / n_clusters) verify instead of all-pairs O(N^2);
+    ``n_clusters`` must scale with the corpus so the per-group matmul
+    (~(N/n_clusters)^2) stays bounded. With ``n_clusters=1`` the operator
+    degenerates to the EXACT all-pairs dedup — the SQL-oracled twin
+    (query ``semdedup_exact``) that the approximate setting is measured
+    against. Returns (id_col, kcluster, cluster_id) where cluster_id =
+    min id of the cosine>=threshold connected component within its
+    k-means cluster (singletons map to themselves); clustering is the
+    shared size-adaptive ``cluster_assign`` (driver union-find below the
+    pair threshold, distributed min-label CC above).
+
+    Reference parity: none — crawler/internal/dedup stops at exact
+    content identity; this is an added LLM-corpus operator (brief
+    §dedup-family / embedding near-dup scale path)."""
+    import ray
+
+    from .agg import hash_grouped_map
+    from .similarity import _kmeans, _normalize
+
+    total = ds.count()
+    frac = min(1.0, (1.2 * train_sample) / max(total, 1))
+    sample = ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
+    V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+    C = _kmeans(V, n_clusters, seed=seed)
+    cref = ray.put(C)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        cc = ray.get(cref)
+        M = _normalize(np.stack(b[vec_col].to_numpy()).astype(np.float32))
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy("int64"),
+            "kcluster": np.argmax(M @ cc.T, axis=1).astype("int64"),
+        })
+        out[vec_col] = b[vec_col]  # rides to the per-cluster verify
+        return out
+
+    assigned = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    def cluster_pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            z = pd.Series(dtype="int64")
+            return pd.DataFrame({"a": z, "b": z})
+        ids = g[id_col].to_numpy("int64")
+        # float64 normalize-then-dot, same kernel as the exact pair oracle
+        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ M.T
+        ii, jj = np.where(np.triu(S >= cosine_threshold, k=1))
+        return pd.DataFrame({"a": np.minimum(ids[ii], ids[jj]),
+                             "b": np.maximum(ids[ii], ids[jj])})
+
+    pairs = hash_grouped_map(assigned, ["kcluster"], cluster_pairs_fn,
+                             num_partitions=num_partitions)
+    light = assigned.map_batches(lambda b: b[[id_col, "kcluster"]],
+                                 batch_format="pandas")
+    return cluster_assign(light, id_col, pairs, carry_cols=("kcluster",),
+                          dist_cc_threshold=dist_cc_threshold)
+
+
 # ---------------- exact n-gram Jaccard similarity join ----------------
 
 # distinct-shingle document-frequency tables below this row count are

@@ -322,3 +322,28 @@ def test_ngram_jaccard_short_docs(ray_session):
     ds = ray.data.from_pandas(df).repartition(2)
     out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
     assert len(out) == 0
+
+
+def test_semdedup_recall_vs_exact_twin(ray_session):
+    """SemDeDup at n_clusters=8 must recover >=0.9 of the exact cos>=0.98
+    pairs (n_clusters=1 twin, itself SQL-oracled); its within-cluster
+    verify is exact, so precision is 1 by construction — every merged
+    pair is float64-cosine verified."""
+    from north_cloud_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    exact = Q.QUERIES["semdedup_exact"](sf).to_pandas()
+    approx = Q.QUERIES["semdedup_docs"](sf).to_pandas()
+    ex_lab = dict(zip(exact["vec_id"], exact["cluster_id"]))
+    ap_lab = dict(zip(approx["vec_id"], approx["cluster_id"]))
+    assert set(ex_lab) == set(ap_lab)
+    pairs = [(a, c) for a, c in ex_lab.items() if a != c]
+    assert len(pairs) > 50, "augmentation should create dup components"
+    hit = sum(1 for a, c in pairs if ap_lab[a] == ap_lab[c])
+    recall = hit / len(pairs)
+    assert recall >= 0.9, f"SemDeDup member recall {recall:.3f} < 0.9"
+    # approx merges are a SUBSET of exact merges (within-cluster verify
+    # is exact): anything SemDeDup joins, the all-pairs twin joins too
+    for v, c in ap_lab.items():
+        if v != c:
+            assert ex_lab[v] == ex_lab[c]
