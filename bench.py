@@ -238,7 +238,8 @@ def run_queries(sf_dir: str) -> dict:
         "doc_stratified_sample", "events_heavy_users",
         "lineitem_price_quantiles", "doc_decontaminate",
         "doc_pack_windows", "doc_unigram_lm", "training_export",
-        "semdedup_docs",
+        "semdedup_docs", "pii_redacted_docs", "incremental_dedup_docs",
+        "source_quality_rollup", "doc_vocabulary",
     ]
     import ray.data
 

@@ -1963,6 +1963,82 @@ def multimodal_features(sf_dir: str):
     return out.map_batches(select, batch_format="pandas")
 
 
+# ---------------- curation layer (stages/curation.py) ----------------
+
+
+def _pii_augmented_docs(sf_dir: str):
+    """documents with deterministic PII appended (mirrored in the oracle
+    CTE): the raw corpus is plain words, so emails / phones / IPv4s are
+    injected by doc_id residue to exercise every redaction path."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        s = b["doc_id"].astype("int64")
+        email = np.where(
+            s % 5 == 0,
+            " contact user" + s.astype(str) + "@example.com now", "")
+        phone = np.where(
+            s % 7 == 0,
+            " call 416-555-" + (s % 10000).astype(str).str.zfill(4), "")
+        ip = np.where(
+            s % 3 == 0,
+            " from 10." + (s % 256).astype(str) + ".0."
+            + ((s * 7) % 256).astype(str), "")
+        b["text"] = b["text"].fillna("") + email + phone + ip
+        return b
+
+    return docs.map_batches(augment, batch_format="pandas")
+
+
+def pii_redacted_docs(sf_dir: str):
+    """Vectorized PII redaction (emails / NANP phones / IPv4) with per-doc
+    match counts — pure map_batches, RE2-compatible patterns so the SQL
+    oracle runs byte-identical regexes."""
+    from ..stages.curation import pii_redact
+
+    return pii_redact(_pii_augmented_docs(sf_dir))
+
+
+def incremental_dedup_docs(sf_dir: str):
+    """Streaming-corpus incremental dedup: even-doc_id docs stand in for
+    the accumulated prior-run sha index; survivors are the min-id rows per
+    sha among docs whose content the prior runs never saw. Exercises the
+    broadcast anti-join path (the distributed tagged-union path is forced
+    equal in tests via a tiny threshold)."""
+    from ..stages.curation import incremental_dedup
+    from ..stages.dedup import add_text_sha
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    prior = (
+        docs.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                         batch_format="pandas")
+        .map_batches(lambda b: add_text_sha(b), batch_format="pyarrow")
+        .map_batches(lambda b: b[["text_sha"]], batch_format="pandas")
+    )
+    return incremental_dedup(docs, prior)
+
+
+def source_quality_rollup_q(sf_dir: str):
+    """Per-source curation rollup (doc/distinct-content counts, dup
+    fraction, mean words, keep gate) via cascaded partial/combine."""
+    from ..stages.curation import source_quality_rollup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"],
+                 blocks=_cpus())
+    return source_quality_rollup(docs)
+
+
+def doc_vocabulary(sf_dir: str):
+    """Exact top-100 corpus vocabulary with counts (tokenizer prep):
+    per-batch value_counts partials, exact combine, deterministic
+    (n DESC, token ASC) tie-break."""
+    from ..stages.curation import vocab_topk
+
+    docs = _read(sf_dir, "documents", ["text"], blocks=_cpus())
+    return vocab_topk(docs, k=100)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -1988,6 +2064,10 @@ QUERIES = {
     "dup_span_docs": dup_span_docs,
     "semdedup_exact": semdedup_exact,
     "semdedup_docs": semdedup_docs,
+    "pii_redacted_docs": pii_redacted_docs,
+    "incremental_dedup_docs": incremental_dedup_docs,
+    "source_quality_rollup": source_quality_rollup_q,
+    "doc_vocabulary": doc_vocabulary,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -2676,6 +2756,84 @@ ORACLE_SQL = {
                     THEN CAST(p.sum_ref_freq AS DOUBLE) / p.n_tokens
                     ELSE 0.0 END AS mean_ref_freq
         FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "pii_redacted_docs": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' call 416-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                   AS text_redacted,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_emails,
+               len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+                   AS n_phones,
+               len(regexp_extract_all(text,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+        FROM aug
+    """,
+    "incremental_dedup_docs": """
+        WITH prior AS (
+          SELECT DISTINCT sha256(text) AS text_sha
+          FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT doc_id, text_sha FROM (
+          SELECT doc_id, sha256(text) AS text_sha,
+                 ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                    ORDER BY doc_id) AS rn
+          FROM documents
+          WHERE sha256(text) NOT IN (SELECT text_sha FROM prior)
+        ) WHERE rn = 1
+    """,
+    "source_quality_rollup": r"""
+        WITH per AS (
+          SELECT source, sha256(text) AS sha,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(len(list_filter(
+                     string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> ''))) AS BIGINT) AS words
+          FROM documents GROUP BY source, sha256(text)
+        ),
+        agg AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_unique,
+                 CAST(SUM(words) AS BIGINT) AS words
+          FROM per GROUP BY source
+        )
+        SELECT source, n_docs, n_unique,
+               n_docs - n_unique AS n_dup_docs,
+               CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_frac,
+               CAST(words AS DOUBLE) / n_docs AS mean_words,
+               (CAST(n_docs - n_unique AS DOUBLE) / n_docs <= 0.5
+                AND CAST(words AS DOUBLE) / n_docs >= 10.0) AS keep
+        FROM agg
+    """,
+    "doc_vocabulary": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 100
     """,
     "semdedup_exact": _AUG_SQL.replace("WITH aug", "WITH RECURSIVE aug") + """
         , e0 AS (

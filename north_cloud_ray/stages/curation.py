@@ -1,0 +1,246 @@
+"""Corpus-curation operators: PII redaction, incremental dedup against a
+prior-run index, per-source quality rollups, and vocabulary extraction.
+
+These close the curation layer between the crawl store and the
+training-corpus prep in ``stages/corpus.py`` — the operators a 100-TB
+LLM-data pipeline runs continuously as new crawl rounds land:
+
+- ``pii_redact``: vectorized regex redaction of emails / NANP phone
+  numbers / IPv4 addresses with per-doc match counts. Pure map_batches
+  (no shuffle); patterns are RE2-compatible so the DuckDB oracle runs
+  the byte-identical expressions.
+- ``incremental_dedup``: the streaming-corpus dedup shape — new docs are
+  checked against the accumulated hash index of every PRIOR run (exact
+  sha anti-join), then first-per-sha within the new batch itself.
+  Size-adaptive like the near-dup verifies: the prior index broadcasts
+  below a threshold, else a tagged union rides one hash-partitioned
+  exchange of light (sha, id) rows.
+- ``source_quality_rollup``: per-source curation signals — doc count,
+  distinct-content count, duplicate fraction, mean words — plus the
+  keep/drop gate a domain blocklist builder consumes. Two cascaded
+  partial/combine aggregations; the (source, sha) level compresses the
+  stream before the tiny per-source level.
+- ``vocab_topk``: exact top-k corpus vocabulary with counts (tokenizer
+  training prep). Per-batch value_counts partials cap the exchange at
+  (distinct tokens per batch) rows; exact combine + deterministic
+  (count DESC, token ASC) tie-break.
+
+Reference parity: none — north-cloud's pipeline stops at crawl/classify
+(crawler/internal/dedup is URL/content identity only); these are added
+LLM-corpus operators (brief §beyond-the-reference). All exact, all
+SQL-oracle-checked in ``pipelines/queries.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# RE2-compatible (DuckDB regexp_* runs the same patterns verbatim).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# prior-run hash indexes larger than this stop broadcasting and switch to
+# the distributed tagged-union anti-join (light rows only)
+PRIOR_BROADCAST_THRESHOLD = 2_000_000
+
+
+def pii_redact(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, text_redacted, n_emails, n_phones, n_ips) per doc.
+
+    Counts are measured on the ORIGINAL text per pattern independently;
+    redaction then applies email -> phone -> ip (fixed order, mirrored in
+    the SQL oracle). Vectorized pandas str kernels — no Python row loop,
+    no shuffle."""
+
+    def redact(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "n_emails": t.str.count(EMAIL_RE).astype("int64"),
+            "n_phones": t.str.count(PHONE_RE).astype("int64"),
+            "n_ips": t.str.count(IPV4_RE).astype("int64"),
+        })
+        red = t.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+        red = red.str.replace(PHONE_RE, "<PHONE>", regex=True)
+        red = red.str.replace(IPV4_RE, "<IP>", regex=True)
+        out.insert(1, "text_redacted", red)
+        return out
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+def incremental_dedup(
+    new_ds,
+    prior_hashes,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_col: str = "text_sha",
+    broadcast_threshold: int = PRIOR_BROADCAST_THRESHOLD,
+    num_partitions: int | None = None,
+):
+    """Survivors of the NEW batch against the accumulated prior-run index:
+    rows whose exact text sha appears in ``prior_hashes`` are dropped,
+    then the min-id row wins per sha within the new batch itself. Returns
+    (id_col, hash_col) — exactly the rows whose text enters the corpus
+    this run; the caller unions the survivors' hashes into the index for
+    the next run (checkpointed parquet in the crawl store).
+
+    ``prior_hashes``: Dataset with ``hash_col`` (other columns ignored).
+    Size-adaptive: an index below ``broadcast_threshold`` rows is pulled
+    once into the object store and probed per batch (zero shuffle); a
+    larger index rides a tagged union through ONE hash-partitioned
+    exchange of light (sha, tag, id) rows — the anti-join shape of the
+    frontier's J2 seen-set, applied to content identity."""
+    import ray
+
+    from .agg import hash_grouped_agg
+    from .dedup import add_text_sha
+
+    sha_ds = new_ds.map_batches(
+        lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
+    ).map_batches(lambda b: b[[id_col, hash_col]], batch_format="pandas")
+
+    def keep_min(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values([hash_col, id_col], kind="mergesort") \
+                .drop_duplicates(hash_col, keep="first")
+
+    n_prior = prior_hashes.count()
+    if n_prior <= broadcast_threshold:
+        if n_prior == 0:  # empty-Dataset to_pandas() has no columns
+            arr = np.array([], dtype=object)
+        else:
+            arr = np.sort(
+                prior_hashes.map_batches(
+                    lambda b: pd.DataFrame({hash_col: b[hash_col].unique()}),
+                    batch_format="pandas",
+                ).to_pandas()[hash_col].to_numpy()
+            )
+        ref = ray.put(arr)  # sorted fixed-width strings -> searchsorted probe
+
+        def drop_seen(b: pd.DataFrame) -> pd.DataFrame:
+            idx = ray.get(ref)
+            pos = np.searchsorted(idx, b[hash_col].to_numpy())
+            pos = np.minimum(pos, max(len(idx) - 1, 0))
+            hit = (idx[pos] == b[hash_col].to_numpy()) if len(idx) else \
+                np.zeros(len(b), dtype=bool)
+            return b[~hit]
+
+        fresh = sha_ds.map_batches(drop_seen, batch_format="pandas")
+        return hash_grouped_agg(fresh, [hash_col], keep_min, keep_min,
+                                num_partitions)
+
+    # distributed path: tag prior rows 0 / new rows 1, one exchange keyed
+    # by sha; a group containing any prior row contributes nothing
+    tagged_prior = prior_hashes.map_batches(
+        lambda b: pd.DataFrame({hash_col: b[hash_col].to_numpy(),
+                                id_col: np.int64(-1),
+                                "_tag": np.int8(0)}),
+        batch_format="pandas",
+    )
+    tagged_new = sha_ds.map_batches(
+        lambda b: pd.DataFrame({hash_col: b[hash_col].to_numpy(),
+                                id_col: b[id_col].to_numpy("int64"),
+                                "_tag": np.int8(1)}),
+        batch_format="pandas",
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch compression: one row per (sha, tag) with the min id
+        return (b.sort_values([hash_col, "_tag", id_col], kind="mergesort")
+                 .drop_duplicates([hash_col, "_tag"], keep="first"))
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([hash_col, "_tag", id_col], kind="mergesort")
+        seen = part.loc[part["_tag"] == 0, hash_col].unique()
+        fresh = part[(part["_tag"] == 1) & ~part[hash_col].isin(seen)]
+        return fresh.drop_duplicates(hash_col, keep="first")[[id_col, hash_col]]
+
+    return hash_grouped_agg(tagged_prior.union(tagged_new), [hash_col],
+                            partial, combine, num_partitions)
+
+
+def source_quality_rollup(
+    ds,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_frac: float = 0.5,
+    min_mean_words: float = 10.0,
+    num_partitions: int | None = None,
+):
+    """Per-source curation rollup: (source, n_docs, n_unique, n_dup_docs,
+    dup_frac, mean_words, keep). Exact distinct-content counts via a
+    cascaded aggregation — level 1 compresses to one row per (source,
+    sha) with doc/word sums, level 2 folds the per-sha rows into the
+    per-source totals; both levels are partial/combine, so nothing
+    O(corpus) rides the exchange or lands on the driver. Floats are
+    single divisions of exact integers (bit-stable vs the SQL oracle)."""
+    from .agg import hash_grouped_agg
+    from .dedup import add_text_sha
+
+    sha_ds = ds.map_batches(
+        lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
+    )
+
+    def level1_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        words = t.str.split().str.len().fillna(0).astype("int64")
+        return (pd.DataFrame({source_col: b[source_col].to_numpy(),
+                              "text_sha": b["text_sha"].to_numpy(),
+                              "n": np.int64(1), "words": words.to_numpy()})
+                .groupby([source_col, "text_sha"], as_index=False).sum())
+
+    def level1_combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby([source_col, "text_sha"], as_index=False).sum()
+
+    per_sha = hash_grouped_agg(sha_ds, [source_col, "text_sha"],
+                               level1_partial, level1_combine,
+                               num_partitions)
+
+    def level2_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n_unique=np.int64(1))
+        return b.groupby(source_col, as_index=False).agg(
+            n_docs=("n", "sum"), n_unique=("n_unique", "sum"),
+            words=("words", "sum"))
+
+    def level2_combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(source_col, as_index=False).sum()
+        n_docs = g["n_docs"].to_numpy("int64")
+        n_unique = g["n_unique"].to_numpy("int64")
+        g["n_dup_docs"] = n_docs - n_unique
+        g["dup_frac"] = (n_docs - n_unique) / n_docs
+        g["mean_words"] = g["words"].to_numpy("int64") / n_docs
+        g["keep"] = (g["dup_frac"] <= max_dup_frac) & \
+                    (g["mean_words"] >= min_mean_words)
+        return g.drop(columns=["words"])
+
+    return hash_grouped_agg(per_sha, [source_col],
+                            level2_partial, level2_combine, num_partitions)
+
+
+def vocab_topk(
+    ds,
+    text_col: str = "text",
+    k: int = 100,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Exact top-k corpus vocabulary (token, n) — tokenizer-training prep.
+    Tokenization is a single-space split with empties dropped (mirrors
+    the SQL oracle's string_split exactly). Per-batch value_counts
+    partials bound the exchange at (distinct tokens per batch) light
+    rows; grouped_sum_topk combines exactly with the deterministic
+    (n DESC, token ASC) order."""
+    from .agg import grouped_sum_topk
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ").explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy("int64")})
+
+    exploded = ds.map_batches(partial, batch_format="pandas")
+    return grouped_sum_topk(exploded, key="token", value_col="n", k=k,
+                            num_partitions=num_partitions)

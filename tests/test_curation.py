@@ -1,0 +1,111 @@
+"""Curation-operator tests: forced distributed paths, gate branches, and
+determinism properties not covered by the sf0.001 oracle sweep."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from north_cloud_ray.stages.curation import (
+    incremental_dedup,
+    pii_redact,
+    source_quality_rollup,
+    vocab_topk,
+)
+
+
+def _docs(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+
+def test_incremental_dedup_broadcast_equals_distributed(ray_session):
+    """The tagged-union exchange (forced via threshold=0) must produce
+    byte-identical survivors to the broadcast anti-join."""
+    rng = np.random.default_rng(7)
+    texts = [f"doc body {i % 40}" for i in range(200)]  # 40 distinct shas
+    new = _docs({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    prior_texts = [f"doc body {i}" for i in range(0, 40, 2)]  # evens seen
+    from north_cloud_ray.stages.dedup import add_text_sha
+
+    prior = (
+        ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(20),
+                                           "text": prior_texts}))
+        .map_batches(lambda b: add_text_sha(b), batch_format="pyarrow")
+        .map_batches(lambda b: b[["text_sha"]], batch_format="pandas")
+    )
+    bc = incremental_dedup(new, prior).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = incremental_dedup(new, prior, broadcast_threshold=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, dist)
+    # survivors: exactly the odd-residue sha families, min doc_id each
+    assert len(bc) == 20
+    assert (bc["doc_id"].to_numpy() % 40 % 2 == 1).all()
+    assert (bc["doc_id"].to_numpy() < 40).all()  # min-id-wins
+
+
+def test_incremental_dedup_empty_prior(ray_session):
+    """With no prior index, incremental dedup degenerates to exact
+    first-per-sha dedup of the new batch."""
+    new = _docs({"doc_id": np.arange(10, dtype=np.int64),
+                 "text": [f"t {i % 3}" for i in range(10)]})
+    prior = ray.data.from_pandas(pd.DataFrame({"text_sha": pd.Series([], dtype=str)}))
+    out = incremental_dedup(new, prior).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+
+
+def test_pii_redact_counts_and_order(ray_session):
+    ds = _docs({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [
+            "mail a@b.com and c.d+e@f-g.org now",
+            "call 416-555-1234 or 555-000-9999 from 10.0.0.1",
+            "plain words only",
+        ],
+    })
+    out = pii_redact(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_phones"] == 0
+    assert out.loc[1, "n_phones"] == 2 and out.loc[1, "n_ips"] == 1
+    assert out.loc[2, ["n_emails", "n_phones", "n_ips"]].sum() == 0
+    assert out.loc[0, "text_redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[1, "text_redacted"] == "call <PHONE> or <PHONE> from <IP>"
+    assert out.loc[2, "text_redacted"] == "plain words only"
+
+
+def test_source_quality_rollup_gate_branches(ray_session):
+    """One source trips the dup gate, one trips the short-doc gate, one
+    passes both."""
+    rows = []
+    # srcA: 4 docs, all identical -> dup_frac 0.75 -> dropped
+    rows += [{"doc_id": i, "source": "srcA",
+              "text": "same words repeated here exactly ten tokens long pad pad"}
+             for i in range(4)]
+    # srcB: 3 distinct but SHORT docs -> mean_words < 10 -> dropped
+    rows += [{"doc_id": 10 + i, "source": "srcB", "text": f"tiny doc {i}"}
+             for i in range(3)]
+    # srcC: 3 distinct long docs -> kept
+    rows += [{"doc_id": 20 + i, "source": "srcC",
+              "text": " ".join(f"w{i}x{j}" for j in range(12))}
+             for i in range(3)]
+    out = source_quality_rollup(_docs(rows)).to_pandas() \
+        .set_index("source").sort_index()
+    assert not out.loc["srcA", "keep"] and out.loc["srcA", "n_unique"] == 1
+    assert out.loc["srcA", "dup_frac"] == 0.75
+    assert not out.loc["srcB", "keep"] and out.loc["srcB", "mean_words"] == 3.0
+    assert bool(out.loc["srcC", "keep"]) and out.loc["srcC", "n_dup_docs"] == 0
+
+
+def test_vocab_topk_tiebreak_at_boundary(ray_session):
+    """Equal-count tokens at the k boundary resolve token-ASC — the same
+    total order the SQL oracle declares."""
+    ds = _docs({"text": ["b b a a d c", "c d e", "e f"]})
+    # counts: a2 b2 c2 d2 e2 f1 -> k=3 must be a,b,c (count desc, token asc)
+    out = vocab_topk(ds, k=3)
+    assert list(out["token"]) == ["a", "b", "c"]
+    assert list(out["n"]) == [2, 2, 2]
+
+
+def test_vocab_topk_skips_empty_tokens(ray_session):
+    ds = _docs({"text": ["a  b", "", None, "a"]})  # double space -> empty split cell
+    out = vocab_topk(ds, k=10)
+    assert "" not in set(out["token"])
+    assert dict(zip(out["token"], out["n"])) == {"a": 2, "b": 1}
