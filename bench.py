@@ -239,7 +239,8 @@ def run_queries(sf_dir: str) -> dict:
         "lineitem_price_quantiles", "doc_decontaminate",
         "doc_pack_windows", "doc_unigram_lm", "training_export",
         "semdedup_docs", "pii_redacted_docs", "incremental_dedup_docs",
-        "source_quality_rollup", "doc_vocabulary",
+        "source_quality_rollup", "doc_vocabulary", "doc_quality_filter",
+        "crawl_snapshot_diff",
     ]
     import ray.data
 

@@ -2029,6 +2029,56 @@ def source_quality_rollup_q(sf_dir: str):
     return source_quality_rollup(docs)
 
 
+def doc_quality_filter(sf_dir: str):
+    """Percentile-gated corpus filter: drop every doc below the corpus's
+    exact 25th-percentile word count — composes the distributed-selection
+    quantile (tiny count rows per pass) with a broadcast-threshold gate;
+    the corpus itself is never sorted or shuffled."""
+    from ..stages.curation import quantile_gate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def words(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.split().str.len().fillna(0)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy("int64"),
+                             "n_words": n.to_numpy("int64")})
+
+    return quantile_gate(docs.map_batches(words, batch_format="pandas"),
+                         "n_words", q=0.25)
+
+
+def crawl_snapshot_diff(sf_dir: str):
+    """Snapshot diff between two derived crawl states: docs with
+    doc_id%11==0 are new in B (added), doc_id%13==0 are dropped from B
+    (removed), doc_id%7==0 get ' updated' appended in B (changed);
+    unchanged keys never leave their partition. Mirrored in the oracle's
+    FULL OUTER JOIN."""
+    from ..stages.curation import snapshot_diff
+    from ..stages.dedup import add_text_sha
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def hashed(ds):
+        return ds.map_batches(
+            lambda b: add_text_sha(b, out_col="content_hash"),
+            batch_format="pyarrow",
+        ).map_batches(lambda b: b[["doc_id", "content_hash"]],
+                      batch_format="pandas")
+
+    old = docs.map_batches(lambda b: b[b["doc_id"] % 11 != 0],
+                           batch_format="pandas")
+
+    def new_text(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 13 != 0].copy()
+        upd = (b["doc_id"] % 7 == 0).to_numpy()
+        b["text"] = np.where(upd, b["text"].fillna("") + " updated",
+                             b["text"].fillna(""))
+        return b
+
+    new = docs.map_batches(new_text, batch_format="pandas")
+    return snapshot_diff(hashed(old), hashed(new), key_col="doc_id")
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2068,6 +2118,8 @@ QUERIES = {
     "incremental_dedup_docs": incremental_dedup_docs,
     "source_quality_rollup": source_quality_rollup_q,
     "doc_vocabulary": doc_vocabulary,
+    "doc_quality_filter": doc_quality_filter,
+    "crawl_snapshot_diff": crawl_snapshot_diff,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -2825,6 +2877,38 @@ ORACLE_SQL = {
                (CAST(n_docs - n_unique AS DOUBLE) / n_docs <= 0.5
                 AND CAST(words AS DOUBLE) / n_docs >= 10.0) AS keep
         FROM agg
+    """,
+    "doc_quality_filter": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(
+                     string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '')) AS BIGINT) AS n_words
+          FROM documents
+        ),
+        t AS (SELECT quantile_disc(n_words, 0.25) AS v FROM w)
+        SELECT doc_id, n_words FROM w, t WHERE n_words >= v
+    """,
+    "crawl_snapshot_diff": """
+        WITH old AS (
+          SELECT doc_id, sha256(coalesce(text, '')) AS h
+          FROM documents WHERE doc_id % 11 <> 0
+        ),
+        nw AS (
+          SELECT doc_id,
+                 sha256(CASE WHEN doc_id % 7 = 0
+                             THEN coalesce(text, '') || ' updated'
+                             ELSE coalesce(text, '') END) AS h
+          FROM documents WHERE doc_id % 13 <> 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               COALESCE(o.h, '') AS old_hash,
+               COALESCE(n.h, '') AS new_hash
+        FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
     """,
     "doc_vocabulary": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n

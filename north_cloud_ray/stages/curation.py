@@ -244,3 +244,84 @@ def vocab_topk(
     exploded = ds.map_batches(partial, batch_format="pandas")
     return grouped_sum_topk(exploded, key="token", value_col="n", k=k,
                             num_partitions=num_partitions)
+
+
+def quantile_gate(
+    ds,
+    value_col: str,
+    q: float = 0.25,
+    keep: str = "ge",
+    sample_size: int = 4096,
+    max_pull: int = 1_000_000,
+):
+    """Corpus-percentile quality gate: keep rows whose ``value_col`` is
+    >= (or <= for ``keep='le'``) the corpus's EXACT q-th discrete
+    quantile. Composes the distributed-selection quantile (one counting
+    pass of tiny count rows per iteration, driver bounded by max_pull)
+    with a broadcast-threshold filter — the shape of 'drop the bottom
+    quartile by quality score' at 100 TB: two streaming passes, no sort,
+    no shuffle of the corpus itself."""
+    from .sketch import exact_quantiles
+
+    thr = exact_quantiles(ds, value_col, qs=(q,), sample_size=sample_size,
+                          max_pull=max_pull)["value"].iloc[0]
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy()
+        return b[v >= thr] if keep == "ge" else b[v <= thr]
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    key_col: str = "url_hash",
+    hash_col: str = "content_hash",
+    num_partitions: int | None = None,
+):
+    """Crawl-snapshot diff: (key, status, old_hash, new_hash) for every
+    key that is ``added`` (new only), ``removed`` (old only) or
+    ``changed`` (both, different content hash). Unchanged keys — the
+    overwhelming bulk between consecutive snapshots at scale — are
+    dropped inside the combine and never leave their partition.
+
+    One tagged-union exchange of light (key, hash, tag) rows; the
+    per-partition combine is a vectorized pandas self-merge. Duplicate
+    keys within a snapshot keep the lexicographically min hash
+    (deterministic; snapshots are normally key-unique)."""
+    from .agg import hash_grouped_agg
+
+    def tag(ds, t):
+        return ds.map_batches(
+            lambda b, _t=t: pd.DataFrame({
+                key_col: b[key_col].to_numpy(),
+                hash_col: b[hash_col].to_numpy(),
+                "_tag": np.int8(_t)}),
+            batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values([key_col, "_tag", hash_col], kind="mergesort")
+                 .drop_duplicates([key_col, "_tag"], keep="first"))
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        part = partial(part)
+        old = part[part["_tag"] == 0][[key_col, hash_col]] \
+            .rename(columns={hash_col: "old_hash"})
+        new = part[part["_tag"] == 1][[key_col, hash_col]] \
+            .rename(columns={hash_col: "new_hash"})
+        m = old.merge(new, on=key_col, how="outer")
+        status = np.where(
+            m["old_hash"].isna(), "added",
+            np.where(m["new_hash"].isna(), "removed",
+                     np.where(m["old_hash"] != m["new_hash"],
+                              "changed", "unchanged")))
+        m = m.assign(status=status)
+        m = m[m["status"] != "unchanged"]
+        # absent side is '' not NaN: a typed string sentinel keeps the
+        # column pure-string (and oracle-hash-stable) instead of object+NaN
+        m[["old_hash", "new_hash"]] = m[["old_hash", "new_hash"]].fillna("")
+        return m[[key_col, "status", "old_hash", "new_hash"]]
+
+    return hash_grouped_agg(tag(old_ds, 0).union(tag(new_ds, 1)),
+                            [key_col], partial, combine, num_partitions)

@@ -109,3 +109,48 @@ def test_vocab_topk_skips_empty_tokens(ray_session):
     out = vocab_topk(ds, k=10)
     assert "" not in set(out["token"])
     assert dict(zip(out["token"], out["n"])) == {"a": 2, "b": 1}
+
+
+def test_snapshot_diff_all_unchanged_is_empty_typed(ray_session):
+    from north_cloud_ray.stages.curation import snapshot_diff
+
+    snap = _docs({"url_hash": [f"u{i}" for i in range(20)],
+                  "content_hash": [f"h{i}" for i in range(20)]})
+    out = snapshot_diff(snap, snap).to_pandas()
+    assert len(out) == 0
+    # hash_grouped_agg's documented caveat: an entirely-empty result may
+    # be schema-less; if columns survive they must be the contract ones
+    if len(out.columns):
+        assert list(out.columns) == ["url_hash", "status", "old_hash",
+                                     "new_hash"]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from north_cloud_ray.stages.curation import snapshot_diff
+
+    old = _docs({"url_hash": ["a", "b", "c"],
+                 "content_hash": ["h1", "h2", "h3"]})
+    new = _docs({"url_hash": ["b", "c", "d"],
+                 "content_hash": ["h2", "hX", "h4"]})
+    out = snapshot_diff(old, new).to_pandas().set_index("url_hash")
+    assert out.loc["a", "status"] == "removed" and out.loc["a", "new_hash"] == ""
+    assert out.loc["c", "status"] == "changed" and out.loc["c", "new_hash"] == "hX"
+    assert out.loc["d", "status"] == "added" and out.loc["d", "old_hash"] == ""
+    assert "b" not in out.index  # unchanged rows never surface
+
+
+def test_quantile_gate_matches_quantile_disc(ray_session):
+    import duckdb
+
+    from north_cloud_ray.stages.curation import quantile_gate
+
+    vals = np.concatenate([np.arange(100), np.arange(20)]).astype(np.int64)
+    ds = _docs({"doc_id": np.arange(len(vals), dtype=np.int64), "v": vals})
+    out = quantile_gate(ds, "v", q=0.25).to_pandas()
+    thr = duckdb.sql(
+        "SELECT quantile_disc(v, 0.25) FROM (SELECT unnest(?) AS v)",
+        params=[vals.tolist()]).fetchone()[0]
+    assert set(out["doc_id"]) == set(np.nonzero(vals >= thr)[0])
+    # 'le' keeps the complement boundary-inclusively
+    lo = quantile_gate(ds, "v", q=0.25, keep="le").to_pandas()
+    assert set(lo["doc_id"]) == set(np.nonzero(vals <= thr)[0])
