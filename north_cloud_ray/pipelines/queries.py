@@ -1364,6 +1364,33 @@ def f1_span_stats_docs(sf_dir: str):
     return docs.map_batches(stats, batch_format="pandas")
 
 
+def f1_reassemble_docs(sf_dir: str):
+    """Flatten -> distributed reassemble -> stats round-trip of the F1
+    interleaved shape: span ROWS ride a hash exchange keyed by doc_id and
+    are re-packed into list<struct> per doc (``reassemble_spans``), then
+    the same span_stats/validator kernels run on the REBUILT docs. Shares
+    `f1_span_stats_docs`' SQL oracle — a hash mismatch means the
+    round-trip corrupted a span, an offset, or a doc boundary."""
+    from ..sources.f1 import (
+        flatten_spans,
+        reassemble_spans,
+        span_stats,
+        validate_span_order,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    flat = docs.map_batches(lambda b: flatten_spans(_docs_to_spans(b)),
+                            batch_format="pandas")
+    rebuilt = reassemble_spans(flat)
+
+    def stats(b: pa.Table) -> pa.Table:
+        st = span_stats(b)
+        va = validate_span_order(b)
+        return st.append_column("spans_valid", va["spans_valid"])
+
+    return rebuilt.map_batches(stats, batch_format="pyarrow")
+
+
 def multimodal_features_docs(sf_dir: str):
     """The multimodal decode chain (synthesis -> binary payload column ->
     REAL ImageDecodeActor pool) over media refs derived from the documents
@@ -2159,6 +2186,7 @@ QUERIES = {
     "corpus_prep": corpus_prep,
     "f1_span_stats": f1_span_stats,
     "f1_span_stats_docs": f1_span_stats_docs,
+    "f1_reassemble_docs": f1_reassemble_docs,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
     "multimodal_features_docs": multimodal_features_docs,
@@ -2305,6 +2333,31 @@ ORACLE_SQL = {
     """,
     "content_type_detection_docs": _ctd_oracle_sql(),
     "f1_span_stats_docs": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, len(ws) AS nw,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (len(ws) + 19) // 20 END AS nt,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE list_sum(list_transform(ws, w -> length(w)))
+                      END AS sumlen
+          FROM d
+        )
+        SELECT doc_id,
+          CAST(nt + nt // 2 AS BIGINT) AS n_spans,
+          CAST(nt // 2 AS BIGINT) AS n_media,
+          CAST(nt AS BIGINT) AS n_text,
+          CAST(CASE WHEN nw = 0 THEN 0
+                    ELSE sumlen + nw - nt END AS BIGINT) AS total_text_chars,
+          NOT (doc_id % 97 = 0 AND nt >= 2) AS spans_valid
+        FROM s
+    """,
+    "f1_reassemble_docs": r"""
         WITH d AS (
           SELECT doc_id,
                  list_filter(string_split_regex(coalesce(text, ''), '\s+'),

@@ -106,6 +106,10 @@ def incremental_dedup(
         return b.sort_values([hash_col, id_col], kind="mergesort") \
                 .drop_duplicates(hash_col, keep="first")
 
+    # the index is light (one 64-char sha per row) and is consumed twice
+    # on the broadcast path (count + pull) — pin it in the object store so
+    # a derived prior pipeline doesn't re-execute per consumer
+    prior_hashes = prior_hashes.materialize()
     n_prior = prior_hashes.count()
     if n_prior <= broadcast_threshold:
         if n_prior == 0:  # empty-Dataset to_pandas() has no columns

@@ -87,3 +87,28 @@ def test_f1_dataset_pipeline(ray_session):
     assert (stats["n_spans"] >= 3).all() and (stats["n_spans"] <= 14).all()
     valid = ds.map_batches(validate_span_order, batch_format="pyarrow").to_pandas()
     assert valid["spans_valid"].all()
+
+
+def test_reassemble_roundtrip_exact(ray_session):
+    """flatten -> distributed reassemble must reproduce the original F1
+    table byte-for-byte (spans ordered by offset, doc set preserved)."""
+    import pandas as pd
+    import ray.data
+
+    from north_cloud_ray.sources.f1 import (
+        flatten_spans,
+        reassemble_spans,
+        synthesize_f1,
+    )
+
+    tbl = synthesize_f1(n_hosts=6, max_docs=120)
+    flat = ray.data.from_arrow(flatten_spans(tbl)).repartition(5)
+    rebuilt = reassemble_spans(flat, num_partitions=4).to_pandas()
+    orig = tbl.to_pandas()
+    rebuilt = rebuilt.sort_values("doc_id").reset_index(drop=True)
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    assert list(rebuilt["doc_id"]) == list(orig["doc_id"])
+    for got, want in zip(rebuilt["spans"], orig["spans"]):
+        got = [dict(d) for d in got]
+        want = [dict(d) for d in want]
+        assert got == want
