@@ -240,7 +240,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_pack_windows", "doc_unigram_lm", "training_export",
         "semdedup_docs", "pii_redacted_docs", "incremental_dedup_docs",
         "source_quality_rollup", "doc_vocabulary", "doc_quality_filter",
-        "crawl_snapshot_diff", "f1_reassemble_docs",
+        "crawl_snapshot_diff", "f1_reassemble_docs", "corpus_two_gen",
     ]
     import ray.data
 

@@ -2106,6 +2106,32 @@ def crawl_snapshot_diff(sf_dir: str):
     return snapshot_diff(hashed(old), hashed(new), key_col="doc_id")
 
 
+def corpus_two_gen(sf_dir: str):
+    """End-to-end CorpusBuilder semantics, SQL-hash-checked: generation 0
+    ingests the even-doc_id docs, generation 1 ingests ALL docs; the
+    committed corpus must hold exactly one row per distinct text sha —
+    min doc_id within gen 0 where gen 0 saw the sha, else min doc_id of
+    gen 1 — with the gen that admitted it. Exercises gate->redact->
+    incremental-dedup->atomic-commit end to end (the raw corpus carries
+    no PII, so redaction is the identity here; its regexes are separately
+    oracle-checked by `pii_redacted_docs`)."""
+    import tempfile
+
+    from .corpus_builder import CorpusBuilder
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    root = tempfile.mkdtemp(prefix="ncray-corpus-")
+    b = CorpusBuilder(root, min_words=0, redact=True)
+    b.ingest(docs.map_batches(lambda x: x[x["doc_id"] % 2 == 0],
+                              batch_format="pandas"), gen=0)
+    b.ingest(docs, gen=1)
+    out = b.corpus_dataset(columns=["doc_id", "text_sha", "gen"]).to_pandas()
+    import shutil as _sh
+
+    _sh.rmtree(root, ignore_errors=True)
+    return out
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2147,6 +2173,7 @@ QUERIES = {
     "doc_vocabulary": doc_vocabulary,
     "doc_quality_filter": doc_quality_filter,
     "crawl_snapshot_diff": crawl_snapshot_diff,
+    "corpus_two_gen": corpus_two_gen,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -2962,6 +2989,23 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "corpus_two_gen": """
+        WITH g0 AS (
+          SELECT sha256(text) AS text_sha, CAST(0 AS BIGINT) AS gen,
+                 MIN(doc_id) AS doc_id
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY sha256(text)
+        ),
+        g1 AS (
+          SELECT sha256(text) AS text_sha, CAST(1 AS BIGINT) AS gen,
+                 MIN(doc_id) AS doc_id
+          FROM documents
+          WHERE sha256(text) NOT IN (SELECT text_sha FROM g0)
+          GROUP BY sha256(text)
+        )
+        SELECT doc_id, text_sha, gen FROM g0
+        UNION ALL
+        SELECT doc_id, text_sha, gen FROM g1
     """,
     "doc_vocabulary": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n

@@ -46,8 +46,9 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PRIOR_BROADCAST_THRESHOLD = 2_000_000
 
 
-def pii_redact(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """(id, text_redacted, n_emails, n_phones, n_ips) per doc.
+def pii_redact(ds, id_col: str = "doc_id", text_col: str = "text",
+               keep_cols: tuple = ()):
+    """(id, text_redacted, n_emails, n_phones, n_ips, *keep_cols) per doc.
 
     Counts are measured on the ORIGINAL text per pattern independently;
     redaction then applies email -> phone -> ip (fixed order, mirrored in
@@ -61,6 +62,7 @@ def pii_redact(ds, id_col: str = "doc_id", text_col: str = "text"):
             "n_emails": t.str.count(EMAIL_RE).astype("int64"),
             "n_phones": t.str.count(PHONE_RE).astype("int64"),
             "n_ips": t.str.count(IPV4_RE).astype("int64"),
+            **{c: b[c].to_numpy() for c in keep_cols},
         })
         red = t.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
         red = red.str.replace(PHONE_RE, "<PHONE>", regex=True)
@@ -79,6 +81,7 @@ def incremental_dedup(
     hash_col: str = "text_sha",
     broadcast_threshold: int = PRIOR_BROADCAST_THRESHOLD,
     num_partitions: int | None = None,
+    keep_cols: tuple = (),
 ):
     """Survivors of the NEW batch against the accumulated prior-run index:
     rows whose exact text sha appears in ``prior_hashes`` are dropped,
@@ -100,7 +103,8 @@ def incremental_dedup(
 
     sha_ds = new_ds.map_batches(
         lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
-    ).map_batches(lambda b: b[[id_col, hash_col]], batch_format="pandas")
+    ).map_batches(lambda b: b[[id_col, hash_col, *keep_cols]],
+                  batch_format="pandas")
 
     def keep_min(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values([hash_col, id_col], kind="mergesort") \
@@ -137,15 +141,20 @@ def incremental_dedup(
 
     # distributed path: tag prior rows 0 / new rows 1, one exchange keyed
     # by sha; a group containing any prior row contributes nothing
+    from .corpus import _typed_sentinels
+
+    sent = _typed_sentinels(sha_ds, keep_cols)
     tagged_prior = prior_hashes.map_batches(
         lambda b: pd.DataFrame({hash_col: b[hash_col].to_numpy(),
                                 id_col: np.int64(-1),
+                                **{c: sent[c] for c in keep_cols},
                                 "_tag": np.int8(0)}),
         batch_format="pandas",
     )
     tagged_new = sha_ds.map_batches(
         lambda b: pd.DataFrame({hash_col: b[hash_col].to_numpy(),
                                 id_col: b[id_col].to_numpy("int64"),
+                                **{c: b[c].to_numpy() for c in keep_cols},
                                 "_tag": np.int8(1)}),
         batch_format="pandas",
     )
@@ -159,7 +168,8 @@ def incremental_dedup(
         part = part.sort_values([hash_col, "_tag", id_col], kind="mergesort")
         seen = part.loc[part["_tag"] == 0, hash_col].unique()
         fresh = part[(part["_tag"] == 1) & ~part[hash_col].isin(seen)]
-        return fresh.drop_duplicates(hash_col, keep="first")[[id_col, hash_col]]
+        return fresh.drop_duplicates(hash_col, keep="first")[
+            [id_col, hash_col, *keep_cols]]
 
     return hash_grouped_agg(tagged_prior.union(tagged_new), [hash_col],
                             partial, combine, num_partitions)
