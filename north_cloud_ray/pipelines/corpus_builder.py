@@ -113,6 +113,7 @@ class CorpusBuilder:
         and commit. Returns the stats dict. Idempotent: a committed gen
         short-circuits to its recorded stats; a partial gen dir is wiped
         and rebuilt."""
+        from ..stages.agg import drop_empty_blocks
         from ..stages.curation import incremental_dedup, pii_redact
 
         if gen is None:
@@ -123,7 +124,22 @@ class CorpusBuilder:
         if os.path.isdir(gdir):  # crashed partial output
             shutil.rmtree(gdir)
 
+        # shuffle-born schema-less empty blocks crash column-indexing UDFs
+        docs_ds = drop_empty_blocks(docs_ds)
         n_in = docs_ds.count()
+
+        if n_in == 0:
+            # empty generation (e.g. a crawl round that produced no docs):
+            # commit it with zero stats so gen numbering stays contiguous —
+            # an empty Dataset is schema-less and would crash the chain
+            os.makedirs(gdir, exist_ok=True)
+            st = {"gen": gen, "n_in": 0, "n_gated": 0, "n_new": 0,
+                  "n_dropped_dup": 0}
+            with open(os.path.join(gdir, "stats.json"), "w") as f:
+                json.dump(st, f, indent=1, sort_keys=True)
+            with open(os.path.join(gdir, "_SUCCESS"), "w") as f:
+                f.write("ok")
+            return st
 
         if self.min_words > 0:
             mw = self.min_words

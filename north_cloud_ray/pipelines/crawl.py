@@ -844,7 +844,8 @@ class CrawlRunner:
 
     # ---- outputs ----
     def documents_dataset(self, override_num_blocks: int | None = None,
-                          dedup: bool = True) -> "ray.data.Dataset":
+                          dedup: bool = True,
+                          round_filter: int | None = None) -> "ray.data.Dataset":
         """All produced documents as a streaming Dataset (doc records).
 
         ``dedup=True`` (default) applies the IndexRawContentIfAbsent
@@ -857,8 +858,10 @@ class CrawlRunner:
         sink view (cheaper; use only for counters that tolerate dups)."""
         import glob
 
+        rnd = "*" if round_filter is None else f"round-{round_filter:04d}"
         paths = sorted(
-            glob.glob(os.path.join(self.store.root, "rounds", "*", "results", "*.parquet"))
+            glob.glob(os.path.join(self.store.root, "rounds", rnd,
+                                   "results", "*.parquet"))
         )
         if not paths:  # no round produced a doc yet
             return ray.data.from_arrow(RESULT_SCHEMA.empty_table().select(

@@ -2132,6 +2132,31 @@ def corpus_two_gen(sf_dir: str):
     return out
 
 
+def crawl_corpus_increment(sf_dir: str):
+    """CorpusBuilder over REAL crawl output, one generation per crawl
+    round: each round's (first-writer-wins deduped) docs are gated,
+    redacted and incrementally deduped against the sha index accumulated
+    from every earlier round — recrawled/unchanged content never re-enters
+    the corpus. Rows-only (the crawl loop is not SQL-expressible; the
+    cross-generation sha-uniqueness invariant is asserted in
+    tests/test_corpus_builder.py)."""
+    import shutil as _sh
+    import tempfile
+
+    from .corpus_builder import CorpusBuilder
+
+    runner = _crawl("corpusinc")
+    root = tempfile.mkdtemp(prefix="ncray-crawlcorpus-")
+    b = CorpusBuilder(root, min_words=0, redact=True)
+    stats = []
+    for r in range(runner.store.latest_committed_round() + 1):
+        docs_r = runner.documents_dataset(round_filter=r)
+        stats.append(b.ingest(docs_r, gen=r, id_col="doc_id",
+                              text_col="body"))
+    _sh.rmtree(root, ignore_errors=True)
+    return pd.DataFrame(stats)
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2202,6 +2227,7 @@ QUERIES = {
     "crawl_classified": crawl_classified,
     "crawl_stats": crawl_stats,
     "crawl_claim_log": crawl_claim_log,
+    "crawl_corpus_increment": crawl_corpus_increment,
     "round_metrics": round_metrics,
     "publisher_cursor_scan": publisher_cursor_scan,
     "publisher_routing": publisher_routing,

@@ -160,3 +160,17 @@ def grouped_topk_rows(
 
     return hash_grouped_agg(ds, [key], local_topk, local_topk,
                             num_partitions)
+
+
+def drop_empty_blocks(ds):
+    """Remove zero-row blocks from the stream. Shuffle/groupby operators
+    emit schema-less empty blocks for key-range gaps (Ray's own internal
+    TODO notes this); downstream pandas UDFs that index columns crash on
+    them. A generator UDF that yields nothing for an empty batch deletes
+    the block instead of forwarding another empty."""
+
+    def gen(b):
+        if len(b):
+            yield b
+
+    return ds.map_batches(gen, batch_format="pandas")

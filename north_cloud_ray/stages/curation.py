@@ -143,17 +143,19 @@ def incremental_dedup(
     # by sha; a group containing any prior row contributes nothing
     from .corpus import _typed_sentinels
 
-    sent = _typed_sentinels(sha_ds, keep_cols)
+    # id sentinel derived from the REAL id dtype (int64 corpora use 0,
+    # string url_hash ids use '') so the tagged union shares one schema
+    sent = _typed_sentinels(sha_ds, (id_col, *keep_cols))
     tagged_prior = prior_hashes.map_batches(
         lambda b: pd.DataFrame({hash_col: b[hash_col].to_numpy(),
-                                id_col: np.int64(-1),
+                                id_col: sent[id_col],
                                 **{c: sent[c] for c in keep_cols},
                                 "_tag": np.int8(0)}),
         batch_format="pandas",
     )
     tagged_new = sha_ds.map_batches(
         lambda b: pd.DataFrame({hash_col: b[hash_col].to_numpy(),
-                                id_col: b[id_col].to_numpy("int64"),
+                                id_col: b[id_col].to_numpy(),
                                 **{c: b[c].to_numpy() for c in keep_cols},
                                 "_tag": np.int8(1)}),
         batch_format="pandas",

@@ -106,3 +106,29 @@ def test_auto_gen_numbering(ray_session, root):
     st = b.ingest(_gen_docs(range(5, 10)), gen=None)
     assert st["gen"] == 1
     assert b.latest_committed_gen() == 1
+
+
+def test_crawl_corpus_increment_invariants(ray_session):
+    """Over real crawl output: every text sha enters the corpus exactly
+    once across ALL generations, and the per-gen stats add up."""
+    from north_cloud_ray.pipelines import queries as Q
+
+    stats = Q.QUERIES["crawl_corpus_increment"]("/root/testdata/sf0.001")
+    assert len(stats) >= 2 and (stats["n_in"] > 0).any()
+    assert (stats["n_new"] + stats["n_dropped_dup"] == stats["n_gated"]).all()
+    # recompute the ground truth from the cached runner's docs
+    runner = Q._crawl("corpusinc")
+    import hashlib
+
+    total_distinct = set()
+    per_gen_expected = []
+    for r in range(runner.store.latest_committed_round() + 1):
+        docs = runner.documents_dataset(round_filter=r).to_pandas()
+        bodies = docs["body"] if "body" in docs.columns else []
+        shas = {hashlib.sha256((t or "").encode()).hexdigest()
+                for t in bodies}
+        fresh = shas - total_distinct
+        per_gen_expected.append(len(fresh))
+        total_distinct |= shas
+    assert list(stats.sort_values("gen")["n_new"]) == per_gen_expected
+    assert stats["n_new"].sum() == len(total_distinct)
