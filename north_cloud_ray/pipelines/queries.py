@@ -2157,6 +2157,31 @@ def crawl_corpus_increment(sf_dir: str):
     return pd.DataFrame(stats)
 
 
+def best_doc_per_group(sf_dir: str):
+    """Keep-best-representative selection (the dedup keep policy that
+    retains the highest-quality member instead of min-id): one row per
+    (source, lang) — the doc with MAX n_chars, ties to the smallest
+    doc_id. Runs as grouped_topk_rows k=1 (per-batch local argmax caps
+    the shuffle at one row/group/batch, key-hashed exact combine)."""
+    from ..stages.agg import grouped_topk_rows
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "source", "lang", "n_chars"], blocks=_cpus())
+
+    def key_order(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["grp"] = b["source"] + "|" + b["lang"]
+        b["neg_chars"] = -b["n_chars"].to_numpy("int64")
+        return b
+
+    keyed = docs.map_batches(key_order, batch_format="pandas")
+    out = grouped_topk_rows(keyed, key="grp",
+                            order_cols=["neg_chars", "doc_id"], k=1)
+    return out.map_batches(
+        lambda b: b[["source", "lang", "doc_id", "n_chars"]],
+        batch_format="pandas")
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2199,6 +2224,7 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "corpus_two_gen": corpus_two_gen,
+    "best_doc_per_group": best_doc_per_group,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3015,6 +3041,14 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "best_doc_per_group": """
+        SELECT source, lang, doc_id, n_chars FROM (
+          SELECT source, lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source, lang
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
     """,
     "corpus_two_gen": """
         WITH g0 AS (
