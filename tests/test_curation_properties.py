@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the curation / interleaved-span
+operators: pure-Python reference semantics must hold for arbitrary inputs.
+Ray is deliberately NOT involved — these pin the per-partition kernels;
+distributed equivalence is covered by the forced-path tests and the SQL
+oracle sweep."""
+
+import re
+import string
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from north_cloud_ray.stages.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+texts = st.lists(words, max_size=12).map(" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=20))
+def test_pii_redact_kernel_counts_match_re(doc_texts):
+    """Vectorized pandas str.count/replace == re.findall/re.sub for every
+    pattern, including after PII injection."""
+    injected = [
+        t + f" user{i}@example.com 416-555-{i % 10000:04d} 10.0.{i % 256}.1"
+        if i % 2 == 0 else t
+        for i, t in enumerate(doc_texts)
+    ]
+    s = pd.Series(injected)
+    for pat in (EMAIL_RE, PHONE_RE, IPV4_RE):
+        got = s.str.count(pat).to_numpy()
+        want = np.array([len(re.findall(pat, t)) for t in injected])
+        assert (got == want).all()
+    red = s.str.replace(EMAIL_RE, "<EMAIL>", regex=True) \
+           .str.replace(PHONE_RE, "<PHONE>", regex=True) \
+           .str.replace(IPV4_RE, "<IP>", regex=True)
+    for r in red:
+        assert not re.search(EMAIL_RE, r)
+        assert not re.search(PHONE_RE, r)
+        assert not re.search(IPV4_RE, r)
+
+
+span_struct = st.tuples(
+    st.booleans(),  # is_media
+    st.text(alphabet=string.ascii_lowercase + " ", max_size=10),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(span_struct, min_size=1, max_size=6),
+                min_size=1, max_size=8))
+def test_reassemble_kernel_roundtrip(ray_session, doc_spans):
+    """flatten -> per-partition rebuild reproduces arbitrary valid span
+    tables exactly (single-partition kernel property)."""
+    import pyarrow as pa
+
+    from north_cloud_ray.frontier.schema import SPAN_TYPE
+    from north_cloud_ray.sources.f1 import flatten_spans, reassemble_spans
+
+    rows = []
+    for i, spans in enumerate(doc_spans):
+        built = []
+        for off, (is_media, txt) in enumerate(spans):
+            built.append({
+                "kind": "media" if is_media else "text",
+                "text": "" if is_media else (txt or "x"),
+                "media_ref": f"media://{i}/{off}" if is_media else "",
+                "offset": off,
+            })
+        rows.append((f"doc{i:04d}", built))
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], type=pa.string()),
+         pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE))],
+        names=["doc_id", "spans"])
+    flat = flatten_spans(tbl)
+    # exercise the rebuild kernel directly on a shuffled single partition
+    perm = np.random.RandomState(0).permutation(flat.num_rows)
+    shuffled = flat.take(pa.array(perm)).to_pandas()
+    # reach the inner kernel through the public API with one partition
+    import ray.data
+
+    ds = ray.data.from_pandas(shuffled)
+    out = reassemble_spans(ds, num_partitions=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    orig = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == list(orig["doc_id"])
+    for got, want in zip(out["spans"], orig["spans"]):
+        assert [dict(d) for d in got] == [dict(d) for d in want]
