@@ -2157,6 +2157,52 @@ def crawl_corpus_increment(sf_dir: str):
     return pd.DataFrame(stats)
 
 
+def corpus_report(sf_dir: str):
+    """Per-language corpus health report: doc count, exact distinct-content
+    count, duplicate-doc count, total whitespace tokens, and mean chars
+    (single division of exact integers). The same cascaded partial/combine
+    shape as source_quality_rollup, keyed by lang — the periodic corpus
+    dashboard a curation team reads."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.dedup import add_text_sha
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"],
+                 blocks=_cpus())
+    sha_ds = docs.map_batches(lambda b: add_text_sha(b),
+                              batch_format="pyarrow")
+
+    def l1_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split().str.len().fillna(0)
+        return (pd.DataFrame({"lang": b["lang"].to_numpy(),
+                              "text_sha": b["text_sha"].to_numpy(),
+                              "n": np.int64(1),
+                              "tokens": toks.to_numpy("int64"),
+                              "chars": b["n_chars"].to_numpy("int64")})
+                .groupby(["lang", "text_sha"], as_index=False).sum())
+
+    def l1_combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["lang", "text_sha"], as_index=False).sum()
+
+    per_sha = hash_grouped_agg(sha_ds, ["lang", "text_sha"],
+                               l1_partial, l1_combine)
+
+    def l2_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n_unique=np.int64(1))
+        return b.groupby("lang", as_index=False).agg(
+            n_docs=("n", "sum"), n_unique=("n_unique", "sum"),
+            tokens=("tokens", "sum"), chars=("chars", "sum"))
+
+    def l2_combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("lang", as_index=False).sum()
+        n_docs = g["n_docs"].to_numpy("int64")
+        g["n_dup_docs"] = n_docs - g["n_unique"].to_numpy("int64")
+        g["mean_chars"] = g["chars"].to_numpy("int64") / n_docs
+        return g.rename(columns={"tokens": "total_tokens"}) \
+                .drop(columns=["chars"])
+
+    return hash_grouped_agg(per_sha, ["lang"], l2_partial, l2_combine)
+
+
 def best_doc_per_group(sf_dir: str):
     """Keep-best-representative selection (the dedup keep policy that
     retains the highest-quality member instead of min-id): one row per
@@ -2225,6 +2271,7 @@ QUERIES = {
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "corpus_two_gen": corpus_two_gen,
     "best_doc_per_group": best_doc_per_group,
+    "corpus_report": corpus_report,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3041,6 +3088,23 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "corpus_report": r"""
+        WITH per AS (
+          SELECT lang, sha256(text) AS sha,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(len(list_filter(
+                     string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> ''))) AS BIGINT) AS tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY lang, sha256(text)
+        )
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(chars) AS DOUBLE) / SUM(n) AS mean_chars
+        FROM per GROUP BY lang
     """,
     "best_doc_per_group": """
         SELECT source, lang, doc_id, n_chars FROM (
