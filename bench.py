@@ -299,9 +299,16 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SCALING_WORKLOAD="1")
+        # taskset pins the level to ncpu PHYSICAL cores: ray.init(num_cpus=N)
+        # only caps task slots, so on an idle host the low level would
+        # borrow extra cores through Arrow/numpy thread pools and BLAS —
+        # inflating the baseline and understating true hardware scaling
+        # (an N-core cluster node has no spare cores to borrow).
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         time.sleep(10)  # let the previous Ray session fully tear down
         return json.loads(out.strip().splitlines()[-1])
