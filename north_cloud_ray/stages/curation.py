@@ -117,21 +117,25 @@ def incremental_dedup(
     n_prior = prior_hashes.count()
     if n_prior <= broadcast_threshold:
         if n_prior == 0:  # empty-Dataset to_pandas() has no columns
-            arr = np.array([], dtype=object)
+            arr = np.array([], dtype="S64")
         else:
+            # fixed-width S64 bytes, not object strings: searchsorted over
+            # an object array does log2(n) PYTHON compares per probe row;
+            # the bytes dtype keeps the whole probe in vectorized C
             arr = np.sort(
                 prior_hashes.map_batches(
                     lambda b: pd.DataFrame({hash_col: b[hash_col].unique()}),
                     batch_format="pandas",
-                ).to_pandas()[hash_col].to_numpy()
+                ).to_pandas()[hash_col].to_numpy().astype("S64")
             )
-        ref = ray.put(arr)  # sorted fixed-width strings -> searchsorted probe
+        ref = ray.put(arr)  # sorted fixed-width hashes -> searchsorted probe
 
         def drop_seen(b: pd.DataFrame) -> pd.DataFrame:
             idx = ray.get(ref)
-            pos = np.searchsorted(idx, b[hash_col].to_numpy())
+            probe = b[hash_col].to_numpy().astype("S64")
+            pos = np.searchsorted(idx, probe)
             pos = np.minimum(pos, max(len(idx) - 1, 0))
-            hit = (idx[pos] == b[hash_col].to_numpy()) if len(idx) else \
+            hit = (idx[pos] == probe) if len(idx) else \
                 np.zeros(len(b), dtype=bool)
             return b[~hit]
 
