@@ -305,7 +305,9 @@ def scaling() -> None:
         # inflating the baseline and understating true hardware scaling
         # (an N-core cluster node has no spare cores to borrow).
         cmd = [sys.executable, os.path.abspath(__file__)]
-        if shutil.which("taskset"):
+        if shutil.which("taskset") and (os.cpu_count() or 0) >= ncpu:
+            # (logical IDs 0..N-1; on SMT hosts these may be sibling
+            # threads, not N physical cores — this box is 1 thread/core)
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, check=True,

@@ -99,6 +99,11 @@ class CorpusBuilder:
             if self.is_committed(g):
                 paths += sorted(glob.glob(
                     os.path.join(self.gen_dir(g), "docs", "*.parquet")))
+        if not paths:  # nothing committed yet / only empty generations
+            return rd.from_pandas(pd.DataFrame({
+                "doc_id": pd.Series([], dtype=object),
+                "text_sha": pd.Series([], dtype=str),
+                "gen": pd.Series([], dtype="int64")}))
         return rd.read_parquet(paths, columns=columns)
 
     def stats(self, gen: int) -> dict:
@@ -124,8 +129,11 @@ class CorpusBuilder:
         if os.path.isdir(gdir):  # crashed partial output
             shutil.rmtree(gdir)
 
-        # shuffle-born schema-less empty blocks crash column-indexing UDFs
-        docs_ds = drop_empty_blocks(docs_ds)
+        # shuffle-born schema-less empty blocks crash column-indexing UDFs.
+        # materialize once: count(), the gate/redact pass and the dedup
+        # consumer would otherwise each re-execute the upstream lineage
+        # (a crawl-round read + winner dedup) from scratch
+        docs_ds = drop_empty_blocks(docs_ds).materialize()
         n_in = docs_ds.count()
 
         if n_in == 0:
@@ -167,6 +175,9 @@ class CorpusBuilder:
                 batch_format="pandas")
             carried = (text_col, *keep_cols)
 
+        # one more pin after gate+redact: n_gated and the dedup consumer
+        # share this stream instead of re-running the regex pass
+        docs_ds = docs_ds.materialize()
         n_gated = docs_ds.count() if self.min_words > 0 else n_in
 
         survivors = incremental_dedup(

@@ -2216,12 +2216,11 @@ def best_doc_per_group(sf_dir: str):
 
     def key_order(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["grp"] = b["source"] + "|" + b["lang"]
         b["neg_chars"] = -b["n_chars"].to_numpy("int64")
         return b
 
     keyed = docs.map_batches(key_order, batch_format="pandas")
-    out = grouped_topk_rows(keyed, key="grp",
+    out = grouped_topk_rows(keyed, key=["source", "lang"],
                             order_cols=["neg_chars", "doc_id"], k=1)
     return out.map_batches(
         lambda b: b[["source", "lang", "doc_id", "n_chars"]],
@@ -2484,6 +2483,7 @@ ORACLE_SQL = {
         FROM s
     """,
     "f1_reassemble_docs": r"""
+        SELECT * FROM (
         WITH d AS (
           SELECT doc_id,
                  list_filter(string_split_regex(coalesce(text, ''), '\s+'),
@@ -2507,6 +2507,7 @@ ORACLE_SQL = {
                     ELSE sumlen + nw - nt END AS BIGINT) AS total_text_chars,
           NOT (doc_id % 97 = 0 AND nt >= 2) AS spans_valid
         FROM s
+    ) WHERE n_spans > 0
     """,
     "multimodal_features_docs": r"""
         WITH d AS (

@@ -147,23 +147,21 @@ def reassemble_spans(flat_ds, num_partitions: int | None = None):
     FULL span sets); the per-partition rebuild is one pyarrow sort +
     ListArray.from_arrays over group boundaries — no per-doc Python
     dispatch. Round-trip equality and an SQL-hash-checked stats twin live
-    in tests/queries."""
-    import pandas as pd
+    in tests/queries.
 
-    from ..stages.agg import default_partitions
+    CONTRACT: a doc whose span list is EMPTY has no flat rows, so it
+    cannot round-trip — flatten -> reassemble drops zero-span docs (the
+    `f1_reassemble_docs` oracle filters to n_spans > 0 accordingly).
+    Callers needing them back must left-join against the original doc-id
+    set and attach empty lists."""
+    from ..stages.agg import _add_pkey, default_partitions
 
     if num_partitions is None:
         num_partitions = default_partitions()
 
-    def add_pkey(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["_pkey"] = (
-            pd.util.hash_pandas_object(b["doc_id"], index=False).to_numpy()
-            % num_partitions
-        ).astype("int32")
-        return b
-
-    routed = flat_ds.map_batches(add_pkey, batch_format="pandas")
+    routed = flat_ds.map_batches(
+        lambda b: _add_pkey(b, ["doc_id"], num_partitions),
+        batch_format="pandas")
 
     def rebuild(part: pa.Table) -> pa.Table:
         part = part.drop_columns(["_pkey"]).combine_chunks()

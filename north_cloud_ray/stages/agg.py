@@ -141,7 +141,7 @@ def grouped_sum_topk(
 
 def grouped_topk_rows(
     ds,
-    key: str,
+    key: str | list[str],
     order_cols: list[str],
     k: int,
     num_partitions: int | None = None,
@@ -149,16 +149,19 @@ def grouped_topk_rows(
     """Smallest-k ROWS per key without a global sort: each batch keeps its
     local per-key top-k (so at most k rows per key per batch ride the
     shuffle), each key-hashed partition combines to the exact per-key
-    top-k. ``order_cols`` must be a deterministic total order (include a
-    unique tiebreak column). Returns a Dataset of the surviving rows."""
+    top-k. ``key`` may be one column or a composite list (no string
+    concatenation — concatenated keys collide when values contain the
+    separator). ``order_cols`` must be a deterministic total order
+    (include a unique tiebreak column). Returns the surviving rows."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return b
         return (b.sort_values(order_cols, kind="mergesort")
-                .groupby(key, sort=False).head(k))
+                .groupby(keys, sort=False).head(k))
 
-    return hash_grouped_agg(ds, [key], local_topk, local_topk,
+    return hash_grouped_agg(ds, keys, local_topk, local_topk,
                             num_partitions)
 
 

@@ -33,10 +33,15 @@ SQL-oracle-checked in ``pipelines/queries.py``.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
 # RE2-compatible (DuckDB regexp_* runs the same patterns verbatim).
+# Python's re is applied with re.ASCII: RE2's \d and \b are ASCII-only,
+# Python's default is Unicode-aware — without the flag, non-ASCII digits
+# (Arabic-Indic, fullwidth) would match here but not in the oracle.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -59,14 +64,14 @@ def pii_redact(ds, id_col: str = "doc_id", text_col: str = "text",
         t = b[text_col].fillna("")
         out = pd.DataFrame({
             id_col: b[id_col].to_numpy(),
-            "n_emails": t.str.count(EMAIL_RE).astype("int64"),
-            "n_phones": t.str.count(PHONE_RE).astype("int64"),
-            "n_ips": t.str.count(IPV4_RE).astype("int64"),
+            "n_emails": t.str.count(EMAIL_RE, flags=re.ASCII).astype("int64"),
+            "n_phones": t.str.count(PHONE_RE, flags=re.ASCII).astype("int64"),
+            "n_ips": t.str.count(IPV4_RE, flags=re.ASCII).astype("int64"),
             **{c: b[c].to_numpy() for c in keep_cols},
         })
-        red = t.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
-        red = red.str.replace(PHONE_RE, "<PHONE>", regex=True)
-        red = red.str.replace(IPV4_RE, "<IP>", regex=True)
+        red = t.str.replace(EMAIL_RE, "<EMAIL>", regex=True, flags=re.ASCII)
+        red = red.str.replace(PHONE_RE, "<PHONE>", regex=True, flags=re.ASCII)
+        red = red.str.replace(IPV4_RE, "<IP>", regex=True, flags=re.ASCII)
         out.insert(1, "text_redacted", red)
         return out
 
@@ -117,22 +122,25 @@ def incremental_dedup(
     n_prior = prior_hashes.count()
     if n_prior <= broadcast_threshold:
         if n_prior == 0:  # empty-Dataset to_pandas() has no columns
-            arr = np.array([], dtype="S64")
+            arr = np.array([], dtype="S1")
         else:
-            # fixed-width S64 bytes, not object strings: searchsorted over
-            # an object array does log2(n) PYTHON compares per probe row;
-            # the bytes dtype keeps the whole probe in vectorized C
+            # fixed-width bytes (auto width), not object strings:
+            # searchsorted over an object array does log2(n) PYTHON
+            # compares per probe row; bytes keep the probe in vectorized C
             arr = np.sort(
                 prior_hashes.map_batches(
                     lambda b: pd.DataFrame({hash_col: b[hash_col].unique()}),
                     batch_format="pandas",
-                ).to_pandas()[hash_col].to_numpy().astype("S64")
+                ).to_pandas()[hash_col].to_numpy().astype(bytes)
             )
         ref = ray.put(arr)  # sorted fixed-width hashes -> searchsorted probe
 
         def drop_seen(b: pd.DataFrame) -> pd.DataFrame:
             idx = ray.get(ref)
-            probe = b[hash_col].to_numpy().astype("S64")
+            probe = b[hash_col].to_numpy().astype(bytes)
+            if probe.dtype.itemsize > idx.dtype.itemsize:
+                # never let a cast TRUNCATE a longer hash into a false hit
+                idx = idx.astype(probe.dtype)
             pos = np.searchsorted(idx, probe)
             pos = np.minimum(pos, max(len(idx) - 1, 0))
             hit = (idx[pos] == probe) if len(idx) else \

@@ -891,13 +891,9 @@ def semdedup(
     import ray
 
     from .agg import hash_grouped_map
-    from .similarity import _kmeans, _normalize
+    from .similarity import _normalize, train_centroids
 
-    total = ds.count()
-    frac = min(1.0, (1.2 * train_sample) / max(total, 1))
-    sample = ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
-    V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
-    C = _kmeans(V, n_clusters, seed=seed)
+    C = train_centroids(ds, vec_col, n_clusters, train_sample, seed)
     cref = ray.put(C)
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:

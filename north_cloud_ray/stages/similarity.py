@@ -101,6 +101,22 @@ def _kmeans(V: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42) -> n
     return C
 
 
+def train_centroids(ds, vec_col: str, n_clusters: int,
+                    train_sample: int = 4096, seed: int = 42) -> np.ndarray:
+    """Seeded-random-sample k-means centroids (float32, normalized).
+    Shared by the IVF index and SemDeDup so the recipe has one home.
+    Deliberately NO .limit() after random_sample: limit keeps whichever
+    blocks finish first and would make the sampled rows — and therefore
+    the centroids — scheduler-timing-dependent despite the seed (the
+    hazard sketch.py:190 documents); the frac already bounds the expected
+    sample size."""
+    total = ds.count()
+    frac = min(1.0, (1.2 * train_sample) / max(total, 1))
+    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+    return _kmeans(V, n_clusters, seed=seed)
+
+
 def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     train_sample: int = 4096, seed: int = 42) -> np.ndarray:
@@ -114,11 +130,7 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    total = ds.count()
-    frac = min(1.0, (1.2 * train_sample) / max(total, 1))
-    sample = ds.random_sample(frac, seed=seed).limit(train_sample).to_pandas()
-    V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
-    C = _kmeans(V, n_clusters, seed=seed)
+    C = train_centroids(ds, vec_col, n_clusters, train_sample, seed)
     cref = ray.put(C)
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
