@@ -2227,6 +2227,58 @@ def best_doc_per_group(sf_dir: str):
         batch_format="pandas")
 
 
+def _crawl_page_edges():
+    """Page-level link graph from the crawl's persisted outlink records:
+    one (src=parent page URL, dst=target URL) edge per distinct pair,
+    self-links dropped. (The M6 spider pre-filter keeps outlinks
+    on-domain, so the page graph — not a host graph — is what the crawl
+    actually records.) Pruned-column distributed read of the light shard
+    parquet."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rdm
+
+    runner = _crawl("linkgraph")
+    paths = sorted(_glob.glob(_os.path.join(
+        runner.store.root, "rounds", "*", "results", "light", "*", "*.parquet")))
+    light = rdm.read_parquet(
+        paths, filter=pc.field("rec") == "outlink",
+        columns=["rec", "url", "parent_url"])
+
+    def edges(b: pa.Table) -> pd.DataFrame:
+        out = pd.DataFrame({"src": b["parent_url"].to_pandas().to_numpy(),
+                            "dst": b["url"].to_pandas().to_numpy()})
+        out = out[out["src"] != out["dst"]]
+        return out.drop_duplicates()
+
+    ds = light.map_batches(edges, batch_format="pyarrow")
+    # exact global edge dedup (per-batch drop_duplicates is only local)
+    from ..stages.agg import hash_grouped_agg
+
+    return hash_grouped_agg(ds, ["src", "dst"],
+                            lambda b: b.drop_duplicates(["src", "dst"]),
+                            lambda p: p.drop_duplicates(["src", "dst"]))
+
+
+def link_pagerank(sf_dir: str):
+    """PageRank over the crawl's page link graph (10 power iterations,
+    d=0.85, uniform dangling redistribution) — the graph-derived authority
+    signal a frontier prioritizer consumes. Rows-only (iterative float
+    fixpoint; equality vs a dense numpy reference is pinned to 1e-9 in
+    tests/test_graph.py)."""
+    from ..stages.graph import pagerank
+
+    return pagerank(_crawl_page_edges(), n_iters=10)
+
+
+def link_indegree(sf_dir: str):
+    """Distinct-source indegree per page over the same crawl link graph."""
+    from ..stages.graph import indegree
+
+    return indegree(_crawl_page_edges())
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2300,6 +2352,8 @@ QUERIES = {
     "crawl_stats": crawl_stats,
     "crawl_claim_log": crawl_claim_log,
     "crawl_corpus_increment": crawl_corpus_increment,
+    "link_pagerank": link_pagerank,
+    "link_indegree": link_indegree,
     "round_metrics": round_metrics,
     "publisher_cursor_scan": publisher_cursor_scan,
     "publisher_routing": publisher_routing,

@@ -1,0 +1,77 @@
+"""PageRank / indegree: distributed result must match a dense numpy
+reference (same damping, uniform teleport, uniform dangling
+redistribution) to float tolerance. ONE distributed run is shared across
+assertions — each distributed iteration costs several Ray executions, so
+iteration counts here are deliberately small (the math is
+iteration-count-independent)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from north_cloud_ray.stages.graph import indegree, pagerank
+
+
+def _pagerank_dense(edges, d=0.85, iters=10):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    out = np.zeros(n)
+    for s, t in edges:
+        out[idx[s]] += 1
+    for s, t in edges:
+        M[idx[t], idx[s]] += 1.0 / out[idx[s]]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    return dict(zip(nodes, r))
+
+
+def _edges_ds(edges):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"src": [s for s, _ in edges], "dst": [t for _, t in edges]}
+    )).repartition(3)
+
+
+def test_pagerank_distributed_matches_dense_and_driver(ray_session):
+    """One 3-iteration DISTRIBUTED run (forced via threshold=0, the
+    100-TB shape) against BOTH the dense numpy reference and the
+    size-adaptive driver path."""
+    rng = np.random.default_rng(11)
+    nodes = [f"h{i}" for i in range(30)]
+    edges = [(nodes[rng.integers(30)], nodes[rng.integers(30)])
+             for _ in range(150)]
+    edges = [(s, t) for s, t in edges if s != t]
+    want = _pagerank_dense(edges, iters=3)
+    dist = pagerank(_edges_ds(edges), n_iters=3, num_partitions=4,
+                    driver_edge_threshold=0).to_pandas()
+    drv = pagerank(_edges_ds(edges), n_iters=3).to_pandas()
+    dm = dict(zip(dist["node"], dist["rank"]))
+    vm = dict(zip(drv["node"], drv["rank"]))
+    assert set(dm) == set(want) == set(vm)
+    for n in want:
+        assert abs(dm[n] - want[n]) < 1e-9, (n, dm[n], want[n])
+        assert abs(dm[n] - vm[n]) < 1e-12
+    assert abs(sum(dm.values()) - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_pagerank_dangling_and_star(ray_session):
+    """Star graph through the driver path: hub accumulates rank; the
+    dense reference agrees (driver path IS the dense math on CSR)."""
+    edges = [(f"leaf{i}", "hub") for i in range(5)]
+    got = pagerank(_edges_ds(edges), n_iters=20).to_pandas()
+    m = dict(zip(got["node"], got["rank"]))
+    want = _pagerank_dense(edges, iters=20)
+    for n in want:
+        assert abs(m[n] - want[n]) < 1e-9
+    assert m["hub"] > max(v for k, v in m.items() if k != "hub")
+
+
+def test_indegree(ray_session):
+    edges = [("a", "b"), ("c", "b"), ("a", "c"), ("b", "c"), ("c", "b")]
+    got = indegree(_edges_ds(edges)).to_pandas().set_index("node")
+    assert got.loc["b", "indegree"] == 3
+    assert got.loc["c", "indegree"] == 2
+    assert "a" not in got.index
