@@ -2279,6 +2279,27 @@ def link_indegree(sf_dir: str):
     return indegree(_crawl_page_edges())
 
 
+def doc_normalized(sf_dir: str):
+    """Canonical text normalization (lowercase, ASCII-alnum only,
+    whitespace collapse) — the pre-dedup canonicalization pass."""
+    from ..stages.curation import normalize_text
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def mess(b: pd.DataFrame) -> pd.DataFrame:
+        # deterministic noise so the normalizer has real work (mirrored
+        # in the oracle): mixed case + punctuation + double spaces
+        b = b.copy()
+        s = b["doc_id"].astype("int64")
+        b["text"] = np.where(
+            s % 2 == 0,
+            "  The, QUICK (brown) fox!! " + b["text"].fillna("").str.upper(),
+            b["text"].fillna(""))
+        return b
+
+    return normalize_text(docs.map_batches(mess, batch_format="pandas"))
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2323,6 +2344,7 @@ QUERIES = {
     "corpus_two_gen": corpus_two_gen,
     "best_doc_per_group": best_doc_per_group,
     "corpus_report": corpus_report,
+    "doc_normalized": doc_normalized,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3143,6 +3165,25 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "doc_normalized": """
+        WITH messy AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN '  The, QUICK (brown) fox!! '
+                           || upper(coalesce(text, ''))
+                      ELSE coalesce(text, '') END AS text
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+          FROM messy
+        )
+        SELECT doc_id, text_norm,
+               CAST(LENGTH(text_norm) AS BIGINT) AS n_chars_norm
+        FROM n
     """,
     "corpus_report": r"""
         WITH per AS (

@@ -353,3 +353,23 @@ def snapshot_diff(
 
     return hash_grouped_agg(tag(old_ds, 0).union(tag(new_ds, 1)),
                             [key_col], partial, combine, num_partitions)
+
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical text normalization before hashing/dedup: lowercase,
+    strip everything but ASCII alphanumerics+space, collapse whitespace
+    runs, trim. Returns (id, text_norm, n_chars_norm). Pure vectorized
+    map_batches; patterns are RE2-compatible so the oracle is
+    byte-identical (ASCII-only classes — no Unicode-class divergence)."""
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.lower()
+        t = t.str.replace(r"[^a-z0-9 ]", " ", regex=True)
+        t = t.str.replace(r" +", " ", regex=True).str.strip()
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "text_norm": t,
+            "n_chars_norm": t.str.len().astype("int64"),
+        })
+
+    return ds.map_batches(norm, batch_format="pandas")
