@@ -295,17 +295,21 @@ def main() -> None:
 
 def scaling() -> None:
     lo_cpus, hi_cpus = 8, 32
+    # pin ALL levels or NONE: pinning only the low level (or only the
+    # high one) would mix protocols and bias the efficiency ratio — the
+    # decision is made once against the HIGHEST level's CPU need
+    can_pin = bool(shutil.which("taskset")) and (os.cpu_count() or 0) >= hi_cpus
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SCALING_WORKLOAD="1")
-        # taskset pins the level to ncpu PHYSICAL cores: ray.init(num_cpus=N)
+        # taskset pins the level to ncpu cores: ray.init(num_cpus=N)
         # only caps task slots, so on an idle host the low level would
         # borrow extra cores through Arrow/numpy thread pools and BLAS —
         # inflating the baseline and understating true hardware scaling
         # (an N-core cluster node has no spare cores to borrow).
         cmd = [sys.executable, os.path.abspath(__file__)]
-        if shutil.which("taskset") and (os.cpu_count() or 0) >= ncpu:
+        if can_pin:
             # (logical IDs 0..N-1; on SMT hosts these may be sibling
             # threads, not N physical cores — this box is 1 thread/core)
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd

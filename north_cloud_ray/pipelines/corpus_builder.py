@@ -175,9 +175,11 @@ class CorpusBuilder:
                 batch_format="pandas")
             carried = (text_col, *keep_cols)
 
-        # one more pin after gate+redact: n_gated and the dedup consumer
-        # share this stream instead of re-running the regex pass
-        docs_ds = docs_ds.materialize()
+        if self.min_words > 0:
+            # one more pin ONLY when the gate makes n_gated a second
+            # consumer — otherwise the dedup pass is the sole consumer and
+            # materializing would copy the redacted corpus for nothing
+            docs_ds = docs_ds.materialize()
         n_gated = docs_ds.count() if self.min_words > 0 else n_in
 
         survivors = incremental_dedup(

@@ -121,23 +121,28 @@ def incremental_dedup(
     prior_hashes = prior_hashes.materialize()
     n_prior = prior_hashes.count()
     if n_prior <= broadcast_threshold:
+        def _utf8(a: np.ndarray) -> np.ndarray:
+            # vectorized utf-8 encode to fixed-width bytes: searchsorted
+            # over an object array does log2(n) PYTHON compares per probe
+            # row; bytes keep the probe in vectorized C. utf-8 (not the
+            # ascii of .astype(bytes)) so arbitrary-string hash_col values
+            # never raise, and byte order is consistent on both sides.
+            return np.char.encode(a.astype(str), "utf-8")
+
         if n_prior == 0:  # empty-Dataset to_pandas() has no columns
             arr = np.array([], dtype="S1")
         else:
-            # fixed-width bytes (auto width), not object strings:
-            # searchsorted over an object array does log2(n) PYTHON
-            # compares per probe row; bytes keep the probe in vectorized C
-            arr = np.sort(
+            arr = np.sort(_utf8(
                 prior_hashes.map_batches(
                     lambda b: pd.DataFrame({hash_col: b[hash_col].unique()}),
                     batch_format="pandas",
-                ).to_pandas()[hash_col].to_numpy().astype(bytes)
-            )
+                ).to_pandas()[hash_col].to_numpy()
+            ))
         ref = ray.put(arr)  # sorted fixed-width hashes -> searchsorted probe
 
         def drop_seen(b: pd.DataFrame) -> pd.DataFrame:
             idx = ray.get(ref)
-            probe = b[hash_col].to_numpy().astype(bytes)
+            probe = _utf8(b[hash_col].to_numpy())
             if probe.dtype.itemsize > idx.dtype.itemsize:
                 # never let a cast TRUNCATE a longer hash into a false hit
                 idx = idx.astype(probe.dtype)

@@ -155,9 +155,7 @@ def pagerank(
         lambda b: b.assign(outdeg=np.int64(0)), batch_format="pandas"),
         ["src", "outdeg", "dst"], 1)
 
-    from .agg import hash_grouped_agg as _hga
-
-    edges_w = _hga(deg_tagged.union(edg_tagged), ["src"],
+    edges_w = hash_grouped_agg(deg_tagged.union(edg_tagged), ["src"],
                    lambda b: b, attach_w, num_partitions) \
         .map_batches(lambda b: _add_pkey(b, ["src"], num_partitions),
                      batch_format="pandas").materialize()
@@ -188,25 +186,29 @@ def pagerank(
                 "node": m["dst"].to_numpy(),
                 "c": (m["rank"].to_numpy() * m["w"].to_numpy()),
             })
+            out["d"] = np.int8(0)
             # dangling partial: rank mass of this partition's srcs that
-            # have NO outgoing edges (rows only in r, absent from e)
+            # have NO outgoing edges (rows only in r, absent from e).
+            # flagged by the d COLUMN, never by a magic node value — a
+            # real node named "" must keep its own contribution bucket
             dangling = r.loc[~r["src"].isin(e["src"]), "rank"].sum()
             return pd.concat(
                 [out, pd.DataFrame({"node": [""],
-                                    "c": [np.float64(dangling)]})],
+                                    "c": [np.float64(dangling)],
+                                    "d": [np.int8(1)]})],
                 ignore_index=True)
 
-        contrib = _hga(r_tagged.union(e_tagged).groupby("_pkey")
-                       .map_groups(lambda p: contribs(
-                           p.drop(columns=["_pkey"])),
-                           batch_format="pandas"),
-                       ["node"],
-                       lambda b: b.groupby("node", as_index=False)["c"].sum(),
-                       lambda p: p.groupby("node", as_index=False)["c"].sum(),
-                       num_partitions).materialize()
+        def csum(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby(["node", "d"], as_index=False)["c"].sum()
+
+        contrib = hash_grouped_agg(
+            r_tagged.union(e_tagged).groupby("_pkey")
+            .map_groups(lambda p: contribs(p.drop(columns=["_pkey"])),
+                        batch_format="pandas"),
+            ["node", "d"], csum, csum, num_partitions).materialize()
         # the one driver-side scalar per iteration
         ddf = contrib.map_batches(
-            lambda b: b[b["node"] == ""], batch_format="pandas").to_pandas()
+            lambda b: b[b["d"] == 1], batch_format="pandas").to_pandas()
         dangling_mass = float(ddf["c"].sum()) if len(ddf) else 0.0
 
         base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
@@ -222,9 +224,10 @@ def pagerank(
             lambda b: b.assign(c=np.float64(0.0), _tag=np.int8(0)),
             batch_format="pandas")
         ct = contrib.map_batches(
-            lambda b: b[b["node"] != ""].assign(_tag=np.int8(1)),
+            lambda b: b.loc[b["d"] == 0, ["node", "c"]]
+                       .assign(_tag=np.int8(1)),
             batch_format="pandas")
-        ranks = _hga(nt.union(ct), ["node"], lambda b: b, new_ranks,
-                     num_partitions).materialize()
+        ranks = hash_grouped_agg(nt.union(ct), ["node"], lambda b: b,
+                                 new_ranks, num_partitions).materialize()
 
     return ranks

@@ -28,18 +28,21 @@ def test_pii_redact_kernel_counts_match_re(doc_texts):
         if i % 2 == 0 else t
         for i, t in enumerate(doc_texts)
     ]
+    # exercise the PRODUCTION kernel semantics (re.ASCII — RE2 parity),
+    # not a flagless lookalike
     s = pd.Series(injected)
     for pat in (EMAIL_RE, PHONE_RE, IPV4_RE):
-        got = s.str.count(pat).to_numpy()
-        want = np.array([len(re.findall(pat, t)) for t in injected])
+        got = s.str.count(pat, flags=re.ASCII).to_numpy()
+        want = np.array([len(re.findall(pat, t, flags=re.ASCII))
+                         for t in injected])
         assert (got == want).all()
-    red = s.str.replace(EMAIL_RE, "<EMAIL>", regex=True) \
-           .str.replace(PHONE_RE, "<PHONE>", regex=True) \
-           .str.replace(IPV4_RE, "<IP>", regex=True)
+    red = s.str.replace(EMAIL_RE, "<EMAIL>", regex=True, flags=re.ASCII) \
+           .str.replace(PHONE_RE, "<PHONE>", regex=True, flags=re.ASCII) \
+           .str.replace(IPV4_RE, "<IP>", regex=True, flags=re.ASCII)
     for r in red:
-        assert not re.search(EMAIL_RE, r)
-        assert not re.search(PHONE_RE, r)
-        assert not re.search(IPV4_RE, r)
+        assert not re.search(EMAIL_RE, r, flags=re.ASCII)
+        assert not re.search(PHONE_RE, r, flags=re.ASCII)
+        assert not re.search(IPV4_RE, r, flags=re.ASCII)
 
 
 span_struct = st.tuples(
@@ -88,3 +91,22 @@ def test_reassemble_kernel_roundtrip(ray_session, doc_spans):
     assert list(out["doc_id"]) == list(orig["doc_id"])
     for got, want in zip(out["spans"], orig["spans"]):
         assert [dict(d) for d in got] == [dict(d) for d in want]
+
+
+def test_pii_redact_ascii_only_semantics(ray_session):
+    """Non-ASCII digits (Arabic-Indic, fullwidth) must NOT match the
+    phone/IP patterns — the production kernel's RE2-parity contract
+    (DuckDB's \\d and \\b are ASCII-only)."""
+    import ray.data
+
+    from north_cloud_ray.stages.curation import pii_redact
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["call ١٢٣-٤٥٦-٧٨٩٠ now",
+                 "call 123-456-7890 now"],
+    }))
+    out = pii_redact(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_phones"] == 0
+    assert "<PHONE>" not in out.loc[0, "text_redacted"]
+    assert out.loc[1, "n_phones"] == 1

@@ -75,3 +75,19 @@ def test_indegree(ray_session):
     assert got.loc["b", "indegree"] == 3
     assert got.loc["c", "indegree"] == 2
     assert "a" not in got.index
+
+
+def test_pagerank_empty_string_node(ray_session):
+    """A node literally named '' must keep its own contribution bucket —
+    the dangling-mass partials are flagged by column, not by a magic node
+    value (regression: distributed path conflated the two)."""
+    edges = [("a", ""), ("b", ""), ("", "c"), ("a", "c")]
+    want = _pagerank_dense(edges, iters=5)
+    dist = pagerank(_edges_ds(edges), n_iters=5, num_partitions=3,
+                    driver_edge_threshold=0).to_pandas()
+    drv = pagerank(_edges_ds(edges), n_iters=5).to_pandas()
+    dm = dict(zip(dist["node"], dist["rank"]))
+    vm = dict(zip(drv["node"], drv["rank"]))
+    for n in want:
+        assert abs(dm[n] - want[n]) < 1e-9, (n, dm[n], want[n])
+        assert abs(vm[n] - want[n]) < 1e-9
