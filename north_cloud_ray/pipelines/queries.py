@@ -2300,6 +2300,27 @@ def doc_normalized(sf_dir: str):
     return normalize_text(docs.map_batches(mess, batch_format="pandas"))
 
 
+def doc_graph_indegree(sf_dir: str):
+    """SQL-checked twin for the graph module's indegree: edges derived
+    arithmetically from the documents table (src=doc_id,
+    dst=(doc_id*7+3) mod N — deterministic, reproducible in SQL), counted
+    by the REAL partial/combine indegree operator."""
+    from ..stages.graph import indegree
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=_cpus())
+    n = docs.count()
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"src": src, "dst": (src * 7 + 3) % n})
+
+    out = indegree(docs.map_batches(edges, batch_format="pandas"))
+    return out.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy("int64"),
+                                "indegree": b["indegree"].to_numpy("int64")}),
+        batch_format="pandas")
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2345,6 +2366,7 @@ QUERIES = {
     "best_doc_per_group": best_doc_per_group,
     "corpus_report": corpus_report,
     "doc_normalized": doc_normalized,
+    "doc_graph_indegree": doc_graph_indegree,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3165,6 +3187,13 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "doc_graph_indegree": """
+        WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        e AS (SELECT (doc_id * 7 + 3) % (SELECT n FROM n) AS dst
+              FROM documents)
+        SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS indegree
+        FROM e GROUP BY dst
     """,
     "doc_normalized": """
         WITH messy AS (
