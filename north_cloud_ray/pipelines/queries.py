@@ -2321,6 +2321,33 @@ def doc_graph_indegree(sf_dir: str):
         batch_format="pandas")
 
 
+def doc_vocab_coverage(sf_dir: str):
+    """Per-doc coverage of the corpus top-30 vocabulary (tokenizer
+    compression proxy): n_tokens, n_in_vocab, and their exact-int
+    division. The vocab is the exact distributed top-k (one driver-held
+    k-row table, broadcast to the probe pass)."""
+    import ray as _ray
+
+    from ..stages.curation import vocab_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    vocab = vocab_topk(docs, k=30)
+    vref = _ray.put(np.sort(vocab["token"].to_numpy(dtype=object)))
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        v = _ray.get(vref)
+        toks = b["text"].fillna("").str.split(" ")
+        n_tok = toks.str.len().fillna(0).to_numpy("int64")
+        n_in = np.array([int(np.sum(np.isin(np.array(t, dtype=object), v)))
+                         if t else 0 for t in toks], dtype=np.int64)
+        cov = np.where(n_tok > 0, n_in / np.maximum(n_tok, 1), 0.0)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy("int64"),
+                             "n_tokens": n_tok, "n_in_vocab": n_in,
+                             "coverage": cov})
+
+    return docs.map_batches(cover, batch_format="pandas")
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2367,6 +2394,7 @@ QUERIES = {
     "corpus_report": corpus_report,
     "doc_normalized": doc_normalized,
     "doc_graph_indegree": doc_graph_indegree,
+    "doc_vocab_coverage": doc_vocab_coverage,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3187,6 +3215,34 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "doc_vocab_coverage": """
+        WITH v AS (
+          SELECT token FROM (
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE token <> '' GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 30)
+        ),
+        tok AS (
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
+          FROM documents
+        ),
+        per AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN t IN (SELECT token FROM v)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+          FROM tok GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_in_vocab, 0) AS n_in_vocab,
+               CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                    THEN CAST(p.n_in_vocab AS DOUBLE) / p.n_tokens
+                    ELSE 0.0 END AS coverage
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "doc_graph_indegree": """
         WITH n AS (SELECT COUNT(*) AS n FROM documents),
