@@ -110,3 +110,48 @@ def test_pii_redact_ascii_only_semantics(ray_session):
     assert out.loc[0, "n_phones"] == 0
     assert "<PHONE>" not in out.loc[0, "text_redacted"]
     assert out.loc[1, "n_phones"] == 1
+
+
+from hypothesis import HealthCheck
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    st.sets(st.integers(min_value=0, max_value=12), max_size=8),
+)
+def test_incremental_dedup_matches_reference(ray_session, fams, prior_fams):
+    """Distributed incremental dedup == the obvious sequential reference
+    (drop prior shas, then first-per-sha) for arbitrary duplicate
+    structure and prior overlap."""
+    import hashlib
+
+    import ray.data
+
+    from north_cloud_ray.stages.curation import incremental_dedup
+    from north_cloud_ray.stages.dedup import add_text_sha
+
+    texts = [f"family {f} text" for f in fams]
+    new = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(fams), dtype=np.int64),
+         "text": texts})).repartition(3)
+    prior_shas = [hashlib.sha256(f"family {f} text".encode()).hexdigest()
+                  for f in sorted(prior_fams)]
+    prior = ray.data.from_pandas(
+        pd.DataFrame({"text_sha": pd.Series(prior_shas, dtype=str)}))
+    got = incremental_dedup(new, prior).to_pandas()
+    if len(got) == 0:  # all-dropped: schema-less empty (documented caveat)
+        got = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "text_sha": pd.Series(dtype=str)})
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    # sequential reference
+    seen = set(prior_shas)
+    want = []
+    for i, t in enumerate(texts):
+        h = hashlib.sha256(t.encode()).hexdigest()
+        if h not in seen:
+            seen.add(h)
+            want.append((i, h))
+    assert list(got["doc_id"]) == [i for i, _ in want]
+    assert list(got["text_sha"]) == [h for _, h in want]
