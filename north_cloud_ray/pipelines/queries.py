@@ -2348,6 +2348,38 @@ def doc_vocab_coverage(sf_dir: str):
     return docs.map_batches(cover, batch_format="pandas")
 
 
+def _file_roundtrip(sf_dir: str, fmt: str):
+    """documents -> distributed {fmt} write -> distributed read ->
+    normalize: the output must hash-match the original table (the SQL
+    oracle is simply the documents table), proving the reader/writer
+    pair loses nothing — dtypes, NULL handling, column order."""
+    import shutil as _sh
+    import tempfile
+
+    from ..sources import files as F
+
+    docs = _read(sf_dir, "documents", blocks=_cpus())
+    out = tempfile.mkdtemp(prefix=f"ncray-{fmt}-")
+    try:
+        if fmt == "jsonl":
+            F.write_jsonl(docs, out)
+            back = F.read_jsonl_docs(out)
+        else:
+            F.write_csv(docs, out)
+            back = F.read_csv_docs(out)
+        return back.to_pandas()
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
+
+
+def jsonl_roundtrip_docs(sf_dir: str):
+    return _file_roundtrip(sf_dir, "jsonl")
+
+
+def csv_roundtrip_docs(sf_dir: str):
+    return _file_roundtrip(sf_dir, "csv")
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2395,6 +2427,8 @@ QUERIES = {
     "doc_normalized": doc_normalized,
     "doc_graph_indegree": doc_graph_indegree,
     "doc_vocab_coverage": doc_vocab_coverage,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "csv_roundtrip_docs": csv_roundtrip_docs,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3215,6 +3249,12 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "jsonl_roundtrip_docs": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "csv_roundtrip_docs": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
     "doc_vocab_coverage": """
         WITH v AS (

@@ -154,3 +154,29 @@ def test_quantile_gate_matches_quantile_disc(ray_session):
     # 'le' keeps the complement boundary-inclusively
     lo = quantile_gate(ds, "v", q=0.25, keep="le").to_pandas()
     assert set(lo["doc_id"]) == set(np.nonzero(vals <= thr)[0])
+
+
+def test_file_roundtrip_dirty_text(ray_session):
+    """JSONL and CSV round-trips must survive commas, quotes, newlines
+    and unicode in text (writer quoting / reader parsing)."""
+    from north_cloud_ray.sources import files as F
+    import tempfile, shutil
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ['a,b,"c" d', "line1\nline2", "héllo wörld", ""],
+        "lang": ["en", "en", "de", ""],
+        "source": ["s1", "s2", "s1", ""],
+        "n_chars": np.array([9, 11, 11, 0], dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    for fmt, (w, r) in {"jsonl": (F.write_jsonl, F.read_jsonl_docs),
+                        "csv": (F.write_csv, F.read_csv_docs)}.items():
+        out = tempfile.mkdtemp(prefix=f"rt-{fmt}-")
+        try:
+            w(ds, out)
+            back = r(out).to_pandas().sort_values("doc_id") \
+                .reset_index(drop=True)
+            pd.testing.assert_frame_equal(back, df, check_like=True)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
