@@ -293,6 +293,41 @@ def main() -> None:
         ray.shutdown()
 
 
+def _cpu_probe_worker(n: int) -> int:
+    """Pure-CPU kernel (sha256 + split, no numpy/BLAS) for the hardware
+    ceiling probe — what the host actually delivers for N processes."""
+    import hashlib
+
+    s = "word " * 1600
+    acc = 0
+    for i in range(n):
+        h = hashlib.sha256((s + str(i)).encode()).hexdigest()
+        acc += len((s + h).split())
+    return acc
+
+
+def _cpu_probe(procs: int, per: int = 200, pin: bool = True) -> float:
+    """Aggregate ops/sec of `procs` worker processes, taskset-pinned to
+    cores 0..procs-1 when possible. Run CONCURRENTLY with the protocol so
+    the reported pipeline efficiency can be read against the hardware
+    ceiling the host delivered at that moment (see BASELINE.md: the
+    hypervisor CPU quota fluctuates and often caps 4x cores at ~2x
+    aggregate compute)."""
+    code = ("import multiprocessing as mp, time, sys; "
+            "from bench import _cpu_probe_worker as w; "
+            "p=int(sys.argv[1]); per=int(sys.argv[2]); "
+            "t0=time.perf_counter(); "
+            "pool=mp.Pool(p); pool.map(w, [per]*p); pool.close(); "
+            "print(p*per/(time.perf_counter()-t0))")
+    cmd = [sys.executable, "-c", code, str(procs), str(per)]
+    if pin and shutil.which("taskset") and (os.cpu_count() or 0) >= procs:
+        cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True).stdout
+    return float(out.strip().splitlines()[-1])
+
+
 def scaling() -> None:
     lo_cpus, hi_cpus = 8, 32
     # pin ALL levels or NONE: pinning only the low level (or only the
@@ -328,12 +363,23 @@ def scaling() -> None:
     hi = max(hi1, hi2, key=lambda r: r["pages_per_sec"])
     thr_lo, thr_hi = lo["pages_per_sec"], hi["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    # concurrent hardware-ceiling probe: interleaved pinned pure-CPU runs
+    # at both levels, best-of-2 (same treatment as the pipeline levels)
+    try:
+        p_lo1, p_hi1 = _cpu_probe(lo_cpus, pin=can_pin), _cpu_probe(hi_cpus, pin=can_pin)
+        p_lo2, p_hi2 = _cpu_probe(lo_cpus, pin=can_pin), _cpu_probe(hi_cpus, pin=can_pin)
+        p_lo, p_hi = max(p_lo1, p_lo2), max(p_hi1, p_hi2)
+        probe_eff = round((p_hi / p_lo) / (hi_cpus / lo_cpus), 3)
+    except Exception:
+        p_lo = p_hi = probe_eff = None
     print(json.dumps({
         "sec_8": lo["sec"], "sec_32": hi["sec"],
         "pages_per_sec_8": thr_lo, "pages_per_sec_32": thr_hi,
         "frontier_ops_per_sec_8": lo["frontier_ops_per_sec"],
         "frontier_ops_per_sec_32": hi["frontier_ops_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "cpu_probe_ops_8": p_lo, "cpu_probe_ops_32": p_hi,
+        "cpu_probe_efficiency": probe_eff,
     }))
 
 
