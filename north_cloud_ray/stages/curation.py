@@ -24,6 +24,13 @@ LLM-data pipeline runs continuously as new crawl rounds land:
   training prep). Per-batch value_counts partials cap the exchange at
   (distinct tokens per batch) rows; exact combine + deterministic
   (count DESC, token ASC) tie-break.
+- ``quantile_gate``: percentile-threshold filtering via the exact
+  distributed-selection quantile broadcast as a scalar gate.
+- ``snapshot_diff``: added/removed/changed keys between two crawl
+  snapshots through one tagged-union light-row exchange; unchanged
+  keys never leave their partition.
+- ``normalize_text``: canonical lowercase/ASCII/whitespace-collapse
+  pass before hashing or dedup.
 
 Reference parity: none — north-cloud's pipeline stops at crawl/classify
 (crawler/internal/dedup is URL/content identity only); these are added
