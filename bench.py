@@ -241,7 +241,7 @@ def run_queries(sf_dir: str) -> dict:
         "semdedup_docs", "pii_redacted_docs", "incremental_dedup_docs",
         "source_quality_rollup", "doc_vocabulary", "doc_quality_filter",
         "crawl_snapshot_diff", "f1_reassemble_docs", "corpus_two_gen",
-        "best_doc_per_group", "corpus_report", "doc_normalized", "doc_graph_indegree", "doc_vocab_coverage", "jsonl_roundtrip_docs", "csv_roundtrip_docs",
+        "best_doc_per_group", "corpus_report", "doc_normalized", "doc_graph_indegree", "doc_vocab_coverage", "jsonl_roundtrip_docs", "csv_roundtrip_docs", "f1_pack_windows",
     ]
     import ray.data
 

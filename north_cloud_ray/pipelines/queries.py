@@ -1391,6 +1391,30 @@ def f1_reassemble_docs(sf_dir: str):
     return rebuilt.map_batches(stats, batch_format="pyarrow")
 
 
+def f1_pack_windows(sf_dir: str):
+    """Interleaved-aware sequence packing (axes A x B): each doc's token
+    cost = its whitespace text tokens + 16 per media span (the fixed
+    media-token budget a multimodal training run reserves), packed into
+    256-token windows by the distributed-prefix-sum pack_windows. Span
+    costs come from the REAL f1 kernels (span_stats over
+    _docs_to_spans); SQL-hash-checked end to end."""
+    from ..sources.f1 import span_stats
+    from ..stages.corpus import _ws_token_counts, pack_windows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def cost(b: pd.DataFrame) -> pd.DataFrame:
+        st = span_stats(_docs_to_spans(b)).to_pandas()
+        toks = _ws_token_counts(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy("int64"),
+            "cost": toks + 16 * st["n_media"].to_numpy("int64"),
+        })
+
+    return pack_windows(docs.map_batches(cost, batch_format="pandas"),
+                        tokens_col="cost", window=256, bucket_width=64)
+
+
 def multimodal_features_docs(sf_dir: str):
     """The multimodal decode chain (synthesis -> binary payload column ->
     REAL ImageDecodeActor pool) over media refs derived from the documents
@@ -2472,6 +2496,7 @@ QUERIES = {
     "f1_span_stats": f1_span_stats,
     "f1_span_stats_docs": f1_span_stats_docs,
     "f1_reassemble_docs": f1_reassemble_docs,
+    "f1_pack_windows": f1_pack_windows,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
     "multimodal_features_docs": multimodal_features_docs,
@@ -2997,6 +3022,34 @@ ORACLE_SQL = {
                     ELSE 0.0 END AS contamination_frac
         FROM cw c LEFT JOIN tot t USING (doc_id)
         LEFT JOIN hits h USING (doc_id)
+    """,
+    "f1_pack_windows": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+                      '\s+'), x -> x <> '')) AS BIGINT) AS nw
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+                 nw + 16 * (CASE WHEN nw = 0 THEN 0
+                            ELSE (nw + 19) // 20 END // 2) AS n_tokens
+          FROM w
+        ),
+        o AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off
+          FROM t
+        )
+        SELECT doc_id, n_tokens, off AS "offset",
+               off // 256 AS first_window,
+               (off + greatest(n_tokens, 1) - 1) // 256 AS last_window,
+               (off + greatest(n_tokens, 1) - 1) // 256 - off // 256 + 1
+                 AS n_windows
+        FROM o
     """,
     "doc_pack_windows": r"""
         WITH t AS (
