@@ -155,3 +155,41 @@ def test_incremental_dedup_matches_reference(ray_session, fams, prior_fams):
             want.append((i, h))
     assert list(got["doc_id"]) == [i for i, _ in want]
     assert list(got["text_sha"]) == [h for _, h in want]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.dictionaries(st.integers(0, 20), st.integers(0, 3), max_size=15),
+    st.dictionaries(st.integers(0, 20), st.integers(0, 3), max_size=15),
+)
+def test_snapshot_diff_matches_reference(ray_session, old_map, new_map):
+    """snapshot_diff == the obvious dict diff for arbitrary snapshots."""
+    import ray.data
+
+    from north_cloud_ray.stages.curation import snapshot_diff
+
+    def snap(m):
+        return ray.data.from_pandas(pd.DataFrame({
+            "url_hash": [f"u{k}" for k in m],
+            "content_hash": [f"h{v}" for v in m.values()],
+        })).repartition(2)
+
+    if not old_map and not new_map:
+        return
+    got = snapshot_diff(snap(old_map), snap(new_map)).to_pandas()
+    want = {}
+    for k in set(old_map) | set(new_map):
+        u = f"u{k}"
+        if k not in old_map:
+            want[u] = ("added", "", f"h{new_map[k]}")
+        elif k not in new_map:
+            want[u] = ("removed", f"h{old_map[k]}", "")
+        elif old_map[k] != new_map[k]:
+            want[u] = ("changed", f"h{old_map[k]}", f"h{new_map[k]}")
+    if len(got) == 0:
+        assert want == {}
+        return
+    got_map = {r.url_hash: (r.status, r.old_hash, r.new_hash)
+               for r in got.itertuples()}
+    assert got_map == want

@@ -91,3 +91,20 @@ def test_pagerank_empty_string_node(ray_session):
     for n in want:
         assert abs(dm[n] - want[n]) < 1e-9, (n, dm[n], want[n])
         assert abs(vm[n] - want[n]) < 1e-9
+
+
+def test_link_queries_over_crawl_graph(ray_session):
+    """The crawl-graph queries must satisfy PageRank/indegree invariants:
+    rank mass 1, node set == graph nodes, indegree totals == edge count."""
+    from north_cloud_ray.pipelines import queries as Q
+
+    edges = Q._crawl_page_edges().to_pandas()
+    assert len(edges) > 100 and (edges["src"] != edges["dst"]).all()
+    pr = Q.QUERIES["link_pagerank"]("/root/testdata/sf0.001").to_pandas()
+    nodes = set(edges["src"]) | set(edges["dst"])
+    assert set(pr["node"]) == nodes
+    assert abs(pr["rank"].sum() - 1.0) < 1e-9
+    assert (pr["rank"] > 0).all()
+    ind = Q.QUERIES["link_indegree"]("/root/testdata/sf0.001").to_pandas()
+    assert ind["indegree"].sum() == len(edges)
+    assert set(ind["node"]) <= nodes
