@@ -10,6 +10,8 @@ whose summation-order nondeterminism would break value-hash comparison.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2130,6 +2132,39 @@ def crawl_snapshot_diff(sf_dir: str):
     return snapshot_diff(hashed(old), hashed(new), key_col="doc_id")
 
 
+def _multiline_docs(sf_dir: str):
+    """Deterministic multi-line corpus for line-level operators: the
+    word-soup text is chunked into 4-word lines (regex: every 4th space
+    becomes a newline — RE2-compatible, mirrored verbatim in the oracle)
+    and shared boilerplate footer lines are appended (all docs get the
+    subscribe line, doc_id%2==0 a follow line, doc_id%3==0 a rights
+    line) — the cross-document duplicates a boilerplate stripper must
+    remove everywhere but their first occurrence."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("").str.replace(
+            r"((?:\S+ ){3}\S+) ", "\\1\n", regex=True, flags=re.ASCII)
+        ids = b["doc_id"].to_numpy()
+        ml = (t + "\nsubscribe to our newsletter"
+              + np.where(ids % 2 == 0, "\nfollow us for more updates", "")
+              + np.where(ids % 3 == 0, "\nall rights reserved worldwide",
+                         ""))
+        return pd.DataFrame({"doc_id": ids, "text": ml})
+
+    return docs.map_batches(derive, batch_format="pandas")
+
+
+def line_dedup_docs(sf_dir: str):
+    """C4-style corpus-wide exact line dedup over the derived multi-line
+    corpus: each line survives only at its globally first (doc_id,
+    line_no) occurrence — one line-keyed light-row exchange picks the
+    winners, one doc-keyed exchange rebuilds the surviving docs."""
+    from ..stages.curation import line_dedup
+
+    return line_dedup(_multiline_docs(sf_dir))
+
+
 def corpus_two_gen(sf_dir: str):
     """End-to-end CorpusBuilder semantics, SQL-hash-checked: generation 0
     ingests the even-doc_id docs, generation 1 ingests ALL docs; the
@@ -2445,6 +2480,7 @@ QUERIES = {
     "doc_vocabulary": doc_vocabulary,
     "doc_quality_filter": doc_quality_filter,
     "crawl_snapshot_diff": crawl_snapshot_diff,
+    "line_dedup_docs": line_dedup_docs,
     "corpus_two_gen": corpus_two_gen,
     "best_doc_per_group": best_doc_per_group,
     "corpus_report": corpus_report,
@@ -3302,6 +3338,44 @@ ORACLE_SQL = {
                COALESCE(n.h, '') AS new_hash
         FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    "line_dedup_docs": r"""
+        WITH ml AS (
+          SELECT doc_id,
+                 regexp_replace(coalesce(text, ''),
+                                '((?:\S+ ){3}\S+) ', '\1' || chr(10), 'g')
+                 || chr(10) || 'subscribe to our newsletter'
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN chr(10) || 'follow us for more updates'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || 'all rights reserved worldwide'
+                         ELSE '' END AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 unnest(range(len(string_split(text, chr(10)))))
+                     AS line_no
+          FROM ml
+        ),
+        ne AS (SELECT * FROM lines WHERE line <> ''),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                FROM ne GROUP BY doc_id),
+        kept AS (
+          SELECT doc_id, line_no, line FROM (
+            SELECT ne.*, ROW_NUMBER() OVER (
+                PARTITION BY line ORDER BY doc_id, line_no) AS rn
+            FROM ne) WHERE rn = 1
+        )
+        SELECT k.doc_id,
+               string_agg(k.line, chr(10) ORDER BY k.line_no)
+                   AS text_dedup,
+               min(t.n_lines) AS n_lines,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept k JOIN tot t USING (doc_id)
+        GROUP BY k.doc_id
     """,
     "jsonl_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents

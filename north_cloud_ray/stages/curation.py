@@ -31,6 +31,9 @@ LLM-data pipeline runs continuously as new crawl rounds land:
   keys never leave their partition.
 - ``normalize_text``: canonical lowercase/ASCII/whitespace-collapse
   pass before hashing or dedup.
+- ``line_dedup``: C4-style corpus-wide exact line dedup — every line
+  survives only at its globally first (id, line_no) occurrence; the
+  boilerplate stripper.
 
 Reference parity: none — north-cloud's pipeline stops at crawl/classify
 (crawler/internal/dedup is URL/content identity only); these are added
@@ -365,6 +368,68 @@ def snapshot_diff(
 
     return hash_grouped_agg(tag(old_ds, 0).union(tag(new_ds, 1)),
                             [key_col], partial, combine, num_partitions)
+
+
+def line_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """C4-style corpus-wide exact LINE dedup (Raffel et al. 2020 §2.2:
+    'we discarded all but one of any three-sentence span occurring more
+    than once' — applied here at line granularity, the common boilerplate
+    stripper): a line survives only in its globally FIRST occurrence,
+    ordered by (id, line_no); every later copy — nav bars, cookie
+    banners, subscribe footers — is dropped. Docs whose every line loses
+    are dropped entirely (they were pure boilerplate).
+
+    Returns (id, text_dedup, n_lines, n_kept) per surviving doc, where
+    ``text_dedup`` re-joins the kept lines in original order and
+    ``n_lines`` counts the doc's non-empty input lines.
+
+    Shape at 100 TB: one vectorized explode to light (line, id, line_no)
+    rows, ONE line-keyed exchange picking the min-(id, line_no) winner
+    per distinct line (partial dedup per batch caps the shuffle at the
+    batch's distinct lines), then one id-keyed exchange re-joining each
+    doc's survivors. The corpus text itself rides the exchanges only as
+    individual lines; nothing lands on the driver."""
+    from .agg import hash_grouped_agg, hash_grouped_map
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].fillna("").str.split("\n")
+        counts = s.str.len().to_numpy("int64")  # split() is never empty
+        ids = np.repeat(b[id_col].to_numpy(), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        line_no = np.arange(counts.sum(), dtype="int64") - starts
+        df = pd.DataFrame({
+            id_col: ids,
+            "line_no": line_no,
+            "line": s.explode().to_numpy(dtype=object),
+        })
+        df = df[df["line"] != ""]
+        df["n_lines"] = df.groupby(id_col)["line"].transform("size") \
+                          .astype("int64")
+        return df
+
+    def keep_first(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["line", id_col, "line_no"], kind="mergesort")
+                 .drop_duplicates("line", keep="first"))
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    winners = hash_grouped_agg(exploded, ["line"], keep_first, keep_first,
+                               num_partitions)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("line_no", kind="mergesort")
+        return pd.DataFrame({
+            id_col: g[id_col].iloc[:1].to_numpy(),
+            "text_dedup": ["\n".join(g["line"].tolist())],
+            "n_lines": np.array([g["n_lines"].iloc[0]], dtype="int64"),
+            "n_kept": np.array([len(g)], dtype="int64"),
+        })
+
+    return hash_grouped_map(winners, [id_col], rebuild, num_partitions)
 
 
 def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):

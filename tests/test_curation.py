@@ -180,3 +180,27 @@ def test_file_roundtrip_dirty_text(ray_session):
             pd.testing.assert_frame_equal(back, df, check_like=True)
         finally:
             shutil.rmtree(out, ignore_errors=True)
+
+
+def test_line_dedup_semantics(ray_session):
+    """Global first-occurrence line dedup: later copies drop, empty
+    lines never participate, docs losing every line vanish, and the
+    winner order is (doc_id, line_no) even across partitions."""
+    from north_cloud_ray.stages.curation import line_dedup
+
+    ds = _docs({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "alpha\nboiler\n\nbeta",     # doc 0: all lines first-seen
+            "boiler\ngamma",             # doc 1: loses boiler
+            "boiler",                    # doc 2: loses everything
+            "gamma\nalpha\ndelta",       # doc 3: keeps only delta
+        ],
+    })
+    out = (line_dedup(ds, num_partitions=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out["text_dedup"].tolist() == ["alpha\nboiler\nbeta",
+                                          "gamma", "delta"]
+    assert out["n_lines"].tolist() == [3, 2, 3]  # empty line not counted
+    assert out["n_kept"].tolist() == [3, 1, 1]
