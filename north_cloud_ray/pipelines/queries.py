@@ -2439,6 +2439,26 @@ def csv_roundtrip_docs(sf_dir: str):
     return _file_roundtrip(sf_dir, "csv")
 
 
+def warc_roundtrip_docs(sf_dir: str):
+    """documents -> distributed WARC export (one ISO-28500 member per
+    block, exact Content-Length framing, metadata as WARC-NC headers)
+    -> distributed file-per-task re-ingest -> normalize; must hash-match
+    the original table. The crawl-interchange surface (CommonCrawl's
+    format) round-trips losslessly."""
+    import shutil as _sh
+    import tempfile
+
+    from ..sources.warc import read_warc_docs, write_warc
+
+    docs = _read(sf_dir, "documents", blocks=_cpus())
+    out = tempfile.mkdtemp(prefix="ncray-warc-")
+    try:
+        write_warc(docs, out)
+        return read_warc_docs(out).to_pandas()
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
+
+
 def doc_vocabulary(sf_dir: str):
     """Exact top-100 corpus vocabulary with counts (tokenizer prep):
     per-batch value_counts partials, exact combine, deterministic
@@ -2489,6 +2509,7 @@ QUERIES = {
     "doc_vocab_coverage": doc_vocab_coverage,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
+    "warc_roundtrip_docs": warc_roundtrip_docs,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3381,6 +3402,9 @@ ORACLE_SQL = {
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
     "csv_roundtrip_docs": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
     "doc_vocab_coverage": """

@@ -204,3 +204,71 @@ def test_line_dedup_semantics(ray_session):
                                           "gamma", "delta"]
     assert out["n_lines"].tolist() == [3, 2, 3]  # empty line not counted
     assert out["n_kept"].tolist() == [3, 1, 1]
+
+
+def test_warc_roundtrip_dirty_text(ray_session):
+    """WARC export/ingest must survive CRLFs, unicode, and empty text in
+    payloads (exact Content-Length framing), and header-unsafe metadata
+    must be sanitized rather than desync the parser."""
+    import shutil
+    import tempfile
+
+    from north_cloud_ray.sources.warc import (read_warc_docs,
+                                              read_warc_records,
+                                              write_warc)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["plain words", "with\r\ncrlf and\nlf", "héllo wörld", ""],
+        "lang": ["en", "en", "de", ""],
+        "source": ["s1", "s\r\n2", "s1", ""],
+        "n_chars": np.array([11, 17, 11, 0], dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = tempfile.mkdtemp(prefix="rt-warc-")
+    try:
+        manifest = write_warc(ds, out).to_pandas()
+        assert manifest["n_records"].sum() == 4
+        back = read_warc_docs(out).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        want = df.copy()
+        want["source"] = ["s1", "s 2", "s1", ""]  # header-sanitized
+        pd.testing.assert_frame_equal(back, want, check_like=True)
+        recs = read_warc_records(out).to_pandas()
+        assert set(recs["warc_type"]) == {"resource"}
+        assert recs["target_uri"].str.startswith("urn:nc:doc:").all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_warc_foreign_record_and_gzip(ray_session):
+    """A hand-built foreign WARC member (no NC headers, gzip whole-file)
+    parses: payload-hash doc_id fallback, recomputed n_chars."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from north_cloud_ray.sources.warc import read_warc_docs
+
+    body = "external page body"
+    payload = body.encode()
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+           b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"WARC-Target-URI: https://example.com/a\r\n"
+           b"Content-Type: text/plain\r\n"
+           b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+           + payload + b"\r\n\r\n")
+    out = tempfile.mkdtemp(prefix="rt-warcgz-")
+    try:
+        with open(f"{out}/foreign.warc.gz", "wb") as f:
+            f.write(gzip.compress(rec * 2))  # two identical records
+        docs = read_warc_docs(out).to_pandas()
+        assert len(docs) == 2
+        assert (docs["text"] == body).all()
+        assert (docs["n_chars"] == len(body)).all()
+        assert (docs["doc_id"] >= 0).all()
+        assert docs["doc_id"].nunique() == 1  # deterministic hash id
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
