@@ -2469,6 +2469,31 @@ def doc_vocabulary(sf_dir: str):
     return vocab_topk(docs, k=100)
 
 
+def _bpe_merges_table(sf_dir: str):
+    from ..stages.bpe import train_bpe
+
+    docs = _read(sf_dir, "documents", ["text"], blocks=_cpus())
+    return train_bpe(docs, n_merges=16)
+
+
+def bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training: 16 merges learned over the
+    corpus word-frequency table (the corpus is scanned once; every
+    iteration runs over the bounded word table). Iterative argmax is
+    not SQL-expressible — pinned merge-for-merge to a sequential
+    textbook implementation in tests/test_bpe.py instead."""
+    return _bpe_merges_table(sf_dir)
+
+
+def bpe_token_counts(sf_dir: str):
+    """Per-doc BPE token counts under the learned merge table (greedy
+    lowest-rank encoding with per-batch distinct-word caching)."""
+    from ..stages.bpe import apply_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return apply_bpe(docs, _bpe_merges_table(sf_dir))
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -2510,6 +2535,8 @@ QUERIES = {
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
+    "bpe_merges": bpe_merges,
+    "bpe_token_counts": bpe_token_counts,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
