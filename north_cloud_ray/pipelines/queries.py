@@ -1312,13 +1312,16 @@ def f1_span_validation(sf_dir: str):
 _F1_DOCS_CHUNK_W = 20  # words per synthesized text span
 
 
-def _docs_to_spans(b: pd.DataFrame) -> pa.Table:
+def _docs_to_spans(b: pd.DataFrame, ref_fn=None) -> pa.Table:
     """Deterministic interleaved-span synthesis from documents.text (the
     F1 input_hint shape, derivable in SQL): text spans of 20 words each, a
     media span after every 2nd text span with
-    media_ref='media://{doc_id}/{j}', sequential offsets. Docs with
-    doc_id%97==0 get their FIRST media ref blanked so the span validator
-    has real negatives to catch."""
+    media_ref='media://{doc_id}/{j}' (override via ``ref_fn(doc_id, j)``),
+    sequential offsets. Docs with doc_id%97==0 get their FIRST media ref
+    blanked so the span validator has real negatives to catch."""
+    if ref_fn is None:
+        def ref_fn(doc_id, j):
+            return f"media://{doc_id}/{j}"
     from ..frontier.schema import SPAN_TYPE
 
     ids = b["doc_id"].to_numpy()
@@ -1335,7 +1338,7 @@ def _docs_to_spans(b: pd.DataFrame) -> pa.Table:
             n_text += 1
             if n_text % 2 == 0:
                 ref = ("" if (doc_id % 97 == 0 and j == 0)
-                       else f"media://{doc_id}/{j}")
+                       else ref_fn(doc_id, j))
                 spans.append({"kind": "media", "text": "",
                               "media_ref": ref, "offset": off})
                 off += 1
@@ -1391,6 +1394,44 @@ def f1_reassemble_docs(sf_dir: str):
         return st.append_column("spans_valid", va["spans_valid"])
 
     return rebuilt.map_batches(stats, batch_format="pyarrow")
+
+
+def f1_media_dedup(sf_dir: str):
+    """Corpus-wide media dedup over interleaved docs (the span-level
+    twin of line_dedup): every non-blank media_ref survives only at its
+    globally first (doc_id, offset) occurrence, blanks and text pass
+    through, and the survivors re-pack with offsets renumbered 0..n-1.
+    Refs are derived to REPEAT across docs ((doc_id*31 + j*17) % 50) so
+    the dedup has real cross-doc work; output is span_stats + the
+    span-sequence validator over the rebuilt docs, so a hash match also
+    proves the renumbering preserved the invariant."""
+    from ..sources.f1 import media_dedup, span_stats, validate_span_order
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    f1 = docs.map_batches(
+        lambda b: _docs_to_spans(
+            b, ref_fn=lambda d, j: f"media://{(d * 31 + j * 17) % 50}"),
+        batch_format="pandas")
+
+    def stats(b: pa.Table) -> pa.Table:
+        st = span_stats(b)
+        va = validate_span_order(b)
+        return st.append_column("spans_valid", va["spans_valid"])
+
+    return media_dedup(f1).map_batches(stats, batch_format="pyarrow")
+
+
+def f1_caption_pairs(sf_dir: str):
+    """Caption candidates for every non-blank media span: the nearest
+    preceding text span within the doc, resolved by one doc-keyed
+    exchange + vectorized grouped forward-fill (no per-doc Python).
+    SQL-hash-checked against the arithmetic chunk derivation."""
+    from ..sources.f1 import caption_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    f1 = docs.map_batches(lambda b: _docs_to_spans(b),
+                          batch_format="pandas")
+    return caption_pairs(f1)
 
 
 def f1_pack_windows(sf_dir: str):
@@ -2580,6 +2621,8 @@ QUERIES = {
     "f1_span_stats": f1_span_stats,
     "f1_span_stats_docs": f1_span_stats_docs,
     "f1_reassemble_docs": f1_reassemble_docs,
+    "f1_media_dedup": f1_media_dedup,
+    "f1_caption_pairs": f1_caption_pairs,
     "f1_pack_windows": f1_pack_windows,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
@@ -2777,6 +2820,83 @@ ORACLE_SQL = {
           NOT (doc_id % 97 = 0 AND nt >= 2) AS spans_valid
         FROM s
     ) WHERE n_spans > 0
+    """,
+    "f1_media_dedup": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, len(ws) AS nw,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (len(ws) + 19) // 20 END AS nt,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE list_sum(list_transform(ws, w -> length(w)))
+                      END AS sumlen
+          FROM d
+        ),
+        refs AS (
+          SELECT doc_id, j, 3 * j + 2 AS off,
+                 CASE WHEN doc_id % 97 = 0 AND j = 0 THEN ''
+                      ELSE 'media://'
+                           || CAST((doc_id * 31 + j * 17) % 50 AS VARCHAR)
+                      END AS ref
+          FROM s, unnest(range(0, nt // 2)) AS t(j)
+        ),
+        keptm AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media_kept FROM (
+            SELECT doc_id, ref,
+                   CASE WHEN ref = '' THEN 1
+                        ELSE ROW_NUMBER() OVER (
+                            PARTITION BY ref ORDER BY doc_id, off)
+                        END AS rn
+            FROM refs) WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(s.nt + coalesce(k.n_media_kept, 0) AS BIGINT)
+                   AS n_spans,
+               CAST(coalesce(k.n_media_kept, 0) AS BIGINT) AS n_media,
+               CAST(s.nt AS BIGINT) AS n_text,
+               CAST(CASE WHEN s.nw = 0 THEN 0
+                         ELSE s.sumlen + s.nw - s.nt END AS BIGINT)
+                   AS total_text_chars,
+               NOT (s.doc_id % 97 = 0 AND s.nt >= 2) AS spans_valid
+        FROM s LEFT JOIN keptm k USING (doc_id)
+        WHERE s.nt + coalesce(k.n_media_kept, 0) > 0
+    """,
+    "f1_caption_pairs": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (len(ws) + 19) // 20 END AS nt
+          FROM d
+        ),
+        chunks AS (
+          SELECT doc_id, i,
+                 array_to_string(ws[20 * i + 1 : 20 * i + 20], ' ')
+                     AS chunk
+          FROM s, unnest(range(0, nt)) AS t(i)
+        ),
+        refs AS (
+          SELECT doc_id, j, 3 * j + 2 AS off,
+                 CASE WHEN doc_id % 97 = 0 AND j = 0 THEN ''
+                      ELSE 'media://' || CAST(doc_id AS VARCHAR) || '/'
+                           || CAST(j AS VARCHAR) END AS ref
+          FROM s, unnest(range(0, nt // 2)) AS t(j)
+        )
+        SELECT r.doc_id, r.ref AS media_ref,
+               CAST(r.off AS INTEGER) AS offset, c.chunk AS caption
+        FROM refs r
+        JOIN chunks c ON c.doc_id = r.doc_id AND c.i = 2 * r.j + 1
+        WHERE r.ref <> ''
     """,
     "multimodal_features_docs": r"""
         WITH d AS (

@@ -135,7 +135,8 @@ def media_refs(batch: pa.Table) -> pa.Table:
     return media.select(["doc_id", "media_ref"])
 
 
-def reassemble_spans(flat_ds, num_partitions: int | None = None):
+def reassemble_spans(flat_ds, num_partitions: int | None = None,
+                     renumber: bool = False):
     """Inverse of ``flatten_spans`` as a distributed operator: span rows
     (doc_id, kind, text, media_ref, offset) -> the F1 (doc_id, spans)
     list<struct> shape, spans ordered by offset. This is the re-pack step
@@ -153,7 +154,12 @@ def reassemble_spans(flat_ds, num_partitions: int | None = None):
     cannot round-trip — flatten -> reassemble drops zero-span docs (the
     `f1_reassemble_docs` oracle filters to n_spans > 0 accordingly).
     Callers needing them back must left-join against the original doc-id
-    set and attach empty lists."""
+    set and attach empty lists.
+
+    ``renumber=True`` reassigns offsets 0..n-1 per doc in original-offset
+    order — required after any span-DROPPING transform (dedup, filter),
+    where the surviving original offsets have holes and would fail the
+    span-sequence invariant."""
     from ..stages.agg import _add_pkey, default_partitions
 
     if num_partitions is None:
@@ -178,11 +184,18 @@ def reassemble_spans(flat_ds, num_partitions: int | None = None):
         starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
         offsets = pa.array(np.append(starts, len(doc)).astype(np.int32),
                            type=pa.int32())
+        if renumber:
+            counts = np.diff(np.append(starts, len(doc)))
+            off_arr = pa.array((np.arange(len(doc))
+                                - np.repeat(starts, counts)).astype(np.int32),
+                               type=pa.int32())
+        else:
+            off_arr = pc.cast(t["offset"].combine_chunks(), pa.int32())
         structs = pa.StructArray.from_arrays(
             [t["kind"].combine_chunks(),
              t["text"].combine_chunks(),
              t["media_ref"].combine_chunks(),
-             pc.cast(t["offset"].combine_chunks(), pa.int32())],
+             off_arr],
             fields=list(SPAN_TYPE))
         lists = pa.ListArray.from_arrays(offsets, structs)
         doc_keys = t["doc_id"].combine_chunks().take(
@@ -191,3 +204,80 @@ def reassemble_spans(flat_ds, num_partitions: int | None = None):
                                     names=["doc_id", "spans"])
 
     return routed.groupby("_pkey").map_groups(rebuild, batch_format="pyarrow")
+
+
+def media_dedup(ds, num_partitions: int | None = None):
+    """Corpus-wide MEDIA dedup over interleaved docs: every non-blank
+    media_ref survives only at its globally first (doc_id, offset)
+    occurrence — the interleaved twin of ``curation.line_dedup`` (a
+    multimodal corpus repeats the same hero images / logos across
+    thousands of pages; training wants each decoded once). Text spans
+    and blank-ref media always survive; surviving spans are re-packed
+    per doc with offsets RENUMBERED 0..n-1 so the span-sequence
+    invariant holds on the output.
+
+    Shape: ONE exchange keyed by a composite dedup key — candidate media
+    keyed by their media_ref, everything else by a per-span unique key —
+    so the uniform 'keep min-(doc_id, offset) per key' combine dedups
+    candidates and passes the rest through without a second scan of the
+    input; then the doc-keyed reassembly exchange. Both exchanges carry
+    light span rows only."""
+    import pandas as pd
+
+    from ..stages.agg import hash_grouped_agg
+
+    flat = ds.map_batches(flatten_spans, batch_format="pyarrow")
+
+    def key(b: pa.Table) -> "pd.DataFrame":
+        d = b.to_pandas()
+        cand = (d["kind"] == "media") & (d["media_ref"] != "")
+        unique = ("u:" + d["doc_id"].astype(str) + ":"
+                  + d["offset"].astype(str))
+        d["dedup_key"] = np.where(cand, "m:" + d["media_ref"], unique)
+        return d
+
+    def keep_first(b: "pd.DataFrame") -> "pd.DataFrame":
+        return (b.sort_values(["dedup_key", "doc_id", "offset"],
+                              kind="mergesort")
+                 .drop_duplicates("dedup_key", keep="first"))
+
+    winners = hash_grouped_agg(flat.map_batches(key, batch_format="pyarrow"),
+                               ["dedup_key"], keep_first, keep_first,
+                               num_partitions)
+    survivors = winners.map_batches(
+        lambda b: b[["doc_id", "kind", "text", "media_ref", "offset"]],
+        batch_format="pandas")
+    return reassemble_spans(survivors, num_partitions, renumber=True)
+
+
+def caption_pairs(ds, num_partitions: int | None = None):
+    """Caption candidates for every non-blank media span: the nearest
+    PRECEDING text span's text within the same doc ('' when the media
+    leads the doc). One doc-keyed exchange of light span rows; the
+    per-partition resolve is a vectorized sort + grouped forward-fill —
+    no per-doc Python dispatch. Returns (doc_id, media_ref, offset,
+    caption)."""
+    import pandas as pd
+
+    from ..stages.agg import hash_grouped_agg
+
+    flat = ds.map_batches(flatten_spans, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> "pd.DataFrame":
+        return b.select(["doc_id", "kind", "text", "media_ref",
+                         "offset"]).to_pandas()
+
+    def resolve(part: "pd.DataFrame") -> "pd.DataFrame":
+        part = part.sort_values(["doc_id", "offset"], kind="mergesort")
+        is_text = (part["kind"] == "text").to_numpy()
+        cap = part["text"].where(is_text)
+        # media rows are NaN, so the grouped ffill hands each one the
+        # nearest preceding text span within its doc
+        cap = cap.groupby(part["doc_id"], sort=False).ffill()
+        part = part.assign(caption=cap.fillna(""))
+        media = part[(part["kind"] == "media") & (part["media_ref"] != "")]
+        return media[["doc_id", "media_ref", "offset", "caption"]]
+
+    return hash_grouped_agg(flat.map_batches(project, batch_format="pyarrow"),
+                            ["doc_id"], lambda b: b, resolve,
+                            num_partitions)

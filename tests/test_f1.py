@@ -112,3 +112,77 @@ def test_reassemble_roundtrip_exact(ray_session):
         got = [dict(d) for d in got]
         want = [dict(d) for d in want]
         assert got == want
+
+
+def _mk_f1(rows):
+    """rows: list of (doc_id, [span dicts without offset])."""
+    import pyarrow as pa
+
+    from north_cloud_ray.frontier.schema import SPAN_TYPE
+
+    ids, spans = [], []
+    for doc_id, ss in rows:
+        ids.append(doc_id)
+        spans.append([{**s, "offset": i} for i, s in enumerate(ss)])
+    return pa.Table.from_arrays(
+        [pa.array(ids, type=pa.string()),
+         pa.array(spans, type=pa.list_(SPAN_TYPE))],
+        names=["doc_id", "spans"])
+
+
+def _t(x):
+    return {"kind": "text", "text": x, "media_ref": ""}
+
+
+def _m(r):
+    return {"kind": "media", "text": "", "media_ref": r}
+
+
+def test_media_dedup_semantics(ray_session):
+    """First (doc_id, offset) occurrence of each ref wins globally;
+    blanks and text pass through; offsets renumber to 0..n-1 so the
+    rebuilt docs satisfy the span-sequence invariant."""
+    import ray.data
+
+    from north_cloud_ray.sources.f1 import media_dedup, validate_span_order
+
+    tbl = _mk_f1([
+        ("a", [_t("t0"), _m("img1"), _m("img2")]),
+        ("b", [_m("img1"), _t("t1"), _m("img3")]),   # loses img1
+        ("c", [_m("img2"), _m("img3")]),             # loses everything
+        ("d", [_m(""), _t("t2")]),                   # blank ref survives
+    ])
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    deduped = media_dedup(ds, num_partitions=4).materialize()
+    out = deduped.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = {r["doc_id"]: [(d["kind"], d["media_ref"], d["offset"])
+                         for d in r["spans"]]
+           for _, r in out.iterrows()}
+    assert got == {
+        "a": [("text", "", 0), ("media", "img1", 1), ("media", "img2", 2)],
+        "b": [("text", "", 0), ("media", "img3", 1)],
+        "d": [("media", "", 0), ("text", "", 1)],
+    }
+    # renumbered offsets keep the ordering invariant (blank-media shape
+    # violation in doc d is the validator's job, not dedup's)
+    flags = deduped.map_batches(validate_span_order,
+                                batch_format="pyarrow").to_pandas()
+    assert flags.set_index("doc_id")["spans_valid"]["a"]
+    assert flags.set_index("doc_id")["spans_valid"]["b"]
+
+
+def test_caption_pairs_edges(ray_session):
+    """Leading media gets caption ''; each media pairs with the NEAREST
+    preceding text; blank-ref media are excluded."""
+    import ray.data
+
+    from north_cloud_ray.sources.f1 import caption_pairs
+
+    tbl = _mk_f1([
+        ("a", [_m("lead"), _t("one"), _m("x"), _t("two"), _m("y"),
+               _m("z"), _m("")]),
+    ])
+    out = caption_pairs(ray.data.from_arrow(tbl), num_partitions=2) \
+        .to_pandas().sort_values("offset")
+    assert list(zip(out["media_ref"], out["caption"])) == [
+        ("lead", ""), ("x", "one"), ("y", "two"), ("z", "two")]
