@@ -1434,6 +1434,42 @@ def f1_caption_pairs(sf_dir: str):
     return caption_pairs(f1)
 
 
+def f1_redact_spans(sf_dir: str):
+    """The curation layer running INSIDE interleaved docs: PII redaction
+    applied to text spans only via map_text_spans (flatten -> vectorized
+    regex kernel on text spans -> reassemble), media alignment and
+    offsets untouched; output is span_stats over the redacted docs, so
+    the hash check covers the full flatten/transform/re-pack loop."""
+    from ..sources.f1 import map_text_spans, span_stats
+    from ..stages.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    f1 = _pii_augmented_docs(sf_dir).map_batches(
+        lambda b: _docs_to_spans(b), batch_format="pandas")
+
+    def red(t: pd.Series) -> pd.Series:
+        t = t.str.replace(EMAIL_RE, "<EMAIL>", regex=True, flags=re.ASCII)
+        t = t.str.replace(PHONE_RE, "<PHONE>", regex=True, flags=re.ASCII)
+        return t.str.replace(IPV4_RE, "<IP>", regex=True, flags=re.ASCII)
+
+    return map_text_spans(f1, red).map_batches(span_stats,
+                                               batch_format="pyarrow")
+
+
+def f1_truncate_docs(sf_dir: str):
+    """Token-budget prefix truncation of interleaved docs (budget 96,
+    media span cost 16, text span cost = its whitespace tokens, first
+    span always kept): one doc-keyed exchange + vectorized grouped
+    cumsum, rebuilt through reassemble_spans; output is span_stats over
+    the truncated docs, hash-checked against a SQL window cumsum."""
+    from ..sources.f1 import span_stats, truncate_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    f1 = docs.map_batches(lambda b: _docs_to_spans(b),
+                          batch_format="pandas")
+    return truncate_spans(f1, budget=96, media_tokens=16).map_batches(
+        span_stats, batch_format="pyarrow")
+
+
 def f1_pack_windows(sf_dir: str):
     """Interleaved-aware sequence packing (axes A x B): each doc's token
     cost = its whitespace text tokens + 16 per media span (the fixed
@@ -2623,6 +2659,8 @@ QUERIES = {
     "f1_reassemble_docs": f1_reassemble_docs,
     "f1_media_dedup": f1_media_dedup,
     "f1_caption_pairs": f1_caption_pairs,
+    "f1_redact_spans": f1_redact_spans,
+    "f1_truncate_docs": f1_truncate_docs,
     "f1_pack_windows": f1_pack_windows,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
@@ -2897,6 +2935,96 @@ ORACLE_SQL = {
         FROM refs r
         JOIN chunks c ON c.doc_id = r.doc_id AND c.i = 2 * r.j + 1
         WHERE r.ref <> ''
+    """,
+    "f1_redact_spans": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' call 416-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS ws
+          FROM aug
+        ),
+        s AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (len(ws) + 19) // 20 END AS nt
+          FROM d
+        ),
+        red AS (
+          SELECT doc_id,
+                 length(regexp_replace(regexp_replace(regexp_replace(
+                     array_to_string(ws[20 * i + 1 : 20 * i + 20], ' '),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>',
+                     'g')) AS chars
+          FROM s, unnest(range(0, nt)) AS t(i)
+        ),
+        tot AS (SELECT doc_id, CAST(sum(chars) AS BIGINT)
+                    AS total_text_chars
+                FROM red GROUP BY doc_id)
+        SELECT s.doc_id,
+               CAST(s.nt + s.nt // 2 AS BIGINT) AS n_spans,
+               CAST(s.nt // 2 AS BIGINT) AS n_media,
+               CAST(s.nt AS BIGINT) AS n_text,
+               t.total_text_chars
+        FROM s JOIN tot t USING (doc_id)
+        WHERE s.nt > 0
+    """,
+    "f1_truncate_docs": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, ws, len(ws) AS nw,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (len(ws) + 19) // 20 END AS nt
+          FROM d
+        ),
+        spans AS (
+          SELECT doc_id, i + i // 2 AS off, FALSE AS is_media,
+                 array_to_string(ws[20 * i + 1 : 20 * i + 20], ' ')
+                     AS chunk,
+                 CASE WHEN 20 * i + 20 <= nw THEN 20
+                      ELSE nw - 20 * i END AS cost
+          FROM s, unnest(range(0, nt)) AS t(i)
+          UNION ALL
+          SELECT doc_id, 3 * j + 2, TRUE, '', 16
+          FROM s, unnest(range(0, nt // 2)) AS t(j)
+        ),
+        cum AS (
+          SELECT *, SUM(cost) OVER (PARTITION BY doc_id ORDER BY off
+                                    ROWS UNBOUNDED PRECEDING) AS c
+          FROM spans
+        ),
+        kept AS (SELECT * FROM cum WHERE c <= 96 OR off = 0)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN is_media THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_media,
+               CAST(sum(CASE WHEN is_media THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_text,
+               CAST(sum(length(chunk)) AS BIGINT) AS total_text_chars
+        FROM kept GROUP BY doc_id
     """,
     "multimodal_features_docs": r"""
         WITH d AS (

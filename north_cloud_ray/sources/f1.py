@@ -281,3 +281,68 @@ def caption_pairs(ds, num_partitions: int | None = None):
     return hash_grouped_agg(flat.map_batches(project, batch_format="pyarrow"),
                             ["doc_id"], lambda b: b, resolve,
                             num_partitions)
+
+
+def map_text_spans(ds, fn, num_partitions: int | None = None):
+    """Span-level text transform preserving the interleave: flatten ->
+    apply ``fn`` (a vectorized pandas Series -> Series kernel) to the
+    TEXT spans' text only -> reassemble. Media spans pass through
+    untouched; offsets are preserved (no spans are added or dropped), so
+    the span-sequence invariant survives by construction. This is the
+    composition point for running the curation layer (PII redaction,
+    normalization) INSIDE interleaved docs without losing media
+    alignment."""
+    import pandas as pd
+
+    flat = ds.map_batches(flatten_spans, batch_format="pyarrow")
+
+    def apply(b: pa.Table) -> "pd.DataFrame":
+        d = b.to_pandas()
+        is_text = (d["kind"] == "text").to_numpy()
+        if is_text.any():
+            t = d["text"].copy()
+            t[is_text] = fn(t[is_text])
+            d["text"] = t
+        return d
+
+    return reassemble_spans(flat.map_batches(apply, batch_format="pyarrow"),
+                            num_partitions)
+
+
+def truncate_spans(ds, budget: int = 96, media_tokens: int = 16,
+                   num_partitions: int | None = None):
+    """Token-budget PREFIX truncation of interleaved docs: spans are
+    kept in offset order while the inclusive running cost stays within
+    ``budget`` (text span cost = its whitespace token count, media span
+    cost = ``media_tokens``); the first span always survives so no doc
+    vanishes. Surviving spans are a prefix, so offsets remain 0..k-1 and
+    the span-sequence invariant holds without renumbering.
+
+    One doc-keyed exchange of light span rows; the per-partition resolve
+    is a vectorized sort + grouped cumsum — no per-doc Python."""
+    import pandas as pd
+
+    from ..stages.agg import hash_grouped_agg
+
+    flat = ds.map_batches(flatten_spans, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> "pd.DataFrame":
+        return b.select(["doc_id", "kind", "text", "media_ref",
+                         "offset"]).to_pandas()
+
+    def resolve(part: "pd.DataFrame") -> "pd.DataFrame":
+        part = part.sort_values(["doc_id", "offset"], kind="mergesort")
+        is_media = (part["kind"] == "media").to_numpy()
+        cost = np.where(
+            is_media, media_tokens,
+            part["text"].fillna("").str.split().str.len()
+                .fillna(0).to_numpy("int64"))
+        cum = pd.Series(cost).groupby(
+            part["doc_id"].to_numpy(), sort=False).cumsum().to_numpy()
+        keep = (cum <= budget) | (part["offset"].to_numpy() == 0)
+        return part[keep]
+
+    kept = hash_grouped_agg(flat.map_batches(project, batch_format="pyarrow"),
+                            ["doc_id"], lambda b: b, resolve,
+                            num_partitions)
+    return reassemble_spans(kept, num_partitions)

@@ -186,3 +186,47 @@ def test_caption_pairs_edges(ray_session):
         .to_pandas().sort_values("offset")
     assert list(zip(out["media_ref"], out["caption"])) == [
         ("lead", ""), ("x", "one"), ("y", "two"), ("z", "two")]
+
+
+def test_truncate_spans_edges(ray_session):
+    """First span survives even when alone it busts the budget; costs
+    count text tokens and the fixed media charge; survivors are a clean
+    offset prefix."""
+    import ray.data
+
+    from north_cloud_ray.sources.f1 import truncate_spans
+
+    tbl = _mk_f1([
+        ("a", [_t(" ".join(["w"] * 50))]),            # 50 > 10: kept (first)
+        ("b", [_t("x y z"), _m("r1"), _t("p q"),      # 3 +16 cum=19>10 cut
+               _m("r2")]),
+        ("c", [_t("a b"), _t("c d"), _t("e f"),       # 2,4,6,8,10 all kept
+               _t("g h"), _t("i j"), _t("k l")]),     # 12 > 10 cut
+    ])
+    out = truncate_spans(ray.data.from_arrow(tbl), budget=10,
+                         media_tokens=16, num_partitions=2).to_pandas()
+    got = {r["doc_id"]: [(d["kind"], d["offset"]) for d in r["spans"]]
+           for _, r in out.iterrows()}
+    assert got == {
+        "a": [("text", 0)],
+        "b": [("text", 0)],
+        "c": [("text", 0), ("text", 1), ("text", 2), ("text", 3),
+              ("text", 4)],
+    }
+
+
+def test_map_text_spans_media_untouched(ray_session):
+    """Text-span transform must leave media spans and offsets intact."""
+    import ray.data
+
+    from north_cloud_ray.sources.f1 import map_text_spans
+
+    tbl = _mk_f1([("a", [_t("hello"), _m("ref1"), _t("world")])])
+    out = map_text_spans(ray.data.from_arrow(tbl),
+                         lambda t: t.str.upper(),
+                         num_partitions=2).to_pandas()
+    spans = [dict(d) for d in out["spans"].iloc[0]]
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in spans] == [
+        ("text", "HELLO", "", 0), ("media", "", "ref1", 1),
+        ("text", "WORLD", "", 2)]
