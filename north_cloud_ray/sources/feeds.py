@@ -168,8 +168,23 @@ def poll_feeds_batch(state: pd.DataFrame, web, now_us: int) -> FeedPollResult:
 
 def sitemap_candidates(web, host: str, now_us: int) -> list[dict]:
     """Resolve a host's sitemap (following one level of sitemap index) into
-    frontier candidates (origin=sitemap, priority 6)."""
-    if not web.has_sitemap(host):
+    frontier candidates (origin=sitemap, priority 6). Discovery is the
+    union of the two standard paths: ``Sitemap:`` lines declared in the
+    host's robots.txt (group-independent per the Robots Exclusion
+    Protocol) and the /sitemap.xml common-path probe — a host whose
+    robots declares a sitemap is seeded even when the probe misses.
+    robots.txt here is the same deterministic fixture fetch the fetch
+    stage caches per process; fetch errors degrade to probe-only."""
+    declared: list[str] = []
+    try:
+        body, status = web.robots_fetch(host)
+        if status == 200 and body:
+            from ..state.robots import RobotsRules
+
+            declared = RobotsRules.parse(body).sitemaps
+    except Exception:
+        pass
+    if not declared and not web.has_sitemap(host):
         return []
     bodies = [web.render_sitemap(host)]
     out: list[dict] = []

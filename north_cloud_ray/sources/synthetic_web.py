@@ -102,10 +102,16 @@ class SyntheticWeb:
         lim_cd = lim_dis + int(c.frac_robots_crawl_delay * 1000)
         if r < lim_err:
             raise ConnectionError(f"robots fetch failed for {host}")
+        # hosts with a sitemap DECLARE it in robots.txt (the spec'd
+        # discovery path sitemap_candidates parses; the /sitemap.xml
+        # probe remains the fallback for 404-robots hosts)
+        sm = (f"Sitemap: https://{host}/sitemap.xml\n"
+              if self.has_sitemap(host) else "")
         if r < lim_dis:
-            return "User-agent: *\nDisallow: /private/\n", 200
+            return f"User-agent: *\nDisallow: /private/\n{sm}", 200
         if r < lim_cd:
-            return "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n", 200
+            return ("User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+                    f"{sm}"), 200
         return None, 404  # no robots.txt => allow all
 
     # ---- URL space ----

@@ -34,15 +34,19 @@ class RobotsGroup:
 class RobotsRules:
     """Parsed robots.txt for one host."""
 
-    __slots__ = ("groups", "allow_all")
+    __slots__ = ("groups", "allow_all", "sitemaps")
 
-    def __init__(self, groups: list[RobotsGroup] | None = None, allow_all: bool = False):
+    def __init__(self, groups: list[RobotsGroup] | None = None,
+                 allow_all: bool = False,
+                 sitemaps: list[str] | None = None):
         self.groups = groups or []
         self.allow_all = allow_all
+        self.sitemaps = sitemaps or []
 
     @classmethod
     def parse(cls, body: str) -> "RobotsRules":
         groups: list[RobotsGroup] = []
+        sitemaps: list[str] = []
         current: RobotsGroup | None = None
         last_was_agent = False
         for raw_line in body.splitlines():
@@ -73,9 +77,16 @@ class RobotsRules:
                         current.crawl_delay_s = float(value)
                     except ValueError:
                         pass
+            elif key == "sitemap":
+                # spec: Sitemap lines are group-independent; the value is
+                # an absolute URL (partition at the FIRST ':' keeps the
+                # scheme intact in `value`)
+                last_was_agent = False
+                if value:
+                    sitemaps.append(value)
             else:
                 last_was_agent = False
-        return cls(groups)
+        return cls(groups, sitemaps=sitemaps)
 
     def _find_group(self, user_agent: str) -> RobotsGroup | None:
         ua = user_agent.lower()

@@ -160,3 +160,43 @@ def test_crawl_with_feeds_matches_oracle(ray_session, tmp_path):
             if pd.isna(a):
                 a = None
             assert a == orow[c], (h, c, a, orow[c])
+
+
+def test_robots_sitemap_lines_parse():
+    from north_cloud_ray.state.robots import RobotsRules
+
+    r = RobotsRules.parse(
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://h/sitemap.xml\n"
+        "SITEMAP: https://h/sitemap-news.xml\n"
+        "Sitemap:\n")  # empty value ignored
+    assert r.sitemaps == ["https://h/sitemap.xml",
+                          "https://h/sitemap-news.xml"]
+    assert not r.test_agent("/x/page", "bot")  # groups still parse
+
+
+def test_sitemap_discovery_via_robots_only():
+    """A host whose robots DECLARES a sitemap is seeded even when the
+    common-path probe misses (has_sitemap False)."""
+
+    class FakeWeb:
+        def robots_fetch(self, host):
+            return ("User-agent: *\nDisallow: /private/\n"
+                    f"Sitemap: https://{host}/sitemap.xml\n", 200)
+
+        def has_sitemap(self, host):
+            return False
+
+        def render_sitemap(self, host, part=None):
+            return ("<urlset><url><loc>https://h1/entry/0</loc></url>"
+                    "</urlset>")
+
+    cands = sitemap_candidates(FakeWeb(), "h1", 0)
+    assert [c["url"] for c in cands] == ["https://h1/entry/0"]
+    assert all(c["origin"] == "sitemap" for c in cands)
+
+    class ErrWeb(FakeWeb):
+        def robots_fetch(self, host):
+            raise ConnectionError("boom")
+
+    assert sitemap_candidates(ErrWeb(), "h1", 0) == []  # degrade to probe
