@@ -12,6 +12,12 @@ window over a sitemap-seeded 382k-page frontier) in fresh processes at
 RAY_GRAFT_CPUS=8 and 32 (N and 4N), two interleaved runs per level (best
 kept), and reports both throughputs plus the scaling efficiency
 (BASELINE.md protocol).
+
+--scaling-nodes: the multi-NODE variant — one isolated 8-core Ray node
+over the full input vs FOUR isolated 8-core Ray nodes (own scheduler /
+object store / store dir, disjoint taskset cores) concurrently crawling
+their host_hash %% 4 partitions, barrier-synced. Closer to a real 4x-node
+cluster than one 32-slot process; see scaling_nodes().
 """
 
 from __future__ import annotations
@@ -131,13 +137,24 @@ SCALING_PAGES = 64
 SCALING_TEXT_SCALE = 8
 
 
-def run_scaling_workload(num_cpus: int) -> dict:
+def run_scaling_workload(num_cpus: int, node_k: int | None = None,
+                         node_count: int | None = None,
+                         barrier_dir: str | None = None) -> dict:
     """Steady-state pages/sec: ONE big politeness window over a
     sitemap-style pre-seeded frontier (every page pending at t=0), so the
     measurement is the sustained claim->fetch->parse->merge rate rather
     than many small-round barriers (BASELINE.md protocol: 'fetched+parsed
     docs per wall-clock second, steady state'). max_depth=0 keeps the
-    workload identical at both levels (no discovery feedback)."""
+    workload identical at both levels (no discovery feedback).
+
+    ``node_k``/``node_count``: node-parallel mode — this process acts as
+    node k of a node_count-node cluster and seeds/crawls ONLY the hosts
+    with host_hash64 % node_count == k (the engine's own shard math, so
+    the partition is exactly what a real multi-node frontier would own).
+    ``barrier_dir`` synchronizes the measured window across nodes: each
+    node drops a ready file after seeding and waits for all peers, so
+    every node's run_round overlaps the others' (full cross-node
+    contention is measured, not a stagger artifact)."""
     import hashlib
 
     import pandas as pd
@@ -176,6 +193,8 @@ def run_scaling_workload(num_cpus: int) -> dict:
     for i in range(web_cfg.n_hosts):
         host = web.host_name(i)
         hh = host_hash64(host)
+        if node_count is not None and hh % node_count != node_k:
+            continue
         for j in range(web.page_count(host)):
             u = web.url_for(host, j)
             rows.append(
@@ -207,6 +226,16 @@ def run_scaling_workload(num_cpus: int) -> dict:
             filt.add(h)
         runner.store.write_bytes(filt.to_bytes(), runner.store.cuckoo_path(0, s))
     runner.store.commit_state(0)
+
+    if barrier_dir is not None:
+        with open(os.path.join(barrier_dir, f"ready-{node_k}"), "w") as f:
+            f.write("1")
+        deadline = time.time() + 600
+        while len(glob.glob(os.path.join(barrier_dir, "ready-*"))) \
+                < (node_count or 1):
+            if time.time() > deadline:
+                raise TimeoutError("node barrier timed out")
+            time.sleep(0.05)
 
     t0 = time.perf_counter()
     m = runner.run_round(0)
@@ -261,18 +290,29 @@ def run_queries(sf_dir: str) -> dict:
 def main() -> None:
     import ray
 
+    init_kwargs = {}
+    if os.environ.get("GRAFT_OBJ_STORE_BYTES"):
+        init_kwargs["object_store_memory"] = \
+            int(os.environ["GRAFT_OBJ_STORE_BYTES"])
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **init_kwargs,
     )
     try:
         if os.environ.get("GRAFT_SCALING_WORKLOAD"):
+            node_k = os.environ.get("GRAFT_NODE_K")
+            kw = {}
+            if node_k is not None:
+                kw = {"node_k": int(node_k),
+                      "node_count": int(os.environ["GRAFT_NODE_COUNT"]),
+                      "barrier_dir": os.environ.get("GRAFT_BARRIER_DIR")}
             print(json.dumps({"metric": "steady-state crawl pages/sec",
                               "unit": "pages/sec", "num_cpus": NUM_CPUS,
-                              **run_scaling_workload(NUM_CPUS)}))
+                              **run_scaling_workload(NUM_CPUS, **kw)}))
             return
         head = run_headline(NUM_CPUS)
         qtimes = (
@@ -383,8 +423,91 @@ def scaling() -> None:
     }))
 
 
+def scaling_nodes(nodes: int = 4, cores_per_node: int = 8) -> None:
+    """Multi-NODE scaling evidence: N = one isolated 8-core Ray 'node'
+    over the full input vs 4N = four isolated 8-core Ray nodes (own
+    scheduler, own object store, own store dir, disjoint taskset core
+    sets) each crawling its host_hash %% 4 partition of the SAME input
+    concurrently (barrier-synced measured windows). This simulates a
+    real 4x-node cluster more faithfully than one 32-slot process: the
+    single-process 8->32 protocol shares one scheduler, one object store
+    and one GIL-bound driver across all 32 slots, none of which a real
+    cluster shares. Only the memory bus and hypervisor CPU quota remain
+    shared here (unavoidable on one box; BASELINE.md documents both).
+    The crawl partitions exactly by host hash — the same shard math the
+    engine uses — and max_depth=0 means zero cross-node traffic, which
+    matches the reference rule's fixed-seed-list steady state."""
+    total = nodes * cores_per_node
+    if not shutil.which("taskset") or (os.cpu_count() or 0) < total:
+        print(json.dumps({"error": "needs taskset and >= %d cores" % total}))
+        return
+    obj_bytes = str(2 * 1024 ** 3)  # same store size at BOTH levels
+
+    def run_single() -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cores_per_node),
+                   GRAFT_SCALING_WORKLOAD="1",
+                   GRAFT_OBJ_STORE_BYTES=obj_bytes)
+        cmd = ["taskset", "-c", f"0-{cores_per_node - 1}",
+               sys.executable, os.path.abspath(__file__)]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True).stdout
+        time.sleep(8)
+        return json.loads(out.strip().splitlines()[-1])
+
+    def run_nodes() -> dict:
+        barrier = tempfile.mkdtemp(prefix="ncray-barrier-")
+        procs = []
+        for k in range(nodes):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cores_per_node),
+                       GRAFT_SCALING_WORKLOAD="1",
+                       GRAFT_OBJ_STORE_BYTES=obj_bytes,
+                       GRAFT_NODE_K=str(k), GRAFT_NODE_COUNT=str(nodes),
+                       GRAFT_BARRIER_DIR=barrier)
+            lo, hi = k * cores_per_node, (k + 1) * cores_per_node - 1
+            cmd = ["taskset", "-c", f"{lo}-{hi}",
+                   sys.executable, os.path.abspath(__file__)]
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        results = []
+        for p in procs:
+            out, err = p.communicate(timeout=1200)
+            if p.returncode != 0:
+                raise RuntimeError(f"node worker failed: {err[-2000:]}")
+            results.append(json.loads(out.strip().splitlines()[-1]))
+        shutil.rmtree(barrier, ignore_errors=True)
+        time.sleep(8)
+        claims = sum(r["claims"] for r in results)
+        wall = max(r["sec"] for r in results)  # barrier-synced start
+        return {"claims": claims, "sec": wall,
+                "pages_per_sec": round(claims / wall, 1),
+                "per_node": [{"claims": r["claims"], "sec": r["sec"],
+                              "pages_per_sec": r["pages_per_sec"]}
+                             for r in results]}
+
+    # interleaved best-of-2 per level (same ±20% VM-noise treatment as
+    # the single-process protocol)
+    s1, n1 = run_single(), run_nodes()
+    s2, n2 = run_single(), run_nodes()
+    s = max(s1, s2, key=lambda r: r["pages_per_sec"])
+    n = max(n1, n2, key=lambda r: r["pages_per_sec"])
+    eff = (n["pages_per_sec"] / s["pages_per_sec"]) / nodes
+    print(json.dumps({
+        "mode": "node-parallel (isolated Ray clusters, disjoint cores)",
+        "nodes": nodes, "cores_per_node": cores_per_node,
+        "claims_1node": s["claims"], "claims_4node": n["claims"],
+        "sec_1node": s["sec"], "sec_4node": n["sec"],
+        "pages_per_sec_1node": s["pages_per_sec"],
+        "pages_per_sec_4node": n["pages_per_sec"],
+        "node_scaling_efficiency": round(eff, 3),
+        "per_node": n["per_node"],
+    }))
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-nodes" in sys.argv:
+        scaling_nodes()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         main()

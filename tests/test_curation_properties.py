@@ -193,3 +193,124 @@ def test_snapshot_diff_matches_reference(ray_session, old_map, new_map):
     got_map = {r.url_hash: (r.status, r.old_hash, r.new_hash)
                for r in got.itertuples()}
     assert got_map == want
+
+
+# ---- distributed == sequential-reference properties (small example
+# counts: each example runs real Ray jobs) ----
+
+line_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", ""]),
+             max_size=5).map("\n".join),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(line_texts)
+def test_line_dedup_matches_sequential(ray_session, texts):
+    import ray.data
+
+    from north_cloud_ray.stages.curation import line_dedup
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = line_dedup(ray.data.from_pandas(df).repartition(3),
+                     num_partitions=4).to_pandas()
+    if len(got) == 0:
+        # all-boilerplate corpus: empty result is schema-less by the
+        # documented hash_grouped_agg contract
+        got = pd.DataFrame(columns=["doc_id", "text_dedup", "n_lines",
+                                    "n_kept"])
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    seen, want = set(), []
+    for i, t in enumerate(texts):
+        lines = [ln for ln in t.split("\n") if ln != ""]
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        if kept:
+            want.append((i, "\n".join(kept), len(lines), len(kept)))
+    assert list(map(tuple, got.to_records(index=False))) == want
+
+
+span_lists = st.lists(
+    st.lists(st.tuples(st.booleans(),
+                       st.sampled_from(["r1", "r2", "r3", ""])),
+             min_size=1, max_size=6),
+    min_size=1, max_size=6)
+
+
+def _to_f1(doc_spans):
+    import pyarrow as pa
+
+    from north_cloud_ray.frontier.schema import SPAN_TYPE
+
+    ids, spans = [], []
+    for i, ss in enumerate(doc_spans):
+        ids.append(f"d{i:03d}")
+        spans.append([
+            {"kind": "media" if m else "text",
+             "text": "" if m else f"t{i}-{k}",
+             "media_ref": (r if m else ""), "offset": k}
+            for k, (m, r) in enumerate(ss)])
+    return pa.Table.from_arrays(
+        [pa.array(ids, type=pa.string()),
+         pa.array(spans, type=pa.list_(SPAN_TYPE))],
+        names=["doc_id", "spans"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(span_lists)
+def test_media_dedup_matches_sequential(ray_session, doc_spans):
+    import ray.data
+
+    from north_cloud_ray.sources.f1 import media_dedup
+
+    tbl = _to_f1(doc_spans)
+    got = media_dedup(ray.data.from_arrow(tbl).repartition(2),
+                      num_partitions=3).to_pandas()
+    got_map = {r["doc_id"]: [(d["kind"], d["text"], d["media_ref"],
+                              d["offset"]) for d in r["spans"]]
+               for _, r in got.iterrows()}
+
+    seen, want = set(), {}
+    for row in tbl.to_pylist():
+        kept = []
+        for s in row["spans"]:
+            if s["kind"] == "media" and s["media_ref"]:
+                if s["media_ref"] in seen:
+                    continue
+                seen.add(s["media_ref"])
+            kept.append(s)
+        if kept:
+            want[row["doc_id"]] = [
+                (s["kind"], s["text"], s["media_ref"], k)
+                for k, s in enumerate(kept)]
+    assert got_map == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(span_lists, st.integers(min_value=1, max_value=8))
+def test_truncate_spans_matches_sequential(ray_session, doc_spans, budget):
+    import ray.data
+
+    from north_cloud_ray.sources.f1 import truncate_spans
+
+    tbl = _to_f1(doc_spans)
+    got = truncate_spans(ray.data.from_arrow(tbl).repartition(2),
+                         budget=budget, media_tokens=3,
+                         num_partitions=3).to_pandas()
+    got_map = {r["doc_id"]: [d["offset"] for d in r["spans"]]
+               for _, r in got.iterrows()}
+
+    want = {}
+    for row in tbl.to_pylist():
+        cum, kept = 0, []
+        for s in row["spans"]:
+            cum += 3 if s["kind"] == "media" else len(s["text"].split())
+            if cum <= budget or s["offset"] == 0:
+                kept.append(s["offset"])
+        want[row["doc_id"]] = kept
+    assert got_map == want
