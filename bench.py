@@ -172,7 +172,10 @@ def run_scaling_workload(num_cpus: int, node_k: int | None = None,
     from north_cloud_ray.state.cuckoo import CuckooFilter
 
     _quiet_data_context()
-    out = tempfile.mkdtemp(prefix="ncray-scale-")
+    # GRAFT_STORE_DIR: optional tmpfs override (e.g. /dev/shm) for the
+    # crawl store, isolating disk bandwidth from the scaling measurement
+    out = tempfile.mkdtemp(prefix="ncray-scale-",
+                           dir=os.environ.get("GRAFT_STORE_DIR") or None)
     web_cfg = SyntheticWebConfig(
         n_hosts=SCALING_HOSTS, base_pages_per_host=SCALING_PAGES,
         mega_host_factor=12, text_scale=SCALING_TEXT_SCALE,

@@ -81,6 +81,11 @@ class CrawlConfig:
     # and robots state live with the shard (one owner per host).
     num_shards: int = 8
 
+    # approximate URL-seen backend per shard: "cuckoo" (default; supports
+    # incremental remove) or "bloom" (north_rule's named alternative;
+    # rebuild-on-delete, ~40% less memory at equal fp rate)
+    seen_filter: str = "cuckoo"
+
     # fetch actor pool size (reference default WorkerCount=16,
     # config/fetcher/config.go:8). Sized to the session at runtime.
     fetch_concurrency: int = 8

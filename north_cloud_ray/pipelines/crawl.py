@@ -220,10 +220,10 @@ def _rename_check_task(
 
     maybes = want
     if cuckoo_path and os.path.exists(cuckoo_path):
-        from ..state.cuckoo import CuckooFilter
+        from ..state.seenfilter import load_filter
 
         with open(cuckoo_path, "rb") as f:
-            filt = CuckooFilter.from_bytes(f.read())
+            filt = load_filter(f.read())
         mask = filt.contains_many(want)
         maybes = [h for h, m in zip(want, mask) if m]
     existing: set[str] = set()
@@ -391,6 +391,7 @@ def _merge_task(
     cuckoo_in: str | None = None,
     cuckoo_out: str | None = None,
     recrawl_baseline_us: int = 0,
+    seen_filter: str = "cuckoo",
 ) -> dict:
     """Per-shard merge step: apply submits + outcomes, write round r+1 state.
 
@@ -412,34 +413,27 @@ def _merge_task(
     CheckpointStore.write_table(_frontier_to_table(merged), out_frontier)
     CheckpointStore.write_table(host_state, out_host_state)
 
-    # maintain the shard's cuckoo filter (approximate URL-seen set): add
-    # newly admitted hashes, drop renamed-away ones; rebuild on overflow
+    # maintain the shard's seen filter (approximate URL-seen set): add
+    # newly admitted hashes, drop renamed-away ones; rebuild on overflow,
+    # on deletions when the backend can't remove (bloom), and on backend
+    # config flips (a loaded blob of the other kind is replaced here)
     if cuckoo_out is not None:
-        from ..state.cuckoo import CuckooFilter
+        from ..state.seenfilter import build_checked, filter_full, load_filter
 
         merged_hashes = merged["url_hash"]
         filt = None
         if cuckoo_in and os.path.exists(cuckoo_in):
-            with open(cuckoo_in, "rb") as f:
-                filt = CuckooFilter.from_bytes(f.read())
-        def build_checked(hashes) -> CuckooFilter:
-            # every add() return is checked: a False means overflow, so the
-            # partially-filled filter is discarded and rebuilt at 2x — the
-            # committed filter NEVER has a silently-dropped key (the "cuckoo
-            # NO is definitive" invariant rename resolution relies on).
-            cap = max(1 << 14, 2 * len(hashes))
-            while True:
-                f = CuckooFilter(capacity=cap)
-                if all(f.add(h) for h in hashes):
-                    return f
-                cap *= 2
+            filt = load_filter(open(cuckoo_in, "rb").read())
 
-        if filt is None or filt.count + len(merged_hashes) > filt.num_buckets * filt.bucket_size * 0.8:
-            filt = build_checked(merged_hashes)
-        else:
-            old_set = set(old["url_hash"])
+        old_set = set(old["url_hash"])
+        removed = old_set - set(merged_hashes)
+        can_incremental = (
+            filt is not None
+            and not filter_full(filt, len(merged_hashes))
+            and (getattr(filt, "supports_remove", False) or not removed)
+        )
+        if can_incremental:
             added = [h for h in merged_hashes if h not in old_set]
-            removed = old_set - set(merged_hashes)
             if all(filt.add(h) for h in added):
                 # removal is only safe for keys known to be present (a cuckoo
                 # remove of an absent key can evict another key's colliding
@@ -449,7 +443,9 @@ def _merge_task(
                     if filt.contains(h):
                         filt.remove(h)
             else:  # overflow mid-insert: rebuild from scratch, checked
-                filt = build_checked(merged_hashes)
+                filt = build_checked(seen_filter, merged_hashes)
+        else:
+            filt = build_checked(seen_filter, merged_hashes)
         CheckpointStore.write_bytes(filt.to_bytes(), cuckoo_out)
     status_counts = merged["status"].value_counts().to_dict()
     return {
@@ -518,7 +514,7 @@ class CrawlRunner:
             )
 
         df = seed_frontier_table(seeds, self.cfg.num_shards)
-        from ..state.cuckoo import CuckooFilter
+        from ..state.seenfilter import build_checked
 
         for s in range(self.cfg.num_shards):
             part = df[df["shard"] == s]
@@ -526,9 +522,8 @@ class CrawlRunner:
             self.store.write_table(
                 HOST_STATE_RUNTIME_SCHEMA.empty_table(), self.store.host_state_path(0, s)
             )
-            filt = CuckooFilter(capacity=max(1 << 14, 4 * len(part)))
-            for h in part["url_hash"]:
-                filt.add(h)
+            filt = build_checked(self.cfg.seen_filter,
+                                 list(part["url_hash"]))
             self.store.write_bytes(filt.to_bytes(), self.store.cuckoo_path(0, s))
         self.store.commit_state(0)
 
@@ -682,6 +677,7 @@ class CrawlRunner:
                 store.cuckoo_path(rnd, s),
                 store.cuckoo_path(rnd + 1, s),
                 cfg.recrawl_baseline_us,
+                cfg.seen_filter,
             )
             for s in range(cfg.num_shards)
         ]

@@ -1,0 +1,90 @@
+"""Bloom filter — the alternate approximate URL-seen backend.
+
+The BASELINE.json north_rule names "bloom/cuckoo URL-seen"; the cuckoo
+filter (state/cuckoo.py) is the default because it supports deletion
+(incremental maintenance when frontier rows are dropped), while this
+classic Bloom filter (Bloom 1970; double hashing per Kirsch &
+Mitzenmacher 2006) trades deletion away for simpler state and ~40%
+less memory at the same false-positive rate. The crawl loop's seen-set
+maintenance detects the missing ``remove`` and falls back to its
+checked REBUILD path on rounds that drop keys, so either backend keeps
+the same exact-set contract (NO is definitive, YES falls back to the
+exact partition probe).
+
+Deterministic (k positions derived from sha256 of the key — the same
+key-hash family the cuckoo filter uses), numpy bit array, serializable
+to bytes for per-round checkpointing alongside the frontier partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+
+class BloomFilter:
+    """add/contains/contains_many/to_bytes/from_bytes — interface-
+    compatible with CuckooFilter minus ``remove`` (supports_remove is
+    False; callers must rebuild on deletions)."""
+
+    supports_remove = False
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01,
+                 _bits: np.ndarray | None = None, _k: int | None = None):
+        if _bits is not None:
+            self.bits = _bits
+            self.k = int(_k)
+            self.m = int(len(_bits) * 8)
+        else:
+            n = max(8, capacity)
+            m = int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+            m = ((m + 7) // 8) * 8  # byte-align
+            self.m = m
+            self.k = max(1, round(m / n * math.log(2)))
+            self.bits = np.zeros(m // 8, dtype=np.uint8)
+        self.count = 0
+
+    def _positions(self, key: str) -> np.ndarray:
+        d = hashlib.sha256(key.encode()).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:16], "big") | 1  # odd => full period
+        i = np.arange(self.k, dtype=np.uint64)
+        return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.m)
+
+    def add(self, key: str) -> bool:
+        pos = self._positions(key)
+        # unbuffered OR: two of the k positions can land in the SAME byte,
+        # and fancy-index |= would then set only one of them
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        self.count += 1
+        return True  # a bloom insert never fails
+
+    def contains(self, key: str) -> bool:
+        pos = self._positions(key)
+        byte = self.bits[pos >> np.uint64(3)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bool(bit.all())
+
+    def contains_many(self, keys) -> np.ndarray:
+        return np.fromiter((self.contains(k) for k in keys), dtype=bool,
+                           count=len(keys))
+
+    def to_bytes(self) -> bytes:
+        head = b"BLM1" + self.k.to_bytes(4, "big") \
+            + int(self.count).to_bytes(8, "big")
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        if data[:4] != b"BLM1":
+            raise ValueError("not a BloomFilter blob")
+        k = int.from_bytes(data[4:8], "big")
+        count = int.from_bytes(data[8:16], "big")
+        bits = np.frombuffer(data[16:], dtype=np.uint8).copy()
+        f = cls(0, _bits=bits, _k=k)
+        f.count = count
+        return f

@@ -37,6 +37,8 @@ def _alt_index(idx: int, fp: int, num_buckets: int) -> int:
 
 
 class CuckooFilter:
+    supports_remove = True
+
     def __init__(self, capacity: int, bucket_size: int = 4):
         # ~0.95 load factor max for 4-slot buckets
         num_buckets = max(8, int(capacity / (bucket_size * 0.95)))

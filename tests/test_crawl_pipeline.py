@@ -154,3 +154,27 @@ def test_resume_from_checkpoint(ray_session, tmp_path):
     fa = r1b.frontier_dataset().to_pandas().sort_values("url_hash").reset_index(drop=True)
     fb = r2.frontier_dataset().to_pandas().sort_values("url_hash").reset_index(drop=True)
     pd.testing.assert_frame_equal(fa[FRONTIER_CMP_COLS], fb[FRONTIER_CMP_COLS])
+
+
+def test_bloom_backend_equals_cuckoo(ray_session, tmp_path):
+    """seen_filter='bloom' (rebuild-on-delete) must produce the exact
+    same final frontier and claim log as the cuckoo backend — the
+    approximate filter only short-circuits exact probes, never decides
+    membership, so the backend choice cannot change results."""
+    import dataclasses
+
+    outs = {}
+    for backend in ("cuckoo", "bloom"):
+        cfg = dataclasses.replace(CRAWL_CFG, seen_filter=backend)
+        r = CrawlRunner(str(tmp_path / backend), cfg, WEB_CFG)
+        r.run(max_rounds=4)
+        outs[backend] = r
+    fa = outs["cuckoo"].frontier_dataset().to_pandas() \
+        .sort_values("url_hash").reset_index(drop=True)
+    fb = outs["bloom"].frontier_dataset().to_pandas() \
+        .sort_values("url_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa[FRONTIER_CMP_COLS],
+                                  fb[FRONTIER_CMP_COLS])
+    ca = _pipeline_claim_log(outs["cuckoo"])
+    cb = _pipeline_claim_log(outs["bloom"])
+    pd.testing.assert_frame_equal(ca, cb)
