@@ -86,6 +86,12 @@ class CrawlConfig:
     # rebuild-on-delete, ~40% less memory at equal fp rate)
     seen_filter: str = "cuckoo"
 
+    # retention GC: after each committed round, delete state snapshots
+    # older than the newest N committed rounds (None = keep everything;
+    # resume only reads the latest committed state, so at 10^10-frontier
+    # scale unbounded snapshots are storage for no recovery value)
+    state_keep_last: int | None = None
+
     # fetch actor pool size (reference default WorkerCount=16,
     # config/fetcher/config.go:8). Sized to the session at runtime.
     fetch_concurrency: int = 8

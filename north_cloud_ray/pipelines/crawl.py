@@ -683,6 +683,8 @@ class CrawlRunner:
         ]
         shard_metrics = ray.get(merge_refs)
         store.commit_state(rnd + 1)
+        if cfg.state_keep_last:
+            store.prune_state(cfg.state_keep_last)
         _mark("merge")
         last = _t0
         timings = {}

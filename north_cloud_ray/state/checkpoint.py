@@ -95,6 +95,38 @@ class CheckpointStore:
         if os.path.isdir(d) and not self.is_committed(rnd):
             shutil.rmtree(d)
 
+    def prune_state(self, keep_last: int = 2) -> list[str]:
+        """Retention GC for state snapshots: delete committed
+        state/round-N dirs older than the newest ``keep_last`` committed
+        rounds. Resume only ever reads the LATEST committed state, so at
+        10^10-frontier scale keeping every round's full frontier snapshot
+        is unbounded storage for no recovery value; keep_last >= 2 keeps
+        one fallback generation. Round OUTPUT (claims/results/docs —
+        the lineage and the corpus) is never touched; uncommitted state
+        dirs are left for clear_uncommitted_state. Returns the deleted
+        directories."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        state_root = os.path.join(self.root, "state")
+        if not os.path.isdir(state_root):
+            return []
+        committed = sorted(
+            int(name.split("-")[1])
+            for name in os.listdir(state_root)
+            if name.startswith("round-")
+            and name.split("-")[1].isdigit()
+            and self.is_committed(int(name.split("-")[1]))
+        )
+        deleted = []
+        for rnd in committed[:-keep_last]:
+            d = self.state_dir(rnd)
+            # drop the commit marker FIRST: a partially-deleted dir must
+            # never be mistaken for a committed snapshot by a resumer
+            os.remove(os.path.join(d, "_SUCCESS"))
+            shutil.rmtree(d)
+            deleted.append(d)
+        return deleted
+
     # ---- IO helpers ----
     @staticmethod
     def write_table(table: pa.Table, path: str) -> None:

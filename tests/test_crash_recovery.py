@@ -52,3 +52,45 @@ def test_partial_round_artifacts_discarded(ray_session, tmp_path):
     assert list(a.index) == list(b.index)
     for c in CMP:
         assert list(a[c]) == list(b[c]), c
+
+
+def test_prune_state_retention_and_resume(ray_session, tmp_path):
+    """state_keep_last=1 deletes every committed snapshot but the newest
+    after each round; resume from the pruned store still matches a
+    straight run exactly; round output (claims/docs) is never touched."""
+    import dataclasses
+    import glob
+    import os
+
+    import pandas as pd
+
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+
+    web = SyntheticWebConfig(n_hosts=6)
+    base = CrawlConfig(num_shards=4, fetch_concurrency=2,
+                       fetch_batch_size=64)
+    pruned_cfg = dataclasses.replace(base, state_keep_last=1)
+
+    out_a = str(tmp_path / "pruned")
+    ra = CrawlRunner(out_a, pruned_cfg, web)
+    ra.run(max_rounds=3)
+    state_dirs = sorted(glob.glob(os.path.join(out_a, "state", "round-*")))
+    assert len(state_dirs) == 1  # only the newest committed snapshot
+    claims = glob.glob(os.path.join(out_a, "rounds", "round-*", "claims",
+                                    "*.parquet"))
+    assert len(claims) > 0  # lineage untouched
+
+    # resume continues from the surviving snapshot
+    ra2 = CrawlRunner(out_a, pruned_cfg, web)
+    ra2.run(max_rounds=5)
+
+    out_b = str(tmp_path / "straight")
+    rb = CrawlRunner(out_b, base, web)
+    rb.run(max_rounds=5)
+
+    fa = ra2.frontier_dataset().to_pandas().sort_values("url_hash") \
+        .reset_index(drop=True)
+    fb = rb.frontier_dataset().to_pandas().sort_values("url_hash") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa, fb)
