@@ -8,7 +8,21 @@ FIXTURES.md F1 generation rule (the same generator the synthetic web
 renders pages from — crawl output and this table share one span contract).
 The operators below consume that exact shape with vectorized pyarrow
 kernels (list_flatten / list_value_length / list_parent_indices — no
-Python span loops).
+Python span loops):
+
+- ``flatten_spans`` / ``reassemble_spans`` (± offset renumbering): the
+  explode/re-pack pair every span-level transform composes with;
+- ``span_stats`` / ``validate_span_order``: per-doc stats + the
+  input_hint's span-sequence invariant;
+- ``media_refs``: the multimodal decode feed;
+- ``media_dedup``: corpus-wide first-occurrence dedup of media refs
+  (one composite-key exchange, invariant-preserving renumbered re-pack);
+- ``caption_pairs``: nearest-preceding-text caption candidate per media
+  span (grouped forward-fill, no per-doc Python);
+- ``map_text_spans``: run a vectorized text kernel (redaction,
+  normalization) on text spans only, media alignment untouched;
+- ``truncate_spans``: token-budget prefix truncation (text tokens +
+  fixed media charge, first span always kept).
 """
 
 from __future__ import annotations
