@@ -149,8 +149,13 @@ def run_scaling_workload(num_cpus: int, node_k: int | None = None,
 
     ``node_k``/``node_count``: node-parallel mode — this process acts as
     node k of a node_count-node cluster and seeds/crawls ONLY the hosts
-    with host_hash64 % node_count == k (the engine's own shard math, so
-    the partition is exactly what a real multi-node frontier would own).
+    with (host_hash64 >> 32) % node_count == k. The node level uses the
+    HIGH hash bits deliberately: shards use the low bits (hh %
+    num_shards), and nesting two moduli over the same bits would strand
+    each node's hosts in num_shards/node_count shards — 3/4 of the fetch
+    blocks empty, half the cores idle (measured: 2.6x per-page slowdown).
+    Two-level partitioning on a real cluster has the same constraint:
+    node and shard keys must come from independent bits.
     ``barrier_dir`` synchronizes the measured window across nodes: each
     node drops a ready file after seeding and waits for all peers, so
     every node's run_round overlaps the others' (full cross-node
@@ -196,7 +201,7 @@ def run_scaling_workload(num_cpus: int, node_k: int | None = None,
     for i in range(web_cfg.n_hosts):
         host = web.host_name(i)
         hh = host_hash64(host)
-        if node_count is not None and hh % node_count != node_k:
+        if node_count is not None and (hh >> 32) % node_count != node_k:
             continue
         for j in range(web.page_count(host)):
             u = web.url_for(host, j)
@@ -229,6 +234,21 @@ def run_scaling_workload(num_cpus: int, node_k: int | None = None,
             filt.add(h)
         runner.store.write_bytes(filt.to_bytes(), runner.store.cuckoo_path(0, s))
     runner.store.commit_state(0)
+
+    # warm the Ray worker pool BEFORE the barrier/timer: worker process
+    # forks + numpy/pandas/pyarrow imports otherwise land inside the
+    # measured window (and in node-parallel mode all nodes fork their
+    # pools simultaneously — an import storm the steady-state metric
+    # should not charge to the pipeline)
+    def _warm(b):
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        import north_cloud_ray.stages.fetch_parse  # noqa: F401
+        return b
+
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2) \
+        .map_batches(_warm, batch_format="pandas").count()
 
     if barrier_dir is not None:
         with open(os.path.join(barrier_dir, f"ready-{node_k}"), "w") as f:
@@ -444,7 +464,7 @@ def scaling_nodes(nodes: int = 4, cores_per_node: int = 8) -> None:
     if not shutil.which("taskset") or (os.cpu_count() or 0) < total:
         print(json.dumps({"error": "needs taskset and >= %d cores" % total}))
         return
-    obj_bytes = str(2 * 1024 ** 3)  # same store size at BOTH levels
+    obj_bytes = str(8 * 1024 ** 3)  # same store size at BOTH levels; sized so no level spills
 
     def run_single() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cores_per_node),

@@ -2546,6 +2546,17 @@ def doc_vocabulary(sf_dir: str):
     return vocab_topk(docs, k=100)
 
 
+def doc_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords with the exactly-hashable
+    score = tf*N/df: one term-keyed exchange computes df in place (no
+    df table, no join-back), grouped_topk_rows resolves the per-doc
+    top-k."""
+    from ..stages.textstats import tfidf_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return tfidf_topk(docs, k=3)
+
+
 def _bpe_merges_table(sf_dir: str):
     from ..stages.bpe import train_bpe
 
@@ -2614,6 +2625,7 @@ QUERIES = {
     "warc_roundtrip_docs": warc_roundtrip_docs,
     "bpe_merges": bpe_merges,
     "bpe_token_counts": bpe_token_counts,
+    "doc_tfidf_terms": doc_tfidf_terms,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3681,6 +3693,28 @@ ORACLE_SQL = {
     """,
     "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "doc_tfidf_terms": """
+        WITH tf AS (
+          SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS token
+                FROM documents)
+          WHERE token <> '' GROUP BY doc_id, token
+        ),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+          FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, tf, df, score FROM (
+          SELECT sc.*, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM sc) WHERE rn <= 3
     """,
     "doc_vocab_coverage": """
         WITH v AS (

@@ -151,3 +151,55 @@ def text_stats(ds, concurrency: int = 4, batch_size: int = 2048,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, num_partitions: int | None = None):
+    """Per-doc top-k TF-IDF keyword extraction — the classic corpus
+    signal, with an exactly-hashable score: score = (tf * N) / df (one
+    int64 product, one IEEE double division — bit-identical in numpy
+    and any SQL engine, unlike log-weighted variants whose libm
+    rounding differs). N = total docs, df = docs containing the term.
+
+    Shape: one vectorized explode produces exact per-doc (term, tf)
+    rows (a doc is one row, so per-batch counts are global); ONE
+    term-keyed exchange computes df via a per-partition grouped size
+    (every row of a term lands in one partition) and attaches the
+    score in place — document frequencies are never materialized as a
+    separate table or joined back; then grouped_topk_rows resolves the
+    per-doc top-k with a (score DESC, term ASC) tie-break. Returns
+    (id, term, tf, df, score)."""
+    from .agg import grouped_topk_rows, hash_grouped_agg
+
+    n_docs = ds.count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ")
+        counts = toks.str.len().to_numpy("int64")
+        ids = np.repeat(b[id_col].to_numpy(), counts)
+        flat = toks.explode().to_numpy(dtype=object)
+        df = pd.DataFrame({id_col: ids, "term": flat})
+        df = df[df["term"] != ""]
+        return df.groupby([id_col, "term"], as_index=False).size() \
+                 .rename(columns={"size": "tf"}).astype({"tf": "int64"})
+
+    def score(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["df"] = part.groupby("term")["tf"].transform("size") \
+                         .astype("int64")
+        part["score"] = (part["tf"].to_numpy("int64")
+                         * np.int64(n_docs)).astype("float64") \
+            / part["df"].to_numpy("int64")
+        return part
+
+    scored = hash_grouped_agg(ds.map_batches(tf_rows,
+                                             batch_format="pandas"),
+                              ["term"], lambda b: b, score, num_partitions)
+    scored = scored.map_batches(
+        lambda b: b.assign(neg_score=-b["score"].to_numpy()),
+        batch_format="pandas")
+    top = grouped_topk_rows(scored, id_col, ["neg_score", "term"], k,
+                            num_partitions)
+    return top.map_batches(
+        lambda b: b[[id_col, "term", "tf", "df", "score"]],
+        batch_format="pandas")
