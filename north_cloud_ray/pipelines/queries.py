@@ -2546,6 +2546,20 @@ def doc_vocabulary(sf_dir: str):
     return vocab_topk(docs, k=100)
 
 
+def embedding_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table: streaming (d x d)
+    covariance partials -> driver eigh (microseconds at d=64) ->
+    broadcast projection. Rows-only (eigendecomposition is not
+    SQL-expressible); pinned to the full-batch numpy reference in
+    tests/test_stages.py."""
+    from ..stages.similarity import pca_fit, pca_project
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                blocks=_cpus())
+    mean, comps = pca_fit(emb, n_components=8)
+    return pca_project(emb, mean, comps)
+
+
 def doc_tfidf_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords with the exactly-hashable
     score = tf*N/df: one term-keyed exchange computes df in place (no
@@ -2626,6 +2640,7 @@ QUERIES = {
     "bpe_merges": bpe_merges,
     "bpe_token_counts": bpe_token_counts,
     "doc_tfidf_terms": doc_tfidf_terms,
+    "embedding_pca": embedding_pca,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,

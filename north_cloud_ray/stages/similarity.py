@@ -363,3 +363,63 @@ def _bucket_probe_topk(index_dir: str, queries: np.ndarray, k: int,
         concurrency=concurrency,
     )
     return _topk_reduce(partial.to_pandas(), k, id_col)
+
+
+def pca_fit(ds, vec_col: str = "embedding", n_components: int = 16):
+    """Distributed PCA fit: per-batch partial (sum x, sum x x^T, n) —
+    each partial is one (d, d) float64 matrix regardless of batch size,
+    so the driver reduce sees (#blocks) tiny matrices, never vectors.
+    Eigendecomposition of the d x d covariance runs on the driver
+    (d = embedding dim, e.g. 64 — microseconds). Returns (mean,
+    components) with components rows in descending-eigenvalue order and
+    a deterministic sign convention (largest-|coeff| entry positive) so
+    repeated fits are byte-stable.
+
+    The standard whitening/dim-reduction pass before ANN indexing or
+    SemDeDup at corpus scale: one streaming pass, driver state O(d^2)."""
+    import numpy as np
+
+    def partial(b: "pd.DataFrame") -> "pd.DataFrame":
+        V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "sx": [V.sum(axis=0).tobytes()],
+            "sxx": [(V.T @ V).tobytes()],
+            "n": np.array([len(V)], dtype="int64"),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    sx = np.sum([np.frombuffer(x, dtype=np.float64) for x in parts["sx"]],
+                axis=0)
+    d = len(sx)
+    sxx = np.sum([np.frombuffer(x, dtype=np.float64).reshape(d, d)
+                  for x in parts["sxx"]], axis=0)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T                   # (k, d)
+    # sign convention: make each component's largest-|coeff| positive
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps
+
+
+def pca_project(ds, mean, components, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """Project embeddings onto fitted components: broadcast the (k, d)
+    matrix via the closure, one vectorized matmul per batch. Returns
+    (id, projected:list<float64>)."""
+    import numpy as np
+
+    comps_T = np.asarray(components, dtype=np.float64).T  # (d, k)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def project(b: "pd.DataFrame") -> "pd.DataFrame":
+        V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        P = (V - mu) @ comps_T
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "projected": list(P)})
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -326,3 +326,42 @@ def test_classify_vectorized_matches_scalar_spec():
         q = quality_score(r_in["word_count"], bool(r_in["title"]),
                           r_in["first_text_len"], r_in["url"], r_in["n_media"])
         assert r_out["quality_score"] == q, r_in["url"]
+
+
+def test_pca_matches_full_batch_reference(ray_session):
+    """Distributed PCA fit (streaming d x d partials) must match the
+    full-batch numpy eigendecomposition; projection must reproduce the
+    reference within float tolerance and order components by descending
+    explained variance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from north_cloud_ray.stages.similarity import pca_fit, pca_project
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    mean, comps = pca_fit(ds, n_components=8)
+
+    V = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    ref_mean = V.mean(axis=0)
+    cov = (V.T @ V) / len(V) - np.outer(ref_mean, ref_mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:8]
+    ref = vecs[:, order].T
+    flip = np.sign(ref[np.arange(8), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+
+    assert np.allclose(mean, ref_mean, atol=1e-12)
+    assert np.allclose(comps, ref, atol=1e-9)
+
+    proj = pca_project(ds, mean, comps).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    P = np.stack(proj["projected"].to_numpy())
+    ids = tbl["vec_id"].to_numpy()
+    want = (V[np.argsort(ids)] - ref_mean) @ ref.T
+    assert np.allclose(P, want, atol=1e-9)
+    # components ordered by descending projected variance
+    var = P.var(axis=0)
+    assert (np.diff(var) <= 1e-12).all()
