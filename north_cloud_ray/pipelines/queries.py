@@ -2546,6 +2546,29 @@ def doc_vocabulary(sf_dir: str):
     return vocab_topk(docs, k=100)
 
 
+def events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-user telemetry beside its exact twin: one
+    sketch pass (4 KB of driver state) + the exact distributed distinct
+    count; returns (n_exact, n_hll, rel_err). Rows-only — the register
+    hash isn't SQL-expressible — with accuracy + partitioning-
+    independence pinned in tests/test_sketch.py."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.sketch import hll_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"], blocks=_cpus())
+    est = hll_distinct(ev, "user_id")["estimate"]
+
+    def uniq(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("user_id")
+
+    n_exact = hash_grouped_agg(ev, ["user_id"], uniq, uniq).count()
+    return pd.DataFrame({
+        "n_exact": np.array([n_exact], dtype="int64"),
+        "n_hll": [float(est)],
+        "rel_err": [abs(est - n_exact) / n_exact],
+    })
+
+
 def embedding_pca(sf_dir: str):
     """Distributed PCA over the embeddings table: streaming (d x d)
     covariance partials -> driver eigh (microseconds at d=64) ->
@@ -2641,6 +2664,7 @@ QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "doc_tfidf_terms": doc_tfidf_terms,
     "embedding_pca": embedding_pca,
+    "events_distinct_users_hll": events_distinct_users_hll,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,

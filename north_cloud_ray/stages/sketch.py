@@ -247,3 +247,59 @@ def exact_quantiles(ds, col: str, qs, sample_size: int = 4096,
                 keep &= (sv < hi) if hs else (sv <= hi)
             sv = sv[keep]
     return pd.DataFrame(out)
+
+
+# ---- HyperLogLog distinct counting (Flajolet et al. 2007, public) ----
+
+def _hll_registers(values: pd.Series, p: int) -> np.ndarray:
+    """Vectorized register extraction: deterministic 64-bit row hashes
+    (hash_pandas_object — the same cross-process-stable family the
+    partitioners use), top p bits index the register, the rank is the
+    leading-zero count of the remaining 64-p bits + 1. Requires
+    p >= 12 so the 64-p rank bits (<= 52) stay exactly representable
+    in float64 for the vectorized floor(log2) rank."""
+    m = 1 << p
+    h = pd.util.hash_pandas_object(values, index=False) \
+        .to_numpy().astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - p)) - 1)
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest > 0
+    rank[nz] = (64 - p
+                - np.floor(np.log2(rest[nz].astype(np.float64)))
+                ).astype(np.uint8)
+    reg = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_distinct(ds, col: str, p: int = 12) -> dict:
+    """Approximate distinct count at sketch cost: one streaming pass,
+    each batch contributes a 2^p-byte register array, the driver
+    reduces (#blocks) arrays with elementwise max — mergeable across
+    any partitioning (register merge is associative+commutative, so the
+    result is partitioning-INDEPENDENT: byte-identical registers for
+    any repartition; asserted in tests). Standard error 1.04/sqrt(2^p)
+    (~1.6% at p=12 for 4 KB of state — the 10^10-URL frontier
+    cardinality telemetry the exact groupby can't afford every round).
+    Returns {"estimate", "registers"} with linear-counting small-range
+    correction."""
+    if p < 12:
+        raise ValueError("p >= 12 required by the float64 rank path")
+    m = 1 << p
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"reg": [_hll_registers(b[col].astype(str), p).tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    reg = np.zeros(m, dtype=np.uint8)
+    for blob in parts["reg"]:
+        reg = np.maximum(reg, np.frombuffer(blob, dtype=np.uint8))
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return {"estimate": float(est), "registers": reg}

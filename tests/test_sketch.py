@@ -82,3 +82,35 @@ def test_heavy_users_oracle_equality(ray_session):
     want = (con.execute(ORACLE_SQL["events_heavy_users"]).df()[got.columns]
             .sort_values("user_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hll_accuracy_and_partition_independence(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from north_cloud_ray.stages.sketch import hll_distinct
+
+    n_distinct = 50_000
+    vals = pd.Series(np.arange(n_distinct).repeat(3)).sample(
+        frac=1.0, random_state=7).astype(str)
+    df = pd.DataFrame({"v": vals.to_numpy()})
+    res3 = hll_distinct(ray.data.from_pandas(df).repartition(3), "v")
+    res7 = hll_distinct(ray.data.from_pandas(df).repartition(7), "v")
+    # register merge is associative+commutative: byte-identical across
+    # partitionings
+    assert np.array_equal(res3["registers"], res7["registers"])
+    err = abs(res3["estimate"] - n_distinct) / n_distinct
+    assert err < 0.05, err  # 3 sigma at p=12 is ~4.9%
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from north_cloud_ray.stages.sketch import hll_distinct
+
+    df = pd.DataFrame({"v": [f"u{i}" for i in range(100)] * 5})
+    res = hll_distinct(ray.data.from_pandas(df).repartition(2), "v")
+    err = abs(res["estimate"] - 100) / 100
+    assert err < 0.05, err  # linear-counting regime is near-exact
