@@ -2546,6 +2546,24 @@ def doc_vocabulary(sf_dir: str):
     return vocab_topk(docs, k=100)
 
 
+def lang_word_quantiles(sf_dir: str):
+    """Exact per-language word-count quartiles at count-map cost: one
+    light (lang, n_words, n) exchange — the value multiset never
+    shuffles — resolved to quantile_disc rank semantics per group;
+    hash-checked against DuckDB's grouped quantile_disc."""
+    from ..stages.sketch import grouped_value_quantiles
+
+    docs = _read(sf_dir, "documents", ["lang", "text"], blocks=_cpus())
+
+    def words(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.split().str.len().fillna(0)
+        return pd.DataFrame({"lang": b["lang"].to_numpy(),
+                             "n_words": n.to_numpy("int64")})
+
+    return grouped_value_quantiles(
+        docs.map_batches(words, batch_format="pandas"), "lang", "n_words")
+
+
 def events_distinct_users_hll(sf_dir: str):
     """HyperLogLog distinct-user telemetry beside its exact twin: one
     sketch pass (4 KB of driver state) + the exact distributed distinct
@@ -2665,6 +2683,7 @@ QUERIES = {
     "doc_tfidf_terms": doc_tfidf_terms,
     "embedding_pca": embedding_pca,
     "events_distinct_users_hll": events_distinct_users_hll,
+    "lang_word_quantiles": lang_word_quantiles,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3732,6 +3751,21 @@ ORACLE_SQL = {
     """,
     "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "lang_word_quantiles": r"""
+        WITH w AS (
+          SELECT lang,
+                 CAST(len(list_filter(
+                     string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '')) AS BIGINT) AS n_words
+          FROM documents
+        )
+        SELECT lang, 0.25 AS q, quantile_disc(n_words, 0.25) AS value
+        FROM w GROUP BY lang
+        UNION ALL
+        SELECT lang, 0.5, quantile_disc(n_words, 0.5) FROM w GROUP BY lang
+        UNION ALL
+        SELECT lang, 0.75, quantile_disc(n_words, 0.75) FROM w GROUP BY lang
     """,
     "doc_tfidf_terms": """
         WITH tf AS (

@@ -303,3 +303,42 @@ def hll_distinct(ds, col: str, p: int = 12) -> dict:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting, small range
     return {"estimate": float(est), "registers": reg}
+
+
+def grouped_value_quantiles(ds, group_col: str, value_col: str,
+                            qs=(0.25, 0.5, 0.75),
+                            num_partitions: int | None = None):
+    """EXACT per-group discrete quantiles at count-map cost: for
+    bounded-domain values (word counts, status codes, depths) the
+    per-batch partial is one (group, value, n) count row per distinct
+    pair — the full value MULTISET never rides the exchange — and each
+    group-hashed partition resolves quantile_disc rank semantics
+    (ceil(q*n)-th value, 1-indexed) from its cumulative counts. One
+    light exchange, no sort of the data, driver never touches rows.
+    Returns (group, q, value)."""
+    from .agg import hash_grouped_agg
+
+    qs = tuple(qs)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([group_col, value_col], as_index=False).size() \
+             .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.groupby([group_col, value_col], as_index=False)["n"] \
+                   .sum().sort_values([group_col, value_col],
+                                      kind="mergesort")
+        out = []
+        for grp, sub in part.groupby(group_col, sort=False):
+            cum = sub["n"].cumsum().to_numpy()
+            total = cum[-1]
+            vals = sub[value_col].to_numpy()
+            for q in qs:
+                rank = max(1, int(np.ceil(q * total)))  # quantile_disc
+                out.append((grp, q, vals[np.searchsorted(cum, rank)]))
+        return pd.DataFrame(out, columns=[group_col, "q", "value"])
+
+    return hash_grouped_agg(ds, [group_col], partial, resolve,
+                            num_partitions)
