@@ -995,6 +995,7 @@ def _crawl(tag: str):
             out,
             CrawlConfig(num_shards=4, fetch_concurrency=2, fetch_batch_size=128,
                         use_feeds=True, use_sitemaps=True,
+                        archive_html=True,  # S10 blobs feed crawl_warc_export
                         # A4: adaptive recrawl on — fetched rows re-enter the
                         # claim set one baseline (doubling per unchanged
                         # fetch) after their last fetch
@@ -2546,6 +2547,42 @@ def doc_vocabulary(sf_dir: str):
     return vocab_topk(docs, k=100)
 
 
+def crawl_warc_export(sf_dir: str):
+    """REAL crawl output -> WARC interchange: the S10 blob archive is
+    exported as WARC ``response`` members (one per block, deterministic
+    url_hash-range stems, crawl-timestamp WARC-Dates) and re-read
+    through the distributed parser; returns per-record (url_hash,
+    target_uri, n_bytes, sha) — deterministic, rows-only (the crawl
+    loop isn't SQL-expressible), with payload integrity pinned by the
+    sha of every body surviving the round trip (asserted vs the blob
+    archive in tests/test_structured.py)."""
+    import hashlib as _hashlib
+    import shutil as _sh
+    import tempfile
+
+    from ..sources.warc import read_warc_records, write_warc_responses
+
+    runner = _crawl("warc")
+    out = tempfile.mkdtemp(prefix="ncray-warcx-")
+    try:
+        write_warc_responses(runner.blobs_dataset(), out)
+        recs = read_warc_records(out)
+
+        def digest(b: pd.DataFrame) -> pd.DataFrame:
+            pay = b["payload"].map(bytes)
+            return pd.DataFrame({
+                "url_hash": b["url_hash"].astype(str),
+                "target_uri": b["target_uri"].astype(str),
+                "n_bytes": pay.str.len().astype("int64"),
+                "sha": pay.map(
+                    lambda x: _hashlib.sha256(x).hexdigest()),
+            })
+
+        return recs.map_batches(digest, batch_format="pandas").to_pandas()
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
+
+
 def lang_word_quantiles(sf_dir: str):
     """Exact per-language word-count quartiles at count-map cost: one
     light (lang, n_words, n) exchange — the value multiset never
@@ -2684,6 +2721,7 @@ QUERIES = {
     "embedding_pca": embedding_pca,
     "events_distinct_users_hll": events_distinct_users_hll,
     "lang_word_quantiles": lang_word_quantiles,
+    "crawl_warc_export": crawl_warc_export,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,

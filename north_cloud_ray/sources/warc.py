@@ -199,3 +199,49 @@ def read_warc_docs(path: str):
         return _normalize_docs(out)
 
     return recs.map_batches(to_docs, batch_format="pandas")
+
+
+def write_warc_responses(
+    ds,
+    out_dir: str,
+    url_col: str = "url",
+    payload_col: str = "html",
+    date_us_col: str = "crawled_at",
+    meta_cols: tuple = ("url_hash", "host"),
+):
+    """Export a crawl blob archive (S10: binary HTML column) as WARC
+    ``response`` records — the interchange a real crawl publishes. One
+    member per block with a deterministic stem from the block's url_hash
+    range (idempotent re-runs replace); WARC-Date derives from the
+    row's crawl timestamp (virtual microseconds -> ISO-8601). Returns
+    the materialized (path, n_records) manifest."""
+    import datetime
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=str),
+                                 "n_records": pd.Series([], dtype="int64")})
+        key = b[meta_cols[0]].astype(str) if meta_cols else b[url_col]
+        stem = f"resp-{key.min()[:12]}-{key.max()[:12]}-{len(b)}"
+        path = os.path.join(out_dir, f"{stem}.warc")
+        chunks = []
+        for _, row in b.iterrows():
+            ts = datetime.datetime.fromtimestamp(
+                int(row[date_us_col]) / 1e6, datetime.timezone.utc)
+            payload = bytes(row[payload_col])
+            extra = {c.replace("_", "-"): row[c] for c in meta_cols}
+            extra["crawled-at-us"] = int(row[date_us_col])
+            chunks.append(_record_bytes(
+                str(row[url_col]), payload, "response",
+                ts.strftime("%Y-%m-%dT%H:%M:%SZ"), extra))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(chunks))
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path],
+                             "n_records": np.array([len(b)],
+                                                   dtype="int64")})
+
+    return ds.map_batches(write_block, batch_format="pandas").materialize()

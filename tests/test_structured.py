@@ -324,3 +324,40 @@ def test_structured_stage_emits_icp_column(ray_session):
     icp_a = json.loads(out.loc[out["doc_id"] == "a", "icp"].iloc[0])
     assert icp_a["segments"][0]["segment"] == "northern_ontario_industry"
     assert json.loads(out.loc[out["doc_id"] == "b", "icp"].iloc[0]) is None
+
+
+def test_crawl_warc_export_roundtrip(ray_session, tmp_path):
+    """The S10 blob archive exports to WARC response members and
+    re-reads with every payload byte-identical (sha + count equality vs
+    the blob dataset)."""
+    import hashlib
+
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+    from north_cloud_ray.sources.warc import (read_warc_records,
+                                              write_warc_responses)
+
+    runner = CrawlRunner(
+        str(tmp_path / "out"),
+        CrawlConfig(num_shards=2, fetch_concurrency=2, fetch_batch_size=64,
+                    archive_html=True),
+        SyntheticWebConfig(n_hosts=4),
+    )
+    runner.run(max_rounds=2)
+    blobs = runner.blobs_dataset().to_pandas()
+    out = str(tmp_path / "warc")
+    manifest = write_warc_responses(runner.blobs_dataset(), out) \
+        .to_pandas()
+    assert manifest["n_records"].sum() == len(blobs)
+    back = read_warc_records(out).to_pandas()
+    assert len(back) == len(blobs)
+    assert set(back["warc_type"]) == {"response"}
+    want = {(r["url"], hashlib.sha256(r["html"]).hexdigest())
+            for _, r in blobs.iterrows()}
+    got = {(r["target_uri"], hashlib.sha256(bytes(r["payload"])).hexdigest())
+           for _, r in back.iterrows()}
+    assert got == want
+    # crawl timestamps survive as both WARC-Date and the NC microsecond
+    # header
+    assert (back["crawled_at_us"].astype("int64") >= 0).all()
+    assert back["warc_date"].str.match(r"\d{4}-\d{2}-\d{2}T").all()
