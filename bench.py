@@ -294,6 +294,10 @@ def run_queries(sf_dir: str) -> dict:
         "source_quality_rollup", "doc_vocabulary", "doc_quality_filter",
         "crawl_snapshot_diff", "f1_reassemble_docs", "corpus_two_gen",
         "best_doc_per_group", "corpus_report", "doc_normalized", "doc_graph_indegree", "doc_vocab_coverage", "jsonl_roundtrip_docs", "csv_roundtrip_docs", "f1_pack_windows",
+        "line_dedup_docs", "warc_roundtrip_docs", "bpe_merges",
+        "f1_media_dedup", "f1_caption_pairs", "f1_redact_spans",
+        "f1_truncate_docs", "doc_tfidf_terms", "embedding_pca",
+        "events_distinct_users_hll", "lang_word_quantiles",
     ]
     import ray.data
 

@@ -88,15 +88,55 @@ def _merge_word(s: list, left: str, right: str, token: str) -> list:
     return out
 
 
+# word tables at or below this many distinct words run the merge loop
+# on the driver (identical algorithm, no per-iteration job launches);
+# Zipfian corpora keep distinct words far below corpus size, but at
+# 100-TB scale (~10^8+ distinct words) the distributed loop takes over
+SMALL_VOCAB_THRESHOLD = 200_000
+
+
+def _train_local(vocab: pd.DataFrame, n_merges: int) -> pd.DataFrame:
+    """Driver-side merge loop over a small word table — the exact
+    algorithm (and tie-break) of the distributed path, minus the
+    per-iteration job launches."""
+    syms = list(vocab["syms"])
+    freq = vocab["freq"].to_numpy("int64")
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for s, f in zip(syms, freq):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + int(f)
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        token = best[0] + best[1]
+        merges.append((rank, best[0], best[1], token))
+        syms = [_merge_word(s, best[0], best[1], token)
+                if best[0] in s else s for s in syms]
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right", "token"]) \
+        .astype({"rank": "int64"})
+
+
 def train_bpe(
     ds,
     n_merges: int = 100,
     text_col: str = "text",
     num_partitions: int | None = None,
+    small_vocab_threshold: int = SMALL_VOCAB_THRESHOLD,
 ) -> pd.DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus. Returns the merge
     table (rank:int64, left, right, token) in learned order; stops early
-    when no adjacent pair remains (fully merged vocabulary)."""
+    when no adjacent pair remains (fully merged vocabulary).
+
+    Size-adaptive like the graph/dedup operators: the corpus scan into
+    the word-frequency table is always distributed; the merge LOOP runs
+    on the driver when the distinct-word table is small (one pull, zero
+    per-iteration jobs) and switches to the distributed pair-count /
+    rewrite iteration above ``small_vocab_threshold`` (forced in tests
+    via threshold=0; both paths produce byte-identical merges)."""
     import ray
 
     from .agg import hash_grouped_agg
@@ -109,6 +149,9 @@ def train_bpe(
 
     state = word_freqs(ds, text_col, num_partitions) \
         .map_batches(to_syms, batch_format="pandas").materialize()
+
+    if state.count() <= small_vocab_threshold:
+        return _train_local(state.to_pandas(), n_merges)
 
     def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
         left, right, w, _ = _explode_pairs(b["syms"], b["freq"].to_numpy())

@@ -53,10 +53,15 @@ def _texts():
                          columns=["text"])["text"].to_pylist()[:120]
 
 
-def test_train_bpe_matches_sequential(ray_session):
+@pytest.mark.parametrize("threshold", [200_000, 0])
+def test_train_bpe_matches_sequential(ray_session, threshold):
+    """Both the driver fast path (small vocab) and the forced
+    distributed iteration (threshold=0) must match the textbook
+    reference merge-for-merge."""
     texts = _texts()
     ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
-    got = train_bpe(ds, n_merges=30, num_partitions=8)
+    got = train_bpe(ds, n_merges=30, num_partitions=8,
+                    small_vocab_threshold=threshold)
     want = _seq_train(texts, 30)
     pd.testing.assert_frame_equal(got.astype({"rank": "int64"}),
                                   want.astype({"rank": "int64"}))
