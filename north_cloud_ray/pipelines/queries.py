@@ -1559,6 +1559,111 @@ def multimodal_features_docs(sf_dir: str):
     return out.map_batches(select, batch_format="pandas")
 
 
+def _dup_media_pairs(sf_dir: str):
+    """(doc_id, media_ref) pairs with CROSS-DOC duplicate refs (the
+    f1_media_dedup rule, blanks excluded) — the input shape for
+    decode-once composition."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        nw = (b["text"].fillna("").str.split().str.len()
+              .to_numpy().astype(np.int64))
+        n_media = np.where(nw == 0, 0, (nw + 19) // 20) // 2
+        rep = np.repeat(ids, n_media)
+        total = int(n_media.sum())
+        j = (np.arange(total)
+             - np.repeat(np.cumsum(n_media) - n_media, n_media))
+        keep = ~((rep % 97 == 0) & (j == 0))
+        rep, j = rep[keep], j[keep]
+        return pd.DataFrame({
+            "doc_id": rep,
+            "media_ref": [f"media://{(d * 31 + k * 17) % 50}"
+                          for d, k in zip(rep, j)],
+        })
+
+    return docs.map_batches(pairs, batch_format="pandas")
+
+
+def media_features_dedup_join(sf_dir: str):
+    """Decode-once multimodal composition — WHY media dedup exists: the
+    duplicate-ref pair table dedups to one payload per DISTINCT ref,
+    the decode actor pool runs once per ref (not once per occurrence),
+    and the light feature rows join back to every referencing
+    (doc_id, media_ref) pair through ONE media_id-keyed tagged-union
+    exchange (no broadcast of feature payloads, no driver state).
+    SQL-hash-checked end to end: the synthetic payload/feature chain is
+    ref-deterministic."""
+    import hashlib
+
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.multimodal import MEDIA_SCHEMA, decode_images
+
+    pair_ds = _dup_media_pairs(sf_dir)
+
+    def keep_first(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["media_ref", "doc_id"], kind="mergesort")
+                 .drop_duplicates("media_ref", keep="first"))
+
+    uniq = hash_grouped_agg(pair_ds, ["media_ref"], keep_first, keep_first)
+
+    def synth(b: pd.DataFrame) -> pa.Table:
+        ids, docs_, types, payloads, lens = [], [], [], [], []
+        for ref in b["media_ref"]:
+            hhex = hashlib.sha256(f"42:{ref}".encode()).hexdigest()
+            size = 64 + int(hhex[:2], 16) * 4
+            payload = (hhex * (size // 64 + 1))[:size].encode()
+            ids.append(hashlib.sha256(ref.encode()).hexdigest()[:16])
+            docs_.append("")  # decode-once: no single owning doc
+            types.append("image")
+            payloads.append(payload)
+            lens.append(len(payload))
+        return pa.Table.from_arrays(
+            [pa.array(ids, type=pa.string()),
+             pa.array(docs_, type=pa.string()),
+             pa.array(types, type=pa.string()),
+             pa.array(payloads, type=pa.binary()),
+             pa.array(lens, type=pa.int64())],
+            schema=MEDIA_SCHEMA)
+
+    feats = decode_images(uniq.map_batches(synth, batch_format="pandas"),
+                          concurrency=2)
+
+    def feat_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": b["media_id"].astype(str),
+            "_tag": np.int8(0), "doc_id": np.int64(0), "media_ref": "",
+            "byte_len": b["byte_len"].astype("int64"),
+            "width": b["width"].astype("int64"),
+            "height": b["height"].astype("int64"),
+            "thumb_hex": b["thumb_digest"].map(bytes.hex),
+        })
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        mid = b["media_ref"].map(
+            lambda r: hashlib.sha256(r.encode()).hexdigest()[:16])
+        return pd.DataFrame({
+            "media_id": mid, "_tag": np.int8(1),
+            "doc_id": b["doc_id"].to_numpy("int64"),
+            "media_ref": b["media_ref"].astype(str),
+            "byte_len": np.int64(0), "width": np.int64(0),
+            "height": np.int64(0), "thumb_hex": "",
+        })
+
+    tagged = feats.map_batches(feat_rows, batch_format="pandas").union(
+        pair_ds.map_batches(pair_rows, batch_format="pandas"))
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        f = part[part["_tag"] == 0][["media_id", "byte_len", "width",
+                                     "height", "thumb_hex"]]
+        p = part[part["_tag"] == 1][["media_id", "doc_id", "media_ref"]]
+        m = p.merge(f, on="media_id", how="inner")
+        return m[["doc_id", "media_ref", "byte_len", "width", "height",
+                  "thumb_hex"]]
+
+    return hash_grouped_agg(tagged, ["media_id"], lambda b: b, join)
+
+
 def sidecar_scores(sf_dir: str):
     """A6: hybrid rules+ML sidecar scoring with the review_required merge
     matrix over classified crawl docs (rows-only)."""
@@ -2722,6 +2827,7 @@ QUERIES = {
     "events_distinct_users_hll": events_distinct_users_hll,
     "lang_word_quantiles": lang_word_quantiles,
     "crawl_warc_export": crawl_warc_export,
+    "media_features_dedup_join": media_features_dedup_join,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3133,6 +3239,48 @@ ORACLE_SQL = {
                    AS n_text,
                CAST(sum(length(chunk)) AS BIGINT) AS total_text_chars
         FROM kept GROUP BY doc_id
+    """,
+    "media_features_dedup_join": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x <> '')) AS nw
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 (CASE WHEN nw = 0 THEN 0
+                       ELSE (nw + 19) // 20 END) // 2 AS nm
+          FROM d
+        ),
+        refs AS (
+          SELECT doc_id,
+                 'media://' || CAST((doc_id * 31 + j * 17) % 50
+                                    AS VARCHAR) AS ref
+          FROM s, unnest(range(0, nm)) AS t(j)
+          WHERE NOT (doc_id % 97 = 0 AND j = 0)
+        ),
+        feat AS (SELECT DISTINCT ref FROM refs),
+        p AS (
+          SELECT ref, sha256('42:' || ref) AS hhex,
+                 64 + ('0x' || substr(sha256('42:' || ref), 1, 2))::INTEGER
+                   * 4 AS size
+          FROM feat
+        ),
+        pay AS (
+          SELECT ref, size,
+                 substr(repeat(hhex, size // 64 + 1), 1, size) AS pstr
+          FROM p
+        )
+        SELECT r.doc_id, r.ref AS media_ref,
+               CAST(y.size AS BIGINT) AS byte_len,
+               CAST(160 + ('0x' || substr(sha256(y.pstr), 3, 2))::INTEGER
+                    * 8 AS BIGINT) AS width,
+               CAST(120 + ('0x' || substr(sha256(y.pstr), 5, 2))::INTEGER
+                    * 8 AS BIGINT) AS height,
+               substr(sha256(y.pstr || '|thumb'), 1, 32) AS thumb_hex
+        FROM refs r JOIN pay y ON y.ref = r.ref
     """,
     "multimodal_features_docs": r"""
         WITH d AS (

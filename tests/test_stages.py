@@ -365,3 +365,22 @@ def test_pca_matches_full_batch_reference(ray_session):
     # components ordered by descending projected variance
     var = P.var(axis=0)
     assert (np.diff(var) <= 1e-12).all()
+
+
+def test_media_features_decode_once(ray_session):
+    """The decode-once composition must run the decode actor once per
+    DISTINCT ref while emitting features for every (doc, ref) pair."""
+    from north_cloud_ray.pipelines.queries import (QUERIES,
+                                                   _dup_media_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    pairs = _dup_media_pairs(sf).to_pandas()
+    out = QUERIES["media_features_dedup_join"](sf).to_pandas()
+    assert len(out) == len(pairs)                      # one row per pair
+    n_distinct = pairs["media_ref"].nunique()
+    assert n_distinct < len(pairs)                     # real duplication
+    assert out["media_ref"].nunique() == n_distinct
+    # each distinct ref decoded to ONE feature tuple, shared by all pairs
+    per_ref = out.groupby("media_ref")[["byte_len", "width", "height",
+                                        "thumb_hex"]].nunique()
+    assert (per_ref == 1).all().all()
