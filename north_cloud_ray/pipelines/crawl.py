@@ -423,7 +423,8 @@ def _merge_task(
         merged_hashes = merged["url_hash"]
         filt = None
         if cuckoo_in and os.path.exists(cuckoo_in):
-            filt = load_filter(open(cuckoo_in, "rb").read())
+            with open(cuckoo_in, "rb") as f:
+                filt = load_filter(f.read())
 
         old_set = set(old["url_hash"])
         removed = old_set - set(merged_hashes)

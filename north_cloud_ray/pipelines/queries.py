@@ -1563,24 +1563,18 @@ def _dup_media_pairs(sf_dir: str):
     """(doc_id, media_ref) pairs with CROSS-DOC duplicate refs (the
     f1_media_dedup rule, blanks excluded) — the input shape for
     decode-once composition."""
+    from ..sources.f1 import media_refs
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
 
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        ids = b["doc_id"].to_numpy()
-        nw = (b["text"].fillna("").str.split().str.len()
-              .to_numpy().astype(np.int64))
-        n_media = np.where(nw == 0, 0, (nw + 19) // 20) // 2
-        rep = np.repeat(ids, n_media)
-        total = int(n_media.sum())
-        j = (np.arange(total)
-             - np.repeat(np.cumsum(n_media) - n_media, n_media))
-        keep = ~((rep % 97 == 0) & (j == 0))
-        rep, j = rep[keep], j[keep]
-        return pd.DataFrame({
-            "doc_id": rep,
-            "media_ref": [f"media://{(d * 31 + k * 17) % 50}"
-                          for d, k in zip(rep, j)],
-        })
+        # ONE derivation: the same span synthesis f1_media_dedup uses
+        # (incl. the %97 blank rule), through the real media_refs kernel;
+        # blanks are the undecodable rows and drop here
+        t = media_refs(_docs_to_spans(
+            b, ref_fn=lambda d, j: f"media://{(d * 31 + j * 17) % 50}"))
+        df = t.to_pandas()
+        return df[df["media_ref"] != ""]
 
     return docs.map_batches(pairs, batch_format="pandas")
 

@@ -184,9 +184,32 @@ def sitemap_candidates(web, host: str, now_us: int) -> list[dict]:
             declared = RobotsRules.parse(body).sitemaps
     except Exception:
         pass
-    if not declared and not web.has_sitemap(host):
+
+    def fetch_sitemap_url(url: str) -> str | None:
+        """Fetch a DECLARED sitemap URL: the standard /sitemap[-N].xml
+        paths route to the host renderer; anything else needs the web
+        object's fetch_sitemap_url (None = undecodable -> skipped)."""
+        m = re.fullmatch(rf"https://{re.escape(host)}/sitemap"
+                         r"(?:-(\d+))?\.xml", url)
+        if m:
+            return web.render_sitemap(host, part=int(m.group(1))) \
+                if m.group(1) else web.render_sitemap(host)
+        if hasattr(web, "fetch_sitemap_url"):
+            return web.fetch_sitemap_url(url)
+        return None
+
+    probe_url = f"https://{host}/sitemap.xml"
+    bodies = []
+    for u in dict.fromkeys(declared):  # order-preserving dedup
+        b = fetch_sitemap_url(u)
+        if b is not None:
+            bodies.append(b)
+    # common-path probe covers 404-robots hosts; skip it when the
+    # declaration already fetched the same document
+    if web.has_sitemap(host) and probe_url not in declared:
+        bodies.append(web.render_sitemap(host))
+    if not bodies:
         return []
-    bodies = [web.render_sitemap(host)]
     out: list[dict] = []
     prio = min(MAX_PRIORITY, DEFAULT_PRIORITY + SITEMAP_BONUS)
     seen_children = 0

@@ -184,18 +184,25 @@ def read_warc_docs(path: str):
 
     def to_docs(b: pd.DataFrame) -> pd.DataFrame:
         text = b["payload"].map(lambda x: bytes(x).decode("utf-8"))
+        # PER-ROW fallback: one parse batch can mix NC-exported and
+        # foreign records (Ray coalesces small files), leaving NaN holes
+        # in the NC columns — a column-level astype would crash on the
+        # int cast and stringify missing lang/source into 'nan'
+        hash_id = text.map(lambda t: int.from_bytes(
+            hashlib.sha256(t.encode()).digest()[:8], "big") >> 1)
         if "doc_id" in b.columns:
-            doc_id = b["doc_id"].astype("int64")
+            doc_id = pd.to_numeric(b["doc_id"], errors="coerce") \
+                .fillna(hash_id).astype("int64")
         else:
-            doc_id = text.map(lambda t: int.from_bytes(
-                hashlib.sha256(t.encode()).digest()[:8], "big") >> 1)
+            doc_id = hash_id.astype("int64")
         out = pd.DataFrame({"doc_id": doc_id.to_numpy("int64"),
                             "text": text})
         for c in ("lang", "source"):
             if c in b.columns:
-                out[c] = b[c].astype(str)
+                out[c] = b[c].fillna("").astype(str)
         if "n_chars" in b.columns:
-            out["n_chars"] = b["n_chars"].astype("int64")
+            out["n_chars"] = pd.to_numeric(b["n_chars"], errors="coerce") \
+                .fillna(text.str.len()).astype("int64")
         return _normalize_docs(out)
 
     return recs.map_batches(to_docs, batch_format="pandas")
@@ -223,8 +230,17 @@ def write_warc_responses(
         if len(b) == 0:
             return pd.DataFrame({"path": pd.Series([], dtype=str),
                                  "n_records": pd.Series([], dtype="int64")})
-        key = b[meta_cols[0]].astype(str) if meta_cols else b[url_col]
-        stem = f"resp-{key.min()[:12]}-{key.max()[:12]}-{len(b)}"
+        # stem from a digest of the block's FULL (key, timestamp) content:
+        # a (min, max, count) range stem collides when the same url set
+        # recurs across recrawl rounds, silently last-writer-replacing one
+        # round's records; the digest is still deterministic per block, so
+        # a retried task replaces ITS OWN file (idempotent), never a twin
+        key = (b[meta_cols[0]].astype(str) if meta_cols
+               else b[url_col].astype(str))
+        ident = "\x00".join(sorted(key + ":"
+                                   + b[date_us_col].astype(str)))
+        stem = (f"resp-{hashlib.sha256(ident.encode()).hexdigest()[:20]}"
+                f"-{len(b)}")
         path = os.path.join(out_dir, f"{stem}.warc")
         chunks = []
         for _, row in b.iterrows():

@@ -380,6 +380,10 @@ def pca_fit(ds, vec_col: str = "embedding", n_components: int = 16):
     import numpy as np
 
     def partial(b: "pd.DataFrame") -> "pd.DataFrame":
+        if len(b) == 0:  # shuffle stages emit empty key-range blocks
+            return pd.DataFrame({"sx": pd.Series([], dtype=object),
+                                 "sxx": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
         V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
         return pd.DataFrame({
             "sx": [V.sum(axis=0).tobytes()],

@@ -272,3 +272,73 @@ def test_warc_foreign_record_and_gzip(ray_session):
         assert docs["doc_id"].nunique() == 1  # deterministic hash id
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_warc_responses_no_stem_collision_across_rounds(ray_session):
+    """Two blocks with the SAME url_hash set but different crawl
+    timestamps (adaptive recrawl rounds) must write distinct members —
+    a range-based stem would silently last-writer-replace one round."""
+    import shutil
+    import tempfile
+
+    from north_cloud_ray.sources.warc import (read_warc_records,
+                                              write_warc_responses)
+
+    def block(ts):
+        return pd.DataFrame({
+            "url": ["https://h/a", "https://h/b"],
+            "url_hash": ["aa" * 32, "bb" * 32],
+            "host": ["h", "h"],
+            "crawled_at": np.array([ts, ts], dtype=np.int64),
+            "html": [b"body-a-%d" % ts, b"body-b-%d" % ts],
+        })
+
+    ds = ray.data.from_pandas([block(1_000_000), block(2_000_000)])
+    out = tempfile.mkdtemp(prefix="warc-rounds-")
+    try:
+        manifest = write_warc_responses(ds, out).to_pandas()
+        assert manifest["n_records"].sum() == 4
+        assert manifest["path"].nunique() == 2
+        back = read_warc_records(out).to_pandas()
+        assert len(back) == 4  # both rounds' records survive
+        assert sorted(bytes(p) for p in back["payload"]) == sorted(
+            [b"body-a-1000000", b"body-b-1000000",
+             b"body-a-2000000", b"body-b-2000000"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_warc_docs_mixed_nc_and_foreign_batch(ray_session):
+    """One parse batch mixing NC-exported and foreign records must fall
+    back PER ROW: hash doc_ids and '' lang/source for foreign rows, NC
+    values preserved for exported rows."""
+    import shutil
+    import tempfile
+
+    from north_cloud_ray.sources.warc import read_warc_docs, write_warc
+
+    df = pd.DataFrame({
+        "doc_id": np.array([7], dtype=np.int64),
+        "text": ["exported text"], "lang": ["en"], "source": ["s1"],
+        "n_chars": np.array([13], dtype=np.int64),
+    })
+    out = tempfile.mkdtemp(prefix="warc-mixed-")
+    try:
+        write_warc(ray.data.from_pandas(df), out)
+        foreign = (b"WARC/1.0\r\n"
+                   b"WARC-Type: response\r\n"
+                   b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                   b"WARC-Target-URI: https://x/y\r\n"
+                   b"Content-Length: 7\r\n\r\nforeign\r\n\r\n")
+        with open(f"{out}/foreign.warc", "wb") as f:
+            f.write(foreign)
+        docs = read_warc_docs(out).to_pandas().sort_values("text") \
+            .reset_index(drop=True)
+        assert len(docs) == 2
+        exp = docs[docs["text"] == "exported text"].iloc[0]
+        assert (exp["doc_id"], exp["lang"], exp["source"]) == (7, "en", "s1")
+        fo = docs[docs["text"] == "foreign"].iloc[0]
+        assert fo["lang"] == "" and fo["source"] == ""
+        assert fo["doc_id"] >= 0 and fo["n_chars"] == 7
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

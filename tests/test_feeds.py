@@ -200,3 +200,37 @@ def test_sitemap_discovery_via_robots_only():
             raise ConnectionError("boom")
 
     assert sitemap_candidates(ErrWeb(), "h1", 0) == []  # degrade to probe
+
+
+def test_sitemap_declared_nondefault_url_is_fetched():
+    """A declared sitemap at a NON-default path must be fetched from the
+    declared URL, not the /sitemap.xml probe; the probe is skipped when
+    the declaration covers it (no duplicate candidates)."""
+
+    class FakeWeb:
+        fetched = []
+
+        def robots_fetch(self, host):
+            return (f"User-agent: *\n"
+                    f"Sitemap: https://{host}/sm/news-index.xml\n"
+                    f"Sitemap: https://{host}/sitemap.xml\n", 200)
+
+        def has_sitemap(self, host):
+            return True
+
+        def render_sitemap(self, host, part=None):
+            return ("<urlset><url><loc>https://h1/entry/default</loc>"
+                    "</url></urlset>")
+
+        def fetch_sitemap_url(self, url):
+            self.fetched.append(url)
+            return ("<urlset><url><loc>https://h1/news/declared</loc>"
+                    "</url></urlset>")
+
+    web = FakeWeb()
+    cands = sitemap_candidates(web, "h1", 0)
+    assert web.fetched == ["https://h1/sm/news-index.xml"]
+    urls = sorted(c["url"] for c in cands)
+    # declared non-default + the declared default (via renderer), probe
+    # not repeated
+    assert urls == ["https://h1/entry/default", "https://h1/news/declared"]
