@@ -2737,6 +2737,16 @@ def embedding_pca(sf_dir: str):
     return pca_project(emb, mean, comps)
 
 
+def doc_chunk_windows(sf_dir: str):
+    """Sliding-window chunking with overlap (window 64, stride 48) —
+    the RAG/embedding prep pass; hash-checked against a DuckDB
+    list-slice derivation."""
+    from ..stages.corpus import chunk_windows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return chunk_windows(docs, window=64, stride=48)
+
+
 def doc_tfidf_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords with the exactly-hashable
     score = tf*N/df: one term-keyed exchange computes df in place (no
@@ -2822,6 +2832,7 @@ QUERIES = {
     "lang_word_quantiles": lang_word_quantiles,
     "crawl_warc_export": crawl_warc_export,
     "media_features_dedup_join": media_features_dedup_join,
+    "doc_chunk_windows": doc_chunk_windows,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3931,6 +3942,26 @@ ORACLE_SQL = {
     """,
     "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "doc_chunk_windows": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, ws, len(ws) AS nw,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (greatest(len(ws) - 64, 0) + 47) // 48 + 1
+                      END AS nc
+          FROM d
+        )
+        SELECT doc_id, k AS chunk_id,
+               array_to_string(ws[48 * k + 1 : 48 * k + 64], ' ')
+                   AS text_chunk,
+               CAST(least(64, nw - 48 * k) AS BIGINT) AS n_tokens
+        FROM s, unnest(range(0, nc)) AS t(k)
     """,
     "lang_word_quantiles": r"""
         WITH w AS (

@@ -623,3 +623,51 @@ def _lm_finish(ids, n_tok, n_oov, sum_f) -> pd.DataFrame:
         "oov_rate": np.where(n_tok > 0, n_oov / safe, 0.0),
         "mean_ref_freq": np.where(n_tok > 0, sum_f / safe, 0.0),
     })
+
+
+def chunk_windows(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+    keep_cols: tuple = (),
+):
+    """Sliding-window chunking with overlap — the RAG/embedding prep
+    pass: chunk k covers tokens [k*stride, k*stride + window); a doc
+    with nw tokens yields (max(nw - window, 0) + stride - 1)//stride + 1
+    chunks (the first window always emitted, no fully-redundant tails).
+    Returns (id, chunk_id, text_chunk, n_tokens, *keep_cols).
+
+    Pure map_batches, no shuffle. Token slicing is vectorized (one
+    split + repeat/arange per batch); the per-chunk join is O(output
+    bytes) — string construction is linear in the emitted text either
+    way. Chunks re-join tokens with single spaces (mirrored by the SQL
+    oracle's array_to_string)."""
+    import numpy as np
+    import pandas as pd
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split()
+        words = toks.to_numpy(dtype=object)
+        nw = toks.str.len().fillna(0).to_numpy("int64")
+        nc = np.where(nw == 0, 0,
+                      (np.maximum(nw - window, 0) + stride - 1) // stride
+                      + 1)
+        ids = np.repeat(b[id_col].to_numpy(), nc)
+        rows = np.repeat(np.arange(len(b)), nc)
+        total = int(nc.sum())
+        k = (np.arange(total)
+             - np.repeat(np.cumsum(nc) - nc, nc))
+        starts = k * stride
+        n_tokens = np.minimum(window, nw[rows] - starts)
+        return pd.DataFrame({
+            id_col: ids,
+            "chunk_id": k.astype("int64"),
+            "text_chunk": [" ".join(words[r][s:s + window])
+                           for r, s in zip(rows, starts)],
+            "n_tokens": n_tokens.astype("int64"),
+            **{c: b[c].to_numpy()[rows] for c in keep_cols},
+        })
+
+    return ds.map_batches(chunk, batch_format="pandas")

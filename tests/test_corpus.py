@@ -140,3 +140,35 @@ def test_token_budget_sample_equalizes_token_mass(ray_session):
     assert kept[full.idxmin()] == m
     for src, tot in kept.items():
         assert abs(tot - m) / m < 0.5, (src, tot, m)
+
+
+def test_chunk_windows_edges(ray_session):
+    """Short docs emit exactly one window; overlap is stride-window;
+    empty docs emit nothing; keep_cols ride along."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from north_cloud_ray.stages.corpus import chunk_windows
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b c",                       # nw=3 < window -> 1 chunk
+                 " ".join(f"w{i}" for i in range(10)),  # 10 = w+2s? see below
+                 "", None],
+        "lang": ["en", "fr", "de", "de"],
+    })
+    out = chunk_windows(ray.data.from_pandas(df).repartition(2),
+                        window=4, stride=3, keep_cols=("lang",)) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+    d0 = out[out["doc_id"] == 0]
+    assert d0["text_chunk"].tolist() == ["a b c"]
+    assert d0["n_tokens"].tolist() == [3]
+    d1 = out[out["doc_id"] == 1]
+    # nw=10, window=4, stride=3 -> ceil(6/3)+1 = 3 chunks
+    assert d1["text_chunk"].tolist() == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert d1["n_tokens"].tolist() == [4, 4, 4]
+    assert (d1["lang"] == "fr").all()
+    assert (out["doc_id"] < 2).all()  # empty/None docs emit nothing
