@@ -2737,6 +2737,32 @@ def embedding_pca(sf_dir: str):
     return pca_project(emb, mean, comps)
 
 
+def embedding_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization of the embeddings table (per-vector
+    symmetric scale, floor-only arithmetic — every quantized value and
+    scale is bit-identical in the DuckDB oracle), exploded to one row
+    per component for scalar hash comparison."""
+    from ..stages.similarity import quantize_int8
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                blocks=_cpus())
+    q = quantize_int8(emb)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        dims = b["qvec"].str.len().to_numpy("int64")
+        ids = np.repeat(b["vec_id"].to_numpy("int64"), dims)
+        scales = np.repeat(b["scale"].to_numpy("float64"), dims)
+        comp = (np.arange(int(dims.sum()))
+                - np.repeat(np.cumsum(dims) - dims, dims))
+        flat = np.concatenate(b["qvec"].to_list()) if len(b) else \
+            np.array([], dtype=np.int8)
+        return pd.DataFrame({"vec_id": ids, "i": comp.astype("int64"),
+                             "q": flat.astype("int64"),
+                             "scale": scales})
+
+    return q.map_batches(explode, batch_format="pandas")
+
+
 def doc_chunk_windows(sf_dir: str):
     """Sliding-window chunking with overlap (window 64, stride 48) —
     the RAG/embedding prep pass; hash-checked against a DuckDB
@@ -2833,6 +2859,7 @@ QUERIES = {
     "crawl_warc_export": crawl_warc_export,
     "media_features_dedup_join": media_features_dedup_join,
     "doc_chunk_windows": doc_chunk_windows,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3942,6 +3969,23 @@ ORACLE_SQL = {
     """,
     "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "embedding_quantize_int8": """
+        WITH s AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS v,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings
+        )
+        SELECT vec_id,
+               unnest(range(len(v))) AS i,
+               unnest(list_transform(v, x ->
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(floor(x / scale) AS BIGINT) END)) AS q,
+               scale
+        FROM s
     """,
     "doc_chunk_windows": r"""
         WITH d AS (
