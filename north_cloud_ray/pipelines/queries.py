@@ -2737,6 +2737,17 @@ def embedding_pca(sf_dir: str):
     return pca_project(emb, mean, comps)
 
 
+def doc_collocations(sf_dir: str):
+    """Top-50 corpus collocations by exact bigram LIFT (the PMI argument
+    without the log, so the float hashes identically in SQL), min
+    count 5: one bigram-keyed exchange of per-batch counted pairs,
+    vocab-bounded unigram broadcast, per-partition top-k."""
+    from ..stages.textstats import collocations_topk
+
+    docs = _read(sf_dir, "documents", ["text"], blocks=_cpus())
+    return collocations_topk(docs, k=50, min_count=5)
+
+
 def embedding_quantize_int8(sf_dir: str):
     """Scalar int8 quantization of the embeddings table (per-vector
     symmetric scale, floor-only arithmetic — every quantized value and
@@ -2860,6 +2871,7 @@ QUERIES = {
     "media_features_dedup_join": media_features_dedup_join,
     "doc_chunk_windows": doc_chunk_windows,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "doc_collocations": doc_collocations,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3969,6 +3981,37 @@ ORACLE_SQL = {
     """,
     "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "doc_collocations": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, unnest(ws) AS t,
+                 unnest(range(len(ws))) AS i
+          FROM w
+        ),
+        uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY t),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        bc AS (
+          SELECT a.t AS l, b.t AS r, CAST(count(*) AS BIGINT) AS c_xy
+          FROM toks a JOIN toks b
+            ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          GROUP BY a.t, b.t
+        )
+        SELECT bc.l AS "left", bc.r AS "right", bc.c_xy,
+               CAST(bc.c_xy * (SELECT n FROM total) AS DOUBLE)
+                 / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        FROM bc
+        JOIN uni u1 ON u1.t = bc.l
+        JOIN uni u2 ON u2.t = bc.r
+        WHERE bc.c_xy >= 5
+        ORDER BY lift DESC, "left", "right"
+        LIMIT 50
     """,
     "embedding_quantize_int8": """
         WITH s AS (

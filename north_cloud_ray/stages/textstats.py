@@ -203,3 +203,83 @@ def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
     return top.map_batches(
         lambda b: b[[id_col, "term", "tf", "df", "score"]],
         batch_format="pandas")
+
+
+def collocations_topk(ds, text_col: str = "text", k: int = 50,
+                      min_count: int = 5,
+                      num_partitions: int | None = None):
+    """Phrase-mining collocations: top-k word bigrams by LIFT =
+    (c_xy * n_tokens) / (c_x * c_y) among bigrams with c_xy >=
+    min_count. Lift is the PMI argument without the log — one exact
+    int64 product per side and one IEEE division, so (unlike log-PMI,
+    whose libm rounding differs across engines) the SQL oracle hashes
+    float-identically.
+
+    Shape: per-batch vectorized shifted-array bigram counts (the BPE
+    pair-explode applied to words) partial-summed into ONE
+    bigram-keyed exchange; unigram counts and the total token count are
+    tiny (vocab-bounded) and broadcast into the per-partition scorer;
+    per-partition top-k caps the driver reduce at P*k rows. Returns
+    (left, right, c_xy, lift)."""
+    from .agg import grouped_sum_topk, hash_grouped_agg
+
+    def unigrams(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy("int64")})
+
+    def usum(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("token", as_index=False)["n"].sum()
+
+    uni = hash_grouped_agg(ds, ["token"], unigrams, usum,
+                           num_partitions).to_pandas()
+    counts = dict(zip(uni["token"], uni["n"].astype(int)))
+    n_tokens = int(uni["n"].sum())
+
+    def bigrams(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split()
+        lens = toks.str.len().fillna(0).to_numpy("int64")
+        flat = toks.explode()
+        flat = flat[flat.notna()].to_numpy(dtype=object)
+        widx = np.repeat(np.arange(len(lens)), lens)
+        if len(flat) == 0:
+            return pd.DataFrame({"left": pd.Series([], dtype=object),
+                                 "right": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        same = widx[:-1] == widx[1:]
+        df = pd.DataFrame({"left": flat[:-1][same],
+                           "right": flat[1:][same]})
+        df = df[(df["left"] != "") & (df["right"] != "")]
+        g = df.groupby(["left", "right"], as_index=False).size() \
+              .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def score_topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["left", "right"], as_index=False)["n"].sum()
+        g = g[g["n"] >= min_count]
+        if len(g) == 0:
+            return pd.DataFrame({"left": pd.Series([], dtype=object),
+                                 "right": pd.Series([], dtype=object),
+                                 "c_xy": pd.Series([], dtype="int64"),
+                                 "lift": pd.Series([], dtype="float64")})
+        cx = g["left"].map(counts).to_numpy("int64")
+        cy = g["right"].map(counts).to_numpy("int64")
+        lift = (g["n"].to_numpy("int64") * np.int64(n_tokens)) \
+            .astype("float64") / (cx * cy).astype("float64")
+        out = pd.DataFrame({"left": g["left"].to_numpy(),
+                            "right": g["right"].to_numpy(),
+                            "c_xy": g["n"].to_numpy("int64"),
+                            "lift": lift})
+        return out.sort_values(["lift", "left", "right"],
+                               ascending=[False, True, True]).head(k)
+
+    cand = hash_grouped_agg(
+        ds.map_batches(bigrams, batch_format="pandas"),
+        ["left", "right"], lambda b: b, score_topk,
+        num_partitions).to_pandas()
+    return (cand.sort_values(["lift", "left", "right"],
+                             ascending=[False, True, True])
+            .head(k).reset_index(drop=True))
