@@ -2557,6 +2557,25 @@ def doc_graph_indegree(sf_dir: str):
         batch_format="pandas")
 
 
+def doc_graph_components(sf_dir: str):
+    """SQL-checked twin for the distributed connected-components
+    machinery (the min-label propagation behind every near-dup
+    clusterer, exposed as a first-class graph op): edges derived
+    arithmetically (doc_id -> its decade head, 10-node star components,
+    diameter 2) and labeled by the REAL cluster_labels_distributed;
+    the oracle is a recursive reachability CTE."""
+    from ..stages.dedup import cluster_labels_distributed
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=_cpus())
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"a": src, "b": src - (src % 10)})
+
+    return cluster_labels_distributed(
+        docs.map_batches(pairs, batch_format="pandas"))
+
+
 def doc_vocab_coverage(sf_dir: str):
     """Per-doc coverage of the corpus top-30 vocabulary (tokenizer
     compression proxy): n_tokens, n_in_vocab, and their exact-int
@@ -2872,6 +2891,7 @@ QUERIES = {
     "doc_chunk_windows": doc_chunk_windows,
     "embedding_quantize_int8": embedding_quantize_int8,
     "doc_collocations": doc_collocations,
+    "doc_graph_components": doc_graph_components,
     "doc_decontaminate": doc_decontaminate,
     "doc_pack_windows": doc_pack_windows,
     "lang_balanced_sample": lang_balanced_sample,
@@ -3981,6 +4001,20 @@ ORACLE_SQL = {
     """,
     "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "doc_graph_components": """
+        WITH RECURSIVE e0 AS (
+          SELECT doc_id AS ia, doc_id - doc_id % 10 AS ib FROM documents
+        ),
+        edges AS (SELECT ia AS a, ib AS b FROM e0
+                  UNION ALL SELECT ib, ia FROM e0),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        )
+        SELECT id AS node, CAST(min(r) AS BIGINT) AS label
+        FROM reach GROUP BY id
     """,
     "doc_collocations": r"""
         WITH w AS (
