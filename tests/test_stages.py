@@ -384,3 +384,24 @@ def test_media_features_decode_once(ray_session):
     per_ref = out.groupby("media_ref")[["byte_len", "width", "height",
                                         "thumb_hex"]].nunique()
     assert (per_ref == 1).all().all()
+
+
+def test_pca_survives_empty_blocks(ray_session):
+    """Filter stages emit empty blocks; the covariance partial must
+    skip them instead of crashing np.stack."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from north_cloud_ray.stages.similarity import pca_fit
+
+    rng_free = np.arange(40, dtype=np.int64)
+    df = pd.DataFrame({
+        "vec_id": rng_free,
+        "embedding": [np.full(8, float(i % 5)).tolist() for i in rng_free],
+    })
+    ds = ray.data.from_pandas(df).repartition(8) \
+        .map_batches(lambda b: b[b["vec_id"] % 4 == 0],
+                     batch_format="pandas")  # some blocks empty out
+    mean, comps = pca_fit(ds, n_components=2)
+    assert mean.shape == (8,) and comps.shape == (2, 8)
