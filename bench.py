@@ -345,6 +345,16 @@ def main() -> None:
         qtimes = (
             {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_queries(SF_DIR)
         )
+        # host-health context: this VM's deliverable CPU fluctuates ~3x
+        # on a minute scale (BASELINE.md); stamping the pure-CPU probe
+        # into every bench record makes absolute wall times comparable
+        # across runs (healthy-host reference: ~39k @8 / ~84k @32)
+        try:
+            probe = {"cpu_probe_ops_8": round(_cpu_probe(8)),
+                     f"cpu_probe_ops_{NUM_CPUS}":
+                         round(_cpu_probe(NUM_CPUS))}
+        except Exception:
+            probe = {}
         result = {
             "metric": "crawl+classify headline seconds (synthetic web, "
             f"{BENCH_HOSTS} hosts, {BENCH_ROUNDS} rounds) + query wall times",
@@ -354,6 +364,7 @@ def main() -> None:
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             **head,
+            **probe,
         }
         print(json.dumps(result))
     finally:
