@@ -92,6 +92,7 @@ def run_headline(num_cpus: int) -> dict:
         fetch_concurrency=max(2, num_cpus - 2),
         fetch_batch_size=512,
         round_window_us=BENCH_WINDOW_US,
+        state_keep_last=2,  # retention GC live in the headline crawl
     )
     runner = CrawlRunner(out, cfg, web_cfg)
 

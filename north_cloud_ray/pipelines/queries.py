@@ -999,7 +999,8 @@ def _crawl(tag: str):
                         # A4: adaptive recrawl on — fetched rows re-enter the
                         # claim set one baseline (doubling per unchanged
                         # fetch) after their last fetch
-                        recrawl_baseline_us=60 * US_PER_SEC),
+                        recrawl_baseline_us=60 * US_PER_SEC,
+                        state_keep_last=2),
             SyntheticWebConfig(n_hosts=8, frac_render=0.25,
                            frac_cloudflare=0.4,  # selects host 7 at seed 42
                            frac_changing=0.2),
@@ -2635,6 +2636,25 @@ def csv_roundtrip_docs(sf_dir: str):
     return _file_roundtrip(sf_dir, "csv")
 
 
+def feather_roundtrip_docs(sf_dir: str):
+    """documents -> distributed Arrow-IPC (Feather v2) export, one file
+    per block -> file-per-task re-ingest -> normalize; hash-matches the
+    original table (the fourth interchange format beside parquet/JSONL/
+    CSV/WARC)."""
+    import shutil as _sh
+    import tempfile
+
+    from ..sources.files import read_feather_docs, write_feather
+
+    docs = _read(sf_dir, "documents", blocks=_cpus())
+    out = tempfile.mkdtemp(prefix="ncray-feather-")
+    try:
+        write_feather(docs, out)
+        return read_feather_docs(out).to_pandas()
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
+
+
 def warc_roundtrip_docs(sf_dir: str):
     """documents -> distributed WARC export (one ISO-28500 member per
     block, exact Content-Length framing, metadata as WARC-NC headers)
@@ -2880,6 +2900,7 @@ QUERIES = {
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "csv_roundtrip_docs": csv_roundtrip_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
+    "feather_roundtrip_docs": feather_roundtrip_docs,
     "bpe_merges": bpe_merges,
     "bpe_token_counts": bpe_token_counts,
     "doc_tfidf_terms": doc_tfidf_terms,
@@ -4000,6 +4021,9 @@ ORACLE_SQL = {
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
     "warc_roundtrip_docs": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "feather_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
     "doc_graph_components": """

@@ -64,3 +64,49 @@ def write_jsonl(ds, out_dir: str) -> None:
 
 def write_csv(ds, out_dir: str) -> None:
     ds.write_csv(out_dir)
+
+
+def write_feather(ds, out_dir: str):
+    """One Arrow-IPC (Feather v2) file per block — the zero-parse
+    interchange for Arrow-native consumers; deterministic id-range
+    stems, atomic replace."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=str),
+                                 "n_rows": pd.Series([], dtype="int64")})
+        ids = b["doc_id"].to_numpy()
+        path = os.path.join(
+            out_dir, f"part-{ids.min()}-{ids.max()}-{len(b)}.feather")
+        tmp = path + ".tmp"
+        feather.write_feather(pa.Table.from_pandas(b, preserve_index=False),
+                              tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path],
+                             "n_rows": np.array([len(b)], dtype="int64")})
+
+    return ds.map_batches(write_block, batch_format="pandas").materialize()
+
+
+def read_feather_docs(path: str):
+    """Distributed Feather reader: one file per task over
+    read_binary_files (pyarrow IPC decodes from the in-memory buffer,
+    zero temp files), normalized into the documents shape."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        frames = [feather.read_table(pa.BufferReader(bytes(data)))
+                  .to_pandas() for data in b["bytes"]]
+        return _normalize_docs(pd.concat(frames, ignore_index=True))
+
+    return ds.map_batches(parse, batch_format="pandas")
