@@ -218,9 +218,13 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
     Shape: per-batch vectorized shifted-array bigram counts (the BPE
     pair-explode applied to words) partial-summed into ONE
     bigram-keyed exchange; unigram counts and the total token count are
-    tiny (vocab-bounded) and broadcast into the per-partition scorer;
+    vocab-bounded and broadcast into the per-partition scorer;
     per-partition top-k caps the driver reduce at P*k rows. Returns
-    (left, right, c_xy, lift)."""
+    (left, right, c_xy, lift). A corpus whose distinct vocabulary
+    outgrows the broadcast (10^8+ tokens) would swap the dict for two
+    token-keyed hash joins of the bigram table against the unigram
+    Dataset (left then right) — the unigram_lm size-adaptive shape;
+    min_count pre-filtering before the joins keeps that path light."""
     from .agg import grouped_sum_topk, hash_grouped_agg
 
     def unigrams(b: pd.DataFrame) -> pd.DataFrame:
