@@ -351,9 +351,10 @@ def main() -> None:
         # into every bench record makes absolute wall times comparable
         # across runs (healthy-host reference: ~39k @8 / ~84k @32)
         try:
-            probe = {"cpu_probe_ops_8": round(_cpu_probe(8)),
-                     f"cpu_probe_ops_{NUM_CPUS}":
-                         round(_cpu_probe(NUM_CPUS))}
+            probe = {"cpu_probe_ops_8": round(_cpu_probe(8))}
+            if NUM_CPUS != 8:  # key would collide (and re-run the probe)
+                probe[f"cpu_probe_ops_{NUM_CPUS}"] = \
+                    round(_cpu_probe(NUM_CPUS))
         except Exception:
             probe = {}
         result = {

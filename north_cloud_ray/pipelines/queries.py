@@ -2620,6 +2620,9 @@ def _file_roundtrip(sf_dir: str, fmt: str):
         if fmt == "jsonl":
             F.write_jsonl(docs, out)
             back = F.read_jsonl_docs(out)
+        elif fmt == "feather":
+            F.write_feather(docs, out)
+            back = F.read_feather_docs(out)
         else:
             F.write_csv(docs, out)
             back = F.read_csv_docs(out)
@@ -2641,18 +2644,7 @@ def feather_roundtrip_docs(sf_dir: str):
     per block -> file-per-task re-ingest -> normalize; hash-matches the
     original table (the fourth interchange format beside parquet/JSONL/
     CSV/WARC)."""
-    import shutil as _sh
-    import tempfile
-
-    from ..sources.files import read_feather_docs, write_feather
-
-    docs = _read(sf_dir, "documents", blocks=_cpus())
-    out = tempfile.mkdtemp(prefix="ncray-feather-")
-    try:
-        write_feather(docs, out)
-        return read_feather_docs(out).to_pandas()
-    finally:
-        _sh.rmtree(out, ignore_errors=True)
+    return _file_roundtrip(sf_dir, "feather")
 
 
 def warc_roundtrip_docs(sf_dir: str):
@@ -4062,8 +4054,9 @@ ORACLE_SQL = {
           GROUP BY a.t, b.t
         )
         SELECT bc.l AS "left", bc.r AS "right", bc.c_xy,
-               CAST(bc.c_xy * (SELECT n FROM total) AS DOUBLE)
-                 / CAST(u1.c * u2.c AS DOUBLE) AS lift
+               CAST(bc.c_xy AS DOUBLE) * (SELECT CAST(n AS DOUBLE)
+                                          FROM total)
+                 / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
         FROM bc
         JOIN uni u1 ON u1.t = bc.l
         JOIN uni u2 ON u2.t = bc.r

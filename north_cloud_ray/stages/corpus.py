@@ -647,6 +647,12 @@ def chunk_windows(
     import numpy as np
     import pandas as pd
 
+    if not 1 <= stride <= window:
+        # stride=0 floor-divides by zero into ONE silent chunk per doc;
+        # stride>window silently DROPS tokens — both must fail loudly
+        raise ValueError(f"need 1 <= stride <= window "
+                         f"(got stride={stride}, window={window})")
+
     def chunk(b: pd.DataFrame) -> pd.DataFrame:
         toks = b[text_col].fillna("").str.split()
         words = toks.to_numpy(dtype=object)

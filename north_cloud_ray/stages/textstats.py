@@ -210,10 +210,11 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
                       num_partitions: int | None = None):
     """Phrase-mining collocations: top-k word bigrams by LIFT =
     (c_xy * n_tokens) / (c_x * c_y) among bigrams with c_xy >=
-    min_count. Lift is the PMI argument without the log — one exact
-    int64 product per side and one IEEE division, so (unlike log-PMI,
-    whose libm rounding differs across engines) the SQL oracle hashes
-    float-identically.
+    min_count. Lift is the PMI argument without the log: both products
+    and the division run in float64 IN THE SAME ORDER as the SQL
+    oracle's, so (unlike log-PMI, whose libm rounding differs across
+    engines) the score hashes float-identically — and float64 products
+    cannot wrap the way an int64 numerator would at 10^11-token scale.
 
     Shape: per-batch vectorized shifted-array bigram counts (the BPE
     pair-explode applied to words) partial-summed into ONE
@@ -237,8 +238,14 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
     def usum(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby("token", as_index=False)["n"].sum()
 
+    empty = pd.DataFrame({"left": pd.Series([], dtype=object),
+                          "right": pd.Series([], dtype=object),
+                          "c_xy": pd.Series([], dtype="int64"),
+                          "lift": pd.Series([], dtype="float64")})
     uni = hash_grouped_agg(ds, ["token"], unigrams, usum,
                            num_partitions).to_pandas()
+    if "token" not in uni.columns:  # schema-less empty corpus result
+        return empty
     counts = dict(zip(uni["token"], uni["n"].astype(int)))
     n_tokens = int(uni["n"].sum())
 
@@ -269,10 +276,11 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
                                  "right": pd.Series([], dtype=object),
                                  "c_xy": pd.Series([], dtype="int64"),
                                  "lift": pd.Series([], dtype="float64")})
-        cx = g["left"].map(counts).to_numpy("int64")
-        cy = g["right"].map(counts).to_numpy("int64")
-        lift = (g["n"].to_numpy("int64") * np.int64(n_tokens)) \
-            .astype("float64") / (cx * cy).astype("float64")
+        cx = g["left"].map(counts).to_numpy("float64")
+        cy = g["right"].map(counts).to_numpy("float64")
+        # all-float64 in oracle operand order: no int64 wrap at corpus
+        # scale, and the rounding matches CAST-first SQL exactly
+        lift = (g["n"].to_numpy("float64") * float(n_tokens)) / (cx * cy)
         out = pd.DataFrame({"left": g["left"].to_numpy(),
                             "right": g["right"].to_numpy(),
                             "c_xy": g["n"].to_numpy("int64"),
@@ -284,6 +292,8 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
         ds.map_batches(bigrams, batch_format="pandas"),
         ["left", "right"], lambda b: b, score_topk,
         num_partitions).to_pandas()
+    if "lift" not in cand.columns:  # no bigram survived min_count
+        return empty
     return (cand.sort_values(["lift", "left", "right"],
                              ascending=[False, True, True])
             .head(k).reset_index(drop=True))

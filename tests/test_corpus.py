@@ -172,3 +172,16 @@ def test_chunk_windows_edges(ray_session):
     assert d1["n_tokens"].tolist() == [4, 4, 4]
     assert (d1["lang"] == "fr").all()
     assert (out["doc_id"] < 2).all()  # empty/None docs emit nothing
+
+
+def test_chunk_windows_rejects_bad_stride(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from north_cloud_ray.stages.corpus import chunk_windows
+
+    ds = ray.data.from_items([{"doc_id": 0, "text": "a b"}])
+    with _pytest.raises(ValueError):
+        chunk_windows(ds, window=4, stride=0)
+    with _pytest.raises(ValueError):
+        chunk_windows(ds, window=4, stride=5)
