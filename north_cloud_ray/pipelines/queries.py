@@ -1472,6 +1472,19 @@ def f1_truncate_docs(sf_dir: str):
         span_stats, batch_format="pyarrow")
 
 
+def f1_render_text(sf_dir: str):
+    """Interleaved docs rendered to the dataloader-facing token stream:
+    spans joined in offset order, media spans replaced by the
+    <|media|> sentinel; SQL-hash-checked against a string_agg window
+    derivation."""
+    from ..sources.f1 import render_text
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    f1 = docs.map_batches(lambda b: _docs_to_spans(b),
+                          batch_format="pandas")
+    return render_text(f1)
+
+
 def f1_pack_windows(sf_dir: str):
     """Interleaved-aware sequence packing (axes A x B): each doc's token
     cost = its whitespace text tokens + 16 per media span (the fixed
@@ -2952,6 +2965,7 @@ QUERIES = {
     "f1_caption_pairs": f1_caption_pairs,
     "f1_redact_spans": f1_redact_spans,
     "f1_truncate_docs": f1_truncate_docs,
+    "f1_render_text": f1_render_text,
     "f1_pack_windows": f1_pack_windows,
     "f1_span_validation": f1_span_validation,
     "multimodal_features": multimodal_features,
@@ -3226,6 +3240,33 @@ ORACLE_SQL = {
         FROM refs r
         JOIN chunks c ON c.doc_id = r.doc_id AND c.i = 2 * r.j + 1
         WHERE r.ref <> ''
+    """,
+    "f1_render_text": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) = 0 THEN 0
+                      ELSE (len(ws) + 19) // 20 END AS nt
+          FROM d
+        ),
+        spans AS (
+          SELECT doc_id, i + i // 2 AS off,
+                 array_to_string(ws[20 * i + 1 : 20 * i + 20], ' ')
+                     AS piece
+          FROM s, unnest(range(0, nt)) AS t(i)
+          UNION ALL
+          SELECT doc_id, 3 * j + 2, '<|media|>'
+          FROM s, unnest(range(0, nt // 2)) AS t(j)
+        )
+        SELECT doc_id,
+               string_agg(piece, ' ' ORDER BY off) AS text,
+               CAST(count(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id
     """,
     "f1_redact_spans": r"""
         WITH aug AS (

@@ -360,3 +360,37 @@ def truncate_spans(ds, budget: int = 96, media_tokens: int = 16,
                             ["doc_id"], lambda b: b, resolve,
                             num_partitions)
     return reassemble_spans(kept, num_partitions)
+
+
+def render_text(ds, media_token: str = "<|media|>",
+                num_partitions: int | None = None):
+    """Render interleaved docs to the flat token stream a dataloader
+    consumes: spans joined in offset order with single spaces, each
+    media span replaced by the ``media_token`` sentinel (the
+    placeholder the model's media embedder swaps in). Returns
+    (doc_id, text, n_spans). One doc-keyed exchange of light span
+    rows; the per-partition resolve is a vectorized sort + grouped
+    string join (output-linear)."""
+    import pandas as pd
+
+    from ..stages.agg import hash_grouped_agg
+
+    flat = ds.map_batches(flatten_spans, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> "pd.DataFrame":
+        return b.select(["doc_id", "kind", "text", "offset"]).to_pandas()
+
+    def resolve(part: "pd.DataFrame") -> "pd.DataFrame":
+        part = part.sort_values(["doc_id", "offset"], kind="mergesort")
+        piece = part["text"].where(part["kind"] != "media", media_token)
+        g = piece.groupby(part["doc_id"].to_numpy(), sort=False)
+        out = g.agg(" ".join)
+        sizes = g.size()
+        return pd.DataFrame({"doc_id": out.index.to_numpy(),
+                             "text": out.to_numpy(dtype=object),
+                             "n_spans": sizes.to_numpy("int64")})
+
+    return hash_grouped_agg(flat.map_batches(project,
+                                             batch_format="pyarrow"),
+                            ["doc_id"], lambda b: b, resolve,
+                            num_partitions)
