@@ -22,7 +22,9 @@ Python span loops):
 - ``map_text_spans``: run a vectorized text kernel (redaction,
   normalization) on text spans only, media alignment untouched;
 - ``truncate_spans``: token-budget prefix truncation (text tokens +
-  fixed media charge, first span always kept).
+  fixed media charge, first span always kept);
+- ``render_text``: the dataloader-facing render — spans joined in
+  offset order with media sentinels.
 """
 
 from __future__ import annotations
