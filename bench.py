@@ -299,6 +299,9 @@ def run_queries(sf_dir: str) -> dict:
         "f1_media_dedup", "f1_caption_pairs", "f1_redact_spans",
         "f1_truncate_docs", "doc_tfidf_terms", "embedding_pca",
         "events_distinct_users_hll", "lang_word_quantiles",
+        "feather_roundtrip_docs", "doc_collocations", "doc_chunk_windows",
+        "embedding_quantize_int8", "doc_graph_components",
+        "f1_render_text", "media_features_dedup_join",
     ]
     import ray.data
 
