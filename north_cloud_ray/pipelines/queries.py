@@ -2864,6 +2864,65 @@ def bpe_token_counts(sf_dir: str):
     return apply_bpe(docs, _bpe_merges_table(sf_dir))
 
 
+def doc_dsir_weights(sf_dir: str):
+    """DSIR-style hashed importance weights vs the English slice as the
+    target domain (Xie et al. 2023). Per-doc weight = one IEEE division
+    of two exact int64 sums over md5-hashed unigram buckets (B=1024),
+    so the float hashes identically in SQL; the bucket-count fit is ONE
+    corpus scan whose partials are B-bounded and whose result is
+    broadcast into the map-side scoring actor pool — no shuffle."""
+    from ..stages.selection import dsir_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 blocks=_cpus())
+    return dsir_weights(docs, lambda b: (b["lang"] == "en").to_numpy(),
+                        n_buckets=1024, concurrency=_cpus() // 2 or 1)
+
+
+def doc_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-25 retrieval for the fixed query {merge, stream,
+    window} with the log-free raw-odds idf: corpus stats (N, avgdl, df)
+    collected in one Q-bounded partial pass and broadcast; scoring is
+    pure map-side with a fixed-order float chain the SQL oracle mirrors
+    bit-for-bit; per-batch local top-k caps the final exchange."""
+    from ..stages.selection import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return bm25_topk(docs, ["merge", "stream", "window"], k=25,
+                     concurrency=_cpus() // 2 or 1)
+
+
+def events_running_totals(sf_dir: str):
+    """Per-user running event count + running value-cents total in
+    (ts, event_id) order — the per-key ordered cumulative aggregate
+    (ROWS UNBOUNDED PRECEDING window). Events hash-route by user so a
+    partition holds its users' FULL streams; the cumsum is one
+    vectorized sort + groupby-cumsum over the whole partition."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def running_part(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "running_n": pd.Series(dtype="int64"),
+                "running_value_cents": pd.Series(dtype="int64")})
+        p = part.sort_values(["user_id", "ts", "event_id"],
+                             kind="mergesort")
+        p = p.assign(_cents=_cents(p["value"].to_numpy()))
+        g = p.groupby("user_id")
+        return pd.DataFrame({
+            "user_id": p["user_id"].to_numpy(),
+            "event_id": p["event_id"].to_numpy(),
+            "running_n": g.cumcount().to_numpy("int64") + 1,
+            "running_value_cents": g["_cents"].cumsum().to_numpy("int64"),
+        })
+
+    return hash_grouped_agg(ev, ["user_id"], lambda b: b, running_part)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -2977,6 +3036,9 @@ QUERIES = {
     "origin_budget": origin_budget,
     "publisher_telemetry": publisher_telemetry_q,
     "extraction_quality": extraction_quality,
+    "doc_dsir_weights": doc_dsir_weights,
+    "doc_bm25_topk": doc_bm25_topk,
+    "events_running_totals": events_running_totals,
 }
 
 ORACLE_SQL = {
@@ -4367,5 +4429,90 @@ ORACLE_SQL = {
             ('other',   'template',    '50+', CAST(2 AS BIGINT)),
             ('stub',    'readability', '0+',  CAST(3 AS BIGINT))
         ) AS t(page_type, extraction_method, wc_bucket, n)
+    """,
+    "doc_dsir_weights": r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9_]+')) AS w
+          FROM documents
+        ),
+        bk AS (
+          SELECT doc_id, lang,
+                 CAST(CAST(md5_number_upper(w) AS HUGEINT) % 1024
+                      AS BIGINT) AS b
+          FROM toks
+        ),
+        t AS (SELECT b, count(*) AS tc FROM bk WHERE lang = 'en'
+              GROUP BY b),
+        r AS (SELECT b, count(*) AS rc FROM bk GROUP BY b)
+        SELECT bk.doc_id,
+               CAST(sum(coalesce(t.tc, 0) + 1) AS BIGINT) AS num,
+               CAST(sum(coalesce(r.rc, 0) + 1) AS BIGINT) AS den,
+               CAST(sum(coalesce(t.tc, 0) + 1) AS DOUBLE)
+                   / sum(coalesce(r.rc, 0) + 1) AS weight
+        FROM bk LEFT JOIN t ON bk.b = t.b LEFT JOIN r ON bk.b = r.b
+        GROUP BY bk.doc_id
+    """,
+    "doc_bm25_topk": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-z0-9_]+') AS tw
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, CAST(len(tw) AS DOUBLE) AS dl,
+                 CAST(len(list_filter(tw, x -> x = 'merge'))
+                      AS DOUBLE) AS tf1,
+                 CAST(len(list_filter(tw, x -> x = 'stream'))
+                      AS DOUBLE) AS tf2,
+                 CAST(len(list_filter(tw, x -> x = 'window'))
+                      AS DOUBLE) AS tf3
+          FROM d
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS total,
+                 CAST(count(*) FILTER (tf1 > 0) AS BIGINT) AS df1,
+                 CAST(count(*) FILTER (tf2 > 0) AS BIGINT) AS df2,
+                 CAST(count(*) FILTER (tf3 > 0) AS BIGINT) AS df3
+          FROM st
+        ),
+        sc AS (
+          SELECT st.doc_id,
+                 ((1.0 - 0.75) + (0.75 * (st.dl
+                     / (CAST(g.total AS DOUBLE) / g.n)))) AS norm,
+                 st.tf1, st.tf2, st.tf3, g.n, g.df1, g.df2, g.df3
+          FROM st, g
+        ),
+        co AS (
+          SELECT doc_id,
+            CASE WHEN tf1 > 0 THEN
+              ((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+               * (tf1 * (1.2 + 1.0))) / (tf1 + (1.2 * norm))
+            ELSE 0.0 END AS c1,
+            CASE WHEN tf2 > 0 THEN
+              ((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+               * (tf2 * (1.2 + 1.0))) / (tf2 + (1.2 * norm))
+            ELSE 0.0 END AS c2,
+            CASE WHEN tf3 > 0 THEN
+              ((CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)
+               * (tf3 * (1.2 + 1.0))) / (tf3 + (1.2 * norm))
+            ELSE 0.0 END AS c3,
+            (tf1 > 0 OR tf2 > 0 OR tf3 > 0) AS anym
+          FROM sc
+        )
+        SELECT doc_id, ((c1 + c2) + c3) AS score
+        FROM co WHERE anym ORDER BY score DESC, doc_id LIMIT 25
+    """,
+    "events_running_totals": """
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS running_value_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
     """,
 }

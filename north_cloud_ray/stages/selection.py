@@ -1,0 +1,293 @@
+"""Data-selection operators: DSIR-style hashed importance weighting and
+BM25 ranked retrieval.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", NeurIPS) selects pretraining documents whose
+hashed-n-gram feature distribution looks like a small target domain.
+``dsir_weights`` is the exactly-hashable variant: features are word
+unigrams hashed into B buckets with the md5 bridge shared with
+``textstats.rolling_fingerprint`` (first 8 md5 bytes little-endian ==
+DuckDB's ``md5_number_upper``), and the per-doc importance weight is
+
+    weight = sum_tok (t[bucket]+1)  /  sum_tok (r[bucket]+1)
+
+— the ratio of the doc's add-1-smoothed expected TARGET bucket mass to
+its expected RAW bucket mass. The paper's weight is the expected LOG
+ratio; the log is dropped deliberately so the score is one IEEE
+division of two exact int64 sums and hash-matches any SQL engine
+(libm log rounding differs across engines — same trade as tfidf/lift).
+Selection is deterministic top-k by (weight DESC, id ASC) in place of
+the paper's seeded Gumbel resampling, for the same reason.
+
+BM25 (Robertson-Sparck Jones; the Okapi formula) ranks documents for a
+fixed query-term set. The idf uses the raw odds (N-df+0.5)/(df+0.5)
+WITHOUT the log for the same exact-hash reason; every remaining factor
+is a fixed parenthesized chain of IEEE +,*,/ mirrored token-for-token
+by the SQL oracle, and the per-doc score sums per-term contributions
+in term-ASC order on both sides (absent terms add exactly 0.0), so the
+float scores hash identically.
+
+Scale shape (both operators): corpus statistics are bucket- or
+query-bounded (B buckets / Q terms), collected as per-batch partials
+through one tiny driver reduce and BROADCAST via ``ray.put`` (read
+zero-copy in every scoring actor); the scoring pass is pure map-side
+(no shuffle of document rows) through an actor pool whose token->bucket
+md5 cache persists across batches; top-k selection ships at most k rows
+per batch into the final sort. Nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .textstats import _WORD_RE
+
+
+def _pool_size(requested: int | None) -> int:
+    """Actor-pool size with scheduler headroom. A FIXED pool of size ==
+    cluster CPUs starves the upstream read tasks of CPUs and deadlocks
+    the streaming executor (reproduced on ray 2.49.2 with num_cpus=4 +
+    concurrency=4); always leave >=2 CPUs for the producer stage."""
+    if requested is not None:
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, cpus - 2)
+
+
+class _BucketHasher:
+    """Token->bucket md5 cache (held per actor, so the hash of a vocab
+    word is computed once per process, not once per batch)."""
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = n_buckets
+        self.cache: dict[str, int] = {}
+
+    def buckets(self, tokens: np.ndarray) -> np.ndarray:
+        cache, nb = self.cache, self.n_buckets
+        out = np.empty(len(tokens), dtype=np.int64)
+        for i, t in enumerate(tokens):
+            b = cache.get(t)
+            if b is None:
+                b = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "little") % nb
+                cache[t] = b
+            out[i] = b
+        return out
+
+
+def _tokenize(texts: pd.Series) -> pd.Series:
+    """Shared tokenization: ``[a-z0-9_]+`` over lowercased text — exactly
+    DuckDB ``regexp_extract_all(lower(text), '[a-z0-9_]+')``."""
+    return texts.fillna("").str.lower().str.findall(_WORD_RE)
+
+
+def _flatten(b: pd.DataFrame, text_col: str):
+    """(flat token array, per-row counts) via one vectorized explode."""
+    toks = _tokenize(b[text_col])
+    counts = toks.str.len().to_numpy("int64")
+    ex = toks.explode()
+    flat = ex[ex.notna()].to_numpy(dtype=object)  # empty rows explode to NaN
+    return flat, counts
+
+
+class _BucketCountPartial:
+    """Per-batch (target, raw) bucket-count partial: ONE 2-row frame of
+    length-B lists per batch; md5 cache persists across batches."""
+
+    def __init__(self, n_buckets: int, target_mask_fn, text_col: str):
+        self.h = _BucketHasher(n_buckets)
+        self.target_mask_fn = target_mask_fn
+        self.text_col = text_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        nb = self.h.n_buckets
+        mask = np.asarray(self.target_mask_fn(b), dtype=bool)
+        flat, counts = _flatten(b, self.text_col)
+        bk = self.h.buckets(flat)
+        row_is_target = np.repeat(mask, counts)
+        raw = np.bincount(bk, minlength=nb).astype(np.int64)
+        tgt = np.bincount(bk[row_is_target], minlength=nb).astype(np.int64)
+        return pd.DataFrame({"kind": ["t", "r"], "counts": [tgt, raw]})
+
+
+def fit_bucket_counts(ds, target_mask_fn, n_buckets: int = 1024,
+                      text_col: str = "text",
+                      concurrency: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """One corpus scan -> (target_counts[B], raw_counts[B]) int64 arrays.
+
+    ``target_mask_fn(batch) -> bool ndarray`` marks the target-domain
+    rows (e.g. ``lang == 'en'``). The driver reduce is O(P*B) ints —
+    bucket-bounded, never document-bounded.
+    """
+    parts = ds.map_batches(
+        _BucketCountPartial,
+        fn_constructor_args=(n_buckets, target_mask_fn, text_col),
+        batch_format="pandas", concurrency=_pool_size(concurrency)).take_all()
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    for row in parts:
+        if row["kind"] == "t":
+            tgt += np.asarray(row["counts"], dtype=np.int64)
+        else:
+            raw += np.asarray(row["counts"], dtype=np.int64)
+    return tgt, raw
+
+
+class _DsirScorer:
+    """Actor-pool scoring stage: broadcast smoothed bucket counts are
+    fetched zero-copy ONCE per actor; per-batch work is one explode +
+    two int64 scatter-adds."""
+
+    def __init__(self, tgt_ref, raw_ref, id_col: str, text_col: str):
+        import ray
+
+        self.t1 = ray.get(tgt_ref)  # already +1-smoothed
+        self.r1 = ray.get(raw_ref)
+        self.h = _BucketHasher(len(self.t1))
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        flat, counts = _flatten(b, self.text_col)
+        n = len(b)
+        num = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            bk = self.h.buckets(flat)
+            row_idx = np.repeat(np.arange(n), counts)
+            np.add.at(num, row_idx, self.t1[bk])
+            np.add.at(den, row_idx, self.r1[bk])
+        keep = counts > 0
+        return pd.DataFrame({
+            self.id_col: b[self.id_col].to_numpy()[keep],
+            "num": num[keep],
+            "den": den[keep],
+            "weight": num[keep].astype("float64") / den[keep],
+        })
+
+
+def dsir_weights(ds, target_mask_fn, n_buckets: int = 1024,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 concurrency: int | None = None):
+    """Per-doc hashed importance weights vs a target slice.
+
+    Returns a Dataset of (id, num, den, weight) for every doc with >=1
+    token: num = sum over token occurrences of (target_count[bucket]+1),
+    den = same over raw counts, weight = num/den (one IEEE division of
+    exact int64 sums — hash-identical in SQL). Docs with zero tokens
+    carry no distributional evidence and are dropped (mirroring the SQL
+    oracle's unnest, which never produces their rows).
+    """
+    import ray
+
+    tgt, raw = fit_bucket_counts(ds, target_mask_fn, n_buckets,
+                                 text_col, concurrency)
+    tgt_ref, raw_ref = ray.put(tgt + 1), ray.put(raw + 1)
+    return ds.map_batches(
+        _DsirScorer,
+        fn_constructor_args=(tgt_ref, raw_ref, id_col, text_col),
+        batch_format="pandas", concurrency=_pool_size(concurrency))
+
+
+def dsir_select(ds, target_mask_fn, k: int, n_buckets: int = 1024,
+                id_col: str = "doc_id", text_col: str = "text",
+                concurrency: int | None = None):
+    """Deterministic DSIR selection: the k docs with the highest
+    importance weight, tie-broken by id ASC. Per-batch local top-k caps
+    the exchange at k rows per batch before the global sort+limit."""
+    weighted = dsir_weights(ds, target_mask_fn, n_buckets, id_col,
+                            text_col, concurrency)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["weight", id_col],
+                             ascending=[False, True]).head(k)
+
+    return (weighted.map_batches(local_topk, batch_format="pandas")
+            .sort(["weight", id_col], descending=[True, False])
+            .limit(k))
+
+
+# ---------------- BM25 ----------------
+
+def _bm25_corpus_stats(ds, terms: list[str], text_col: str,
+                       concurrency: int) -> tuple[int, int, dict[str, int]]:
+    """One scan -> (n_docs, total_tokens, df per query term). Partials
+    are one row per batch; the reduce is Q-bounded."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokenize(b[text_col])
+        dl = toks.str.len().to_numpy("int64")
+        row = {"n": np.int64(len(b)), "total": dl.sum()}
+        for t in terms:
+            row[f"df_{t}"] = np.int64(sum(1 for ws in toks if t in ws))
+        return pd.DataFrame([row])
+
+    parts = pd.DataFrame(ds.map_batches(
+        partial, batch_format="pandas", concurrency=concurrency).take_all())
+    n = int(parts["n"].sum())
+    total = int(parts["total"].sum())
+    dfs = {t: int(parts[f"df_{t}"].sum()) for t in terms}
+    return n, total, dfs
+
+
+class _Bm25Scorer:
+    """Actor-pool scorer: corpus stats resolved once per actor; per-batch
+    work is one explode + Q vectorized tf counts; emits at most k
+    candidate rows per batch."""
+
+    def __init__(self, stats_ref, terms, k, k1, b, id_col, text_col):
+        import ray
+
+        self.n, self.total, self.dfs = ray.get(stats_ref)
+        self.terms, self.k = terms, k
+        self.k1, self.b = k1, b
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        avgdl = float(self.total) / self.n
+        toks = _tokenize(batch[self.text_col])
+        dl = toks.str.len().to_numpy("float64")
+        ratio = dl / avgdl
+        norm = (1.0 - self.b) + (self.b * ratio)
+        score_acc = np.zeros(len(batch), dtype="float64")
+        any_match = np.zeros(len(batch), dtype=bool)
+        for t in self.terms:  # term-ASC: fixed summation order
+            tf = np.fromiter((ws.count(t) for ws in toks),
+                             dtype="float64", count=len(batch))
+            idf = (float(self.n - self.dfs[t]) + 0.5) \
+                / (float(self.dfs[t]) + 0.5)
+            denom = tf + (self.k1 * norm)
+            contrib = (idf * (tf * (self.k1 + 1.0))) / denom
+            matched = tf > 0
+            score_acc = score_acc + np.where(matched, contrib, 0.0)
+            any_match |= matched
+        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
+                            "score": score_acc})[any_match]
+        return out.sort_values(["score", self.id_col],
+                               ascending=[False, True]).head(self.k)
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text", concurrency: int | None = None):
+    """Okapi BM25 top-k retrieval for a fixed query-term set (module
+    docstring explains the exact-hash float discipline). Only docs
+    matching >=1 term become candidate rows."""
+    import ray
+
+    terms = sorted(terms)
+    stats_ref = ray.put(_bm25_corpus_stats(ds, terms, text_col,
+                                           concurrency))
+    return (ds.map_batches(
+        _Bm25Scorer,
+        fn_constructor_args=(stats_ref, terms, k, k1, b, id_col, text_col),
+        batch_format="pandas", concurrency=_pool_size(concurrency))
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k))
