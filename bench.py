@@ -302,6 +302,7 @@ def run_queries(sf_dir: str) -> dict:
         "feather_roundtrip_docs", "doc_collocations", "doc_chunk_windows",
         "embedding_quantize_int8", "doc_graph_components",
         "f1_render_text", "media_features_dedup_join",
+        "doc_dsir_weights", "doc_bm25_topk", "events_running_totals",
     ]
     import ray.data
 
