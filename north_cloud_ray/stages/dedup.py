@@ -127,51 +127,72 @@ def cluster_labels_distributed(pairs_ds, num_partitions: int = 8,
             "nbr": pd.concat([b["b"], b["a"]], ignore_index=True),
         })
 
-    edges = pairs_ds.map_batches(sym, batch_format="pandas")
+    # materialized ONCE: every propagation round joins against the edge
+    # list, and an unmaterialized Dataset would re-execute the whole
+    # upstream lineage (corpus read + pair generation) per round.
+    edges = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
 
+    # is_own=1 rows carry a node's CURRENT label into the next round;
+    # is_own=0 rows are neighbor messages. The two classes are min-reduced
+    # SEPARATELY (dtype-agnostic — no cross-typed sentinel), so the
+    # combine can emit a per-node `changed` flag and convergence is a
+    # tiny sum over the result instead of a second join per round.
     def min_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("node", as_index=False).agg(label=("label", "min"))
+        return b.groupby(["node", "is_own"], as_index=False).agg(
+            label=("label", "min"))
 
     def min_combine(p: pd.DataFrame) -> pd.DataFrame:
-        return p.groupby("node", as_index=False).agg(label=("label", "min"))
+        new = p.groupby("node", as_index=False).agg(label=("label", "min"))
+        own = (p[p["is_own"] == 1]
+               .groupby("node", as_index=False).agg(old=("label", "min")))
+        m = new.merge(own, on="node", how="left")
+        m["changed"] = (m["label"] != m["old"]).astype("int8")
+        return m[["node", "label", "changed"]]
 
-    # initial labels: each node labels itself
+    # fused round 0 in ONE exchange: label(n) = min(n, min of n's
+    # neighbors), old(n) = n. Each edge row emits its own-label row too —
+    # duplicates are idempotent under min (they would NOT be safe on the
+    # join side, where label-row multiplicity multiplies messages).
+    def seed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([b["node"], b["node"]], ignore_index=True),
+            "label": pd.concat([b["node"], b["nbr"]], ignore_index=True),
+            "is_own": np.repeat(np.array([1, 0], dtype="int8"), len(b)),
+        })
+
     labels = hash_grouped_agg(
-        edges.map_batches(
-            lambda b: pd.DataFrame({"node": b["node"], "label": b["node"]}),
-            batch_format="pandas"),
+        edges.map_batches(seed, batch_format="pandas"),
         ["node"], min_partial, min_combine, num_partitions,
     ).materialize()
 
     for _ in range(max_iters):
         lab_r = labels.map_batches(
-            lambda b: b.rename(columns={"node": "_lnode", "label": "_nlabel"}),
+            lambda b: pd.DataFrame({"_lnode": b["node"],
+                                    "_nlabel": b["label"]}),
             batch_format="pandas")
         j = edges.join(lab_r, join_type="inner",
                        num_partitions=num_partitions,
                        on=("nbr",), right_on=("_lnode",))
         msgs = j.map_batches(
-            lambda b: pd.DataFrame({"node": b["node"], "label": b["_nlabel"]}),
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["_nlabel"],
+                                    "is_own": np.int8(0)}),
+            batch_format="pandas")
+        own = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["label"],
+                                    "is_own": np.int8(1)}),
             batch_format="pandas")
         new_labels = hash_grouped_agg(
-            msgs.union(labels), ["node"], min_partial, min_combine,
+            msgs.union(own), ["node"], min_partial, min_combine,
             num_partitions,
         ).materialize()
-        # convergence: count nodes whose label shrank (small aggregate)
-        old_r = labels.map_batches(
-            lambda b: b.rename(columns={"node": "_onode", "label": "_olabel"}),
-            batch_format="pandas")
-        cmp = new_labels.join(old_r, join_type="inner",
-                              num_partitions=num_partitions,
-                              on=("node",), right_on=("_onode",))
-        changed = cmp.map_batches(
-            lambda b: pd.DataFrame(
-                {"c": [int((b["label"] != b["_olabel"]).sum())]}),
+        changed = new_labels.map_batches(
+            lambda b: pd.DataFrame({"c": [int(b["changed"].sum())]}),
             batch_format="pandas",
         ).sum("c")
         labels = new_labels
         if not changed:
-            return labels
+            return labels.map_batches(
+                lambda b: b[["node", "label"]], batch_format="pandas")
     raise RuntimeError(
         f"cluster_labels_distributed did not converge in {max_iters} "
         f"rounds — a component's diameter exceeds the cap; raise max_iters "

@@ -71,16 +71,20 @@ class _BucketHasher:
         self.cache: dict[str, int] = {}
 
     def buckets(self, tokens: np.ndarray) -> np.ndarray:
+        # Hash each DISTINCT token once (factorize -> vocab-bounded md5
+        # loop -> numpy gather): token streams repeat Zipf-style, so the
+        # Python-level work is O(vocab), not O(corpus tokens).
+        codes, uniques = pd.factorize(tokens)
         cache, nb = self.cache, self.n_buckets
-        out = np.empty(len(tokens), dtype=np.int64)
-        for i, t in enumerate(tokens):
+        ub = np.empty(len(uniques), dtype=np.int64)
+        for i, t in enumerate(uniques):
             b = cache.get(t)
             if b is None:
                 b = int.from_bytes(
                     hashlib.md5(t.encode()).digest()[:8], "little") % nb
                 cache[t] = b
-            out[i] = b
-        return out
+            ub[i] = b
+        return ub[codes]
 
 
 def _tokenize(texts: pd.Series) -> pd.Series:
@@ -222,11 +226,11 @@ def _bm25_corpus_stats(ds, terms: list[str], text_col: str,
     are one row per batch; the reduce is Q-bounded."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokenize(b[text_col])
-        dl = toks.str.len().to_numpy("int64")
-        row = {"n": np.int64(len(b)), "total": dl.sum()}
-        for t in terms:
-            row[f"df_{t}"] = np.int64(sum(1 for ws in toks if t in ws))
+        flat, counts = _flatten(b, text_col)
+        row_idx = np.repeat(np.arange(len(b)), counts)
+        row = {"n": np.int64(len(b)), "total": counts.sum()}
+        for t in terms:  # one vectorized compare over the flat stream
+            row[f"df_{t}"] = np.int64(np.unique(row_idx[flat == t]).size)
         return pd.DataFrame([row])
 
     parts = pd.DataFrame(ds.map_batches(
@@ -252,15 +256,16 @@ class _Bm25Scorer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         avgdl = float(self.total) / self.n
-        toks = _tokenize(batch[self.text_col])
-        dl = toks.str.len().to_numpy("float64")
+        flat, counts = _flatten(batch, self.text_col)
+        row_idx = np.repeat(np.arange(len(batch)), counts)
+        dl = counts.astype("float64")
         ratio = dl / avgdl
         norm = (1.0 - self.b) + (self.b * ratio)
         score_acc = np.zeros(len(batch), dtype="float64")
         any_match = np.zeros(len(batch), dtype=bool)
         for t in self.terms:  # term-ASC: fixed summation order
-            tf = np.fromiter((ws.count(t) for ws in toks),
-                             dtype="float64", count=len(batch))
+            tf = np.bincount(row_idx[flat == t],
+                             minlength=len(batch)).astype("float64")
             idf = (float(self.n - self.dfs[t]) + 0.5) \
                 / (float(self.dfs[t]) + 0.5)
             denom = tf + (self.k1 * norm)
