@@ -739,9 +739,13 @@ def training_export(sf_dir: str):
                         ["doc_id", "text", "lang", "n_tokens"]],
         batch_format="pandas")
     dec = decontaminate(corpus, bench, k=5, keep_cols=("lang", "n_tokens"))
+    # materialized HERE, where text is already gone (light (doc_id, lang,
+    # n_tokens) rows): every downstream stage is two-pass (count/prefix
+    # aggregate + map), so an unmaterialized `clean` would re-execute the
+    # heavy gate -> exact-dedup -> decontaminate text chain ~5x.
     clean = dec.map_batches(
         lambda b: b.loc[b["n_hit"] == 0, ["doc_id", "lang", "n_tokens"]],
-        batch_format="pandas")
+        batch_format="pandas").materialize()
 
     sampled = balanced_sample(clean, group_col="lang",
                               keep_cols=("n_tokens",))
