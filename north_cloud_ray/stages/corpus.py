@@ -280,7 +280,12 @@ def pack_windows(
             out[c] = b[c].to_numpy()
         return out
 
-    toks = ds.map_batches(light, batch_format="pandas")
+    # materialized: the light (doc_id, n_tokens, bucket) stream (~24 B/doc
+    # — object-store-bounded, spillable) feeds TWO passes (bucket-sum
+    # aggregate, then the pack map); unmaterialized it would re-execute
+    # the whole upstream lineage — including any shuffle stages a caller
+    # chained before packing — once per pass.
+    toks = ds.map_batches(light, batch_format="pandas").materialize()
 
     bucket_sums = hash_grouped_agg(
         toks, ["bucket"],
@@ -363,7 +368,10 @@ def shuffle_positions(
             out[c] = b[c].to_numpy()
         return out
 
-    rows = ds.map_batches(light, batch_format="pandas")
+    # materialized for the same reason as pack_windows' toks: two passes
+    # (count aggregate + rank map) over light rows must not re-execute
+    # the caller's upstream lineage twice.
+    rows = ds.map_batches(light, batch_format="pandas").materialize()
     counts = hash_grouped_agg(
         rows, ["bucket"],
         lambda b: b.groupby("bucket", as_index=False).size().rename(
