@@ -303,6 +303,7 @@ def run_queries(sf_dir: str) -> dict:
         "embedding_quantize_int8", "doc_graph_components",
         "f1_render_text", "media_features_dedup_join",
         "doc_dsir_weights", "doc_bm25_topk", "events_running_totals",
+        "doc_inverted_postings",
     ]
     import ray.data
 

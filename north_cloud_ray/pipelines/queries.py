@@ -2927,6 +2927,18 @@ def events_running_totals(sf_dir: str):
     return hash_grouped_agg(ev, ["user_id"], lambda b: b, running_part)
 
 
+def doc_inverted_postings(sf_dir: str):
+    """Inverted-index postings for the corpus top-50 df terms: exact df
+    via light (term, count) partials + top-k combine; the posting rows
+    (term, df, doc_id, tf, first_pos) are emitted purely map-side against
+    the broadcast term table — nothing per-posting ever shuffles."""
+    from ..stages.selection import inverted_postings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return inverted_postings(docs, n_terms=50,
+                             concurrency=_cpus() // 2 or 1)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3043,6 +3055,7 @@ QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     "doc_bm25_topk": doc_bm25_topk,
     "events_running_totals": events_running_totals,
+    "doc_inverted_postings": doc_inverted_postings,
 }
 
 ORACLE_SQL = {
@@ -4509,6 +4522,26 @@ ORACLE_SQL = {
         )
         SELECT doc_id, ((c1 + c2) + c3) AS score
         FROM co WHERE anym ORDER BY score DESC, doc_id LIMIT 25
+    """,
+    "doc_inverted_postings": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9_]+')) AS w,
+                 unnest(range(len(regexp_extract_all(lower(coalesce(text,
+                     '')), '[a-z0-9_]+')))) AS pos
+          FROM documents
+        ),
+        dfs AS (
+          SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY w
+        ),
+        top AS (SELECT w, df FROM dfs ORDER BY df DESC, w LIMIT 50)
+        SELECT t.w AS term, top.df, t.doc_id,
+               CAST(count(*) AS BIGINT) AS tf,
+               CAST(min(t.pos) AS BIGINT) AS first_pos
+        FROM toks t JOIN top ON t.w = top.w
+        GROUP BY t.w, top.df, t.doc_id
     """,
     "events_running_totals": """
         SELECT user_id, event_id,

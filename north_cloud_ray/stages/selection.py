@@ -279,6 +279,71 @@ class _Bm25Scorer:
                                ascending=[False, True]).head(self.k)
 
 
+def inverted_postings(ds, n_terms: int = 50, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      concurrency: int | None = None,
+                      num_partitions: int | None = None):
+    """Distributed inverted-index build for the highest-df terms — the
+    posting-list primitive behind corpus-scale retrieval and exact
+    decontamination indexes. Returns a Dataset of one row per posting:
+    (term, df, doc_id, tf, first_pos) for the ``n_terms`` terms with the
+    highest document frequency (df DESC, term ASC tiebreak).
+
+    Scale shape: phase 1 computes EXACT per-term df with per-batch
+    distinct-per-doc partials (docs are unique rows, so per-batch
+    distinct counts sum to the global distinct count) through the
+    top-k combine — only (term, count) light rows ride the exchange and
+    only n_terms rows reach the driver. Phase 2 broadcasts the term
+    table and emits postings PURELY MAP-SIDE: a doc's rows live in one
+    batch, so per-(doc, term) tf/first_pos aggregates are complete per
+    batch and no posting ever shuffles."""
+    import ray
+
+    from .agg import grouped_sum_topk
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat, counts = _flatten(b, text_col)
+        row_idx = np.repeat(np.arange(len(b)), counts)
+        seen = pd.DataFrame({"r": row_idx, "term": flat}).drop_duplicates()
+        vc = seen["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "df": vc.to_numpy("int64")})
+
+    top = grouped_sum_topk(
+        ds.map_batches(df_partial, batch_format="pandas",
+                       concurrency=_pool_size(concurrency)),
+        key="term", value_col="df", k=n_terms,
+        num_partitions=num_partitions)
+    terms_ref = ray.put((np.sort(top["term"].to_numpy(dtype=object)),
+                         dict(zip(top["term"], top["df"].astype(int)))))
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        terms, df_map = ray.get(terms_ref)
+        flat, counts = _flatten(b, text_col)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(counts.sum(), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        ids = np.repeat(b[id_col].to_numpy("int64"), counts)
+        mask = np.isin(flat, terms)
+        if not mask.any():  # typed empty frame (stable schema)
+            return pd.DataFrame({
+                "term": pd.Series(dtype=object),
+                "df": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "tf": pd.Series(dtype="int64"),
+                "first_pos": pd.Series(dtype="int64")})
+        hits = pd.DataFrame({"term": flat[mask], "doc_id": ids[mask],
+                             "pos": pos[mask]})
+        g = hits.groupby(["term", "doc_id"], as_index=False).agg(
+            tf=("pos", "size"), first_pos=("pos", "min"))
+        g["df"] = g["term"].map(df_map).astype("int64")
+        g["tf"] = g["tf"].astype("int64")
+        return g[["term", "df", "doc_id", "tf", "first_pos"]]
+
+    return ds.map_batches(postings, batch_format="pandas",
+                          concurrency=_pool_size(concurrency))
+
+
 def bm25_topk(ds, terms: list[str], k: int = 20, k1: float = 1.2,
               b: float = 0.75, id_col: str = "doc_id",
               text_col: str = "text", concurrency: int | None = None):

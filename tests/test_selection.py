@@ -15,6 +15,7 @@ from north_cloud_ray.stages.selection import (
     dsir_select,
     dsir_weights,
     fit_bucket_counts,
+    inverted_postings,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -159,3 +160,57 @@ def test_bm25_partition_count_independent(ray_session):
     a = bm25_topk(_docs(1), terms, k=15).to_pandas().reset_index(drop=True)
     b = bm25_topk(_docs(9), terms, k=15).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def _seq_postings(df: pd.DataFrame, n_terms: int) -> pd.DataFrame:
+    toks = {r.doc_id: _WORD.findall((r.text or "").lower())
+            for r in df.itertuples()}
+    dfs: dict = {}
+    for ws in toks.values():
+        for w in set(ws):
+            dfs[w] = dfs.get(w, 0) + 1
+    top = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:n_terms]
+    keep = dict(top)
+    rows = []
+    for doc_id, ws in toks.items():
+        first: dict = {}
+        tf: dict = {}
+        for i, w in enumerate(ws):
+            if w in keep:
+                tf[w] = tf.get(w, 0) + 1
+                first.setdefault(w, i)
+        for w in tf:
+            rows.append((w, keep[w], doc_id, tf[w], first[w]))
+    return (pd.DataFrame(rows, columns=["term", "df", "doc_id", "tf",
+                                        "first_pos"])
+            .sort_values(["term", "doc_id"]).reset_index(drop=True))
+
+
+def test_inverted_postings_matches_sequential_reference(ray_session):
+    got = (inverted_postings(_docs(6), n_terms=20).to_pandas()
+           .sort_values(["term", "doc_id"]).reset_index(drop=True))
+    src = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+    want = _seq_postings(src, 20)
+    pd.testing.assert_frame_equal(
+        got.astype({"df": "int64", "tf": "int64", "first_pos": "int64"}),
+        want.astype({"df": "int64", "tf": "int64", "first_pos": "int64"}),
+        check_exact=True)
+
+
+def test_inverted_postings_partition_count_independent(ray_session):
+    a = (inverted_postings(_docs(1), n_terms=10).to_pandas()
+         .sort_values(["term", "doc_id"]).reset_index(drop=True))
+    b = (inverted_postings(_docs(13), n_terms=10).to_pandas()
+         .sort_values(["term", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_inverted_postings_df_is_posting_count(ray_session):
+    """Each term's df column must equal its actual number of posting
+    rows (one per containing doc) — the index's core invariant."""
+    got = inverted_postings(_docs(4), n_terms=15).to_pandas()
+    per_term = got.groupby("term").agg(n=("doc_id", "size"),
+                                       df=("df", "first"))
+    assert (per_term["n"] == per_term["df"]).all()
+    assert len(per_term) == 15
