@@ -39,10 +39,9 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None) -> "
 
 
 def _cpus() -> int:
-    try:
-        return int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        return 8
+    from ..stages.agg import cluster_cpus
+
+    return cluster_cpus()
 
 
 def _cents(x):

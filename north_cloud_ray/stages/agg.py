@@ -24,6 +24,17 @@ from collections.abc import Callable
 import pandas as pd
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Total cluster CPUs (the shared probe behind partition/pool
+    sizing — one definition, not one per module)."""
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
 def default_partitions() -> int:
     """Partition count that scales with the cluster instead of a fixed 16.
 
@@ -33,13 +44,7 @@ def default_partitions() -> int:
     keeps every core busy during the combine and bounds per-partition
     memory at (input / (2*total_cpus)).
     """
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(16, cpus * 2)
+    return max(16, cluster_cpus() * 2)
 
 
 def _add_pkey(batch: pd.DataFrame, keys: list[str], num_partitions: int) -> pd.DataFrame:

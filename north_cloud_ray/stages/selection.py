@@ -53,13 +53,9 @@ def _pool_size(requested: int | None) -> int:
     concurrency=4); always leave >=2 CPUs for the producer stage."""
     if requested is not None:
         return requested
-    try:
-        import ray
+    from .agg import cluster_cpus
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(1, cpus - 2)
+    return max(1, cluster_cpus() - 2)
 
 
 class _BucketHasher:
@@ -235,6 +231,8 @@ def _bm25_corpus_stats(ds, terms: list[str], text_col: str,
 
     parts = pd.DataFrame(ds.map_batches(
         partial, batch_format="pandas", concurrency=concurrency).take_all())
+    if parts.empty or int(parts["n"].sum()) == 0:
+        raise ValueError("bm25_topk: empty corpus (avgdl undefined)")
     n = int(parts["n"].sum())
     total = int(parts["total"].sum())
     dfs = {t: int(parts[f"df_{t}"].sum()) for t in terms}
@@ -297,8 +295,6 @@ def inverted_postings(ds, n_terms: int = 50, id_col: str = "doc_id",
     table and emits postings PURELY MAP-SIDE: a doc's rows live in one
     batch, so per-(doc, term) tf/first_pos aggregates are complete per
     batch and no posting ever shuffles."""
-    import ray
-
     from .agg import grouped_sum_topk
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -314,31 +310,32 @@ def inverted_postings(ds, n_terms: int = 50, id_col: str = "doc_id",
                        concurrency=_pool_size(concurrency)),
         key="term", value_col="df", k=n_terms,
         num_partitions=num_partitions)
-    terms_ref = ray.put((np.sort(top["term"].to_numpy(dtype=object)),
-                         dict(zip(top["term"], top["df"].astype(int)))))
+    # the term table is k driver-side rows — closure capture ships it by
+    # value once per task (no ray.get + dict deserialization per BATCH)
+    terms = np.sort(top["term"].to_numpy(dtype=object))
+    df_map = dict(zip(top["term"], top["df"].astype(int)))
 
     def postings(b: pd.DataFrame) -> pd.DataFrame:
-        terms, df_map = ray.get(terms_ref)
         flat, counts = _flatten(b, text_col)
         starts = np.cumsum(counts) - counts
         pos = np.arange(counts.sum(), dtype=np.int64) \
             - np.repeat(starts, counts)
-        ids = np.repeat(b[id_col].to_numpy("int64"), counts)
+        ids = np.repeat(b[id_col].to_numpy(), counts)
         mask = np.isin(flat, terms)
         if not mask.any():  # typed empty frame (stable schema)
             return pd.DataFrame({
                 "term": pd.Series(dtype=object),
                 "df": pd.Series(dtype="int64"),
-                "doc_id": pd.Series(dtype="int64"),
+                id_col: b[id_col].iloc[0:0],
                 "tf": pd.Series(dtype="int64"),
                 "first_pos": pd.Series(dtype="int64")})
-        hits = pd.DataFrame({"term": flat[mask], "doc_id": ids[mask],
+        hits = pd.DataFrame({"term": flat[mask], id_col: ids[mask],
                              "pos": pos[mask]})
-        g = hits.groupby(["term", "doc_id"], as_index=False).agg(
+        g = hits.groupby(["term", id_col], as_index=False).agg(
             tf=("pos", "size"), first_pos=("pos", "min"))
         g["df"] = g["term"].map(df_map).astype("int64")
         g["tf"] = g["tf"].astype("int64")
-        return g[["term", "df", "doc_id", "tf", "first_pos"]]
+        return g[["term", "df", id_col, "tf", "first_pos"]]
 
     return ds.map_batches(postings, batch_format="pandas",
                           concurrency=_pool_size(concurrency))
@@ -352,7 +349,7 @@ def bm25_topk(ds, terms: list[str], k: int = 20, k1: float = 1.2,
     matching >=1 term become candidate rows."""
     import ray
 
-    terms = sorted(terms)
+    terms = sorted(set(terms))  # a repeated term must not double-score
     stats_ref = ray.put(_bm25_corpus_stats(ds, terms, text_col,
                                            concurrency))
     return (ds.map_batches(
