@@ -2938,6 +2938,43 @@ def doc_inverted_postings(sf_dir: str):
                              concurrency=_cpus() // 2 or 1)
 
 
+def doc_weighted_sample(sf_dir: str):
+    """PPS systematic sampling of 40 docs proportional to token mass via
+    a DISTRIBUTED EXCLUSIVE PREFIX SUM over the doc-id line (bucket sums
+    -> tiny driver scan -> per-bucket searchsorted). Integer-only — the
+    SQL oracle is a window cumsum joined to generate_series positions."""
+    from ..stages.selection import pps_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return pps_sample(docs, k=40, bucket_width=64)
+
+
+def doc_phrase_search(sf_dir: str):
+    """Exact positional phrase search for "data stream" (adjacent-token
+    AND): one purely map-side vectorized pass over flat (token, doc,
+    pos) arrays — no shuffle; SQL oracle is the token-position
+    self-join."""
+    from ..stages.selection import phrase_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return phrase_search(docs, ["data", "stream"],
+                         concurrency=_cpus() // 2 or 1)
+
+
+def embedding_kmeans(sf_dir: str):
+    """Full-corpus distributed Lloyd k-means (k=8) in int64 FIXED-POINT
+    arithmetic — byte-identical at any partitioning and pinned to the
+    sequential twin in tests (no SQL oracle: iterative). Per iteration
+    only cluster-bounded (cluster, n, sumvec) partials reach the driver;
+    the quantized stream materializes once and feeds every pass."""
+    from ..stages.similarity import kmeans_fit
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                 blocks=_cpus())
+    summary, _, _ = kmeans_fit(vecs, n_clusters=8)
+    return summary
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3055,6 +3092,9 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "events_running_totals": events_running_totals,
     "doc_inverted_postings": doc_inverted_postings,
+    "doc_weighted_sample": doc_weighted_sample,
+    "doc_phrase_search": doc_phrase_search,
+    "embedding_kmeans": embedding_kmeans,
 }
 
 ORACLE_SQL = {
@@ -4550,5 +4590,45 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
+    """,
+    "doc_weighted_sample": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                          '[a-z0-9_]+')) AS BIGINT) AS weight
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, weight,
+                 CAST(coalesce(SUM(weight) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS off,
+                 CAST(SUM(weight) OVER () AS BIGINT) AS total
+          FROM w
+        ),
+        p AS (
+          SELECT CAST(((2 * j + 1) * (SELECT max(total) FROM c))
+                      // (2 * 40) AS BIGINT) AS pos
+          FROM generate_series(0, 39) AS t(j)
+        )
+        SELECT c.doc_id, c.weight, CAST(count(*) AS BIGINT) AS n_hits
+        FROM c JOIN p ON p.pos >= c.off AND p.pos < c.off + c.weight
+        GROUP BY c.doc_id, c.weight
+    """,
+    "doc_phrase_search": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9_]+')) AS w,
+                 unnest(range(len(regexp_extract_all(lower(coalesce(text,
+                     '')), '[a-z0-9_]+')))) AS pos
+          FROM documents
+        )
+        SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(a.pos) AS BIGINT) AS first_pos
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         AND a.w = 'data' AND b.w = 'stream'
+        GROUP BY a.doc_id
     """,
 }

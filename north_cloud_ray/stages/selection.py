@@ -358,3 +358,142 @@ def bm25_topk(ds, terms: list[str], k: int = 20, k1: float = 1.2,
         batch_format="pandas", concurrency=_pool_size(concurrency))
         .sort(["score", id_col], descending=[True, False])
         .limit(k))
+
+
+def pps_sample(ds, k: int, id_col: str = "doc_id", text_col: str = "text",
+               weight_col: str | None = None, bucket_width: int = 4096,
+               num_partitions: int | None = None):
+    """Probability-proportional-to-size SYSTEMATIC sampling (the classic
+    survey-sampling PPS scheme, cumulative-total method): lay every doc's
+    integer weight end-to-end on a number line in ``id`` order, then take
+    the doc under each of k equally-spaced midpoint positions
+    ``p_j = floor((2j+1) * W / (2k))``. Docs are selected with probability
+    ~ k*w/W; a doc heavier than W/k is hit multiple times (``n_hits``
+    carries the multiplicity, as in multi-epoch upweighting). Entirely
+    integer arithmetic — exactly reproducible by any SQL engine's window
+    cumsum, unlike u^(1/w) priority sampling whose pow() differs per libm.
+
+    Weight defaults to the shared ``[a-z0-9_]+`` token count (sampling
+    proportional to token mass); pass ``weight_col`` (int64 >= 0) to
+    weight by a precomputed signal (quality score buckets, DSIR ranks).
+
+    Scale shape: the cumulative line is a DISTRIBUTED EXCLUSIVE PREFIX
+    SUM — one light (id, weight) pass, per-range-bucket sums (bucket =
+    id // bucket_width) ride the only exchange, the driver scans ONLY the
+    bucket-sum table (10^10 docs / 10^6-wide buckets = 10^4 rows) and
+    broadcasts base offsets; each bucket then resolves its own positions
+    with a local cumsum + searchsorted. Output is <= k rows."""
+    import ray
+
+    from .agg import hash_grouped_agg, hash_grouped_map
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy("int64")
+        if weight_col is not None:
+            w = b[weight_col].to_numpy("int64")
+            if len(w) and w.min() < 0:
+                raise ValueError("pps_sample weights must be >= 0")
+        else:
+            w = _tokenize(b[text_col]).str.len().to_numpy("int64")
+        return pd.DataFrame({id_col: ids, "weight": w,
+                             "bucket": ids // bucket_width})
+
+    # materialized: the light stream feeds TWO passes (bucket sums, then
+    # the per-bucket resolve) — unmaterialized it would re-run the whole
+    # upstream lineage once per pass
+    lt = ds.map_batches(light, batch_format="pandas").materialize()
+
+    sums_df = hash_grouped_agg(
+        lt, ["bucket"],
+        lambda b: b.groupby("bucket", as_index=False)["weight"].sum(),
+        lambda p: p.groupby("bucket", as_index=False)["weight"].sum(),
+        num_partitions=num_partitions,
+    ).to_pandas()
+    sums_df = sums_df.sort_values("bucket")
+    sums = sums_df["weight"].to_numpy("int64")
+    base = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype("int64")
+    total = int(sums.sum())
+    # exact Python-int positions (no int64 overflow for (2k-1)*W)
+    positions = np.array([((2 * j + 1) * total) // (2 * k)
+                          for j in range(k)], dtype=np.int64)
+    state_ref = ray.put((dict(zip(sums_df["bucket"].tolist(),
+                                  base.tolist())), positions))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "weight": pd.Series(dtype="int64"),
+                              "n_hits": pd.Series(dtype="int64")})
+        if not len(g):
+            return empty
+        bases, pos = ray.get(state_ref)
+        g = g.sort_values(id_col, kind="mergesort")
+        w = g["weight"].to_numpy("int64")
+        off = int(bases[int(g["bucket"].iloc[0])]) + np.cumsum(w) - w
+        ps = pos[(pos >= off[0]) & (pos < off[-1] + w[-1])]
+        if not len(ps):
+            return empty
+        idx = np.searchsorted(off, ps, side="right") - 1
+        # a position always lands inside a positive-weight doc's interval
+        # (zero-weight docs have empty [off, off) intervals, and
+        # side="right" skips past them); assert rather than trust it
+        assert (ps < off[idx] + w[idx]).all()
+        cnt = np.bincount(idx, minlength=len(g))
+        sel = cnt > 0
+        return pd.DataFrame({id_col: g[id_col].to_numpy("int64")[sel],
+                             "weight": w[sel],
+                             "n_hits": cnt[sel].astype("int64")})
+
+    return hash_grouped_map(lt, ["bucket"], pick,
+                            num_partitions=num_partitions)
+
+
+def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
+                  text_col: str = "text",
+                  concurrency: int | None = None):
+    """Exact positional phrase search: docs whose token stream contains
+    ``phrase`` as ADJACENT tokens (the positional-index AND behind
+    quoted-query retrieval). Returns (id, n_occurrences, first_pos) for
+    matching docs only; occurrences may overlap (e.g. "a a" in "a a a"
+    counts twice), matching the token-position self-join semantics.
+
+    Scale shape: purely map-side — one vectorized pass builds the flat
+    (token, doc, pos) arrays per batch and slides the phrase as L-1
+    shifted equality masks; no shuffle, no state, output bounded by
+    matching docs."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "n_occurrences": pd.Series(dtype="int64"),
+                              "first_pos": pd.Series(dtype="int64")})
+        if not len(b):
+            return empty
+        flat, counts = _flatten(b, text_col)
+        n = len(flat)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        row = np.repeat(np.arange(len(b)), counts)
+        m = flat == terms[0]
+        for s, t in enumerate(terms[1:], 1):
+            nxt = np.zeros(n, dtype=bool)
+            if n > s:
+                nxt[:n - s] = (flat[s:] == t) & (row[s:] == row[:n - s])
+            m &= nxt
+        if not m.any():
+            return empty
+        hit_row, hit_pos = row[m], pos[m]
+        occ = np.bincount(hit_row, minlength=len(b)).astype("int64")
+        first = np.full(len(b), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, hit_row, hit_pos)
+        sel = occ > 0
+        return pd.DataFrame({id_col: b[id_col].to_numpy("int64")[sel],
+                             "n_occurrences": occ[sel],
+                             "first_pos": first[sel]})
+
+    return ds.map_batches(scan, batch_format="pandas",
+                          concurrency=_pool_size(concurrency))

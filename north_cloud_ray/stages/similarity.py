@@ -455,3 +455,203 @@ def quantize_int8(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
                              "qvec": list(Q)})
 
     return ds.map_batches(quant, batch_format="pandas")
+
+
+# Fixed-point k-means resolution: 2^-20 per component. All Lloyd math
+# below is int64, so partial sums COMMUTE exactly — the result is
+# independent of batch boundaries, partition count, and reduce order,
+# which is what makes a distributed run byte-identical to a sequential
+# one (float accumulation can't promise that without pinning the tree).
+KMEANS_SCALE = 1 << 20
+
+
+def _kmeans_quantize(V: np.ndarray) -> np.ndarray:
+    return np.rint(V.astype(np.float64) * KMEANS_SCALE).astype(np.int64)
+
+
+def _kmeans_dists(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(b,k) squared-L2 matrix in exact int64 via ||q||^2 - 2qC + ||c||^2
+    (integer matmul, no BLAS float path). Magnitude bound: unit-ish
+    embeddings quantize to ~2^20, products ~2^41, x dim(<=4096) stays
+    under 2^55 — far from int64 overflow. O(b*k) memory, not O(b*k*dim)."""
+    qq = np.einsum("bd,bd->b", Q, Q)
+    cc = np.einsum("kd,kd->k", C, C)
+    return qq[:, None] - 2 * (Q @ C.T) + cc[None, :]
+
+
+def _kmeans_assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_c ||q - c||^2 in exact int64 (ties -> lowest cluster id)."""
+    return _kmeans_dists(Q, C).argmin(axis=1)
+
+
+def kmeans_fit(ds, n_clusters: int = 8, id_col: str = "vec_id",
+               vec_col: str = "embedding", max_iters: int = 25):
+    """Full-corpus distributed Lloyd k-means over an embedding column —
+    the topic-clustering / corpus-partitioning primitive (IVF's trainer
+    uses a SAMPLE; this one assigns and averages EVERY vector each
+    round, which is what you want for cluster-balanced data curation).
+
+    Determinism contract: vectors quantize once to int64 fixed-point
+    (KMEANS_SCALE); assignment, per-cluster sums, and the centroid
+    update (floor division sum // n) are all integer ops, so the fit is
+    exactly reproducible at any partitioning and any cluster size — a
+    sequential NumPy twin produces byte-identical centroids and
+    assignments (asserted in tests). Init = the n_clusters lowest-id
+    vectors. Empty clusters keep their previous centroid. No SQL oracle:
+    the iteration is not SQL-expressible; the exact twin is the oracle.
+
+    Scale shape: the quantized (id, qvec) stream materializes ONCE and
+    feeds every iteration; per iteration the only driver traffic is
+    <= n_clusters * num_batches partial rows of (cluster, n, sumvec) —
+    cluster-bounded, never corpus-bounded. Centroids broadcast via
+    ray.put. Per-batch int64 sums are exact for batches < 2^17 rows of
+    unit-scale vectors; the driver combine is arbitrary-precision.
+
+    Returns (summary_df, centroids_int64, assignments_ds_factory):
+    summary has one row per cluster (cluster, n_vecs, min_vec_id,
+    inertia, n_iters); call the factory for the per-vector
+    (id, cluster) Dataset of the final assignment."""
+    import ray
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "q": pd.Series(dtype=object)})
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy("int64"),
+            "q": list(_kmeans_quantize(np.stack(b[vec_col].to_numpy()))),
+        })
+
+    lt = ds.map_batches(quant, batch_format="pandas").materialize()
+
+    # init: the k lowest-id vectors (per-batch bottom-k -> tiny driver
+    # reduce; no sort shuffle)
+    seed = (lt.map_batches(lambda b: b.nsmallest(n_clusters, id_col),
+                           batch_format="pandas")
+            .to_pandas().nsmallest(n_clusters, id_col))
+    if len(seed) < n_clusters:
+        raise ValueError(f"need >= {n_clusters} vectors, got {len(seed)}")
+    C = np.stack(seed.sort_values(id_col)["q"].to_numpy())
+
+    n_iters = 0
+    for _ in range(max_iters):
+        n_iters += 1
+        c_ref = ray.put(C)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64"),
+                                     "s": pd.Series(dtype=object)})
+            Cm = ray.get(c_ref)
+            Q = np.stack(b["q"].to_numpy())
+            a = _kmeans_assign(Q, Cm)
+            rows = []
+            for c in range(len(Cm)):
+                mask = a == c
+                if mask.any():
+                    rows.append((c, int(mask.sum()),
+                                 Q[mask].sum(axis=0, dtype=np.int64)))
+            return pd.DataFrame({
+                "cluster": pd.Series([r[0] for r in rows], dtype="int64"),
+                "n": pd.Series([r[1] for r in rows], dtype="int64"),
+                "s": [r[2] for r in rows]})
+
+        parts = lt.map_batches(partial, batch_format="pandas").to_pandas()
+        newC = C.copy()
+        for c, g in parts.groupby("cluster"):
+            # arbitrary-precision driver combine: sum int64 partial
+            # vectors as Python ints (no overflow at any corpus size)
+            n = int(g["n"].sum())
+            s = np.array([sum(int(v[d]) for v in g["s"])
+                          for d in range(C.shape[1])], dtype=object)
+            newC[int(c)] = np.array([int(x) // n for x in s],
+                                    dtype=np.int64)
+        if (newC == C).all():
+            break
+        C = newC
+
+    c_ref = ray.put(C)
+
+    def final_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                 "n_vecs": pd.Series(dtype="int64"),
+                                 "min_vec_id": pd.Series(dtype="int64"),
+                                 "inertia": pd.Series(dtype=object)})
+        Cm = ray.get(c_ref)
+        Q = np.stack(b["q"].to_numpy())
+        D = _kmeans_dists(Q, Cm)
+        a = D.argmin(axis=1)
+        dm = D[np.arange(len(a)), a]
+        ids = b[id_col].to_numpy("int64")
+        out = pd.DataFrame({"cluster": a, "ids": ids, "dist": dm})
+        g = out.groupby("cluster")
+        return pd.DataFrame({
+            "cluster": np.fromiter(g.groups, dtype=np.int64),
+            "n_vecs": g["ids"].size().to_numpy("int64"),
+            "min_vec_id": g["ids"].min().to_numpy("int64"),
+            # per-batch float64 inertia partial would lose exactness;
+            # keep Python-int objects so the driver sum stays exact
+            "inertia": [sum(int(x) for x in grp)
+                        for _, grp in g["dist"]]})
+
+    fparts = lt.map_batches(final_partial, batch_format="pandas").to_pandas()
+    summary = (fparts.groupby("cluster", as_index=False)
+               .agg(n_vecs=("n_vecs", "sum"), min_vec_id=("min_vec_id", "min"),
+                    inertia=("inertia", "sum"))
+               .sort_values("cluster", ignore_index=True))
+    summary["n_vecs"] = summary["n_vecs"].astype("int64")
+    summary["inertia"] = summary["inertia"].astype("int64")
+    summary["n_iters"] = np.int64(n_iters)
+
+    def assignments():
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                     "cluster": pd.Series(dtype="int64")})
+            Cm = ray.get(c_ref)
+            Q = np.stack(b["q"].to_numpy())
+            return pd.DataFrame({id_col: b[id_col].to_numpy("int64"),
+                                 "cluster": _kmeans_assign(Q, Cm)
+                                 .astype("int64")})
+        return lt.map_batches(assign, batch_format="pandas")
+
+    return summary, C, assignments
+
+
+def kmeans_fit_sequential(ids: np.ndarray, V: np.ndarray,
+                          n_clusters: int = 8, max_iters: int = 25):
+    """The exact in-memory twin of ``kmeans_fit`` (same quantization,
+    same integer update rules) — the correctness oracle for tests."""
+    Q = _kmeans_quantize(V)
+    order = np.argsort(ids, kind="stable")
+    C = Q[order[:n_clusters]].copy()  # k lowest ids, already id-ascending
+    n_iters = 0
+    for _ in range(max_iters):
+        n_iters += 1
+        a = _kmeans_assign(Q, C)
+        newC = C.copy()
+        for c in range(n_clusters):
+            mask = a == c
+            if mask.any():
+                s = [sum(int(x) for x in Q[mask][:, d])
+                     for d in range(Q.shape[1])]
+                newC[c] = np.array([x // int(mask.sum()) for x in s],
+                                   dtype=np.int64)
+        if (newC == C).all():
+            break
+        C = newC
+    D = _kmeans_dists(Q, C)
+    a = D.argmin(axis=1)
+    dm = D[np.arange(len(a)), a]
+    rows = []
+    for c in range(n_clusters):
+        mask = a == c
+        if mask.any():
+            rows.append((c, int(mask.sum()), int(ids[mask].min()),
+                         sum(int(x) for x in dm[mask])))
+    summary = pd.DataFrame(rows, columns=["cluster", "n_vecs",
+                                          "min_vec_id", "inertia"])
+    summary["n_iters"] = np.int64(n_iters)
+    return summary, C, a
