@@ -304,7 +304,8 @@ def run_queries(sf_dir: str) -> dict:
         "f1_render_text", "media_features_dedup_join",
         "doc_dsir_weights", "doc_bm25_topk", "events_running_totals",
         "doc_inverted_postings", "doc_weighted_sample",
-        "doc_phrase_search", "embedding_kmeans",
+        "doc_phrase_search", "embedding_kmeans", "doc_bigram_stats",
+        "events_rollup", "events_user_gaps",
     ]
     import ray.data
 

@@ -2975,6 +2975,96 @@ def embedding_kmeans(sf_dir: str):
     return summary
 
 
+def doc_bigram_stats(sf_dir: str):
+    """CCNet-style bigram-LM sufficient statistics (integer familiarity
+    mass + hapax novelty) via ONE bigram-hash exchange in which each
+    partition owns all postings of its bigrams; SQL oracle is the
+    token-position self-join + corpus-count join."""
+    from ..stages.selection import bigram_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return bigram_stats(docs)
+
+
+def events_rollup(sf_dir: str):
+    """OLAP ROLLUP over (event_type, day): counts + exact value cents at
+    all three grouping levels with 'ALL' sentinels (no NULL-vs-NaN hash
+    ambiguity). The finest level aggregates distributedly; its
+    cardinality is types x days (time-range-bounded, NOT row-bounded),
+    so the level expansion is a driver-side O(groups) fold."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "day": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "value_cents": pd.Series(dtype="int64")})
+        p = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                          "_c": _cents(b["value"].to_numpy())})
+        return p.groupby(["event_type", "day"], as_index=False).agg(
+            n=("_c", "size"), value_cents=("_c", "sum"))
+
+    fine = hash_grouped_agg(
+        ev, ["event_type", "day"], partial,
+        lambda p: p.groupby(["event_type", "day"], as_index=False)
+        [["n", "value_cents"]].sum(),
+    ).to_pandas()
+
+    mid = (fine.groupby("event_type", as_index=False)
+           [["n", "value_cents"]].sum().assign(day="ALL", lvl=np.int64(1)))
+    top = pd.DataFrame({"event_type": ["ALL"], "day": ["ALL"],
+                        "n": [fine["n"].sum()],
+                        "value_cents": [fine["value_cents"].sum()],
+                        "lvl": np.int64(3)})
+    fine = fine.assign(lvl=np.int64(0))
+    cols = ["event_type", "day", "n", "value_cents", "lvl"]
+    out = pd.concat([fine[cols], mid[cols], top[cols]], ignore_index=True)
+    return out.astype({"n": "int64", "value_cents": "int64",
+                       "lvl": "int64"})
+
+
+def events_user_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics (the LAG window family):
+    microsecond-exact min/max/sum of consecutive-event gaps in
+    (ts, event_id) order. Events hash-route by user so one partition
+    holds each user's full stream; the diff is one vectorized sort +
+    per-group shift over the partition."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def gaps_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "n_gaps": pd.Series(dtype="int64"),
+            "min_gap_us": pd.Series(dtype="int64"),
+            "max_gap_us": pd.Series(dtype="int64"),
+            "sum_gap_us": pd.Series(dtype="int64")})
+        if not len(part):
+            return empty
+        p = part.assign(
+            _us=part["ts"].to_numpy("datetime64[us]").astype("int64")
+        ).sort_values(["user_id", "_us", "event_id"], kind="mergesort")
+        g = p.groupby("user_id")
+        gap = (p["_us"] - g["_us"].shift()).to_numpy()
+        p = p.assign(_gap=gap)
+        agg = p.groupby("user_id", as_index=False).agg(
+            n_events=("_us", "size"), n_gaps=("_gap", "count"),
+            min_gap_us=("_gap", "min"), max_gap_us=("_gap", "max"),
+            sum_gap_us=("_gap", "sum"))
+        agg = agg[agg["n_gaps"] >= 1]
+        if not len(agg):
+            return empty
+        return agg.astype({c: "int64" for c in agg.columns})
+
+    return hash_grouped_agg(ev, ["user_id"], lambda b: b, gaps_part)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3095,6 +3185,9 @@ QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
     "doc_phrase_search": doc_phrase_search,
     "embedding_kmeans": embedding_kmeans,
+    "doc_bigram_stats": doc_bigram_stats,
+    "events_rollup": events_rollup,
+    "events_user_gaps": events_user_gaps,
 }
 
 ORACLE_SQL = {
@@ -4630,5 +4723,63 @@ ORACLE_SQL = {
           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          AND a.w = 'data' AND b.w = 'stream'
         GROUP BY a.doc_id
+    """,
+    "doc_bigram_stats": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9_]+')) AS w,
+                 unnest(range(len(regexp_extract_all(lower(coalesce(text,
+                     '')), '[a-z0-9_]+')))) AS pos
+          FROM documents
+        ),
+        bg AS (
+          SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        corpus AS (
+          SELECT bigram, CAST(count(*) AS BIGINT) AS c
+          FROM bg GROUP BY bigram
+        )
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT bg.bigram) AS BIGINT)
+                 AS distinct_bigrams,
+               CAST(sum(corpus.c) AS BIGINT) AS familiarity_mass,
+               CAST(sum(CASE WHEN corpus.c = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hapax_bigrams
+        FROM bg JOIN corpus USING (bigram)
+        GROUP BY bg.doc_id
+    """,
+    "events_rollup": r"""
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                    ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS lvl
+        FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+              FROM events)
+        GROUP BY ROLLUP(event_type, day)
+    """,
+    "events_user_gaps": r"""
+        WITH o AS (
+          SELECT user_id,
+                 date_diff('microsecond',
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                           ts) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(min(gap) AS BIGINT) AS min_gap_us,
+               CAST(max(gap) AS BIGINT) AS max_gap_us,
+               CAST(sum(gap) AS BIGINT) AS sum_gap_us
+        FROM o GROUP BY user_id
+        HAVING count(gap) >= 1
     """,
 }

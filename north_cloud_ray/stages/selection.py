@@ -450,6 +450,87 @@ def pps_sample(ds, k: int, id_col: str = "doc_id", text_col: str = "text",
                             num_partitions=num_partitions)
 
 
+def bigram_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                 num_partitions: int | None = None):
+    """CCNet-style bigram-LM sufficient statistics per doc: the integer
+    signals behind an interpolated-bigram quality filter, without the
+    log (libm rounding differs per engine — same trade as the unigram
+    LM / DSIR scores). For every doc with >= 1 bigram:
+
+    - n_bigrams / distinct_bigrams — adjacency volume and variety;
+    - familiarity_mass = sum over the doc's bigram OCCURRENCES of that
+      bigram's whole-corpus count (high = the doc speaks in common
+      collocations — fluent text; low = incoherent or novel);
+    - hapax_bigrams — occurrences of corpus-unique bigrams (a novelty /
+      garbled-text signal; boilerplate-heavy corpora drive it to 0).
+
+    All int64 — hash-matches the SQL token-position self-join oracle.
+
+    Scale shape: per-batch vectorized postings (bigram, doc, tf) routed
+    ONCE by bigram hash — a partition holds ALL postings of its bigrams,
+    so the corpus count c(bigram) is an in-partition sum (no separate
+    count exchange, unlike the unigram LM's vocab table); each partition
+    re-keys its postings to light per-doc partials carrying ALL FOUR
+    sums (n/distinct/mass/hapax — a (bigram, doc) posting lives in
+    exactly one partition, so the counts partition-sum exactly), which
+    combine in one doc-keyed exchange. One tokenize pass, two light
+    exchanges; nothing vocab- or corpus-sized touches the driver."""
+    from .agg import hash_grouped_agg
+
+    STATS = ["n_bigrams", "distinct_bigrams", "familiarity_mass",
+             "hapax_bigrams"]
+
+    def _empty_post():
+        return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                             id_col: pd.Series(dtype="int64"),
+                             "tf": pd.Series(dtype="int64")})
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return _empty_post()
+        flat, counts = _flatten(b, text_col)
+        if len(flat) < 2:
+            return _empty_post()
+        row = np.repeat(np.arange(len(b)), counts)
+        same = row[1:] == row[:-1]
+        if not same.any():
+            return _empty_post()
+        bg = (pd.Series(flat[:-1][same]) + " "
+              + pd.Series(flat[1:][same]))
+        ids = b[id_col].to_numpy("int64")[row[:-1][same]]
+        g = (pd.DataFrame({"bigram": bg.to_numpy(), id_col: ids})
+             .groupby(["bigram", id_col], as_index=False).size())
+        return g.rename(columns={"size": "tf"})
+
+    def per_bigram(part: pd.DataFrame) -> pd.DataFrame:
+        """Combine over ONE bigram-hash partition — it holds every
+        posting of its bigrams, so c(bigram) is a local transform-sum,
+        and each (bigram, doc) posting contributes its n/distinct counts
+        exactly once across all partitions."""
+        if not len(part):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 **{c: pd.Series(dtype="int64")
+                                    for c in STATS}})
+        c = part.groupby("bigram")["tf"].transform("sum").to_numpy("int64")
+        tf = part["tf"].to_numpy("int64")
+        out = pd.DataFrame({id_col: part[id_col].to_numpy("int64"),
+                            "n_bigrams": tf,
+                            "distinct_bigrams": np.int64(1),
+                            "familiarity_mass": tf * c,
+                            "hapax_bigrams": np.where(c == 1, tf, 0)})
+        return out.groupby(id_col, as_index=False)[STATS].sum()
+
+    partials = hash_grouped_agg(
+        ds.map_batches(postings, batch_format="pandas"),
+        ["bigram"], lambda b: b, per_bigram,
+        num_partitions=num_partitions)
+
+    return hash_grouped_agg(
+        partials, [id_col], lambda b: b,
+        lambda p: p.groupby(id_col, as_index=False)[STATS].sum(),
+        num_partitions=num_partitions)
+
+
 def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
                   text_col: str = "text",
                   concurrency: int | None = None):

@@ -1,0 +1,72 @@
+"""Bigram LM stats, rollup, and inter-event gaps: partition-count
+independence plus semantic invariants. (DuckDB hash equality lives in
+test_queries_oracle.py.)"""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from north_cloud_ray.pipelines.queries import events_rollup, events_user_gaps
+from north_cloud_ray.stages.selection import bigram_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(blocks: int):
+    return rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           override_num_blocks=blocks)
+
+
+def test_bigram_stats_partition_count_independent(ray_session):
+    a = (bigram_stats(_docs(1)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_stats(_docs(13), num_partitions=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_bigram_stats_small_corpus_semantics(ray_session):
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], "int64"),
+        # corpus bigram counts: "a b" x3 (doc1 x2, doc2 x1), "b a" x1,
+        # "c d" x1; doc3 has one token -> no bigrams -> excluded
+        "text": ["a b a b", "a b", "c"],
+    })
+    got = (bigram_stats(rd.from_pandas(df).repartition(2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc1: bigrams [a b, b a, a b] -> n=3, distinct=2,
+    #   mass = c(ab)*2 + c(ba)*1 = 3*2 + 1 = 7, hapax = 1 (b a)
+    # doc2: [a b] -> n=1, distinct=1, mass = 3, hapax = 0
+    want = pd.DataFrame({
+        "doc_id": np.array([1, 2], "int64"),
+        "n_bigrams": np.array([3, 1], "int64"),
+        "distinct_bigrams": np.array([2, 1], "int64"),
+        "familiarity_mass": np.array([7, 3], "int64"),
+        "hapax_bigrams": np.array([1, 0], "int64"),
+    })
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    out = events_rollup(SF)
+    fine = out[out["lvl"] == 0]
+    mid = out[out["lvl"] == 1]
+    top = out[out["lvl"] == 3]
+    assert len(top) == 1
+    assert int(top["n"].iloc[0]) == int(fine["n"].sum()) == int(mid["n"].sum())
+    assert (int(top["value_cents"].iloc[0])
+            == int(fine["value_cents"].sum()))
+    per_type = fine.groupby("event_type")["n"].sum()
+    for _, r in mid.iterrows():
+        assert per_type[r["event_type"]] == r["n"]
+    assert (mid["day"] == "ALL").all() and (top["event_type"] == "ALL").all()
+
+
+def test_user_gaps_single_event_user_excluded(ray_session):
+    out = events_user_gaps(SF).to_pandas()
+    assert (out["n_gaps"] == out["n_events"] - 1).all()
+    assert (out["n_events"] >= 2).all()
+    assert (out["min_gap_us"] <= out["max_gap_us"]).all()
+    assert (out["sum_gap_us"] >= out["max_gap_us"]).all()
