@@ -305,7 +305,8 @@ def run_queries(sf_dir: str) -> dict:
         "doc_dsir_weights", "doc_bm25_topk", "events_running_totals",
         "doc_inverted_postings", "doc_weighted_sample",
         "doc_phrase_search", "embedding_kmeans", "doc_bigram_stats",
-        "events_rollup", "events_user_gaps",
+        "events_rollup", "events_user_gaps", "doc_rank_ntile",
+        "lang_token_char_corr", "customer_order_totals",
     ]
     import ray.data
 

@@ -3065,6 +3065,105 @@ def events_user_gaps(sf_dir: str):
     return hash_grouped_agg(ev, ["user_id"], lambda b: b, gaps_part)
 
 
+def doc_rank_ntile(sf_dir: str):
+    """Distributed per-language row_number + NTILE(4) over
+    (n_tokens, doc_id) — quality-quantile bucketing via the count-map
+    exchange (agg.grouped_rank_ntile); SQL oracle is the window pair."""
+    from ..stages.agg import grouped_rank_ntile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 blocks=_cpus())
+
+    def with_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.selection import _tokenize
+
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy("int64"),
+            "lang": b["lang"].to_numpy(),
+            "n_tokens": _tokenize(b["text"]).str.len().to_numpy("int64")})
+
+    toks = docs.map_batches(with_tokens, batch_format="pandas")
+    return grouped_rank_ntile(toks, "lang", "n_tokens", "doc_id",
+                              n_tiles=4)
+
+
+def lang_token_char_corr(sf_dir: str):
+    """Per-language Pearson correlation of token count vs char length
+    from EXACT int64 sufficient statistics (one map-side partial + a
+    lang-keyed combine); the final corr mirrors the SQL's DOUBLE
+    expression token-for-token (sqrt is IEEE correctly-rounded, unlike
+    log — so the float hash-matches)."""
+    import math
+
+    from ..stages.agg import hash_grouped_agg
+
+    docs = _read(sf_dir, "documents", ["text", "lang"], blocks=_cpus())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.selection import _tokenize
+
+        t = b["text"].fillna("")
+        x = _tokenize(b["text"]).str.len().to_numpy("int64")
+        y = t.str.len().to_numpy("int64")
+        p = pd.DataFrame({"lang": b["lang"].to_numpy(), "n": np.int64(1),
+                          "sum_x": x, "sum_y": y, "sum_xy": x * y,
+                          "sum_x2": x * x, "sum_y2": y * y})
+        return p.groupby("lang", as_index=False).sum()
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby("lang", as_index=False).sum()
+        corr = []
+        for r in s.itertuples(index=False):
+            num = (float(r.n) * float(r.sum_xy)
+                   - float(r.sum_x) * float(r.sum_y))
+            den = (math.sqrt(float(r.n) * float(r.sum_x2)
+                             - float(r.sum_x) * float(r.sum_x))
+                   * math.sqrt(float(r.n) * float(r.sum_y2)
+                               - float(r.sum_y) * float(r.sum_y)))
+            corr.append(num / den)
+        s["corr"] = np.asarray(corr, dtype=np.float64)
+        return s
+
+    return hash_grouped_agg(docs, ["lang"], partial, combine)
+
+
+def customer_order_totals(sf_dir: str):
+    """LEFT OUTER join semantics without a row join: every customer with
+    order count + exact spend cents, zero-filled for customers with no
+    orders. Order partials pre-aggregate per batch; the tagged union
+    with customer marker rows combines in ONE custkey exchange (the
+    large side never ships raw rows)."""
+    from ..stages.agg import hash_grouped_agg
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": b["c_custkey"].to_numpy("int64"),
+                             "n_orders": np.int64(0),
+                             "total_cents": np.int64(0),
+                             "is_cust": np.int64(1)})
+
+    def order_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({"c_custkey": b["o_custkey"].to_numpy("int64"),
+                          "n_orders": np.int64(1),
+                          "total_cents": _cents(
+                              b["o_totalprice"].to_numpy()),
+                          "is_cust": np.int64(0)})
+        return p.groupby("c_custkey", as_index=False).sum()
+
+    tagged = (cust.map_batches(cust_rows, batch_format="pandas")
+              .union(orders.map_batches(order_partial,
+                                        batch_format="pandas")))
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby("c_custkey", as_index=False).sum()
+        s = s[s["is_cust"] >= 1]  # left semantics: orphan orders drop
+        return s[["c_custkey", "n_orders", "total_cents"]].astype("int64")
+
+    return hash_grouped_agg(tagged, ["c_custkey"], lambda b: b, combine)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3188,6 +3287,9 @@ QUERIES = {
     "doc_bigram_stats": doc_bigram_stats,
     "events_rollup": events_rollup,
     "events_user_gaps": events_user_gaps,
+    "doc_rank_ntile": doc_rank_ntile,
+    "lang_token_char_corr": lang_token_char_corr,
+    "customer_order_totals": customer_order_totals,
 }
 
 ORACLE_SQL = {
@@ -4781,5 +4883,52 @@ ORACLE_SQL = {
                CAST(sum(gap) AS BIGINT) AS sum_gap_us
         FROM o GROUP BY user_id
         HAVING count(gap) >= 1
+    """,
+    "doc_rank_ntile": r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                          '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(row_number() OVER w AS BIGINT) AS rnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS tile
+        FROM t WINDOW w AS (PARTITION BY lang ORDER BY n_tokens, doc_id)
+    """,
+    "lang_token_char_corr": r"""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                          '[a-z0-9_]+')) AS BIGINT) AS x,
+                 CAST(length(coalesce(text, '')) AS BIGINT) AS y
+          FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y,
+               CAST(sum(x*y) AS BIGINT) AS sum_xy,
+               CAST(sum(x*x) AS BIGINT) AS sum_x2,
+               CAST(sum(y*y) AS BIGINT) AS sum_y2,
+               ((CAST(count(*) AS DOUBLE) * CAST(sum(x*y) AS DOUBLE))
+                - (CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+               / (sqrt((CAST(count(*) AS DOUBLE)
+                        * CAST(sum(x*x) AS DOUBLE))
+                       - (CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)))
+                  * sqrt((CAST(count(*) AS DOUBLE)
+                          * CAST(sum(y*y) AS DOUBLE))
+                         - (CAST(sum(y) AS DOUBLE)
+                            * CAST(sum(y) AS DOUBLE)))) AS corr
+        FROM t GROUP BY lang
+    """,
+    "customer_order_totals": r"""
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(coalesce(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+                 AS total_cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
     """,
 }

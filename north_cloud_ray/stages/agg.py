@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 
 
@@ -182,3 +183,84 @@ def drop_empty_blocks(ds):
             yield b
 
     return ds.map_batches(gen, batch_format="pandas")
+
+def grouped_rank_ntile(
+    ds,
+    group_col: str,
+    key_col: str,
+    id_col: str,
+    n_tiles: int = 4,
+    num_partitions: int | None = None,
+):
+    """Distributed per-group ``row_number`` + ``NTILE`` under the total
+    order (key, id) ascending — the window-function pair behind
+    quality-quantile bucketing (stratify a corpus into equal head /
+    middle / tail slices per language for mixture sampling).
+
+    Exact-rank shape: a COUNT-MAP exchange — per-(group, key) counts are
+    tiny exact rows; the driver scans only the (groups x distinct keys)
+    count table, computes each (group, key) tie-class's exclusive prefix
+    (base rank) + group totals, and broadcasts them; each tie-class then
+    ranks its own ids locally. Suited to bounded-cardinality keys (token
+    counts, score buckets) — for continuous keys, quantize into a bucket
+    column first (same trade as grouped_value_quantiles' count map).
+
+    NTILE uses SQL row_number semantics: n = group size, base = n//k,
+    rem = n%k; the first rem tiles get base+1 rows. Ranks are 1-based.
+    Returns (id, group, key, rnk, tile)."""
+    import ray
+
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1 (got {n_tiles})")
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy("int64"),
+            group_col: b[group_col].to_numpy(),
+            key_col: b[key_col].to_numpy("int64")})
+
+    rows = ds.map_batches(light, batch_format="pandas").materialize()
+
+    counts = hash_grouped_agg(
+        rows, [group_col, key_col],
+        lambda b: b.groupby([group_col, key_col], as_index=False).size()
+        .rename(columns={"size": "n"}),
+        lambda p: p.groupby([group_col, key_col], as_index=False)["n"].sum(),
+        num_partitions=num_partitions,
+    ).to_pandas().sort_values([group_col, key_col], kind="mergesort")
+
+    g = counts.groupby(group_col)
+    counts["base"] = (g["n"].cumsum() - counts["n"]).to_numpy("int64")
+    totals = g["n"].sum()
+    state_ref = ray.put((
+        {(r[0], r[1]): r[2] for r in counts[
+            [group_col, key_col, "base"]].itertuples(index=False)},
+        totals.to_dict()))
+
+    def rank_class(tc: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            group_col: pd.Series(dtype=object),
+            key_col: pd.Series(dtype="int64"),
+            "rnk": pd.Series(dtype="int64"),
+            "tile": pd.Series(dtype="int64")})
+        if not len(tc):
+            return empty
+        bases, tots = ray.get(state_ref)
+        grp = tc[group_col].iloc[0]
+        key = int(tc[key_col].iloc[0])
+        ids = np.sort(tc[id_col].to_numpy("int64"))
+        r0 = bases[(grp, key)] + np.arange(len(ids), dtype=np.int64)
+        n = int(tots[grp])
+        base, rem = n // n_tiles, n % n_tiles
+        if base == 0:
+            tile = r0 + 1  # fewer rows than tiles: tile == rank
+        else:
+            big = rem * (base + 1)
+            tile = np.where(r0 < big, r0 // (base + 1),
+                            rem + (r0 - big) // base) + 1
+        return pd.DataFrame({id_col: ids, group_col: grp, key_col: key,
+                             "rnk": r0 + 1, "tile": tile.astype("int64")})
+
+    return hash_grouped_map(rows, [group_col, key_col], rank_class,
+                            num_partitions=num_partitions)
