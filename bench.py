@@ -307,6 +307,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_phrase_search", "embedding_kmeans", "doc_bigram_stats",
         "events_rollup", "events_user_gaps", "doc_rank_ntile",
         "lang_token_char_corr", "customer_order_totals",
+        "events_props_stats", "events_funnel",
     ]
     import ray.data
 

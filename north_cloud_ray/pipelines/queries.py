@@ -3164,6 +3164,85 @@ def customer_order_totals(sf_dir: str):
     return hash_grouped_agg(tagged, ["c_custkey"], lambda b: b, combine)
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column with a VECTORIZED shallow-field extract
+    (one compiled regex over the batch — the flat-numeric fast path;
+    nested payloads would route to a real parser actor) and aggregate
+    exact per-type stats. Oracle uses DuckDB's native JSON operator, so
+    the test proves regex-extract == json-parse on this data."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+             .astype("float64"))
+        p = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "has_k": k.notna().to_numpy(),
+                          "k": k.fillna(0).to_numpy("int64")})
+        g = p.groupby("event_type", as_index=False)
+        out = g.agg(n=("k", "size"), n_with_k=("has_k", "sum"),
+                    sum_k=("k", "sum"), min_k=("k", "min"),
+                    max_k=("k", "max"))
+        out["n_with_k"] = out["n_with_k"].astype("int64")
+        return out
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_with_k=("n_with_k", "sum"),
+            sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+            max_k=("max_k", "max"))
+
+    return hash_grouped_agg(ev, ["event_type"], partial, combine)
+
+
+def events_funnel(sf_dir: str):
+    """Greedy funnel sequence match (view -> click -> purchase): per
+    user, the earliest view, then the earliest click strictly after it,
+    then the earliest purchase strictly after that; users completing
+    all three steps, timestamps as epoch microseconds. Events prune to
+    the three step types at the read-side map, hash-route by user, and
+    each partition resolves its users' funnels with three vectorized
+    groupby-min passes (no per-event Python)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    STEPS = ["view", "click", "purchase"]
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin(STEPS).to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64")[m],
+            "event_type": b["event_type"].to_numpy()[m],
+            "_us": b["ts"].to_numpy("datetime64[us]").astype("int64")[m]})
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "t_view_us": pd.Series(dtype="int64"),
+                              "t_click_us": pd.Series(dtype="int64"),
+                              "t_purchase_us": pd.Series(dtype="int64")})
+        if not len(p):
+            return empty
+        t = (p[p["event_type"] == "view"]
+             .groupby("user_id", as_index=False)["_us"].min()
+             .rename(columns={"_us": "t_view_us"}))
+        for step, col, prev in (("click", "t_click_us", "t_view_us"),
+                                ("purchase", "t_purchase_us",
+                                 "t_click_us")):
+            s = p[p["event_type"] == step].merge(t, on="user_id")
+            s = s[s["_us"] > s[prev]]
+            nxt = (s.groupby("user_id", as_index=False)["_us"].min()
+                   .rename(columns={"_us": col}))
+            t = t.merge(nxt, on="user_id")
+        if not len(t):
+            return empty
+        return t.astype("int64")
+
+    return hash_grouped_agg(ev.map_batches(light, batch_format="pandas"),
+                            ["user_id"], lambda b: b, combine)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3290,6 +3369,8 @@ QUERIES = {
     "doc_rank_ntile": doc_rank_ntile,
     "lang_token_char_corr": lang_token_char_corr,
     "customer_order_totals": customer_order_totals,
+    "events_props_stats": events_props_stats,
+    "events_funnel": events_funnel,
 }
 
 ORACLE_SQL = {
@@ -4930,5 +5011,43 @@ ORACLE_SQL = {
                  AS total_cents
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey
+    """,
+    "events_props_stats": r"""
+        WITH t AS (
+          SELECT event_type,
+                 CAST(props->>'$.k' AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(k) AS BIGINT) AS n_with_k,
+               CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+               CAST(min(coalesce(k, 0)) AS BIGINT) AS min_k,
+               CAST(max(coalesce(k, 0)) AS BIGINT) AS max_k
+        FROM t GROUP BY event_type
+    """,
+    "events_funnel": r"""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        )
+        SELECT s1.user_id,
+               CAST(epoch_us(t1) AS BIGINT) AS t_view_us,
+               CAST(epoch_us(t2) AS BIGINT) AS t_click_us,
+               CAST(epoch_us(t3) AS BIGINT) AS t_purchase_us
+        FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+                JOIN s3 ON s1.user_id = s3.user_id
     """,
 }

@@ -70,3 +70,54 @@ def test_user_gaps_single_event_user_excluded(ray_session):
     assert (out["n_events"] >= 2).all()
     assert (out["min_gap_us"] <= out["max_gap_us"]).all()
     assert (out["sum_gap_us"] >= out["max_gap_us"]).all()
+
+
+def test_funnel_greedy_semantics(ray_session, tmp_path, monkeypatch):
+    """Greedy earliest-completion: a click BEFORE the first view does
+    not count; the earliest click after the view gates the purchase."""
+    from north_cloud_ray.pipelines.queries import events_funnel
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00",  # u1 click (too early)
+        "2024-01-01 01:00",  # u1 view  (t1)
+        "2024-01-01 02:00",  # u1 click (t2)
+        "2024-01-01 01:30",  # u1 purchase (before t2 -> ignored)
+        "2024-01-01 03:00",  # u1 purchase (t3)
+        "2024-01-01 00:00",  # u2 view, never clicks
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype="int64"),
+        "user_id": np.array([1, 1, 1, 1, 1, 2], "int64"),
+        "event_type": ["click", "view", "click", "purchase",
+                       "purchase", "view"],
+        "ts": ts,
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet")
+    out = events_funnel(sf).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    us = lambda s: int(pd.Timestamp(s).value // 1000)  # noqa: E731
+    assert out["t_view_us"].tolist() == [us("2024-01-01 01:00")]
+    assert out["t_click_us"].tolist() == [us("2024-01-01 02:00")]
+    assert out["t_purchase_us"].tolist() == [us("2024-01-01 03:00")]
+
+
+def test_props_stats_missing_k(ray_session, tmp_path):
+    from north_cloud_ray.pipelines.queries import events_props_stats
+
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype="int64"),
+        "user_id": np.ones(4, dtype="int64"),
+        "event_type": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01"] * 4),
+        "value": np.zeros(4),
+        "props": ['{"k": 5}', '{"other": 1}', '{"k": -3}', "{}"],
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet")
+    out = (events_props_stats(str(tmp_path)).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    a = out[out["event_type"] == "a"].iloc[0]
+    assert (a["n"], a["n_with_k"], a["sum_k"]) == (3, 2, 2)
+    assert (a["min_k"], a["max_k"]) == (-3, 5)
+    b = out[out["event_type"] == "b"].iloc[0]
+    assert (b["n"], b["n_with_k"], b["sum_k"]) == (1, 0, 0)
