@@ -308,6 +308,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_rollup", "events_user_gaps", "doc_rank_ntile",
         "lang_token_char_corr", "customer_order_totals",
         "events_props_stats", "events_funnel",
+        "events_cohort_retention", "user_type_pivot",
     ]
     import ray.data
 

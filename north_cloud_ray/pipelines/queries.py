@@ -3243,6 +3243,70 @@ def events_funnel(sf_dir: str):
                             ["user_id"], lambda b: b, combine)
 
 
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention triangle: users bucket into their first-active
+    day (cohort), and each (cohort_day, day_offset) cell counts the
+    DISTINCT users of that cohort active on cohort+offset. One
+    user-keyed exchange resolves each user's cohort and per-user
+    distinct active days; cell counts combine in a second
+    (cohort, offset)-keyed exchange of light count rows."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        return (pd.DataFrame({"user_id": b["user_id"].to_numpy("int64"),
+                              "day": day})
+                .drop_duplicates())
+
+    def per_user(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({"cohort_day": pd.Series(dtype="int64"),
+                                 "day_offset": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        p = p.drop_duplicates()
+        cohort = p.groupby("user_id")["day"].transform("min")
+        cells = pd.DataFrame({"cohort_day": cohort.to_numpy("int64"),
+                              "day_offset": (p["day"] - cohort)
+                              .to_numpy("int64")})
+        return (cells.groupby(["cohort_day", "day_offset"],
+                              as_index=False).size()
+                .rename(columns={"size": "n_users"})
+                .astype({"n_users": "int64"}))
+
+    cells = hash_grouped_agg(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], lambda b: b, per_user)
+
+    return hash_grouped_agg(
+        cells, ["cohort_day", "day_offset"], lambda b: b,
+        lambda p: p.groupby(["cohort_day", "day_offset"],
+                            as_index=False)["n_users"].sum())
+
+
+def user_type_pivot(sf_dir: str):
+    """Pivot (crosstab) events into per-user counts of each of the five
+    event types as COLUMNS — pure map-side partial crosstabs with a
+    declared column set, combined in one user-keyed exchange."""
+    from ..stages.agg import hash_grouped_agg
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["user_id", "event_type"]).size()
+             .unstack(fill_value=0))
+        g = g.reindex(columns=TYPES, fill_value=0).astype("int64")
+        g.columns = [f"n_{t}" for t in TYPES]
+        return g.reset_index().astype({"user_id": "int64"})
+
+    return hash_grouped_agg(
+        ev, ["user_id"], partial,
+        lambda p: p.groupby("user_id", as_index=False).sum())
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3371,6 +3435,8 @@ QUERIES = {
     "customer_order_totals": customer_order_totals,
     "events_props_stats": events_props_stats,
     "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
+    "user_type_pivot": user_type_pivot,
 }
 
 ORACLE_SQL = {
@@ -5049,5 +5115,35 @@ ORACLE_SQL = {
                CAST(epoch_us(t3) AS BIGINT) AS t_purchase_us
         FROM s1 JOIN s2 ON s1.user_id = s2.user_id
                 JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    "events_cohort_retention": r"""
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id
+        )
+        SELECT c.cohort AS cohort_day,
+               CAST(d.day - c.cohort AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN c ON d.user_id = c.user_id
+        GROUP BY c.cohort, d.day - c.cohort
+    """,
+    "user_type_pivot": r"""
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                 AS n_click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                 AS n_error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                 AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                 AS n_signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                 AS n_view
+        FROM events GROUP BY user_id
     """,
 }

@@ -121,3 +121,29 @@ def test_props_stats_missing_k(ray_session, tmp_path):
     assert (a["min_k"], a["max_k"]) == (-3, 5)
     b = out[out["event_type"] == "b"].iloc[0]
     assert (b["n"], b["n_with_k"], b["sum_k"]) == (1, 0, 0)
+
+
+def test_cohort_retention_invariants(ray_session):
+    from north_cloud_ray.pipelines.queries import events_cohort_retention
+
+    out = events_cohort_retention(SF).to_pandas()
+    assert (out["day_offset"] >= 0).all()
+    n_users = len(pd.read_parquet(f"{SF}/events.parquet",
+                                  columns=["user_id"])["user_id"]
+                  .drop_duplicates())
+    # offset 0 rows partition all users by cohort exactly once
+    assert int(out[out["day_offset"] == 0]["n_users"].sum()) == n_users
+    # retention at any offset never exceeds the cohort's day-0 size
+    d0 = out[out["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    assert (out["n_users"] <= out["cohort_day"].map(d0)).all()
+
+
+def test_pivot_row_sums_match_totals(ray_session):
+    from north_cloud_ray.pipelines.queries import user_type_pivot
+
+    out = user_type_pivot(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    assert len(out) == ev["user_id"].nunique()
+    cols = [c for c in out.columns if c.startswith("n_")]
+    assert int(out[cols].sum().sum()) == len(ev)
