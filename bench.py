@@ -309,6 +309,7 @@ def run_queries(sf_dir: str) -> dict:
         "lang_token_char_corr", "customer_order_totals",
         "events_props_stats", "events_funnel",
         "events_cohort_retention", "user_type_pivot",
+        "lineitem_price_histogram", "user_event_signature",
     ]
     import ray.data
 

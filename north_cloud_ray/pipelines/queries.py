@@ -3307,6 +3307,60 @@ def user_type_pivot(sf_dir: str):
         lambda p: p.groupby("user_id", as_index=False).sum())
 
 
+def lineitem_price_histogram(sf_dir: str):
+    """Equal-width histogram of l_extendedprice in 100-dollar bins from
+    exact integer cents (bin = cents // 10000): one map-side bincount
+    partial per batch, one tiny bin-keyed combine — the bin table, not
+    the row count, bounds every exchange."""
+    from ..stages.agg import hash_grouped_agg
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = _cents(b["l_extendedprice"].to_numpy()) // 10_000
+        vc = pd.Series(bins).value_counts()
+        return pd.DataFrame({"bin": vc.index.to_numpy("int64"),
+                             "n": vc.to_numpy("int64")})
+
+    return hash_grouped_agg(
+        li, ["bin"], partial,
+        lambda p: p.groupby("bin", as_index=False)["n"].sum())
+
+
+def user_event_signature(sf_dir: str):
+    """Ordered collect per key (SQL string_agg ... ORDER BY): each
+    user's full behavioral signature as 'type>type>...' in
+    (ts, event_id) order, plus its length. One user-keyed exchange; the
+    concat is a vectorized per-partition sort + groupby-join."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "event_id": b["event_id"].to_numpy("int64"),
+            "_us": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "event_type": b["event_type"].to_numpy()})
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "signature": pd.Series(dtype=object)})
+        p = p.sort_values(["user_id", "_us", "event_id"],
+                          kind="mergesort")
+        g = p.groupby("user_id")
+        out = g.agg(n_events=("event_type", "size"),
+                    signature=("event_type", ">".join))
+        return out.reset_index().astype({"user_id": "int64",
+                                         "n_events": "int64"})
+
+    return hash_grouped_agg(ev.map_batches(light, batch_format="pandas"),
+                            ["user_id"], lambda b: b, combine)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3437,6 +3491,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "user_type_pivot": user_type_pivot,
+    "lineitem_price_histogram": lineitem_price_histogram,
+    "user_event_signature": user_event_signature,
 }
 
 ORACLE_SQL = {
@@ -5144,6 +5200,19 @@ ORACLE_SQL = {
                  AS n_signup,
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                  AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "lineitem_price_histogram": r"""
+        SELECT CAST(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                    // 10000 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    """,
+    "user_event_signature": r"""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id)
+                 AS signature
         FROM events GROUP BY user_id
     """,
 }
