@@ -3112,15 +3112,23 @@ def lang_token_char_corr(sf_dir: str):
 
     def combine(p: pd.DataFrame) -> pd.DataFrame:
         s = p.groupby("lang", as_index=False).sum()
-        corr = []
+        # zero-variance groups (single doc, or identical x or y across
+        # the group) have den == 0 — drop them (the SQL mirrors with a
+        # HAVING) instead of dividing by zero where SQL would emit NULL
+        keep, corr = [], []
         for r in s.itertuples(index=False):
-            num = (float(r.n) * float(r.sum_xy)
-                   - float(r.sum_x) * float(r.sum_y))
             den = (math.sqrt(float(r.n) * float(r.sum_x2)
                              - float(r.sum_x) * float(r.sum_x))
                    * math.sqrt(float(r.n) * float(r.sum_y2)
                                - float(r.sum_y) * float(r.sum_y)))
+            if den == 0.0:
+                keep.append(False)
+                continue
+            keep.append(True)
+            num = (float(r.n) * float(r.sum_xy)
+                   - float(r.sum_x) * float(r.sum_y))
             corr.append(num / den)
+        s = s[np.asarray(keep, dtype=bool)].reset_index(drop=True)
         s["corr"] = np.asarray(corr, dtype=np.float64)
         return s
 
@@ -3165,19 +3173,41 @@ def customer_order_totals(sf_dir: str):
 
 
 def events_props_stats(sf_dir: str):
-    """Semi-structured extraction: pull the integer field ``k`` out of
-    the JSON ``props`` column with a VECTORIZED shallow-field extract
-    (one compiled regex over the batch — the flat-numeric fast path;
-    nested payloads would route to a real parser actor) and aggregate
-    exact per-type stats. Oracle uses DuckDB's native JSON operator, so
-    the test proves regex-extract == json-parse on this data."""
+    """Semi-structured extraction: pull the top-level integer field
+    ``k`` out of the JSON ``props`` column and aggregate exact per-type
+    stats. The fast path is one VECTORIZED regex, applied only where it
+    provably equals top-level JSON semantics — a payload with a single
+    '{', no '[' and no escape cannot hide '"k":' inside a string value
+    (an interior quote would need a backslash) or nest it; every other
+    row routes to the real parser (json.loads on the anomaly subset
+    only). Oracle uses DuckDB's native JSON operator, so the test
+    proves the split extraction == json-parse."""
+    import json
+
     from ..stages.agg import hash_grouped_agg
 
     ev = _read(sf_dir, "events", ["event_type", "props"])
 
+    def _k_of(s):
+        try:
+            v = json.loads(s).get("k")
+        except (TypeError, ValueError):
+            return np.nan
+        return float(v) if isinstance(v, int) and not isinstance(
+            v, bool) else np.nan
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        k = (b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
-             .astype("float64"))
+        props = b["props"].fillna("")
+        flat = ((props.str.count(r"\{") == 1)
+                & ~props.str.contains("[", regex=False)
+                & ~props.str.contains("\\", regex=False))
+        # trailing lookahead: a float like 5.5 or 5e3 must NOT yield its
+        # integer prefix (int-typed-only contract, same as the oracle's
+        # json_type gate)
+        k = (props.str.extract(r'"k"\s*:\s*(-?\d+)(?![\d.eE])',
+                               expand=False).astype("float64"))
+        if not flat.all():
+            k[~flat] = props[~flat].map(_k_of)
         p = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
                           "has_k": k.notna().to_numpy(),
                           "k": k.fillna(0).to_numpy("int64")})
@@ -5124,6 +5154,13 @@ ORACLE_SQL = {
                          - (CAST(sum(y) AS DOUBLE)
                             * CAST(sum(y) AS DOUBLE)))) AS corr
         FROM t GROUP BY lang
+        HAVING (sqrt((CAST(count(*) AS DOUBLE)
+                      * CAST(sum(x*x) AS DOUBLE))
+                     - (CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)))
+                * sqrt((CAST(count(*) AS DOUBLE)
+                        * CAST(sum(y*y) AS DOUBLE))
+                       - (CAST(sum(y) AS DOUBLE)
+                          * CAST(sum(y) AS DOUBLE)))) <> 0
     """,
     "customer_order_totals": r"""
         SELECT c.c_custkey,
@@ -5137,7 +5174,9 @@ ORACLE_SQL = {
     "events_props_stats": r"""
         WITH t AS (
           SELECT event_type,
-                 CAST(props->>'$.k' AS BIGINT) AS k
+                 CAST(CASE WHEN json_type(props, '$.k')
+                             IN ('BIGINT', 'UBIGINT')
+                      THEN props->>'$.k' END AS BIGINT) AS k
           FROM events
         )
         SELECT event_type,

@@ -200,18 +200,28 @@ def grouped_rank_ntile(
     Exact-rank shape: a COUNT-MAP exchange — per-(group, key) counts are
     tiny exact rows; the driver scans only the (groups x distinct keys)
     count table, computes each (group, key) tie-class's exclusive prefix
-    (base rank) + group totals, and broadcasts them; each tie-class then
-    ranks its own ids locally. Suited to bounded-cardinality keys (token
-    counts, score buckets) — for continuous keys, quantize into a bucket
-    column first (same trade as grouped_value_quantiles' count map).
+    (base rank) + group totals, and broadcasts them; each PARTITION then
+    ranks all its tie classes in one vectorized merge + cumcount pass
+    (one ray.get of the broadcast table per partition, not per class).
+    Suited to bounded-cardinality keys (token counts, score buckets) —
+    for continuous keys, quantize into a bucket column first (same
+    trade as grouped_value_quantiles' count map).
 
     NTILE uses SQL row_number semantics: n = group size, base = n//k,
     rem = n%k; the first rem tiles get base+1 rows. Ranks are 1-based.
     Returns (id, group, key, rnk, tile)."""
     import ray
+    import ray.data
 
     if n_tiles < 1:
         raise ValueError(f"n_tiles must be >= 1 (got {n_tiles})")
+
+    EMPTY = pd.DataFrame({
+        id_col: pd.Series(dtype="int64"),
+        group_col: pd.Series(dtype=object),
+        key_col: pd.Series(dtype="int64"),
+        "rnk": pd.Series(dtype="int64"),
+        "tile": pd.Series(dtype="int64")})
 
     def light(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -227,40 +237,41 @@ def grouped_rank_ntile(
         .rename(columns={"size": "n"}),
         lambda p: p.groupby([group_col, key_col], as_index=False)["n"].sum(),
         num_partitions=num_partitions,
-    ).to_pandas().sort_values([group_col, key_col], kind="mergesort")
+    ).to_pandas()
+    if not len(counts) or group_col not in counts.columns:
+        # entirely empty input: the count exchange yields a schema-less
+        # frame (hash_grouped_agg's documented contract)
+        return ray.data.from_pandas(EMPTY)
+    counts = counts.sort_values([group_col, key_col], kind="mergesort")
 
     g = counts.groupby(group_col)
     counts["base"] = (g["n"].cumsum() - counts["n"]).to_numpy("int64")
     totals = g["n"].sum()
-    state_ref = ray.put((
-        {(r[0], r[1]): r[2] for r in counts[
-            [group_col, key_col, "base"]].itertuples(index=False)},
-        totals.to_dict()))
+    state_ref = ray.put((counts[[group_col, key_col, "base"]],
+                         totals.rename("_total").reset_index()))
 
-    def rank_class(tc: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            id_col: pd.Series(dtype="int64"),
-            group_col: pd.Series(dtype=object),
-            key_col: pd.Series(dtype="int64"),
-            "rnk": pd.Series(dtype="int64"),
-            "tile": pd.Series(dtype="int64")})
-        if not len(tc):
-            return empty
+    def rank_part(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return EMPTY
         bases, tots = ray.get(state_ref)
-        grp = tc[group_col].iloc[0]
-        key = int(tc[key_col].iloc[0])
-        ids = np.sort(tc[id_col].to_numpy("int64"))
-        r0 = bases[(grp, key)] + np.arange(len(ids), dtype=np.int64)
-        n = int(tots[grp])
+        p = (part.merge(bases, on=[group_col, key_col])
+             .merge(tots, on=group_col)
+             .sort_values([group_col, key_col, id_col],
+                          kind="mergesort"))
+        r0 = (p["base"]
+              + p.groupby([group_col, key_col]).cumcount()).to_numpy("int64")
+        n = p["_total"].to_numpy("int64")
         base, rem = n // n_tiles, n % n_tiles
-        if base == 0:
-            tile = r0 + 1  # fewer rows than tiles: tile == rank
-        else:
-            big = rem * (base + 1)
-            tile = np.where(r0 < big, r0 // (base + 1),
-                            rem + (r0 - big) // base) + 1
-        return pd.DataFrame({id_col: ids, group_col: grp, key_col: key,
-                             "rnk": r0 + 1, "tile": tile.astype("int64")})
+        big = rem * (base + 1)
+        tile = np.where(
+            base == 0, r0,  # fewer rows than tiles: tile == rank
+            np.where(r0 < big, r0 // np.maximum(base + 1, 1),
+                     rem + (r0 - big) // np.maximum(base, 1))) + 1
+        return pd.DataFrame({id_col: p[id_col].to_numpy("int64"),
+                             group_col: p[group_col].to_numpy(),
+                             key_col: p[key_col].to_numpy("int64"),
+                             "rnk": r0 + 1,
+                             "tile": tile.astype("int64")})
 
-    return hash_grouped_map(rows, [group_col, key_col], rank_class,
-                            num_partitions=num_partitions)
+    return hash_grouped_agg(rows, [group_col, key_col], lambda b: b,
+                            rank_part, num_partitions=num_partitions)

@@ -381,11 +381,15 @@ def pps_sample(ds, k: int, id_col: str = "doc_id", text_col: str = "text",
     SUM — one light (id, weight) pass, per-range-bucket sums (bucket =
     id // bucket_width) ride the only exchange, the driver scans ONLY the
     bucket-sum table (10^10 docs / 10^6-wide buckets = 10^4 rows) and
-    broadcasts base offsets; each bucket then resolves its own positions
-    with a local cumsum + searchsorted. Output is <= k rows."""
+    broadcasts base offsets; each PARTITION then resolves all its
+    buckets' positions in one vectorized pass (offsets are globally
+    monotone in (bucket, id) order, so a single searchsorted covers
+    every bucket the partition holds; one ray.get per partition).
+    Output is <= k rows."""
     import ray
+    import ray.data
 
-    from .agg import hash_grouped_agg, hash_grouped_map
+    from .agg import hash_grouped_agg
 
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
@@ -406,12 +410,20 @@ def pps_sample(ds, k: int, id_col: str = "doc_id", text_col: str = "text",
     # upstream lineage once per pass
     lt = ds.map_batches(light, batch_format="pandas").materialize()
 
+    EMPTY = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                          "weight": pd.Series(dtype="int64"),
+                          "n_hits": pd.Series(dtype="int64")})
+
     sums_df = hash_grouped_agg(
         lt, ["bucket"],
         lambda b: b.groupby("bucket", as_index=False)["weight"].sum(),
         lambda p: p.groupby("bucket", as_index=False)["weight"].sum(),
         num_partitions=num_partitions,
     ).to_pandas()
+    if not len(sums_df) or "bucket" not in sums_df.columns:
+        # entirely empty input: the sum exchange yields a schema-less
+        # frame (hash_grouped_agg's documented contract)
+        return ray.data.from_pandas(EMPTY)
     sums_df = sums_df.sort_values("bucket")
     sums = sums_df["weight"].to_numpy("int64")
     base = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype("int64")
@@ -419,34 +431,38 @@ def pps_sample(ds, k: int, id_col: str = "doc_id", text_col: str = "text",
     # exact Python-int positions (no int64 overflow for (2k-1)*W)
     positions = np.array([((2 * j + 1) * total) // (2 * k)
                           for j in range(k)], dtype=np.int64)
-    state_ref = ray.put((dict(zip(sums_df["bucket"].tolist(),
-                                  base.tolist())), positions))
+    state_ref = ray.put((pd.DataFrame({
+        "bucket": sums_df["bucket"].to_numpy("int64"), "base": base}),
+        positions))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                              "weight": pd.Series(dtype="int64"),
-                              "n_hits": pd.Series(dtype="int64")})
+    def pick_part(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return empty
+            return EMPTY
         bases, pos = ray.get(state_ref)
-        g = g.sort_values(id_col, kind="mergesort")
+        g = (g.merge(bases, on="bucket")
+             .sort_values(["bucket", id_col], kind="mergesort"))
         w = g["weight"].to_numpy("int64")
-        off = int(bases[int(g["bucket"].iloc[0])]) + np.cumsum(w) - w
-        ps = pos[(pos >= off[0]) & (pos < off[-1] + w[-1])]
-        if not len(ps):
-            return empty
-        idx = np.searchsorted(off, ps, side="right") - 1
-        # a position always lands inside a positive-weight doc's interval
-        # (zero-weight docs have empty [off, off) intervals, and
-        # side="right" skips past them); assert rather than trust it
-        assert (ps < off[idx] + w[idx]).all()
-        cnt = np.bincount(idx, minlength=len(g))
+        within = (g.groupby("bucket")["weight"].cumsum()
+                  .to_numpy("int64")) - w
+        off = g["base"].to_numpy("int64") + within
+        # off is monotone over the WHOLE partition: base is monotone in
+        # bucket (bucket order == id-range order on the number line) and
+        # the within-bucket prefix is monotone, so one searchsorted
+        # resolves every bucket this partition holds; positions that
+        # fall in OTHER partitions' buckets land in a gap and fail the
+        # interval test below.
+        idx = np.searchsorted(off, pos, side="right") - 1
+        valid = idx >= 0
+        valid[valid] &= pos[valid] < off[idx[valid]] + w[idx[valid]]
+        if not valid.any():
+            return EMPTY
+        cnt = np.bincount(idx[valid], minlength=len(g))
         sel = cnt > 0
         return pd.DataFrame({id_col: g[id_col].to_numpy("int64")[sel],
                              "weight": w[sel],
                              "n_hits": cnt[sel].astype("int64")})
 
-    return hash_grouped_map(lt, ["bucket"], pick,
+    return hash_grouped_agg(lt, ["bucket"], lambda b: b, pick_part,
                             num_partitions=num_partitions)
 
 

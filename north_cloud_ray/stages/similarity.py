@@ -602,7 +602,13 @@ def kmeans_fit(ds, n_clusters: int = 8, id_col: str = "vec_id",
                     inertia=("inertia", "sum"))
                .sort_values("cluster", ignore_index=True))
     summary["n_vecs"] = summary["n_vecs"].astype("int64")
-    summary["inertia"] = summary["inertia"].astype("int64")
+    # inertia stays an exact Python int: per-vector squared distance is
+    # up to ~2^55 fixed-point units, so a 10^6-vector cluster's total
+    # exceeds int64 — an astype("int64") here would raise OverflowError
+    # at realistic corpus scale. Cast only when it provably fits.
+    if len(summary) and summary["inertia"].map(
+            lambda v: -2**63 <= int(v) < 2**63).all():
+        summary["inertia"] = summary["inertia"].astype("int64")
     summary["n_iters"] = np.int64(n_iters)
 
     def assignments():

@@ -88,3 +88,63 @@ def test_customer_totals_zero_fill(ray_session):
     orders = pd.read_parquet(f"{SF}/orders.parquet",
                              columns=["o_custkey"])
     assert int(out["n_orders"].sum()) == len(orders)
+
+
+def test_rank_ntile_empty_input(ray_session):
+    df = pd.DataFrame({"g": pd.Series(dtype=object),
+                       "k": pd.Series(dtype="int64"),
+                       "i": pd.Series(dtype="int64")})
+    ds = grouped_rank_ntile(rd.from_pandas(df), "g", "k", "i")
+    assert ds.count() == 0
+    # 0-row to_pandas drops columns (Ray behavior); schema carries them
+    assert ds.schema().names == ["i", "g", "k", "rnk", "tile"]
+
+
+def test_pps_empty_input(ray_session):
+    from north_cloud_ray.stages.selection import pps_sample
+
+    df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                       "text": pd.Series(dtype=object)})
+    ds = pps_sample(rd.from_pandas(df), k=5)
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "weight", "n_hits"]
+
+
+def test_corr_zero_variance_group_dropped(ray_session, tmp_path):
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["a b", "a b c", "x x", "x x"],
+        "lang": ["en", "en", "zz", "zz"],  # zz: identical x AND y
+        "source": ["s"] * 4,
+        "n_chars": np.array([3, 5, 3, 3], "int64"),
+    })
+    df.to_parquet(f"{tmp_path}/documents.parquet")
+    from north_cloud_ray.pipelines.queries import lang_token_char_corr
+
+    out = lang_token_char_corr(str(tmp_path)).to_pandas()
+    assert out["lang"].tolist() == ["en"]  # zz dropped, no crash
+
+
+def test_props_stats_nested_and_typed_values(ray_session, tmp_path):
+    """Nested k, string-embedded k, float k, and string-typed k must NOT
+    count — only top-level int-typed k does (json-parse semantics)."""
+    from north_cloud_ray.pipelines.queries import events_props_stats
+
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype="int64"),
+        "user_id": np.ones(6, dtype="int64"),
+        "event_type": ["a"] * 6,
+        "ts": pd.to_datetime(["2024-01-01"] * 6),
+        "value": np.zeros(6),
+        "props": ['{"k": 7}',
+                  '{"outer": {"k": 3}}',
+                  '{"msg": "set \\"k\\": 9 now"}',
+                  '{"k": 5.5}',
+                  '{"k": "9"}',
+                  '{"k": -2}'],
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet")
+    out = events_props_stats(str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert (r["n"], r["n_with_k"], r["sum_k"]) == (6, 2, 5)
+    assert (r["min_k"], r["max_k"]) == (-2, 7)
