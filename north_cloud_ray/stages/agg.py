@@ -184,6 +184,21 @@ def drop_empty_blocks(ds):
 
     return ds.map_batches(gen, batch_format="pandas")
 
+def ntile_from_ranks(r0: np.ndarray, n: np.ndarray,
+                     n_tiles: int) -> np.ndarray:
+    """Pure SQL-NTILE bucket formula: 0-based rank r0 within a group of
+    size n -> 1-based tile. base = n//k, rem = n%k; the first rem tiles
+    hold base+1 rows; when n < k, tile == rank+1. Vectorized over rows
+    whose group sizes may differ (n per row)."""
+    base, rem = n // n_tiles, n % n_tiles
+    big = rem * (base + 1)
+    return (np.where(
+        base == 0, r0,  # fewer rows than tiles: tile == rank
+        np.where(r0 < big, r0 // np.maximum(base + 1, 1),
+                 rem + (r0 - big) // np.maximum(base, 1))) + 1
+    ).astype(np.int64)
+
+
 def grouped_rank_ntile(
     ds,
     group_col: str,
@@ -260,13 +275,8 @@ def grouped_rank_ntile(
                           kind="mergesort"))
         r0 = (p["base"]
               + p.groupby([group_col, key_col]).cumcount()).to_numpy("int64")
-        n = p["_total"].to_numpy("int64")
-        base, rem = n // n_tiles, n % n_tiles
-        big = rem * (base + 1)
-        tile = np.where(
-            base == 0, r0,  # fewer rows than tiles: tile == rank
-            np.where(r0 < big, r0 // np.maximum(base + 1, 1),
-                     rem + (r0 - big) // np.maximum(base, 1))) + 1
+        tile = ntile_from_ranks(r0, p["_total"].to_numpy("int64"),
+                                n_tiles)
         return pd.DataFrame({id_col: p[id_col].to_numpy("int64"),
                              group_col: p[group_col].to_numpy(),
                              key_col: p[key_col].to_numpy("int64"),

@@ -547,6 +547,32 @@ def bigram_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         num_partitions=num_partitions)
 
 
+def _phrase_hits(flat: np.ndarray, counts: np.ndarray,
+                 terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Pure phrase-scan kernel over flattened (token, row-count) arrays:
+    per input row, (occurrence count, first match position) for the
+    adjacent-token phrase. Overlapping occurrences count; rows without a
+    match report first_pos = int64 max. Property-tested against a
+    regex reference in tests."""
+    nrows = len(counts)
+    n = len(flat)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    row = np.repeat(np.arange(nrows), counts)
+    m = flat == terms[0] if n else np.zeros(0, dtype=bool)
+    for s, t in enumerate(terms[1:], 1):
+        nxt = np.zeros(n, dtype=bool)
+        if n > s:
+            nxt[:n - s] = (flat[s:] == t) & (row[s:] == row[:n - s])
+        m &= nxt
+    occ = (np.bincount(row[m], minlength=nrows).astype("int64")
+           if n else np.zeros(nrows, dtype=np.int64))
+    first = np.full(nrows, np.iinfo(np.int64).max, dtype=np.int64)
+    if n and m.any():
+        np.minimum.at(first, row[m], pos[m])
+    return occ, first
+
+
 def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
                   text_col: str = "text",
                   concurrency: int | None = None):
@@ -571,23 +597,10 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
         if not len(b):
             return empty
         flat, counts = _flatten(b, text_col)
-        n = len(flat)
-        starts = np.cumsum(counts) - counts
-        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
-        row = np.repeat(np.arange(len(b)), counts)
-        m = flat == terms[0]
-        for s, t in enumerate(terms[1:], 1):
-            nxt = np.zeros(n, dtype=bool)
-            if n > s:
-                nxt[:n - s] = (flat[s:] == t) & (row[s:] == row[:n - s])
-            m &= nxt
-        if not m.any():
-            return empty
-        hit_row, hit_pos = row[m], pos[m]
-        occ = np.bincount(hit_row, minlength=len(b)).astype("int64")
-        first = np.full(len(b), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(first, hit_row, hit_pos)
+        occ, first = _phrase_hits(flat, counts, terms)
         sel = occ > 0
+        if not sel.any():
+            return empty
         return pd.DataFrame({id_col: b[id_col].to_numpy("int64")[sel],
                              "n_occurrences": occ[sel],
                              "first_pos": first[sel]})
