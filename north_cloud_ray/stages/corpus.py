@@ -87,10 +87,15 @@ def decontaminate(
     """
     import ray
 
-    from .agg import default_partitions, hash_grouped_agg
+    from .agg import default_partitions, drop_empty_blocks, hash_grouped_agg
 
     if num_partitions is None:
         num_partitions = default_partitions()
+
+    # a filter-derived benchmark set carries empty object-dtype blocks
+    # whose size estimation makes Ray log "Error calculating size"
+    # (np.vectorize on 0 rows) — drop them at the boundary
+    bench = drop_empty_blocks(bench)
 
     def corpus_grams(b: pd.DataFrame) -> pd.DataFrame:
         gs = _distinct_grams_batch(b[text_col].tolist(), k)
