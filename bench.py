@@ -310,6 +310,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_props_stats", "events_funnel",
         "events_cohort_retention", "user_type_pivot",
         "lineitem_price_histogram", "user_event_signature",
+        "doc_graph_triangles", "events_cube",
     ]
     import ray.data
 

@@ -3391,6 +3391,70 @@ def user_event_signature(sf_dir: str):
                             ["user_id"], lambda b: b, combine)
 
 
+def doc_graph_triangles(sf_dir: str):
+    """SQL-checked twin for the distributed triangle counter: edges
+    derived arithmetically (ring with step-1 and step-2 chords — every
+    consecutive id triple closes a triangle), counted by the REAL
+    wedge-check operator (graph.triangle_counts)."""
+    from ..stages.graph import triangle_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=_cpus())
+    n = docs.count()
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({
+            "src": np.concatenate([src, src]),
+            "dst": np.concatenate([(src + 1) % n, (src + 2) % n])})
+
+    return triangle_counts(docs.map_batches(edges, batch_format="pandas"))
+
+
+def events_cube(sf_dir: str):
+    """OLAP CUBE over (event_type, day): all four grouping levels with
+    'ALL' sentinels — the rollup's finest level plus the day-marginal,
+    every level folded from the one distributed exchange's
+    cardinality-bounded result."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "day": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "value_cents": pd.Series(dtype="int64")})
+        p = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                          "_c": _cents(b["value"].to_numpy())})
+        return p.groupby(["event_type", "day"], as_index=False).agg(
+            n=("_c", "size"), value_cents=("_c", "sum"))
+
+    fine = hash_grouped_agg(
+        ev, ["event_type", "day"], partial,
+        lambda p: p.groupby(["event_type", "day"], as_index=False)
+        [["n", "value_cents"]].sum(),
+    ).to_pandas()
+
+    mid_t = (fine.groupby("event_type", as_index=False)
+             [["n", "value_cents"]].sum()
+             .assign(day="ALL", lvl=np.int64(1)))
+    mid_d = (fine.groupby("day", as_index=False)
+             [["n", "value_cents"]].sum()
+             .assign(event_type="ALL", lvl=np.int64(2)))
+    top = pd.DataFrame({"event_type": ["ALL"], "day": ["ALL"],
+                        "n": [fine["n"].sum()],
+                        "value_cents": [fine["value_cents"].sum()],
+                        "lvl": np.int64(3)})
+    fine = fine.assign(lvl=np.int64(0))
+    cols = ["event_type", "day", "n", "value_cents", "lvl"]
+    out = pd.concat([fine[cols], mid_t[cols], mid_d[cols], top[cols]],
+                    ignore_index=True)
+    return out.astype({"n": "int64", "value_cents": "int64",
+                       "lvl": "int64"})
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3523,6 +3587,8 @@ QUERIES = {
     "user_type_pivot": user_type_pivot,
     "lineitem_price_histogram": lineitem_price_histogram,
     "user_event_signature": user_event_signature,
+    "doc_graph_triangles": doc_graph_triangles,
+    "events_cube": events_cube,
 }
 
 ORACLE_SQL = {
@@ -5253,5 +5319,45 @@ ORACLE_SQL = {
                string_agg(event_type, '>' ORDER BY ts, event_id)
                  AS signature
         FROM events GROUP BY user_id
+    """,
+    "doc_graph_triangles": r"""
+        WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nn) AS d
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+          FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM raw WHERE s <> d
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    """,
+    "events_cube": r"""
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                    ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS lvl
+        FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+              FROM events)
+        GROUP BY CUBE(event_type, day)
     """,
 }

@@ -231,3 +231,102 @@ def pagerank(
                                  new_ranks, num_partitions).materialize()
 
     return ranks
+
+
+def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                    num_partitions: int | None = None):
+    """Exact per-node triangle counts over an undirected graph — the
+    clustering/community-density signal (spam link farms and boilerplate
+    navigation cliques light up as high-triangle neighborhoods).
+
+    Algorithm (the standard wedge-check): canonicalize edges to a<b and
+    dedupe; the APEX (lower endpoint) of each wedge emits its neighbor
+    pairs (b,c), b<c; a wedge closes iff (b,c) is itself an edge.
+
+    Scale shape: three light exchanges. (1) edges keyed by apex a — each
+    partition expands its apexes' wedge pairs vectorized
+    (triu_indices over the sorted neighbor array); (2) wedges + edge
+    marker rows keyed by (b,c) — a partition holds every wedge AND the
+    marker for its pairs, so closure is one merge; matched wedges emit
+    their three corner rows; (3) corner rows keyed by node — per-node
+    sums. Wedge volume is sum(deg_low^2); orienting apex = lower ID is
+    exact for any graph, and the classic degree-orientation (apex = the
+    LOWER-DEGREE endpoint) drops hub wedge blowup to O(m^1.5) — apply it
+    upstream by relabeling ids in degree order when the graph is
+    hub-skewed. Returns (node, n_triangles), nodes with >= 1 only."""
+    from .agg import hash_grouped_agg
+
+    EMPTY = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "n_triangles": pd.Series(dtype="int64")})
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy("int64")
+        d = b[dst_col].to_numpy("int64")
+        if len(s) and (s.min() < 0 or d.min() < 0):
+            raise ValueError("triangle_counts needs non-negative node "
+                             "ids (-1 is the edge-marker sentinel)")
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        c = np.maximum(s[keep], d[keep])
+        return (pd.DataFrame({"a": a, "b": c}).drop_duplicates())
+
+    edges = hash_grouped_agg(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"], lambda b: b,
+        lambda p: p.drop_duplicates(),  # exact dedupe: partition owns its pairs
+        num_partitions=num_partitions).materialize()
+
+    def wedges_part(p: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v, out_apex = [], [], []
+        if len(p):
+            p = p.sort_values(["a", "b"], kind="mergesort")
+            for apex, g in p.groupby("a", sort=False):
+                nb = g["b"].to_numpy("int64")
+                if len(nb) < 2:
+                    continue
+                ii, jj = np.triu_indices(len(nb), k=1)
+                out_u.append(nb[ii])
+                out_v.append(nb[jj])
+                out_apex.append(np.full(len(ii), apex, dtype=np.int64))
+        if not out_u:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64"),
+                                 "apex": pd.Series(dtype="int64")})
+        return pd.DataFrame({"u": np.concatenate(out_u),
+                             "v": np.concatenate(out_v),
+                             "apex": np.concatenate(out_apex)})
+
+    # edges re-keyed as (u, v) marker rows (apex = -1 sentinel; real
+    # apexes are node ids >= 0 after canonicalization drops self-loops)
+    markers = edges.map_batches(
+        lambda b: pd.DataFrame({"u": b["a"].to_numpy("int64"),
+                                "v": b["b"].to_numpy("int64"),
+                                "apex": np.int64(-1)}),
+        batch_format="pandas")
+    wedges = hash_grouped_agg(edges, ["a"], lambda b: b, wedges_part,
+                              num_partitions=num_partitions)
+
+    def close_part(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return EMPTY
+        mk = p[p["apex"] < 0][["u", "v"]].drop_duplicates()
+        wd = p[p["apex"] >= 0]
+        tri = wd.merge(mk, on=["u", "v"])
+        if not len(tri):
+            return EMPTY
+        nodes = np.concatenate([tri["apex"].to_numpy("int64"),
+                                tri["u"].to_numpy("int64"),
+                                tri["v"].to_numpy("int64")])
+        vc = pd.Series(nodes).value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy("int64"),
+                             "n_triangles": vc.to_numpy("int64")})
+
+    corners = hash_grouped_agg(wedges.union(markers), ["u", "v"],
+                               lambda b: b, close_part,
+                               num_partitions=num_partitions)
+
+    return hash_grouped_agg(
+        corners, ["node"], lambda b: b,
+        lambda p: (p.groupby("node", as_index=False)["n_triangles"].sum()
+                   if len(p) else EMPTY),
+        num_partitions=num_partitions)

@@ -108,3 +108,50 @@ def test_link_queries_over_crawl_graph(ray_session):
     ind = Q.QUERIES["link_indegree"]("/root/testdata/sf0.001").to_pandas()
     assert ind["indegree"].sum() == len(edges)
     assert set(ind["node"]) <= nodes
+
+
+def test_triangle_counts_known_graph(ray_session):
+    """K4 plus a pendant edge: every K4 node closes C(3,2)=3 triangles,
+    the pendant closes none; duplicate/reversed/self edges collapse."""
+    import ray.data as rd
+
+    from north_cloud_ray.stages.graph import triangle_counts
+
+    e = pd.DataFrame({
+        "src": [0, 0, 0, 1, 1, 2, 2, 3, 4, 0],
+        "dst": [1, 2, 3, 2, 3, 3, 1, 0, 0, 0],  # dupes + reverse + loop
+    })
+    out = (triangle_counts(rd.from_pandas(e).repartition(3))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = pd.DataFrame({"node": np.array([0, 1, 2, 3], "int64"),
+                         "n_triangles": np.array([3, 3, 3, 3], "int64")})
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
+
+
+def test_triangle_counts_partition_independent(ray_session):
+    import ray.data as rd
+
+    from north_cloud_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    e = pd.DataFrame({"src": rng.integers(0, 60, 500),
+                      "dst": rng.integers(0, 60, 500)})
+    a = (triangle_counts(rd.from_pandas(e).repartition(1),
+                         num_partitions=2)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (triangle_counts(rd.from_pandas(e).repartition(9),
+                         num_partitions=5)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_triangle_counts_negative_ids_raise(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from north_cloud_ray.stages.graph import triangle_counts
+
+    e = pd.DataFrame({"src": [-1, 0], "dst": [0, 1]})
+    with pytest.raises(Exception):
+        triangle_counts(rd.from_pandas(e)).to_pandas()
