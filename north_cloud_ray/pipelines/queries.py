@@ -3455,6 +3455,100 @@ def events_cube(sf_dir: str):
                        "lvl": "int64"})
 
 
+def events_running_totals_salted(sf_dir: str):
+    """The MEGA-KEY-SAFE variant of events_running_totals: same output
+    (per-user ordered row_number + cumulative cents), but no partition
+    ever holds a user's FULL stream. The stream salts into (user, day)
+    time-range buckets; per-bucket sums route by USER for a tiny
+    in-partition exclusive prefix (each user's per-day offsets), which
+    rejoins the salted buckets via a tagged union so every bucket
+    resolves its rows with a LOCAL sort + cumsum + broadcast-free
+    offset. A 10^9-event user costs max(bucket) rows per task instead
+    of the whole stream — the salted two-phase window aggregate the
+    as-of/dedup docstrings reference. Oracle: identical SQL to the
+    unsalted query (the implementations must agree bit-for-bit)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    OUT = ["user_id", "event_id", "running_n", "running_value_cents"]
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "event_id": b["event_id"].to_numpy("int64"),
+            "_us": us,
+            "_c": _cents(b["value"].to_numpy()),
+            "bucket": us // 86_400_000_000})
+
+    lt = ev.map_batches(light, batch_format="pandas").materialize()
+
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["user_id", "bucket"], as_index=False).agg(
+            bn=("_c", "size"), bc=("_c", "sum"))
+
+    def user_offsets(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "bucket": pd.Series(dtype="int64"),
+                                 "off_n": pd.Series(dtype="int64"),
+                                 "off_c": pd.Series(dtype="int64")})
+        s = (p.groupby(["user_id", "bucket"], as_index=False)
+             [["bn", "bc"]].sum()
+             .sort_values(["user_id", "bucket"], kind="mergesort"))
+        g = s.groupby("user_id")
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy("int64"),
+            "bucket": s["bucket"].to_numpy("int64"),
+            "off_n": (g["bn"].cumsum() - s["bn"]).to_numpy("int64"),
+            "off_c": (g["bc"].cumsum() - s["bc"]).to_numpy("int64")})
+
+    offsets = hash_grouped_agg(
+        lt.map_batches(bucket_partial, batch_format="pandas"),
+        ["user_id"], lambda b: b, user_offsets)
+
+    # tagged union: offset rows carry event_id = -1 (event ids are >= 0)
+    off_rows = offsets.map_batches(
+        lambda b: pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "event_id": np.int64(-1),
+            "_us": np.int64(0),
+            "_c": np.int64(0),
+            "bucket": b["bucket"].to_numpy("int64"),
+            "off_n": b["off_n"].to_numpy("int64"),
+            "off_c": b["off_c"].to_numpy("int64")}),
+        batch_format="pandas")
+    tagged = lt.map_batches(
+        lambda b: b.assign(off_n=np.int64(0), off_c=np.int64(0)),
+        batch_format="pandas").union(off_rows)
+
+    def resolve(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in OUT})
+        off = (p[p["event_id"] < 0]
+               [["user_id", "bucket", "off_n", "off_c"]])
+        rows = p[p["event_id"] >= 0].drop(columns=["off_n", "off_c"])
+        if not len(rows):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in OUT})
+        m = (rows.merge(off, on=["user_id", "bucket"])
+             .sort_values(["user_id", "bucket", "_us", "event_id"],
+                          kind="mergesort"))
+        g = m.groupby(["user_id", "bucket"])
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy("int64"),
+            "event_id": m["event_id"].to_numpy("int64"),
+            "running_n": (m["off_n"] + g.cumcount() + 1)
+            .to_numpy("int64"),
+            "running_value_cents": (m["off_c"]
+                                    + g["_c"].cumsum()).to_numpy("int64"),
+        })
+
+    return hash_grouped_agg(tagged, ["user_id", "bucket"],
+                            lambda b: b, resolve)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3589,6 +3683,7 @@ QUERIES = {
     "user_event_signature": user_event_signature,
     "doc_graph_triangles": doc_graph_triangles,
     "events_cube": events_cube,
+    "events_running_totals_salted": events_running_totals_salted,
 }
 
 ORACLE_SQL = {
@@ -5359,5 +5454,14 @@ ORACLE_SQL = {
         FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
               FROM events)
         GROUP BY CUBE(event_type, day)
+    """,
+    "events_running_totals_salted": """
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS running_value_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
     """,
 }

@@ -147,3 +147,19 @@ def test_pivot_row_sums_match_totals(ray_session):
     assert len(out) == ev["user_id"].nunique()
     cols = [c for c in out.columns if c.startswith("n_")]
     assert int(out[cols].sum().sum()) == len(ev)
+
+
+def test_salted_running_totals_equal_unsalted(ray_session):
+    """The mega-key-safe salted variant must reproduce the one-partition-
+    per-user implementation bit-for-bit."""
+    from north_cloud_ray.pipelines.queries import (
+        events_running_totals,
+        events_running_totals_salted,
+    )
+
+    key = ["user_id", "event_id"]
+    a = (events_running_totals(SF).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (events_running_totals_salted(SF).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
