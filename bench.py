@@ -311,7 +311,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_cohort_retention", "user_type_pivot",
         "lineitem_price_histogram", "user_event_signature",
         "doc_graph_triangles", "events_cube",
-        "events_running_totals_salted",
+        "events_running_totals_salted", "events_since_purchase",
     ]
     import ray.data
 

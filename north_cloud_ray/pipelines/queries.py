@@ -3549,6 +3549,55 @@ def events_running_totals_salted(sf_dir: str):
                             lambda b: b, resolve)
 
 
+def events_since_purchase(sf_dir: str):
+    """Windowed-reset counter: per event, how many events have elapsed
+    for this user since their last 'purchase' (NULL-free: events before
+    any purchase count from stream start, flagged had_purchase=0). The
+    reset segments come from a per-user cumulative purchase count — one
+    user-keyed exchange, one vectorized sort + two groupby-cumulatives.
+    SQL oracle expresses the same via a window cumsum segment id."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "event_id": b["event_id"].to_numpy("int64"),
+            "_us": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "is_p": (b["event_type"] == "purchase").to_numpy()})
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "since_purchase": pd.Series(dtype="int64"),
+                "had_purchase": pd.Series(dtype="int64")})
+        p = p.sort_values(["user_id", "_us", "event_id"],
+                          kind="mergesort")
+        # segment id = cumulative count of purchases INCLUDING this row:
+        # a purchase row closes its segment and starts the count over,
+        # so its own since_purchase is 0
+        seg = p.groupby("user_id")["is_p"].cumsum()
+        p = p.assign(_seg=seg)
+        since = p.groupby(["user_id", "_seg"]).cumcount().to_numpy("int64")
+        # rows in segment > 0 follow at least one purchase... except the
+        # purchase row itself, whose segment is its own
+        is_p = p["is_p"].to_numpy()
+        had = ((p["_seg"].to_numpy("int64") - is_p.astype("int64")) > 0)
+        since = np.where(is_p, 0, since)
+        return pd.DataFrame({
+            "user_id": p["user_id"].to_numpy("int64"),
+            "event_id": p["event_id"].to_numpy("int64"),
+            "since_purchase": since,
+            "had_purchase": had.astype("int64")})
+
+    return hash_grouped_agg(ev.map_batches(light, batch_format="pandas"),
+                            ["user_id"], lambda b: b, combine)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3684,6 +3733,7 @@ QUERIES = {
     "doc_graph_triangles": doc_graph_triangles,
     "events_cube": events_cube,
     "events_running_totals_salted": events_running_totals_salted,
+    "events_since_purchase": events_since_purchase,
 }
 
 ORACLE_SQL = {
@@ -5463,5 +5513,23 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
+    """,
+    "events_since_purchase": r"""
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 CAST(event_type = 'purchase' AS INT) AS is_p,
+                 SUM(CAST(event_type = 'purchase' AS INT)) OVER w AS seg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id, event_id,
+               CAST(CASE WHEN is_p = 1 THEN 0
+                    ELSE ROW_NUMBER() OVER (PARTITION BY user_id, seg
+                                            ORDER BY ts, event_id) - 1
+                    END AS BIGINT) AS since_purchase,
+               CAST(CASE WHEN seg - is_p > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS had_purchase
+        FROM o
     """,
 }
