@@ -2312,18 +2312,24 @@ def crawl_snapshot_diff(sf_dir: str):
         ).map_batches(lambda b: b[["doc_id", "content_hash"]],
                       batch_format="pandas")
 
-    old = docs.map_batches(lambda b: b[b["doc_id"] % 11 != 0],
-                           batch_format="pandas")
+    # sha the full corpus ONCE (materialized light rows); the new side
+    # re-hashes ONLY the ~1/7 updated rows instead of a second full
+    # text pass (old cost: 2x read + 2x sha of every byte)
+    base = hashed(docs).materialize()
 
-    def new_text(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["doc_id"] % 13 != 0].copy()
-        upd = (b["doc_id"] % 7 == 0).to_numpy()
-        b["text"] = np.where(upd, b["text"].fillna("") + " updated",
-                             b["text"].fillna(""))
+    def upd_text(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["doc_id"] % 7 == 0) & (b["doc_id"] % 13 != 0)].copy()
+        b["text"] = b["text"].fillna("") + " updated"
         return b
 
-    new = docs.map_batches(new_text, batch_format="pandas")
-    return snapshot_diff(hashed(old), hashed(new), key_col="doc_id")
+    upd = hashed(docs.map_batches(upd_text, batch_format="pandas"))
+
+    old = base.map_batches(lambda b: b[b["doc_id"] % 11 != 0],
+                           batch_format="pandas")
+    new = base.map_batches(
+        lambda b: b[(b["doc_id"] % 13 != 0) & (b["doc_id"] % 7 != 0)],
+        batch_format="pandas").union(upd)
+    return snapshot_diff(old, new, key_col="doc_id")
 
 
 def _multiline_docs(sf_dir: str):
