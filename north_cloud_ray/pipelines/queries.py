@@ -3604,6 +3604,29 @@ def events_since_purchase(sf_dir: str):
                             ["user_id"], lambda b: b, combine)
 
 
+def doc_tile_mixture(sf_dir: str):
+    """Quality-stratified mixture sample — the curation composite: rank
+    docs into per-language NTILE(4) token-count tiles (the count-map
+    window exchange), then keep up to 8 docs per (lang, tile) stratum
+    by the shared Knuth multiplicative hash (grouped_topk_rows: at most
+    k rows per stratum per batch ride the shuffle). One pipeline, both
+    new primitives composed; the SQL oracle is the two windows chained."""
+    from ..stages.agg import grouped_topk_rows
+
+    tiles = doc_rank_ntile(sf_dir)
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "lang", "tile"]].copy()
+        b["hv"] = ((b["doc_id"].to_numpy() % np.int64(2**31))
+                   * np.int64(2654435761)) % np.int64(2**32)
+        return b
+
+    return grouped_topk_rows(
+        tiles.map_batches(hashed, batch_format="pandas"),
+        key=["lang", "tile"], order_cols=["lang", "tile", "hv", "doc_id"],
+        k=8)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3740,6 +3763,7 @@ QUERIES = {
     "events_cube": events_cube,
     "events_running_totals_salted": events_running_totals_salted,
     "events_since_purchase": events_since_purchase,
+    "doc_tile_mixture": doc_tile_mixture,
 }
 
 ORACLE_SQL = {
@@ -5537,5 +5561,31 @@ ORACLE_SQL = {
                CAST(CASE WHEN seg - is_p > 0 THEN 1 ELSE 0 END
                     AS BIGINT) AS had_purchase
         FROM o
+    """,
+    "doc_tile_mixture": r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                          '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        tiles AS (
+          SELECT doc_id, lang,
+                 CAST(ntile(4) OVER (PARTITION BY lang
+                                     ORDER BY n_tokens, doc_id)
+                      AS BIGINT) AS tile
+          FROM t
+        ),
+        h AS (
+          SELECT doc_id, lang, tile,
+                 CAST((doc_id % 2147483648) * 2654435761 % 4294967296
+                      AS BIGINT) AS hv
+          FROM tiles
+        )
+        SELECT doc_id, lang, tile, hv FROM (
+          SELECT h.*, row_number() OVER (PARTITION BY lang, tile
+                                         ORDER BY hv, doc_id) AS rn
+          FROM h)
+        WHERE rn <= 8
     """,
 }

@@ -155,3 +155,36 @@ def test_triangle_counts_negative_ids_raise(ray_session):
     e = pd.DataFrame({"src": [-1, 0], "dst": [0, 1]})
     with pytest.raises(Exception):
         triangle_counts(rd.from_pandas(e)).to_pandas()
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    """Random graph vs O(n^3) brute force over the adjacency matrix."""
+    import ray.data as rd
+
+    from north_cloud_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(123)
+    n = 40
+    e = pd.DataFrame({"src": rng.integers(0, n, 300),
+                      "dst": rng.integers(0, n, 300)})
+    got = (triangle_counts(rd.from_pandas(e).repartition(4))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    A = np.zeros((n, n), dtype=bool)
+    s, d = e["src"].to_numpy(), e["dst"].to_numpy()
+    keep = s != d
+    A[s[keep], d[keep]] = True
+    A |= A.T
+    counts = np.zeros(n, dtype=np.int64)
+    for x in range(n):
+        for y in range(x + 1, n):
+            if not A[x, y]:
+                continue
+            for z in range(y + 1, n):
+                if A[x, z] and A[y, z]:
+                    counts[[x, y, z]] += 1
+    nodes = np.flatnonzero(counts)
+    want = pd.DataFrame({"node": nodes.astype("int64"),
+                         "n_triangles": counts[nodes]})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_exact=True)
