@@ -312,7 +312,7 @@ def run_queries(sf_dir: str) -> dict:
         "lineitem_price_histogram", "user_event_signature",
         "doc_graph_triangles", "events_cube",
         "events_running_totals_salted", "events_since_purchase",
-        "doc_tile_mixture",
+        "doc_tile_mixture", "lineitem_bloom_semijoin",
     ]
     import ray.data
 

@@ -3627,6 +3627,69 @@ def doc_tile_mixture(sf_dir: str):
         k=8)
 
 
+def lineitem_bloom_semijoin(sf_dir: str):
+    """Large-large semijoin with CONSTANT driver state: high-value order
+    keys build a Bloom filter as per-batch partial bitmaps (OR-combined
+    — commutative, so exactly reproducible at any partitioning; driver
+    holds m/8 bytes, never the key set), lineitem prefilters map-side
+    against the broadcast bitmap (no false negatives), and one tagged
+    key exchange removes the false positives EXACTLY. Same answer as a
+    plain semijoin (the SQL oracle) — this is the shape for joins whose
+    build side outgrows a broadcastable key array."""
+    import ray
+
+    from ..stages.agg import hash_grouped_agg
+    from ..state.bloom import bloom_build_bits, bloom_probe_bits
+
+    M_BITS, K = 1 << 22, 4
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    hv = orders.map_batches(
+        lambda b: b.loc[b["o_totalprice"] >= 300_000.0, ["o_orderkey"]],
+        batch_format="pandas").materialize()
+
+    def bits_partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = bloom_build_bits(b["o_orderkey"].to_numpy("int64"), M_BITS, K)
+        return pd.DataFrame({"words": [w]})
+
+    parts = hv.map_batches(bits_partial, batch_format="pandas").to_pandas()
+    words = np.zeros(M_BITS // 64, dtype=np.uint64)
+    for w in parts["words"]:
+        words |= np.asarray(w, dtype=np.uint64)
+    bits_ref = ray.put(words)
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b["l_orderkey"].to_numpy("int64")
+        hit = bloom_probe_bits(keys, ray.get(bits_ref), K)
+        b = b[hit]
+        p = pd.DataFrame({
+            "key": b["l_orderkey"].to_numpy("int64"),
+            "n_items": np.int64(1),
+            "rev_cents": _cents((b["l_extendedprice"]
+                                 * (1 - b["l_discount"])).to_numpy()),
+            "is_key": np.int64(0)})
+        return p.groupby("key", as_index=False).sum()
+
+    markers = hv.map_batches(
+        lambda b: pd.DataFrame({"key": b["o_orderkey"].to_numpy("int64"),
+                                "n_items": np.int64(0),
+                                "rev_cents": np.int64(0),
+                                "is_key": np.int64(1)}),
+        batch_format="pandas")
+
+    def verify(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby("key", as_index=False).sum()
+        s = s[(s["is_key"] >= 1) & (s["n_items"] >= 1)]  # exact: fps die
+        return (s[["key", "n_items", "rev_cents"]]
+                .rename(columns={"key": "o_orderkey"}).astype("int64"))
+
+    return hash_grouped_agg(
+        li.map_batches(prefilter, batch_format="pandas").union(markers),
+        ["key"], lambda b: b, verify)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3764,6 +3827,7 @@ QUERIES = {
     "events_running_totals_salted": events_running_totals_salted,
     "events_since_purchase": events_since_purchase,
     "doc_tile_mixture": doc_tile_mixture,
+    "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
 }
 
 ORACLE_SQL = {
@@ -5587,5 +5651,16 @@ ORACLE_SQL = {
                                          ORDER BY hv, doc_id) AS rn
           FROM h)
         WHERE rn <= 8
+    """,
+    "lineitem_bloom_semijoin": r"""
+        SELECT l.l_orderkey AS o_orderkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM lineitem l
+        WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_totalprice >= 300000.0)
+        GROUP BY l.l_orderkey
     """,
 }

@@ -88,3 +88,53 @@ class BloomFilter:
         f = cls(0, _bits=bits, _k=k)
         f.count = count
         return f
+
+
+# ---- vectorized int64-key kernels (Bloom-semijoin building blocks) ----
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer, vectorized over uint64 (the standard
+    public-domain mixer; full-avalanche, so h1/h2 double hashing is
+    well-distributed for integer keys)."""
+    z = x + _GOLD
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bloom_build_bits(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """One batch's partial Bloom bitmap (uint64 words) for int64 keys:
+    k double-hashed positions per key, all set vectorized. Partial
+    bitmaps COMMUTE under OR — the filter is exactly reproducible at
+    any partitioning."""
+    with np.errstate(over="ignore"):
+        u = keys.astype(np.uint64)
+        h1 = _splitmix64(u)
+        h2 = _splitmix64(u ^ _GOLD) | np.uint64(1)  # odd -> full cycle
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        for j in range(k):
+            pos = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_probe_bits(keys: np.ndarray, words: np.ndarray,
+                     k: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set
+    (possible false positives, no false negatives)."""
+    m_bits = len(words) * 64
+    with np.errstate(over="ignore"):
+        u = keys.astype(np.uint64)
+        h1 = _splitmix64(u)
+        h2 = _splitmix64(u ^ _GOLD) | np.uint64(1)
+        hit = np.ones(len(keys), dtype=bool)
+        for j in range(k):
+            pos = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+            bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            hit &= bit.astype(bool)
+    return hit

@@ -148,3 +148,39 @@ def test_props_stats_nested_and_typed_values(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["n"], r["n_with_k"], r["sum_k"]) == (6, 2, 5)
     assert (r["min_k"], r["max_k"]) == (-2, 7)
+
+
+def test_bloom_kernels_properties():
+    """No false negatives at any (m, k); partial-bitmap OR == one-shot
+    build (the commutativity the distributed build relies on)."""
+    from north_cloud_ray.state.bloom import (
+        bloom_build_bits,
+        bloom_probe_bits,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**62, 5000).astype(np.int64)
+    for m_bits, k in [(1 << 16, 2), (1 << 20, 4), (1 << 22, 6)]:
+        one = bloom_build_bits(keys, m_bits, k)
+        parts = [bloom_build_bits(c, m_bits, k)
+                 for c in np.array_split(keys, 7)]
+        merged = parts[0].copy()
+        for p in parts[1:]:
+            merged |= p
+        assert (merged == one).all()
+        assert bloom_probe_bits(keys, one, k).all()
+
+
+def test_bloom_semijoin_false_positive_removal(ray_session):
+    """The verify exchange must kill bloom false positives exactly:
+    result keys are precisely the high-value order keys with lineitems."""
+    from north_cloud_ray.pipelines.queries import lineitem_bloom_semijoin
+
+    out = lineitem_bloom_semijoin(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    hv = set(orders[orders["o_totalprice"] >= 300_000.0]["o_orderkey"])
+    want = sorted(hv & set(li["l_orderkey"]))
+    assert sorted(out["o_orderkey"]) == want
