@@ -3690,6 +3690,35 @@ def lineitem_bloom_semijoin(sf_dir: str):
         ["key"], lambda b: b, verify)
 
 
+def events_daily_top_users(sf_dir: str):
+    """Trending top-k per window: each day's 5 most active users
+    (count DESC, user ASC tie-break). Per-batch partial (day, user)
+    counts combine exactly in one exchange; only each partition's local
+    top rows would need to ship at the next level — here the per-day
+    winner selection happens in the same combine because the exchange
+    is keyed by DAY, so a partition owns its days outright."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({"day": b["ts"].dt.strftime("%Y-%m-%d"),
+                          "user_id": b["user_id"].to_numpy("int64")})
+        return (p.groupby(["day", "user_id"], as_index=False).size()
+                .rename(columns={"size": "n_events"}))
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby(["day", "user_id"], as_index=False)["n_events"].sum()
+        s = s.sort_values(["day", "n_events", "user_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = s.groupby("day").head(5).copy()
+        top["rnk"] = top.groupby("day").cumcount().to_numpy("int64") + 1
+        return top.astype({"n_events": "int64", "rnk": "int64"})
+
+    return hash_grouped_agg(ev, ["day"], partial, combine)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3828,6 +3857,7 @@ QUERIES = {
     "events_since_purchase": events_since_purchase,
     "doc_tile_mixture": doc_tile_mixture,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
+    "events_daily_top_users": events_daily_top_users,
 }
 
 ORACLE_SQL = {
@@ -5662,5 +5692,18 @@ ORACLE_SQL = {
         WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
                                WHERE o_totalprice >= 300000.0)
         GROUP BY l.l_orderkey
+    """,
+    "events_daily_top_users": r"""
+        WITH c AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        )
+        SELECT day, user_id, n_events, CAST(rn AS BIGINT) AS rnk FROM (
+          SELECT c.*, row_number() OVER (PARTITION BY day
+                                         ORDER BY n_events DESC,
+                                                  user_id) AS rn
+          FROM c)
+        WHERE rn <= 5
     """,
 }
