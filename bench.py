@@ -313,7 +313,8 @@ def run_queries(sf_dir: str) -> dict:
         "doc_graph_triangles", "events_cube",
         "events_running_totals_salted", "events_since_purchase",
         "doc_tile_mixture", "lineitem_bloom_semijoin",
-        "events_daily_top_users",
+        "events_daily_top_users", "doc_split_assignment",
+        "events_daily_deltas",
     ]
     import ray.data
 

@@ -3719,6 +3719,71 @@ def events_daily_top_users(sf_dir: str):
     return hash_grouped_agg(ev, ["day"], partial, combine)
 
 
+def doc_split_assignment(sf_dir: str):
+    """Deterministic train/val/test split — the reproducible way every
+    training pipeline partitions a corpus: bucket = Knuth hash % 100,
+    train <90, val <95, test otherwise; returns per (lang, split)
+    counts + token mass so mixture ratios are auditable. Pure map-side
+    partials + one tiny exchange; the same doc lands in the same split
+    at any partitioning (asserted by the SQL oracle)."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.selection import _tokenize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 blocks=_cpus())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hv = ((b["doc_id"].to_numpy("int64") % np.int64(2**31))
+              * np.int64(2654435761)) % np.int64(2**32)
+        bucket = hv % 100
+        split = np.where(bucket < 90, "train",
+                         np.where(bucket < 95, "val", "test"))
+        p = pd.DataFrame({
+            "lang": b["lang"].to_numpy(), "split": split,
+            "n_tokens": _tokenize(b["text"]).str.len().to_numpy("int64")})
+        return p.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"))
+
+    return hash_grouped_agg(
+        docs, ["lang", "split"], partial,
+        lambda p: p.groupby(["lang", "split"], as_index=False)
+        [["n_docs", "total_tokens"]].sum())
+
+
+def events_daily_deltas(sf_dir: str):
+    """Day-over-day time-series deltas: per day, event count + exact
+    value cents and their changes vs the previous CALENDAR day (gaps
+    break the chain — prev must be day-1, as LAG over a dense series).
+    The heavy pass is one distributed day-keyed sum; the delta fold
+    runs on the time-range-bounded series (days, not rows)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        p = pd.DataFrame({"day": day, "_c": _cents(b["value"].to_numpy())})
+        return p.groupby("day", as_index=False).agg(
+            n=("_c", "size"), value_cents=("_c", "sum"))
+
+    s = hash_grouped_agg(
+        ev, ["day"], partial,
+        lambda p: p.groupby("day", as_index=False)
+        [["n", "value_cents"]].sum(),
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+
+    prev_day = s["day"].shift(1)
+    contiguous = (s["day"] - prev_day) == 1
+    s["delta_n"] = np.where(contiguous, s["n"] - s["n"].shift(1), 0)
+    s["delta_cents"] = np.where(
+        contiguous, s["value_cents"] - s["value_cents"].shift(1), 0)
+    s["has_prev"] = contiguous.fillna(False).astype("int64")
+    return s.astype({"day": "int64", "n": "int64", "value_cents": "int64",
+                     "delta_n": "int64", "delta_cents": "int64",
+                     "has_prev": "int64"})
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3858,6 +3923,8 @@ QUERIES = {
     "doc_tile_mixture": doc_tile_mixture,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
     "events_daily_top_users": events_daily_top_users,
+    "doc_split_assignment": doc_split_assignment,
+    "events_daily_deltas": events_daily_deltas,
 }
 
 ORACLE_SQL = {
@@ -5705,5 +5772,47 @@ ORACLE_SQL = {
                                                   user_id) AS rn
           FROM c)
         WHERE rn <= 5
+    """,
+    "doc_split_assignment": r"""
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN (doc_id % 2147483648) * 2654435761
+                           % 4294967296 % 100 < 90 THEN 'train'
+                      WHEN (doc_id % 2147483648) * 2654435761
+                           % 4294967296 % 100 < 95 THEN 'val'
+                      ELSE 'test' END AS split,
+                 CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                          '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT lang, split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY lang, split
+    """,
+    "events_daily_deltas": r"""
+        WITH d AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM events GROUP BY 1
+        ),
+        l AS (
+          SELECT day, n, value_cents,
+                 lag(day) OVER w AS pday,
+                 lag(n) OVER w AS pn,
+                 lag(value_cents) OVER w AS pc
+          FROM d WINDOW w AS (ORDER BY day)
+        )
+        SELECT day, n, value_cents,
+               CAST(CASE WHEN day - pday = 1 THEN n - pn ELSE 0 END
+                    AS BIGINT) AS delta_n,
+               CAST(CASE WHEN day - pday = 1 THEN value_cents - pc
+                    ELSE 0 END AS BIGINT) AS delta_cents,
+               CAST(CASE WHEN day - pday = 1 THEN 1 ELSE 0 END
+                    AS BIGINT) AS has_prev
+        FROM l
     """,
 }
