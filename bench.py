@@ -314,7 +314,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_running_totals_salted", "events_since_purchase",
         "doc_tile_mixture", "lineitem_bloom_semijoin",
         "events_daily_top_users", "doc_split_assignment",
-        "events_daily_deltas",
+        "events_daily_deltas", "f1_media_budget_take",
     ]
     import ray.data
 

@@ -3784,6 +3784,34 @@ def events_daily_deltas(sf_dir: str):
                      "has_prev": "int64"})
 
 
+def f1_media_budget_take(sf_dir: str):
+    """Interleaved media-budget corpus cut: walk the F1 doc line in id
+    order and keep docs while the EXCLUSIVE running media-span count
+    stays under 400 — the deterministic "fill the media budget" slice a
+    multimodal dataloader takes per epoch. Per-doc media counts come
+    from the same arithmetic span synthesis the other f1_*_docs oracles
+    use (n_media = ceil(words/20) // 2); the cut is the distributed
+    prefix-sum primitive (selection.prefix_take — bucket sums ride the
+    only exchange, the cut is map-side)."""
+    from ..stages.selection import _tokenize, prefix_take
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def media_counts(b: pd.DataFrame) -> pd.DataFrame:
+        nw = (b["text"].fillna("").str.split().str.len()
+              .to_numpy("int64"))
+        n_text = (nw + 19) // 20
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy("int64"),
+                             "n_media": n_text // 2})
+
+    out = prefix_take(docs.map_batches(media_counts,
+                                       batch_format="pandas"),
+                      budget=400, weight_col="n_media", bucket_width=64)
+    return out.map_batches(
+        lambda b: b.rename(columns={"prefix_w": "media_off"}),
+        batch_format="pandas")
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3925,6 +3953,7 @@ QUERIES = {
     "events_daily_top_users": events_daily_top_users,
     "doc_split_assignment": doc_split_assignment,
     "events_daily_deltas": events_daily_deltas,
+    "f1_media_budget_take": f1_media_budget_take,
 }
 
 ORACLE_SQL = {
@@ -5814,5 +5843,28 @@ ORACLE_SQL = {
                CAST(CASE WHEN day - pday = 1 THEN 1 ELSE 0 END
                     AS BIGINT) AS has_prev
         FROM l
+    """,
+    "f1_media_budget_take": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x <> '')) AS nw
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(((nw + 19) // 20) // 2 AS BIGINT) AS n_media
+          FROM d
+        ),
+        c AS (
+          SELECT doc_id, n_media,
+                 CAST(coalesce(SUM(n_media) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS media_off
+          FROM m
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, n_media, media_off
+        FROM c WHERE media_off < 400
     """,
 }

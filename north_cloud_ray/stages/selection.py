@@ -607,3 +607,70 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
 
     return ds.map_batches(scan, batch_format="pandas",
                           concurrency=_pool_size(concurrency))
+
+
+def prefix_take(ds, budget: int, id_col: str = "doc_id",
+                weight_col: str = "weight", bucket_width: int = 4096,
+                num_partitions: int | None = None):
+    """Budgeted prefix selection: keep rows in ``id`` order while the
+    EXCLUSIVE running sum of ``weight`` stays under ``budget`` — the
+    deterministic "fill a token/media budget in stable order" primitive
+    (dataloader sharding, media-budget corpus cuts). Returns the kept
+    rows plus each row's exclusive prefix (``prefix_w``).
+
+    Scale shape: the same distributed exclusive prefix sum as
+    ``pps_sample`` — per-id-range-bucket sums ride one light exchange,
+    the driver scans only the bucket table, and each partition resolves
+    its own rows with a local cumsum + broadcast base. The cut is a
+    map-side comparison; no sort, no global shuffle of data rows."""
+    import ray
+    import ray.data
+
+    from .agg import hash_grouped_agg
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0 (got {budget})")
+
+    EMPTY = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                          weight_col: pd.Series(dtype="int64"),
+                          "prefix_w": pd.Series(dtype="int64")})
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy("int64")
+        w = b[weight_col].to_numpy("int64")
+        if len(w) and w.min() < 0:
+            raise ValueError("prefix_take weights must be >= 0")
+        return pd.DataFrame({id_col: ids, weight_col: w,
+                             "bucket": ids // bucket_width})
+
+    lt = ds.map_batches(light, batch_format="pandas").materialize()
+
+    sums_df = hash_grouped_agg(
+        lt, ["bucket"],
+        lambda b: b.groupby("bucket", as_index=False)[weight_col].sum(),
+        lambda p: p.groupby("bucket", as_index=False)[weight_col].sum(),
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if not len(sums_df) or "bucket" not in sums_df.columns:
+        return ray.data.from_pandas(EMPTY)
+    sums_df = sums_df.sort_values("bucket")
+    sums = sums_df[weight_col].to_numpy("int64")
+    base = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype("int64")
+    base_ref = ray.put(pd.DataFrame({
+        "bucket": sums_df["bucket"].to_numpy("int64"), "base": base}))
+
+    def cut_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return EMPTY
+        g = (g.merge(ray.get(base_ref), on="bucket")
+             .sort_values(["bucket", id_col], kind="mergesort"))
+        w = g[weight_col].to_numpy("int64")
+        within = g.groupby("bucket")[weight_col].cumsum().to_numpy("int64") - w
+        off = g["base"].to_numpy("int64") + within
+        keep = off < budget
+        return pd.DataFrame({id_col: g[id_col].to_numpy("int64")[keep],
+                             weight_col: w[keep],
+                             "prefix_w": off[keep]})
+
+    return hash_grouped_agg(lt, ["bucket"], lambda b: b, cut_part,
+                            num_partitions=num_partitions)

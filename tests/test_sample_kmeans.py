@@ -185,3 +185,38 @@ def test_kmeans_too_few_vectors_raises(ray_session):
                        "embedding": [np.ones(4, "float32")] * 3})
     with pytest.raises(ValueError):
         kmeans_fit(rd.from_pandas(df), n_clusters=5)
+
+
+def test_prefix_take_matches_sequential_and_partitions(ray_session):
+    from north_cloud_ray.stages.selection import prefix_take
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"),
+                       "w": rng.integers(0, 9, 200).astype("int64")})
+    got = (prefix_take(rd.from_pandas(df).repartition(7), budget=150,
+                       weight_col="w", bucket_width=13)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    off = np.cumsum(df["w"]) - df["w"]
+    keep = off < 150
+    want = pd.DataFrame({"doc_id": df["doc_id"][keep].to_numpy(),
+                         "w": df["w"][keep].to_numpy(),
+                         "prefix_w": off[keep].to_numpy("int64")})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_exact=True)
+    b = (prefix_take(rd.from_pandas(df).repartition(2), budget=150,
+                     weight_col="w", bucket_width=1024)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, b, check_exact=True)
+
+
+def test_prefix_take_zero_budget_and_empty(ray_session):
+    from north_cloud_ray.stages.selection import prefix_take
+
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype="int64"),
+                       "w": np.ones(5, dtype="int64")})
+    assert prefix_take(rd.from_pandas(df), budget=0,
+                       weight_col="w").count() == 0
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "w": pd.Series(dtype="int64")})
+    ds = prefix_take(rd.from_pandas(empty), budget=10, weight_col="w")
+    assert ds.count() == 0
