@@ -3480,9 +3480,14 @@ def events_running_totals_salted(sf_dir: str):
 
     def light(b: pd.DataFrame) -> pd.DataFrame:
         us = b["ts"].to_numpy("datetime64[us]").astype("int64")
+        eids = b["event_id"].to_numpy("int64")
+        if len(eids) and eids.min() < 0:
+            raise ValueError("events_running_totals_salted needs "
+                             "non-negative event ids (-1 is the "
+                             "offset-row sentinel)")
         return pd.DataFrame({
             "user_id": b["user_id"].to_numpy("int64"),
-            "event_id": b["event_id"].to_numpy("int64"),
+            "event_id": eids,
             "_us": us,
             "_c": _cents(b["value"].to_numpy()),
             "bucket": us // 86_400_000_000})
@@ -3616,9 +3621,10 @@ def doc_tile_mixture(sf_dir: str):
     tiles = doc_rank_ntile(sf_dir)
 
     def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.corpus import _doc_hash
+
         b = b[["doc_id", "lang", "tile"]].copy()
-        b["hv"] = ((b["doc_id"].to_numpy() % np.int64(2**31))
-                   * np.int64(2654435761)) % np.int64(2**32)
+        b["hv"] = _doc_hash(b["doc_id"].to_numpy()).astype("int64")
         return b
 
     return grouped_topk_rows(
@@ -3654,7 +3660,21 @@ def lineitem_bloom_semijoin(sf_dir: str):
         w = bloom_build_bits(b["o_orderkey"].to_numpy("int64"), M_BITS, K)
         return pd.DataFrame({"words": [w]})
 
-    parts = hv.map_batches(bits_partial, batch_format="pandas").to_pandas()
+    def or_fold(b: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(M_BITS // 64, dtype=np.uint64)
+        for w in b["words"]:
+            acc |= np.asarray(w, dtype=np.uint64)
+        return pd.DataFrame({"words": [acc]})
+
+    # per-block partial bitmaps OR-fold DISTRIBUTEDLY down to a handful
+    # of rows before the driver touches them — driver memory stays
+    # O(m/8), not O(num_batches * m/8)
+    parts = (hv.map_batches(bits_partial, batch_format="pandas",
+                            batch_size=None)
+             .repartition(4)
+             .map_batches(or_fold, batch_format="pandas",
+                          batch_size=None)
+             .to_pandas())
     words = np.zeros(M_BITS // 64, dtype=np.uint64)
     for w in parts["words"]:
         words |= np.asarray(w, dtype=np.uint64)
@@ -3733,9 +3753,9 @@ def doc_split_assignment(sf_dir: str):
                  blocks=_cpus())
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        hv = ((b["doc_id"].to_numpy("int64") % np.int64(2**31))
-              * np.int64(2654435761)) % np.int64(2**32)
-        bucket = hv % 100
+        from ..stages.corpus import _doc_hash
+
+        bucket = _doc_hash(b["doc_id"].to_numpy()).astype("int64") % 100
         split = np.where(bucket < 90, "train",
                          np.where(bucket < 95, "val", "test"))
         p = pd.DataFrame({
@@ -3793,7 +3813,7 @@ def f1_media_budget_take(sf_dir: str):
     use (n_media = ceil(words/20) // 2); the cut is the distributed
     prefix-sum primitive (selection.prefix_take — bucket sums ride the
     only exchange, the cut is map-side)."""
-    from ..stages.selection import _tokenize, prefix_take
+    from ..stages.selection import prefix_take
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
 

@@ -360,6 +360,31 @@ def bm25_topk(ds, terms: list[str], k: int = 20, k1: float = 1.2,
         .limit(k))
 
 
+def _bucket_bases(lt, weight_col: str, num_partitions: int | None):
+    """Shared scaffolding of the distributed exclusive-prefix-sum
+    primitives (pps_sample, prefix_take): one bucket-keyed sum exchange
+    over the light stream, then the driver's exclusive prefix over the
+    BUCKET table only. Returns a (bucket, <weight_col>, base) frame
+    sorted by bucket, or None when the input was entirely empty (the
+    exchange's documented schema-less-empty contract)."""
+    from .agg import hash_grouped_agg
+
+    sums_df = hash_grouped_agg(
+        lt, ["bucket"],
+        lambda b: b.groupby("bucket", as_index=False)[weight_col].sum(),
+        lambda p: p.groupby("bucket", as_index=False)[weight_col].sum(),
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if not len(sums_df) or "bucket" not in sums_df.columns:
+        return None
+    sums_df = sums_df.sort_values("bucket")
+    sums = sums_df[weight_col].to_numpy("int64")
+    sums_df["base"] = np.concatenate(
+        [[0], np.cumsum(sums)[:-1]]).astype("int64")
+    sums_df["bucket"] = sums_df["bucket"].astype("int64")
+    return sums_df
+
+
 def pps_sample(ds, k: int, id_col: str = "doc_id", text_col: str = "text",
                weight_col: str | None = None, bucket_width: int = 4096,
                num_partitions: int | None = None):
@@ -414,26 +439,16 @@ def pps_sample(ds, k: int, id_col: str = "doc_id", text_col: str = "text",
                           "weight": pd.Series(dtype="int64"),
                           "n_hits": pd.Series(dtype="int64")})
 
-    sums_df = hash_grouped_agg(
-        lt, ["bucket"],
-        lambda b: b.groupby("bucket", as_index=False)["weight"].sum(),
-        lambda p: p.groupby("bucket", as_index=False)["weight"].sum(),
-        num_partitions=num_partitions,
-    ).to_pandas()
-    if not len(sums_df) or "bucket" not in sums_df.columns:
+    sums_df = _bucket_bases(lt, "weight", num_partitions)
+    if sums_df is None:
         # entirely empty input: the sum exchange yields a schema-less
         # frame (hash_grouped_agg's documented contract)
         return ray.data.from_pandas(EMPTY)
-    sums_df = sums_df.sort_values("bucket")
-    sums = sums_df["weight"].to_numpy("int64")
-    base = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype("int64")
-    total = int(sums.sum())
+    total = int(sums_df["weight"].sum())
     # exact Python-int positions (no int64 overflow for (2k-1)*W)
     positions = np.array([((2 * j + 1) * total) // (2 * k)
                           for j in range(k)], dtype=np.int64)
-    state_ref = ray.put((pd.DataFrame({
-        "bucket": sums_df["bucket"].to_numpy("int64"), "base": base}),
-        positions))
+    state_ref = ray.put((sums_df[["bucket", "base"]], positions))
 
     def pick_part(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -645,19 +660,10 @@ def prefix_take(ds, budget: int, id_col: str = "doc_id",
 
     lt = ds.map_batches(light, batch_format="pandas").materialize()
 
-    sums_df = hash_grouped_agg(
-        lt, ["bucket"],
-        lambda b: b.groupby("bucket", as_index=False)[weight_col].sum(),
-        lambda p: p.groupby("bucket", as_index=False)[weight_col].sum(),
-        num_partitions=num_partitions,
-    ).to_pandas()
-    if not len(sums_df) or "bucket" not in sums_df.columns:
+    sums_df = _bucket_bases(lt, weight_col, num_partitions)
+    if sums_df is None:
         return ray.data.from_pandas(EMPTY)
-    sums_df = sums_df.sort_values("bucket")
-    sums = sums_df[weight_col].to_numpy("int64")
-    base = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype("int64")
-    base_ref = ray.put(pd.DataFrame({
-        "bucket": sums_df["bucket"].to_numpy("int64"), "base": base}))
+    base_ref = ray.put(sums_df[["bucket", "base"]])
 
     def cut_part(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):

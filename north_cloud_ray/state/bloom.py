@@ -109,7 +109,13 @@ def bloom_build_bits(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     """One batch's partial Bloom bitmap (uint64 words) for int64 keys:
     k double-hashed positions per key, all set vectorized. Partial
     bitmaps COMMUTE under OR — the filter is exactly reproducible at
-    any partitioning."""
+    any partitioning. m_bits must be a multiple of 64: the probe side
+    recovers the modulus as len(words)*64, so any other value would
+    hash build and probe to DIFFERENT positions (false negatives) or
+    index past the word array."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64 "
+                         f"(got {m_bits})")
     with np.errstate(over="ignore"):
         u = keys.astype(np.uint64)
         h1 = _splitmix64(u)
