@@ -315,6 +315,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_tile_mixture", "lineitem_bloom_semijoin",
         "events_daily_top_users", "doc_split_assignment",
         "events_daily_deltas", "f1_media_budget_take",
+        "user_value_trend",
     ]
     import ray.data
 

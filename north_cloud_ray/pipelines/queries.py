@@ -3832,6 +3832,58 @@ def f1_media_budget_take(sf_dir: str):
         batch_format="pandas")
 
 
+def user_value_trend(sf_dir: str):
+    """Per-user least-squares trend of event value over time (is this
+    user's spend rising?): slope from EXACT int64 sufficient statistics
+    (x = seconds since 2024-01-01, y = value cents), one map-side
+    partial + one user-keyed combine; the slope mirrors the SQL DOUBLE
+    expression token-for-token. The 2024 epoch offset is load-bearing
+    for the bit-match: with x ~ 2.6e6 every sufficient statistic stays
+    under 2^53 (exactly double-representable, so int->double conversion
+    rounds nothing), whereas epoch-seconds sums exceed int64 and
+    DuckDB's HUGEINT->DOUBLE cast is NOT correctly rounded (measured:
+    differs from Python's exact-int conversion in the 10th digit)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = ((b["ts"].to_numpy("datetime64[us]").astype("int64")
+              - EPOCH_2024_US) // 1_000_000)
+        y = _cents(b["value"].to_numpy())
+        p = pd.DataFrame({"user_id": b["user_id"].to_numpy("int64"),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          # object dtype: sxx sums past int64 within a
+                          # few events (x^2 ~ 2.9e18 vs 9.2e18 max)
+                          "sxy": x.astype(object) * y.astype(object),
+                          "sxx": x.astype(object) * x.astype(object)})
+        return p.groupby("user_id", as_index=False).sum()
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby("user_id", as_index=False).sum()
+        keep, slope = [], []
+        for r in s.itertuples(index=False):
+            den = (float(r.n) * float(r.sxx)
+                   - float(r.sx) * float(r.sx))
+            if den == 0.0:
+                keep.append(False)
+                continue
+            keep.append(True)
+            num = (float(r.n) * float(r.sxy)
+                   - float(r.sx) * float(r.sy))
+            slope.append(num / den)
+        s = s[np.asarray(keep, dtype=bool)].reset_index(drop=True)
+        out = pd.DataFrame({
+            "user_id": s["user_id"].to_numpy("int64"),
+            "n": s["n"].to_numpy("int64"),
+            "slope_cents_per_sec": np.asarray(slope, dtype=np.float64)})
+        return out
+
+    return hash_grouped_agg(ev, ["user_id"], partial, combine)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -3974,6 +4026,7 @@ QUERIES = {
     "doc_split_assignment": doc_split_assignment,
     "events_daily_deltas": events_daily_deltas,
     "f1_media_budget_take": f1_media_budget_take,
+    "user_value_trend": user_value_trend,
 }
 
 ORACLE_SQL = {
@@ -5886,5 +5939,25 @@ ORACLE_SQL = {
         )
         SELECT CAST(doc_id AS BIGINT) AS doc_id, n_media, media_off
         FROM c WHERE media_off < 400
+    """,
+    "user_value_trend": r"""
+        WITH t AS (
+          SELECT user_id,
+                 CAST(date_diff('second', TIMESTAMP '2024-01-01',
+                                ts) AS BIGINT) AS x,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS y
+          FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               ((CAST(count(*) AS DOUBLE) * CAST(sum(x*y) AS DOUBLE))
+                - (CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+               / ((CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE))
+                  - (CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)))
+                 AS slope_cents_per_sec
+        FROM t GROUP BY user_id
+        HAVING ((CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE))
+                - (CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)))
+               <> 0
     """,
 }
