@@ -315,7 +315,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_tile_mixture", "lineitem_bloom_semijoin",
         "events_daily_top_users", "doc_split_assignment",
         "events_daily_deltas", "f1_media_budget_take",
-        "user_value_trend",
+        "user_value_trend", "event_value_mad",
     ]
     import ray.data
 

@@ -3884,6 +3884,46 @@ def user_value_trend(sf_dir: str):
     return hash_grouped_agg(ev, ["user_id"], partial, combine)
 
 
+def event_value_mad(sf_dir: str):
+    """Robust per-type outlier scale: median absolute deviation of
+    value cents (quantile_disc rank semantics, exact ints). Two passes
+    of the count-map grouped-quantile exchange — medians first, then
+    |x - median| medians with the per-type medians broadcast — so the
+    value multiset never rides an exchange and the driver only ever
+    sees the (type, median) table."""
+    import ray
+
+    from ..stages.sketch import grouped_value_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                             "c": _cents(b["value"].to_numpy())})
+
+    lt = ev.map_batches(cents, batch_format="pandas").materialize()
+
+    med = grouped_value_quantiles(lt, "event_type", "c", qs=(0.5,)) \
+        .to_pandas()
+    med_ref = ray.put(pd.Series(med["value"].to_numpy("int64"),
+                                index=med["event_type"]))
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].map(ray.get(med_ref)).to_numpy("int64")
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "d": np.abs(b["c"].to_numpy("int64") - m)})
+
+    mad = (grouped_value_quantiles(
+        lt.map_batches(absdev, batch_format="pandas"),
+        "event_type", "d", qs=(0.5,))
+        .to_pandas().rename(columns={"value": "mad_cents"}))
+    out = med.rename(columns={"value": "median_cents"}) \
+        .merge(mad[["event_type", "mad_cents"]], on="event_type")
+    return out[["event_type", "median_cents", "mad_cents"]].astype(
+        {"median_cents": "int64", "mad_cents": "int64"})
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4027,6 +4067,7 @@ QUERIES = {
     "events_daily_deltas": events_daily_deltas,
     "f1_media_budget_take": f1_media_budget_take,
     "user_value_trend": user_value_trend,
+    "event_value_mad": event_value_mad,
 }
 
 ORACLE_SQL = {
@@ -5959,5 +6000,22 @@ ORACLE_SQL = {
         HAVING ((CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE))
                 - (CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)))
                <> 0
+    """,
+    "event_value_mad": r"""
+        WITH t AS (
+          SELECT event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+          FROM events
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(quantile_disc(c, 0.5) AS BIGINT) AS median_cents
+          FROM t GROUP BY event_type
+        )
+        SELECT t.event_type, m.median_cents,
+               CAST(quantile_disc(abs(t.c - m.median_cents), 0.5)
+                    AS BIGINT) AS mad_cents
+        FROM t JOIN m ON t.event_type = m.event_type
+        GROUP BY t.event_type, m.median_cents
     """,
 }
