@@ -3942,6 +3942,18 @@ def event_value_mad(sf_dir: str):
         {"median_cents": "int64", "mad_cents": "int64"})
 
 
+def doc_fuzzy_title_pairs(sf_dir: str):
+    """Fuzzy title join: doc pairs whose 16-char lowercased text prefix
+    is within Levenshtein distance 1, via recall-complete FastSS
+    deletion-neighborhood candidates + exact banded verify
+    (dedup.edit1_pairs); oracle is DuckDB's native levenshtein over the
+    self-join."""
+    from ..stages.dedup import edit1_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    return edit1_pairs(docs, prefix_len=16)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4086,6 +4098,7 @@ QUERIES = {
     "f1_media_budget_take": f1_media_budget_take,
     "user_value_trend": user_value_trend,
     "event_value_mad": event_value_mad,
+    "doc_fuzzy_title_pairs": doc_fuzzy_title_pairs,
 }
 
 ORACLE_SQL = {
@@ -6035,5 +6048,16 @@ ORACLE_SQL = {
                     AS BIGINT) AS mad_cents
         FROM t JOIN m ON t.event_type = m.event_type
         GROUP BY t.event_type, m.median_cents
+    """,
+    "doc_fuzzy_title_pairs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 lower(substr(coalesce(text, ''), 1, 16)) AS title
+          FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+         AND levenshtein(a.title, b.title) <= 1
     """,
 }

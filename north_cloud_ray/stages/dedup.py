@@ -1315,3 +1315,105 @@ def ngram_jaccard_pairs(
 
     return j.map_batches(verify, batch_format="pandas").sort(
         ["doc_a", "doc_b"])
+
+
+def edit1_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                prefix_len: int = 16, num_partitions: int | None = None):
+    """Fuzzy string-similarity join: all id pairs whose lowercased
+    text PREFIX (prefix_len chars) is within Levenshtein distance 1 —
+    the title-typo dedup pass (FastSS deletion neighborhoods, Bocek et
+    al. 2007): two strings within edit distance 1 ALWAYS share a member
+    of {s} u single-deletions(s) (equal -> s itself; substitution at i
+    -> both minus char i; indel -> the shorter string itself), so the
+    candidate generation is recall-complete and the exact <=1 verify
+    keeps precision at 1.
+
+    Scale shape: each doc emits prefix_len+1 light (variant, id, title)
+    rows; one variant-hash exchange forms candidate pairs per variant
+    group (quadratic only within a shared-variant group — title-cluster
+    bounded, never corpus bounded); a second (a, b)-keyed exchange
+    dedupes pairs discovered via multiple shared variants and runs the
+    exact verify. Returns (a, b, dist) with a < b, dist in {0, 1}."""
+    from .agg import hash_grouped_agg
+
+    def _dist_le1(s: str, t: str) -> int | None:
+        """Exact Levenshtein for the <=1 band (None if > 1)."""
+        if s == t:
+            return 0
+        ls, lt = len(s), len(t)
+        if abs(ls - lt) > 1:
+            return None
+        if ls == lt:
+            return 1 if sum(a != b for a, b in zip(s, t)) == 1 else None
+        if ls > lt:
+            s, t, ls, lt = t, s, lt, ls
+        # t is s plus one inserted char
+        i = 0
+        while i < ls and s[i] == t[i]:
+            i += 1
+        return 1 if s[i:] == t[i + 1:] else None
+
+    def variants(b: pd.DataFrame) -> pd.DataFrame:
+        titles = (b[text_col].fillna("").str.lower()
+                  .str.slice(0, prefix_len))
+        ids = b[id_col].to_numpy("int64")
+        out_v, out_i, out_t = [], [], []
+        for doc_id, t in zip(ids, titles):
+            out_v.append(t)
+            out_i.append(doc_id)
+            out_t.append(t)
+            for j in range(len(t)):
+                out_v.append(t[:j] + t[j + 1:])
+                out_i.append(doc_id)
+                out_t.append(t)
+        return pd.DataFrame({"variant": out_v, id_col: out_i,
+                             "title": out_t})
+
+    def pair_part(p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "ta": pd.Series(dtype=object),
+                              "tb": pd.Series(dtype=object)})
+        if not len(p):
+            return empty
+        outs = []
+        for _, g in p.groupby("variant", sort=False):
+            g = g.drop_duplicates(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy("int64")
+            ts = g["title"].to_numpy(dtype=object)
+            order = np.argsort(ids, kind="stable")
+            ids, ts = ids[order], ts[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj],
+                                      "ta": ts[ii], "tb": ts[jj]}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            ["a", "b"])
+
+    cands = hash_grouped_agg(
+        ds.map_batches(variants, batch_format="pandas"),
+        ["variant"], lambda b: b, pair_part,
+        num_partitions=num_partitions)
+
+    def verify(p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "dist": pd.Series(dtype="int64")})
+        if not len(p):
+            return empty
+        p = p.drop_duplicates(["a", "b"])
+        dists = [_dist_le1(s, t) for s, t in zip(p["ta"], p["tb"])]
+        keep = np.array([d is not None for d in dists], dtype=bool)
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "a": p["a"].to_numpy("int64")[keep],
+            "b": p["b"].to_numpy("int64")[keep],
+            "dist": np.array([d for d in dists if d is not None],
+                             dtype="int64")})
+
+    return hash_grouped_agg(cands, ["a", "b"], lambda b: b, verify,
+                            num_partitions=num_partitions)

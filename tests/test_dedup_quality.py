@@ -347,3 +347,43 @@ def test_semdedup_recall_vs_exact_twin(ray_session):
     for v, c in ap_lab.items():
         if v != c:
             assert ex_lab[v] == ex_lab[c]
+
+
+def test_edit1_pairs_semantics(ray_session):
+    """Distance-0 (equal), substitution, indel, and >1 cases; pairs
+    found via multiple shared variants dedupe to one row."""
+    import ray.data as rd
+
+    from north_cloud_ray.stages.dedup import edit1_pairs
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype="int64"),
+        "text": ["hello world", "hello world",   # equal -> dist 0
+                 "hellx world",                  # sub at 4 -> dist 1 vs 0/1
+                 "helo world",                   # deletion -> dist 1
+                 "completely different"],        # no pair
+    })
+    got = (edit1_pairs(rd.from_pandas(df).repartition(3), prefix_len=16)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = {(0, 1): 0, (0, 2): 1, (1, 2): 1, (0, 3): 1, (1, 3): 1}
+    assert {(int(r.a), int(r.b)): int(r.dist)
+            for r in got.itertuples()} == want
+
+
+def test_edit1_pairs_partition_independent(ray_session):
+    import ray.data as rd
+
+    from north_cloud_ray.stages.dedup import edit1_pairs
+
+    docs1 = rd.read_parquet(f"{SF001}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            override_num_blocks=1)
+    docs9 = rd.read_parquet(f"{SF001}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            override_num_blocks=9)
+    a = (edit1_pairs(docs1, prefix_len=12).to_pandas()
+         .sort_values(["a", "b"]).reset_index(drop=True))
+    b = (edit1_pairs(docs9, prefix_len=12, num_partitions=3).to_pandas()
+         .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
