@@ -1376,6 +1376,12 @@ def edit1_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                               "tb": pd.Series(dtype=object)})
         if not len(p):
             return empty
+        # almost every variant is unique — prune singleton variants
+        # vectorized BEFORE the per-group Python loop (sf0.1: ~85k
+        # variant groups, a few hundred with >= 2 members)
+        p = p[p.groupby("variant")["variant"].transform("size") >= 2]
+        if not len(p):
+            return empty
         outs = []
         for _, g in p.groupby("variant", sort=False):
             g = g.drop_duplicates(id_col)
