@@ -589,6 +589,7 @@ def scaling_nodes(nodes: int = 4, cores_per_node: int = 8) -> None:
                   p4 / (nodes * pn), 3)}
     else:
         hw = {"cpu_probe_ops_n": None, "cpu_probe_ops_4n": None,
+              "cpu_probe_pairs": [],
               "hardware_scaling_efficiency": None}
     s = max(s1, s2, key=lambda r: r["pages_per_sec"])
     n = max(n1, n2, key=lambda r: r["pages_per_sec"])

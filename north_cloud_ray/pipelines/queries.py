@@ -3006,12 +3006,11 @@ def doc_bigram_stats(sf_dir: str):
     return bigram_stats(docs)
 
 
-def events_rollup(sf_dir: str):
-    """OLAP ROLLUP over (event_type, day): counts + exact value cents at
-    all three grouping levels with 'ALL' sentinels (no NULL-vs-NaN hash
-    ambiguity). The finest level aggregates distributedly; its
-    cardinality is types x days (time-range-bounded, NOT row-bounded),
-    so the level expansion is a driver-side O(groups) fold."""
+def _type_day_fine(sf_dir: str) -> pd.DataFrame:
+    """Shared finest-level (event_type, day) aggregate behind ROLLUP and
+    CUBE: one distributed exchange; the result is types x days rows
+    (time-range-bounded, NOT row-bounded), so every grouping level is a
+    driver-side O(groups) fold over this table."""
     from ..stages.agg import hash_grouped_agg
 
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
@@ -3028,11 +3027,18 @@ def events_rollup(sf_dir: str):
         return p.groupby(["event_type", "day"], as_index=False).agg(
             n=("_c", "size"), value_cents=("_c", "sum"))
 
-    fine = hash_grouped_agg(
+    return hash_grouped_agg(
         ev, ["event_type", "day"], partial,
         lambda p: p.groupby(["event_type", "day"], as_index=False)
         [["n", "value_cents"]].sum(),
     ).to_pandas()
+
+
+def events_rollup(sf_dir: str):
+    """OLAP ROLLUP over (event_type, day): counts + exact value cents at
+    all three grouping levels with 'ALL' sentinels (no NULL-vs-NaN hash
+    ambiguity), folded from the shared _type_day_fine exchange."""
+    fine = _type_day_fine(sf_dir)
 
     mid = (fine.groupby("event_type", as_index=False)
            [["n", "value_cents"]].sum().assign(day="ALL", lvl=np.int64(1)))
@@ -3045,7 +3051,6 @@ def events_rollup(sf_dir: str):
     out = pd.concat([fine[cols], mid[cols], top[cols]], ignore_index=True)
     return out.astype({"n": "int64", "value_cents": "int64",
                        "lvl": "int64"})
-
 
 def events_user_gaps(sf_dir: str):
     """Per-user inter-event gap statistics (the LAG window family):
@@ -3113,8 +3118,6 @@ def lang_token_char_corr(sf_dir: str):
     lang-keyed combine); the final corr mirrors the SQL's DOUBLE
     expression token-for-token (sqrt is IEEE correctly-rounded, unlike
     log — so the float hash-matches)."""
-    import math
-
     from ..stages.agg import hash_grouped_agg
 
     docs = _read(sf_dir, "documents", ["text", "lang"], blocks=_cpus())
@@ -3132,24 +3135,24 @@ def lang_token_char_corr(sf_dir: str):
 
     def combine(p: pd.DataFrame) -> pd.DataFrame:
         s = p.groupby("lang", as_index=False).sum()
+        # vectorized float mirror: elementwise float64 ops are the same
+        # IEEE operations as the scalar SQL expression, so the hash
+        # match is preserved at none of the per-row Python cost
+        n = s["n"].to_numpy("int64").astype("float64")
+        sx = s["sum_x"].to_numpy("int64").astype("float64")
+        sy = s["sum_y"].to_numpy("int64").astype("float64")
+        den = (np.sqrt(n * s["sum_x2"].to_numpy("int64").astype("float64")
+                       - sx * sx)
+               * np.sqrt(n * s["sum_y2"].to_numpy("int64").astype("float64")
+                         - sy * sy))
         # zero-variance groups (single doc, or identical x or y across
         # the group) have den == 0 — drop them (the SQL mirrors with a
         # HAVING) instead of dividing by zero where SQL would emit NULL
-        keep, corr = [], []
-        for r in s.itertuples(index=False):
-            den = (math.sqrt(float(r.n) * float(r.sum_x2)
-                             - float(r.sum_x) * float(r.sum_x))
-                   * math.sqrt(float(r.n) * float(r.sum_y2)
-                               - float(r.sum_y) * float(r.sum_y)))
-            if den == 0.0:
-                keep.append(False)
-                continue
-            keep.append(True)
-            num = (float(r.n) * float(r.sum_xy)
-                   - float(r.sum_x) * float(r.sum_y))
-            corr.append(num / den)
-        s = s[np.asarray(keep, dtype=bool)].reset_index(drop=True)
-        s["corr"] = np.asarray(corr, dtype=np.float64)
+        keep = den != 0.0
+        num = (n * s["sum_xy"].to_numpy("int64").astype("float64")
+               - sx * sy)
+        s = s[keep].reset_index(drop=True)
+        s["corr"] = (num[keep] / den[keep]).astype(np.float64)
         return s
 
     return hash_grouped_agg(docs, ["lang"], partial, combine)
@@ -3195,18 +3198,30 @@ def customer_order_totals(sf_dir: str):
 def events_props_stats(sf_dir: str):
     """Semi-structured extraction: pull the top-level integer field
     ``k`` out of the JSON ``props`` column and aggregate exact per-type
-    stats. The fast path is one VECTORIZED regex, applied only where it
-    provably equals top-level JSON semantics — a payload with a single
-    '{', no '[' and no escape cannot hide '"k":' inside a string value
-    (an interior quote would need a backslash) or nest it; every other
-    row routes to the real parser (json.loads on the anomaly subset
-    only). Oracle uses DuckDB's native JSON operator, so the test
-    proves the split extraction == json-parse."""
+    stats. The fast path is one VECTORIZED regex, applied ONLY to rows
+    whose whole payload fullmatches a strict flat-object grammar
+    (primitive values, no escapes/arrays/nesting) — such rows are VALID
+    flat JSON by construction, so regex extraction provably equals
+    json-parse on them; every other row, including malformed JSON that
+    merely LOOKS flat, routes to the real parser (json.loads on the
+    anomaly subset only). Oracle uses DuckDB's native JSON operator, so
+    the test proves the split extraction == json-parse."""
     import json
 
     from ..stages.agg import hash_grouped_agg
 
     ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    # strict flat JSON object: {"key": prim, ...} with string/number/
+    # bool/null primitives and NO escapes — rows matching this are
+    # valid JSON with only top-level keys, the precondition the regex
+    # fast path needs (a mere single-brace heuristic would also accept
+    # MALFORMED payloads like 'garbage "k": 3 {' and diverge from the
+    # parser)
+    _PRIM = r'(?:-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?|"[^"\\]*"|true|false|null)'
+    _PAIR = r'"[^"\\]*"\s*:\s*' + _PRIM
+    FLAT_RE = (r'\s*\{\s*(?:' + _PAIR + r'(?:\s*,\s*' + _PAIR
+               + r')*\s*)?\}\s*')
 
     def _k_of(s):
         try:
@@ -3218,9 +3233,7 @@ def events_props_stats(sf_dir: str):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         props = b["props"].fillna("")
-        flat = ((props.str.count(r"\{") == 1)
-                & ~props.str.contains("[", regex=False)
-                & ~props.str.contains("\\", regex=False))
+        flat = props.str.fullmatch(FLAT_RE).to_numpy()
         # trailing lookahead: a float like 5.5 or 5e3 must NOT yield its
         # integer prefix (int-typed-only contract, same as the oracle's
         # json_type gate)
@@ -3431,31 +3444,10 @@ def doc_graph_triangles(sf_dir: str):
 
 
 def events_cube(sf_dir: str):
-    """OLAP CUBE over (event_type, day): all four grouping levels with
-    'ALL' sentinels — the rollup's finest level plus the day-marginal,
-    every level folded from the one distributed exchange's
-    cardinality-bounded result."""
-    from ..stages.agg import hash_grouped_agg
-
-    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return pd.DataFrame({"event_type": pd.Series(dtype=object),
-                                 "day": pd.Series(dtype=object),
-                                 "n": pd.Series(dtype="int64"),
-                                 "value_cents": pd.Series(dtype="int64")})
-        p = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
-                          "day": b["ts"].dt.strftime("%Y-%m-%d"),
-                          "_c": _cents(b["value"].to_numpy())})
-        return p.groupby(["event_type", "day"], as_index=False).agg(
-            n=("_c", "size"), value_cents=("_c", "sum"))
-
-    fine = hash_grouped_agg(
-        ev, ["event_type", "day"], partial,
-        lambda p: p.groupby(["event_type", "day"], as_index=False)
-        [["n", "value_cents"]].sum(),
-    ).to_pandas()
+    """OLAP CUBE over (event_type, day): the rollup's three levels plus
+    the day-marginal, all folded from the shared _type_day_fine
+    exchange with 'ALL' sentinels."""
+    fine = _type_day_fine(sf_dir)
 
     mid_t = (fine.groupby("event_type", as_index=False)
              [["n", "value_cents"]].sum()
@@ -3473,7 +3465,6 @@ def events_cube(sf_dir: str):
                     ignore_index=True)
     return out.astype({"n": "int64", "value_cents": "int64",
                        "lvl": "int64"})
-
 
 def events_running_totals_salted(sf_dir: str):
     """The MEGA-KEY-SAFE variant of events_running_totals: same output
@@ -3689,9 +3680,8 @@ def lineitem_bloom_semijoin(sf_dir: str):
              .map_batches(or_fold, batch_format="pandas",
                           batch_size=None)
              .to_pandas())
-    words = np.zeros(M_BITS // 64, dtype=np.uint64)
-    for w in parts["words"]:
-        words |= np.asarray(w, dtype=np.uint64)
+    # final driver fold reuses the same or_fold definition (<= 4 rows)
+    words = np.asarray(or_fold(parts)["words"].iloc[0], dtype=np.uint64)
     bits_ref = ray.put(words)
 
     def prefilter(b: pd.DataFrame) -> pd.DataFrame:
@@ -3881,23 +3871,19 @@ def user_value_trend(sf_dir: str):
 
     def combine(p: pd.DataFrame) -> pd.DataFrame:
         s = p.groupby("user_id", as_index=False).sum()
-        keep, slope = [], []
-        for r in s.itertuples(index=False):
-            den = (float(r.n) * float(r.sxx)
-                   - float(r.sx) * float(r.sx))
-            if den == 0.0:
-                keep.append(False)
-                continue
-            keep.append(True)
-            num = (float(r.n) * float(r.sxy)
-                   - float(r.sx) * float(r.sy))
-            slope.append(num / den)
-        s = s[np.asarray(keep, dtype=bool)].reset_index(drop=True)
-        out = pd.DataFrame({
+        # vectorized float mirror (same IEEE ops as the SQL expression)
+        n = s["n"].to_numpy("int64").astype("float64")
+        sx = s["sx"].to_numpy("int64").astype("float64")
+        den = n * s["sxx"].to_numpy("int64").astype("float64") - sx * sx
+        num = (n * s["sxy"].to_numpy("int64").astype("float64")
+               - sx * s["sy"].to_numpy("int64").astype("float64"))
+        keep = den != 0.0
+        s = s[keep].reset_index(drop=True)
+        return pd.DataFrame({
             "user_id": s["user_id"].to_numpy("int64"),
             "n": s["n"].to_numpy("int64"),
-            "slope_cents_per_sec": np.asarray(slope, dtype=np.float64)})
-        return out
+            "slope_cents_per_sec": (num[keep] / den[keep])
+            .astype(np.float64)})
 
     return hash_grouped_agg(ev, ["user_id"], partial, combine)
 

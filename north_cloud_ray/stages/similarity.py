@@ -560,13 +560,20 @@ def kmeans_fit(ds, n_clusters: int = 8, id_col: str = "vec_id",
         parts = lt.map_batches(partial, batch_format="pandas").to_pandas()
         newC = C.copy()
         for c, g in parts.groupby("cluster"):
-            # arbitrary-precision driver combine: sum int64 partial
-            # vectors as Python ints (no overflow at any corpus size)
             n = int(g["n"].sum())
-            s = np.array([sum(int(v[d]) for v in g["s"])
-                          for d in range(C.shape[1])], dtype=object)
-            newC[int(c)] = np.array([int(x) // n for x in s],
-                                    dtype=np.int64)
+            S = np.stack(g["s"].to_numpy()).astype(np.int64)
+            # vectorized int64 driver combine: per-batch partials are
+            # < 2^37 per component (batch < 2^17 rows x 2^20 scale), so
+            # int64 holds up to 2^25 partials; past that, fall back to
+            # exact Python-int summation (never silently overflow)
+            if len(S) < (1 << 25):
+                s = S.sum(axis=0, dtype=np.int64)
+                newC[int(c)] = np.floor_divide(s, n)
+            else:
+                s = np.array([sum(int(v[d]) for v in g["s"])
+                              for d in range(C.shape[1])], dtype=object)
+                newC[int(c)] = np.array([int(x) // n for x in s],
+                                        dtype=np.int64)
         if (newC == C).all():
             break
         C = newC

@@ -184,3 +184,26 @@ def test_bloom_semijoin_false_positive_removal(ray_session):
     hv = set(orders[orders["o_totalprice"] >= 300_000.0]["o_orderkey"])
     want = sorted(hv & set(li["l_orderkey"]))
     assert sorted(out["o_orderkey"]) == want
+
+
+def test_props_stats_malformed_json_routes_to_parser(ray_session,
+                                                     tmp_path):
+    """Malformed payloads that LOOK flat must not fast-path: the regex
+    would extract k where json-parse (and the oracle) yields none."""
+    from north_cloud_ray.pipelines.queries import events_props_stats
+
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype="int64"),
+        "user_id": np.ones(4, dtype="int64"),
+        "event_type": ["a"] * 4,
+        "ts": pd.to_datetime(["2024-01-01"] * 4),
+        "value": np.zeros(4),
+        "props": ['garbage "k": 3 {',      # invalid JSON
+                  '{bad "k": 4}',          # invalid JSON
+                  '{"k": 5} trailing',     # invalid JSON
+                  '{"k": 6}'],             # valid flat
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet")
+    out = events_props_stats(str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert (r["n"], r["n_with_k"], r["sum_k"]) == (4, 1, 6)
