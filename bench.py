@@ -316,7 +316,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_daily_top_users", "doc_split_assignment",
         "events_daily_deltas", "f1_media_budget_take",
         "user_value_trend", "event_value_mad",
-        "doc_fuzzy_title_pairs",
+        "doc_fuzzy_title_pairs", "events_rolling_sum",
     ]
     import ray.data
 

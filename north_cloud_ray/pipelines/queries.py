@@ -3940,6 +3940,47 @@ def doc_fuzzy_title_pairs(sf_dir: str):
     return edit1_pairs(docs, prefix_len=16)
 
 
+def events_rolling_sum(sf_dir: str):
+    """BOUNDED window frame (ROWS 2 PRECEDING .. CURRENT): per event,
+    the rolling count and exact cents sum of the user's last <= 3
+    events in (ts, event_id) order — the moving-average frame family,
+    complementing the unbounded running totals. One user-keyed
+    exchange; the frame resolves as a vectorized cumsum difference
+    (cs[i] - cs[i-3]) per partition, never a per-row loop."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def rolling_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "event_id": pd.Series(dtype="int64"),
+            "w_n": pd.Series(dtype="int64"),
+            "w_cents": pd.Series(dtype="int64")})
+        if not len(part):
+            return empty
+        p = part.sort_values(["user_id", "ts", "event_id"],
+                             kind="mergesort")
+        c = _cents(p["value"].to_numpy())
+        g = p.groupby("user_id")
+        rank = g.cumcount().to_numpy("int64")
+        # per-user cumsum, then frame sum = cs[i] - cs[i-3]; rows of one
+        # user are contiguous after the sort, so rank >= 3 guarantees
+        # index i-3 is the same user's row
+        csum = (pd.Series(c).groupby(p["user_id"].to_numpy())
+                .cumsum().to_numpy("int64"))
+        lag3 = np.zeros(len(p), dtype=np.int64)
+        m = rank >= 3
+        lag3[m] = csum[np.flatnonzero(m) - 3]
+        return pd.DataFrame({
+            "user_id": p["user_id"].to_numpy("int64"),
+            "event_id": p["event_id"].to_numpy("int64"),
+            "w_n": np.minimum(rank + 1, 3),
+            "w_cents": csum - lag3})
+
+    return hash_grouped_agg(ev, ["user_id"], lambda b: b, rolling_part)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4085,6 +4126,7 @@ QUERIES = {
     "user_value_trend": user_value_trend,
     "event_value_mad": event_value_mad,
     "doc_fuzzy_title_pairs": doc_fuzzy_title_pairs,
+    "events_rolling_sum": events_rolling_sum,
 }
 
 ORACLE_SQL = {
@@ -6045,5 +6087,14 @@ ORACLE_SQL = {
                CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
         FROM t a JOIN t b ON a.doc_id < b.doc_id
          AND levenshtein(a.title, b.title) <= 1
+    """,
+    "events_rolling_sum": r"""
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS w_n,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS w_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 }
