@@ -1317,6 +1317,25 @@ def ngram_jaccard_pairs(
         ["doc_a", "doc_b"])
 
 
+def _dist_le1(s: str, t: str) -> int | None:
+    """Exact Levenshtein for the <=1 band (None if > 1); property-tested
+    against a full DP reference in tests."""
+    if s == t:
+        return 0
+    ls, lt = len(s), len(t)
+    if abs(ls - lt) > 1:
+        return None
+    if ls == lt:
+        return 1 if sum(a != b for a, b in zip(s, t)) == 1 else None
+    if ls > lt:
+        s, t, ls, lt = t, s, lt, ls
+    # t is s plus one inserted char
+    i = 0
+    while i < ls and s[i] == t[i]:
+        i += 1
+    return 1 if s[i:] == t[i + 1:] else None
+
+
 def edit1_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 prefix_len: int = 16, num_partitions: int | None = None):
     """Fuzzy string-similarity join: all id pairs whose lowercased
@@ -1335,23 +1354,6 @@ def edit1_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     dedupes pairs discovered via multiple shared variants and runs the
     exact verify. Returns (a, b, dist) with a < b, dist in {0, 1}."""
     from .agg import hash_grouped_agg
-
-    def _dist_le1(s: str, t: str) -> int | None:
-        """Exact Levenshtein for the <=1 band (None if > 1)."""
-        if s == t:
-            return 0
-        ls, lt = len(s), len(t)
-        if abs(ls - lt) > 1:
-            return None
-        if ls == lt:
-            return 1 if sum(a != b for a, b in zip(s, t)) == 1 else None
-        if ls > lt:
-            s, t, ls, lt = t, s, lt, ls
-        # t is s plus one inserted char
-        i = 0
-        while i < ls and s[i] == t[i]:
-            i += 1
-        return 1 if s[i:] == t[i + 1:] else None
 
     def variants(b: pd.DataFrame) -> pd.DataFrame:
         titles = (b[text_col].fillna("").str.lower()

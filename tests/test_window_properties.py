@@ -63,3 +63,32 @@ def test_phrase_hits_empty_flat():
                               np.zeros(3, dtype=np.int64), ["a", "b"])
     assert occ.tolist() == [0, 0, 0]
     assert (first == np.iinfo(np.int64).max).all()
+
+
+def _lev(s: str, t: str) -> int:
+    """Full DP Levenshtein reference."""
+    m, n = len(s), len(t)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (s[i - 1] != t[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+strs = st.text(alphabet="abc ", max_size=8)
+
+
+@settings(max_examples=500, deadline=None)
+@given(strs, strs)
+def test_dist_le1_matches_dp_reference(s, t):
+    from north_cloud_ray.stages.dedup import _dist_le1
+
+    got = _dist_le1(s, t)
+    want = _lev(s, t)
+    if want <= 1:
+        assert got == want
+    else:
+        assert got is None
