@@ -2351,8 +2351,10 @@ def _multiline_docs(sf_dir: str):
     and shared boilerplate footer lines are appended (all docs get the
     subscribe line, doc_id%2==0 a follow line, doc_id%3==0 a rights
     line) — the cross-document duplicates a boilerplate stripper must
-    remove everywhere but their first occurrence."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+    remove everywhere but their first occurrence. Carries ``source`` so
+    the per-source boilerplate operator can run over the same corpus."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"],
+                 blocks=_cpus())
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
         t = b["text"].fillna("").str.replace(
@@ -2362,7 +2364,8 @@ def _multiline_docs(sf_dir: str):
               + np.where(ids % 2 == 0, "\nfollow us for more updates", "")
               + np.where(ids % 3 == 0, "\nall rights reserved worldwide",
                          ""))
-        return pd.DataFrame({"doc_id": ids, "text": ml})
+        return pd.DataFrame({"doc_id": ids, "text": ml,
+                             "source": b["source"].to_numpy()})
 
     return docs.map_batches(derive, batch_format="pandas")
 
@@ -2375,6 +2378,18 @@ def line_dedup_docs(sf_dir: str):
     from ..stages.curation import line_dedup
 
     return line_dedup(_multiline_docs(sf_dir))
+
+
+def doc_boilerplate_strip(sf_dir: str):
+    """CCNet-style PER-SOURCE boilerplate removal over the derived
+    multi-line corpus: a line appearing in >= 2 docs and >= half of a
+    source's docs is stripped from EVERY doc of that source (unlike
+    line_dedup's global keep-first); surviving lines re-join in order.
+    One light (source, line, n) exchange finds the boiler set, which
+    broadcasts once so the strip+rebuild is a pure map over the corpus."""
+    from ..stages.curation import boilerplate_strip
+
+    return boilerplate_strip(_multiline_docs(sf_dir))
 
 
 def corpus_two_gen(sf_dir: str):
@@ -4013,6 +4028,7 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "line_dedup_docs": line_dedup_docs,
+    "doc_boilerplate_strip": doc_boilerplate_strip,
     "corpus_two_gen": corpus_two_gen,
     "best_doc_per_group": best_doc_per_group,
     "corpus_report": corpus_report,
@@ -5194,6 +5210,50 @@ ORACLE_SQL = {
                    AS text_dedup,
                min(t.n_lines) AS n_lines,
                CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept k JOIN tot t USING (doc_id)
+        GROUP BY k.doc_id
+    """,
+    "doc_boilerplate_strip": r"""
+        WITH ml AS (
+          SELECT doc_id, source,
+                 regexp_replace(coalesce(text, ''),
+                                '((?:\S+ ){3}\S+) ', '\1' || chr(10), 'g')
+                 || chr(10) || 'subscribe to our newsletter'
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN chr(10) || 'follow us for more updates'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || 'all rights reserved worldwide'
+                         ELSE '' END AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, source,
+                 unnest(string_split(text, chr(10))) AS line,
+                 unnest(range(len(string_split(text, chr(10)))))
+                     AS line_no
+          FROM ml
+        ),
+        ne AS (SELECT * FROM lines WHERE line <> ''),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                FROM ne GROUP BY doc_id),
+        src AS (SELECT source, count(DISTINCT doc_id) AS n_src
+                FROM ne GROUP BY source),
+        cnt AS (SELECT source, line, count(DISTINCT doc_id) AS n_docs
+                FROM ne GROUP BY source, line),
+        boiler AS (
+          SELECT source, line FROM cnt JOIN src USING (source)
+          WHERE n_docs >= 2 AND 2 * n_docs >= n_src
+        ),
+        kept AS (
+          SELECT ne.* FROM ne
+          ANTI JOIN boiler USING (source, line)
+        )
+        SELECT k.doc_id,
+               string_agg(k.line, chr(10) ORDER BY k.line_no)
+                   AS text_clean,
+               min(t.n_lines) AS n_lines,
+               CAST(min(t.n_lines) - count(*) AS BIGINT) AS n_removed
         FROM kept k JOIN tot t USING (doc_id)
         GROUP BY k.doc_id
     """,

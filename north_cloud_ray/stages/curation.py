@@ -34,6 +34,11 @@ LLM-data pipeline runs continuously as new crawl rounds land:
 - ``line_dedup``: C4-style corpus-wide exact line dedup — every line
   survives only at its globally first (id, line_no) occurrence; the
   boilerplate stripper.
+- ``boilerplate_strip``: CCNet-style PER-SOURCE boilerplate removal —
+  a line in >= half (and >= 2) of a source's docs is stripped from
+  every doc of that source, first occurrence included; the boiler set
+  broadcasts (strip is a pure map) with a tagged-union anti-join
+  fallback above the threshold.
 
 Reference parity: none — north-cloud's pipeline stops at crawl/classify
 (crawler/internal/dedup is URL/content identity only); these are added
@@ -430,6 +435,177 @@ def line_dedup(
         })
 
     return hash_grouped_map(winners, [id_col], rebuild, num_partitions)
+
+
+def _explode_lines(b: pd.DataFrame, id_col: str, source_col: str,
+                   text_col: str) -> pd.DataFrame:
+    """Vectorized doc -> non-empty (id, source, line_no, line, n_lines)
+    rows; a doc's lines never split across batches (one input row each)."""
+    s = b[text_col].fillna("").str.split("\n")
+    counts = s.str.len().to_numpy("int64")  # split() is never empty
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    df = pd.DataFrame({
+        id_col: np.repeat(b[id_col].to_numpy(), counts),
+        source_col: np.repeat(b[source_col].to_numpy(), counts),
+        "line_no": np.arange(counts.sum(), dtype="int64") - starts,
+        "line": s.explode().to_numpy(dtype=object),
+    })
+    df = df[df["line"] != ""]
+    df["n_lines"] = df.groupby(id_col)["line"].transform("size") \
+                      .astype("int64")
+    return df
+
+
+def boilerplate_strip(
+    ds,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 2,
+    broadcast_threshold: int = PRIOR_BROADCAST_THRESHOLD,
+    num_partitions: int | None = None,
+):
+    """CCNet-style PER-SOURCE boilerplate removal (Wenzek et al. 2020 §3.1
+    strips repeated paragraphs per snapshot shard): a line is boilerplate
+    WITHIN a source when it occurs in >= ``min_docs`` of that source's
+    docs AND in at least half of them (2 * n_docs >= source doc total).
+    Unlike ``line_dedup`` (global keep-FIRST), every occurrence is
+    stripped — the nav bar vanishes from the first doc too, while a line
+    shared by only a few docs of a large source survives everywhere
+    (line_dedup would keep just one copy). Docs whose every line is
+    boilerplate are dropped (they carried no content).
+
+    Returns (id, text_clean, n_lines, n_removed): surviving lines
+    re-joined in original order, the doc's non-empty input line count,
+    and how many line occurrences were stripped.
+
+    Shape at 100 TB: per-source doc totals are a dim-sized aggregate
+    (light (source, 1) partials, one tiny combine). Line frequencies ride
+    ONE light (source, line, n) exchange — per-batch (source, line, id)
+    dedup caps partials at the batch's distinct lines, and summing the
+    partials is exact because a doc's lines live in one batch. The boiler
+    set (lines in >= half a source's docs) is small by construction; at
+    or below ``broadcast_threshold`` rows it broadcasts once via ray.put
+    and the strip+rebuild is a PURE MAP over the corpus (text never rides
+    an exchange). An adversarial corpus (a source of two identical giant
+    docs makes every line boiler) falls back to the tagged-union
+    anti-join: heavy line rows exchange once on (source, line), then once
+    on id to rebuild — the incremental_dedup shape."""
+    import ray
+
+    from .agg import hash_grouped_agg, hash_grouped_map
+
+    exploded = ds.map_batches(
+        lambda b: _explode_lines(b, id_col, source_col, text_col),
+        batch_format="pandas")
+
+    # per-source doc totals (docs with >= 1 non-empty line): dim-sized
+    def src_partial(b: pd.DataFrame) -> pd.DataFrame:
+        has_line = b[text_col].fillna("").str.replace(
+            "\n", "", regex=False).str.len() > 0
+        return (b[has_line].groupby(source_col, sort=False).size()
+                .rename("n_src").reset_index())
+
+    def src_combine(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby(source_col, sort=False)["n_src"].sum()
+                .astype("int64").reset_index())
+
+    src_tot = hash_grouped_agg(ds, [source_col], src_partial, src_combine,
+                               num_partitions).to_pandas()
+    n_src_map = dict(zip(src_tot[source_col], src_tot["n_src"])) \
+        if len(src_tot) else {}
+
+    # light (source, line) boiler rows: one (source, line)-keyed exchange
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.drop_duplicates([source_col, "line", id_col])
+                .groupby([source_col, "line"], sort=False).size()
+                .rename("n_docs").reset_index())
+
+    def cnt_combine(part: pd.DataFrame) -> pd.DataFrame:
+        s = (part.groupby([source_col, "line"], sort=False)["n_docs"]
+             .sum().reset_index())
+        tot = s[source_col].map(n_src_map).fillna(0).to_numpy("int64")
+        n = s["n_docs"].to_numpy("int64")
+        return s.loc[(n >= min_docs) & (2 * n >= tot),
+                     [source_col, "line"]]
+
+    from .agg import drop_empty_blocks
+
+    # filtering combines emit empty object-dtype blocks for partitions
+    # with no qualifying line — drop them at the boundary (corpus.py's
+    # size-estimation mitigation) before the light set materializes
+    boiler = drop_empty_blocks(
+        hash_grouped_agg(exploded, [source_col, "line"], cnt_partial,
+                         cnt_combine, num_partitions)).materialize()
+    n_boiler = boiler.count()
+
+    out_dtype = {"text_clean": object, "n_lines": "int64",
+                 "n_removed": "int64"}
+
+    def rebuild_kept(kept: pd.DataFrame, id_dtype) -> pd.DataFrame:
+        if kept.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype=id_dtype),
+                                 **{c: pd.Series([], dtype=t)
+                                    for c, t in out_dtype.items()}})
+        g = kept.groupby(id_col, sort=False)  # rows already line_no-ordered
+        joined = g["line"].agg("\n".join)
+        out = pd.DataFrame({
+            id_col: joined.index.to_numpy(),
+            "text_clean": joined.to_numpy(dtype=object),
+            "n_lines": g["n_lines"].first().to_numpy("int64"),
+        })
+        out["n_removed"] = out["n_lines"] - g.size().to_numpy("int64")
+        return out
+
+    if n_boiler <= broadcast_threshold:
+        if n_boiler == 0:  # empty to_pandas() has no columns
+            keys = np.array([], dtype=object)
+        else:
+            bp = boiler.to_pandas()
+            keys = (bp[source_col] + "\x00" + bp["line"]).to_numpy()
+        ref = ray.put(pd.Index(keys))  # hash probe, built once per batch
+
+        def strip(b: pd.DataFrame) -> pd.DataFrame:
+            df = _explode_lines(b, id_col, source_col, text_col)
+            hit = (df[source_col] + "\x00" + df["line"]) \
+                .isin(ray.get(ref)).to_numpy()
+            return rebuild_kept(df[~hit], b[id_col].dtype)
+
+        return ds.map_batches(strip, batch_format="pandas")
+
+    # distributed path: tag boiler 0 / line rows 1, exchange on
+    # (source, line); groups holding a boiler row contribute nothing
+    from .corpus import _typed_sentinels
+
+    sent = _typed_sentinels(ds, (id_col,))
+    tagged_boiler = boiler.map_batches(
+        lambda b: pd.DataFrame({
+            source_col: b[source_col].to_numpy(),
+            "line": b["line"].to_numpy(),
+            id_col: sent[id_col],
+            "line_no": np.int64(-1), "n_lines": np.int64(0),
+            "_tag": np.int8(0)}),
+        batch_format="pandas")
+    tagged_lines = exploded.map_batches(
+        lambda b: b.assign(_tag=np.int8(1)), batch_format="pandas")
+
+    def survive(part: pd.DataFrame) -> pd.DataFrame:
+        bk = part.loc[part["_tag"] == 0, [source_col, "line"]]
+        keep = part[part["_tag"] == 1].merge(
+            bk.drop_duplicates(), on=[source_col, "line"], how="left",
+            indicator=True)
+        return keep[keep["_merge"] == "left_only"].drop(
+            columns=["_merge", "_tag"])
+
+    kept = hash_grouped_agg(tagged_boiler.union(tagged_lines),
+                            [source_col, "line"],
+                            lambda b: b, survive, num_partitions)
+
+    def rebuild_group(g: pd.DataFrame) -> pd.DataFrame:
+        return rebuild_kept(g.sort_values("line_no", kind="mergesort"),
+                            g[id_col].dtype)
+
+    return hash_grouped_map(kept, [id_col], rebuild_group, num_partitions)
 
 
 def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):

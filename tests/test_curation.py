@@ -206,6 +206,64 @@ def test_line_dedup_semantics(ray_session):
     assert out["n_kept"].tolist() == [3, 1, 1]
 
 
+_BOILER_CORPUS = {
+    "doc_id": np.arange(5, dtype=np.int64),
+    "source": ["a", "a", "a", "a", "b"],
+    "text": [
+        "nav\nalpha one\npromo",          # promo in 2/4 docs -> boiler
+        "nav\n\nbeta two",                # empty line never counted
+        "nav\npromo\ngamma three\nnav",   # within-doc dup: one doc-count,
+                                          # BOTH occurrences stripped
+        "nav",                            # pure boilerplate -> vanishes
+        "nav\ndelta",                     # source b has 1 doc: min_docs=2
+                                          # unmet, nav SURVIVES there
+    ],
+}
+
+
+def test_boilerplate_strip_semantics(ray_session):
+    """Per-source >=half-of-docs lines are stripped from EVERY doc (incl.
+    within-doc repeats); the same line in a too-small other source stays;
+    pure-boilerplate docs vanish; empty lines don't count."""
+    from north_cloud_ray.stages.curation import boilerplate_strip
+
+    out = (boilerplate_strip(_docs(_BOILER_CORPUS), num_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 2, 4]
+    assert out["text_clean"].tolist() == [
+        "alpha one", "beta two", "gamma three", "nav\ndelta"]
+    assert out["n_lines"].tolist() == [3, 2, 4, 2]
+    assert out["n_removed"].tolist() == [2, 1, 3, 0]
+
+
+def test_boilerplate_strip_broadcast_equals_distributed(ray_session):
+    """threshold=0 forces the tagged-union anti-join path; outputs must
+    be identical to the broadcast fast path."""
+    from north_cloud_ray.stages.curation import boilerplate_strip
+
+    fast = (boilerplate_strip(_docs(_BOILER_CORPUS), num_partitions=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    dist = (boilerplate_strip(_docs(_BOILER_CORPUS), num_partitions=4,
+                              broadcast_threshold=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist[fast.columns])
+
+
+def test_boilerplate_strip_no_boiler_is_identity(ray_session):
+    """A corpus with no qualifying line passes through untouched (and the
+    empty broadcast set doesn't crash the probe)."""
+    from north_cloud_ray.stages.curation import boilerplate_strip
+
+    ds = _docs({"doc_id": np.arange(3, dtype=np.int64),
+                "source": ["a", "a", "b"],
+                "text": ["x one\ny two", "z three", "w four"]})
+    out = (boilerplate_strip(ds, num_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text_clean"].tolist() == ["x one\ny two", "z three",
+                                          "w four"]
+    assert out["n_removed"].tolist() == [0, 0, 0]
+
+
 def test_warc_roundtrip_dirty_text(ray_session):
     """WARC export/ingest must survive CRLFs, unicode, and empty text in
     payloads (exact Content-Length framing), and header-unsafe metadata
