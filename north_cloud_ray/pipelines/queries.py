@@ -2996,6 +2996,33 @@ def doc_phrase_search(sf_dir: str):
                          concurrency=_cpus() // 2 or 1)
 
 
+def doc_skyline(sf_dir: str):
+    """Pareto-frontier (skyline) doc selection over two competing
+    quality metrics — total whitespace tokens vs distinct tokens: keep
+    every doc no other doc beats-or-ties on BOTH (one strictly). The
+    associative local-skyline partial runs map-side; one tiny
+    single-partition pass over the surviving light rows finishes. The
+    SQL oracle is the NOT EXISTS domination anti-join."""
+    from ..stages.selection import skyline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=_cpus())
+
+    def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        toks = b["text"].fillna("").str.split()
+        e = toks.explode().dropna()
+        nd = (e.groupby(level=0).nunique()
+              .reindex(b.index, fill_value=0).astype("int64"))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": toks.str.len().astype("int64"),
+            "n_distinct": nd,
+        })
+
+    return skyline(docs.map_batches(metrics, batch_format="pandas"),
+                   "n_tokens", "n_distinct")
+
+
 def embedding_kmeans(sf_dir: str):
     """Full-corpus distributed Lloyd k-means (k=8) in int64 FIXED-POINT
     arithmetic — byte-identical at any partitioning and pinned to the
@@ -4116,6 +4143,7 @@ QUERIES = {
     "doc_inverted_postings": doc_inverted_postings,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_phrase_search": doc_phrase_search,
+    "doc_skyline": doc_skyline,
     "embedding_kmeans": embedding_kmeans,
     "doc_bigram_stats": doc_bigram_stats,
     "events_rollup": events_rollup,
@@ -5706,6 +5734,29 @@ ORACLE_SQL = {
         SELECT c.doc_id, c.weight, CAST(count(*) AS BIGINT) AS n_hits
         FROM c JOIN p ON p.pos >= c.off AND p.pos < c.off + c.weight
         GROUP BY c.doc_id, c.weight
+    """,
+    "doc_skyline": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''),
+                                                '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+          FROM d
+        )
+        SELECT a.doc_id, a.n_tokens, a.n_distinct
+        FROM m a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM m b
+          WHERE b.n_tokens >= a.n_tokens
+            AND b.n_distinct >= a.n_distinct
+            AND (b.n_tokens > a.n_tokens
+                 OR b.n_distinct > a.n_distinct))
     """,
     "doc_phrase_search": r"""
         WITH toks AS (

@@ -34,6 +34,12 @@ zero-copy in every scoring actor); the scoring pass is pure map-side
 (no shuffle of document rows) through an actor pool whose token->bucket
 md5 cache persists across batches; top-k selection ships at most k rows
 per batch into the final sort. Nothing materializes the corpus.
+
+Also here: ``pps_sample`` / ``prefix_take`` (distributed exclusive
+prefix sums over the id line), ``phrase_search`` (positional
+adjacent-token AND), ``bigram_stats``, ``inverted_postings``, and
+``skyline`` (Pareto frontier over two quality metrics via associative
+local-skyline partials — Borzsony et al. 2001).
 """
 
 from __future__ import annotations
@@ -680,3 +686,50 @@ def prefix_take(ds, budget: int, id_col: str = "doc_id",
 
     return hash_grouped_agg(lt, ["bucket"], lambda b: b, cut_part,
                             num_partitions=num_partitions)
+
+
+def skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the Pareto frontier (maximize BOTH metrics):
+    point i survives iff no j has x_j >= x_i AND y_j >= y_i with at
+    least one strict — equal points never dominate each other, so exact
+    ties all survive. O(n log n): sort (x desc, y desc); a row is
+    dominated iff a same-x row carries a larger y (only the x-group's
+    head holds the group max) or the running y-max over strictly-larger
+    x groups already reaches its y."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))  # primary x desc, secondary y desc
+    xs, ys = x[order], y[order]
+    grp_first = np.r_[True, xs[:-1] != xs[1:]]
+    gidx = np.cumsum(grp_first) - 1
+    gmax = ys[grp_first]  # per-x-group max y (head row, y sorted desc)
+    run = np.maximum.accumulate(gmax)
+    dom = ys < gmax[gidx]  # same x, strictly larger y exists
+    nz = gidx > 0
+    dom[nz] |= run[gidx[nz] - 1] >= ys[nz]  # strictly larger x, y >= ours
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = ~dom
+    return keep
+
+
+def skyline(ds, x_col: str, y_col: str):
+    """Distributed skyline (Pareto frontier, Borzsony et al. 2001 ICDE):
+    the rows not dominated on (``x_col``, ``y_col``) — the multi-metric
+    keep policy behind "best docs under two competing quality signals"
+    (no scalarization weight to tune).
+
+    Scale shape: the skyline operator is ASSOCIATIVE — skyline(union of
+    partial skylines) == skyline(all) — so each batch keeps only its
+    local frontier (a map-side partial bounded by the batch's distinct
+    x values) and one single-partition pass over the surviving LIGHT
+    rows finishes. Worst case (fully anti-correlated metrics) the
+    frontier is O(N) and the final task sees every metric row — still
+    metric rows, never the corpus text; a d>2 or adversarial corpus
+    would shard the combine by x-range instead."""
+    local = ds.map_batches(
+        lambda b: b[skyline_mask(b[x_col].to_numpy(), b[y_col].to_numpy())],
+        batch_format="pandas")
+    return local.repartition(1).map_batches(
+        lambda b: b[skyline_mask(b[x_col].to_numpy(), b[y_col].to_numpy())],
+        batch_format="pandas")

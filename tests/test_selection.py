@@ -214,3 +214,26 @@ def test_inverted_postings_df_is_posting_count(ray_session):
                                        df=("df", "first"))
     assert (per_term["n"] == per_term["df"]).all()
     assert len(per_term) == 15
+
+
+def test_skyline_distributed_matches_naive(ray_session):
+    """Distributed skyline (local partials + single-partition finish)
+    over many partitions == the O(n^2) domination reference, on a mix of
+    correlated, anti-correlated, and duplicated points."""
+    from north_cloud_ray.stages.selection import skyline
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 30, 200).astype(np.int64)
+    y = np.concatenate([rng.integers(0, 30, 100), 29 - x[100:150],
+                        x[150:]]).astype(np.int64)
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "m_x": x, "m_y": y})
+    keep = np.ones(200, dtype=bool)
+    for i in range(200):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        keep[i] = not dom.any()
+    want = df[keep].reset_index(drop=True)
+
+    got = (skyline(rd.from_pandas(df).repartition(13), "m_x", "m_y")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)

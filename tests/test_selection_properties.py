@@ -77,3 +77,38 @@ def test_bucket_hasher_mega_stream_is_vocab_bounded():
         want = int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
                               "little") % 1024
         assert h.cache[w] == want
+
+
+def _naive_skyline(x, y):
+    n = len(x)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if (x[j] >= x[i] and y[j] >= y[i]
+                    and (x[j] > x[i] or y[j] > y[i])):
+                keep[i] = False
+                break
+    return keep
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+                max_size=40))
+def test_skyline_mask_matches_naive(pts):
+    """The O(n log n) skyline kernel == the O(n^2) domination reference,
+    including exact-tie points (which never dominate each other) and
+    same-x / same-y runs."""
+    from north_cloud_ray.stages.selection import skyline_mask
+
+    x = np.array([p[0] for p in pts], dtype=np.int64)
+    y = np.array([p[1] for p in pts], dtype=np.int64)
+    assert skyline_mask(x, y).tolist() == _naive_skyline(x, y).tolist()
+
+
+def test_skyline_anticorrelated_keeps_all():
+    """Fully anti-correlated metrics: every point is on the frontier
+    (the documented O(N) worst case)."""
+    from north_cloud_ray.stages.selection import skyline_mask
+
+    x = np.arange(100, dtype=np.int64)
+    assert skyline_mask(x, -x).all()
