@@ -318,6 +318,43 @@ def events_type_topk(sf_dir: str):
     return hash_grouped_agg(ev, ["user_id"], partial, combine)
 
 
+def events_type_pairs(sf_dir: str):
+    """Market-basket pair support (frequent-itemset mining at the pairs
+    level): for every unordered event-type pair, how many users did
+    BOTH. Per-batch (user, type) dedup caps the user-keyed exchange;
+    each complete user group expands to at most C(T,2) light pair rows
+    (T = type vocabulary), which fold through a tiny pair-keyed count.
+    The SQL oracle is the distinct (user, type) self-join."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    dedup = lambda b: b.drop_duplicates(["user_id", "event_type"])  # noqa: E731
+
+    def pair_counts(part: pd.DataFrame) -> pd.DataFrame:
+        part = dedup(part)  # complete user groups live in this partition
+        m = part.merge(part, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return (m.groupby(["event_type_x", "event_type_y"], as_index=False)
+                .agg(n_users=("user_id", "size"))
+                .rename(columns={"event_type_x": "type_a",
+                                 "event_type_y": "type_b"}))
+
+    partials = hash_grouped_agg(ev, ["user_id"], dedup, pair_counts)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b
+
+    def count_combine(p: pd.DataFrame) -> pd.DataFrame:
+        out = p.groupby(["type_a", "type_b"], as_index=False).agg(
+            n_users=("n_users", "sum"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return hash_grouped_agg(partials, ["type_a", "type_b"],
+                            count_partial, count_combine)
+
+
 def events_sliding_window(sf_dir: str):
     """Sliding 2h windows advancing hourly, per event_type: each event
     contributes to the window containing it and the previous one (overlap
@@ -3432,6 +3469,36 @@ def lineitem_price_histogram(sf_dir: str):
         lambda p: p.groupby("bin", as_index=False)["n"].sum())
 
 
+def lineitem_depth_histogram(sf_dir: str):
+    """Equi-DEPTH histogram (4 bins, the equal-width twin's complement):
+    bin edges are the exact quantile_disc quartiles of integer price
+    cents via the distributed-selection quantile (no global sort); bin
+    assignment is a broadcast searchsorted map, counts fold through a
+    tiny bin-keyed combine. The light cents column materializes once
+    because the selection quantile re-scans it (count + sample +
+    counting passes) before the counting map."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.sketch import exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    cents_ds = li.map_batches(
+        lambda b: pd.DataFrame(
+            {"cents": _cents(b["l_extendedprice"].to_numpy())}),
+        batch_format="pandas").materialize()
+    qdf = exact_quantiles(cents_ds, "cents", qs=(0.25, 0.5, 0.75))
+    edges = qdf.sort_values("q")["value"].to_numpy("int64")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cents"].to_numpy("int64")
+        vc = pd.Series(np.searchsorted(edges, c, side="left")).value_counts()
+        return pd.DataFrame({"bin": vc.index.to_numpy("int64"),
+                             "n": vc.to_numpy("int64")})
+
+    return hash_grouped_agg(
+        cents_ds, ["bin"], partial,
+        lambda p: p.groupby("bin", as_index=False)["n"].sum())
+
+
 def user_event_signature(sf_dir: str):
     """Ordered collect per key (SQL string_agg ... ORDER BY): each
     user's full behavioral signature as 'type>type>...' in
@@ -4033,6 +4100,7 @@ QUERIES = {
     "supplier_nation_stats": supplier_nation_stats,
     "events_sliding_window": events_sliding_window,
     "events_type_topk": events_type_topk,
+    "events_type_pairs": events_type_pairs,
     "top_parts_by_revenue": top_parts_by_revenue,
     "frontier_submit_merge": frontier_submit_merge,
     "claim_ordering": claim_ordering,
@@ -4156,6 +4224,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "user_type_pivot": user_type_pivot,
     "lineitem_price_histogram": lineitem_price_histogram,
+    "lineitem_depth_histogram": lineitem_depth_histogram,
     "user_event_signature": user_event_signature,
     "doc_graph_triangles": doc_graph_triangles,
     "events_cube": events_cube,
@@ -4260,6 +4329,14 @@ ORACLE_SQL = {
                CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "events_type_pairs": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
     """,
     "events_type_topk": """
         SELECT user_id, event_type, n, rnk FROM (
@@ -5955,6 +6032,26 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                  AS n_view
         FROM events GROUP BY user_id
+    """,
+    "lineitem_depth_histogram": r"""
+        WITH c AS (
+          SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                 AS cents
+          FROM lineitem
+        ),
+        e AS (
+          SELECT quantile_disc(cents, 0.25) AS q1,
+                 quantile_disc(cents, 0.50) AS q2,
+                 quantile_disc(cents, 0.75) AS q3
+          FROM c
+        )
+        SELECT CASE WHEN cents <= q1 THEN 0
+                    WHEN cents <= q2 THEN 1
+                    WHEN cents <= q3 THEN 2
+                    ELSE 3 END AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c, e
+        GROUP BY 1
     """,
     "lineitem_price_histogram": r"""
         SELECT CAST(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
