@@ -237,6 +237,99 @@ def supplier_nation_stats(sf_dir: str):
     )
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style local-supplier volume (J3/J1-style multi-join):
+    revenue by nation for one region and one year where the line's
+    supplier and the order's customer share a nation. Dim chains
+    (region->nation, supplier->nation, customer->nation) broadcast as
+    flat numpy lookups; the qualifying-order map rides the object store
+    as two aligned sorted arrays (int64 keys + int8 nation codes) —
+    O(orders-in-year) ints, never row frames — so the lineitem pass is
+    one streaming searchsorted semi-join with no shuffle before the
+    tiny per-nation combine."""
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    in_region = np.zeros(int(nation["n_nationkey"].max()) + 1, dtype=bool)
+    in_region[nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"]] = True
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[in_region[cust["c_nationkey"].to_numpy()]]
+    ckeys = cust["c_custkey"].to_numpy()
+    order_c = np.argsort(ckeys, kind="stable")
+    c_ref = ray.put((ckeys[order_c],
+                     cust["c_nationkey"].to_numpy().astype(np.int8)[order_c]))
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def qualify(b: pd.DataFrame) -> pd.DataFrame:
+        ck, cn = ray.get(c_ref)
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        if len(ck) == 0 or len(b) == 0:
+            return pd.DataFrame({"o_orderkey": np.array([], dtype=np.int64),
+                                 "cnat": np.array([], dtype=np.int8)})
+        oc = b["o_custkey"].to_numpy()
+        idx = np.searchsorted(ck, oc)
+        idx[idx >= len(ck)] = 0
+        hit = ck[idx] == oc
+        out = pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy()[hit],
+                            "cnat": cn[idx[hit]]})
+        return out
+
+    om = orders.map_batches(qualify, batch_format="pandas").to_pandas()
+    order_o = np.argsort(om["o_orderkey"].to_numpy(), kind="stable")
+    o_ref = ray.put((om["o_orderkey"].to_numpy()[order_o],
+                     om["cnat"].to_numpy()[order_o]))
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = sup["s_suppkey"].to_numpy()
+    order_s = np.argsort(skeys, kind="stable")
+    s_ref = ray.put((skeys[order_s],
+                     sup["s_nationkey"].to_numpy().astype(np.int8)[order_s]))
+    names = np.array([""] * (int(nation["n_nationkey"].max()) + 1), dtype=object)
+    names[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    names_ref = ray.put(names)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def local_rev(b: pd.DataFrame) -> pd.DataFrame:
+        ok, onat = ray.get(o_ref)
+        sk, snat = ray.get(s_ref)
+        nm = ray.get(names_ref)
+        if len(ok) == 0 or len(b) == 0:
+            return pd.DataFrame({"n_name": np.array([], dtype=object),
+                                 "revenue_cents": np.array([], dtype=np.int64)})
+        lo_k = b["l_orderkey"].to_numpy()
+        idx = np.searchsorted(ok, lo_k)
+        idx[idx >= len(ok)] = 0
+        hit = ok[idx] == lo_k
+        sup_k = b["l_suppkey"].to_numpy()
+        sidx = np.searchsorted(sk, sup_k)
+        sidx[sidx >= len(sk)] = 0
+        local = hit & (sk[sidx] == sup_k) & (snat[sidx] == onat[idx])
+        b = b[local]
+        cents = _cents(
+            (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy())
+        return (pd.DataFrame({"n_name": nm[snat[sidx[local]]],
+                              "revenue_cents": cents})
+                .groupby("n_name", as_index=False)
+                .agg(revenue_cents=("revenue_cents", "sum")))
+
+    from ..stages.agg import hash_grouped_agg
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+
+    return hash_grouped_agg(
+        li.map_batches(local_rev, batch_format="pandas"),
+        ["n_name"], lambda b: b, combine, num_partitions=4,
+    )
+
+
 def orders_lineitem_join(sf_dir: str):
     """Hash-partitioned large-side join via Dataset.join (both sides large —
     no broadcast join): per-order line counts + revenue for high-value
@@ -4098,6 +4191,7 @@ QUERIES = {
     "region_revenue": region_revenue,
     "orders_lineitem_join": orders_lineitem_join,
     "supplier_nation_stats": supplier_nation_stats,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "events_sliding_window": events_sliding_window,
     "events_type_topk": events_type_topk,
     "events_type_pairs": events_type_pairs,
@@ -4287,6 +4381,21 @@ ORACLE_SQL = {
         SELECT n.n_name, COUNT(*) AS n_suppliers,
                MIN(s.s_acctbal) AS min_bal, MAX(s.s_acctbal) AS max_bal
         FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
     """,
     "orders_lineitem_join": """
