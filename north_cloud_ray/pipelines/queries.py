@@ -4183,6 +4183,118 @@ def events_rolling_sum(sf_dir: str):
     return hash_grouped_agg(ev, ["user_id"], lambda b: b, rolling_part)
 
 
+def events_table_profile(sf_dir: str):
+    """Schema-agnostic dataset profiler: per-column row / null / EXACT
+    distinct counts over events (reference admin stats telemetry,
+    crawler/internal/api/stats.go, generalized to any table). Null/row
+    counts ride as one count row per column per batch; exact distincts
+    ship locally-deduped (col, value) string rows through one hash
+    exchange — the COUNT(DISTINCT) lower bound — and the driver sees
+    only (#columns x #partitions) count rows."""
+    from ..stages.profile import profile_table
+
+    ev = _read(sf_dir, "events")
+    return profile_table(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
+def events_interval_islands(sf_dir: str):
+    """Gaps-and-islands interval merge: each event opens a 30-minute
+    activity interval; per user, overlapping-or-touching intervals merge
+    into islands. Output (user_id, n_islands, covered_us) — island count
+    and total covered microseconds as exact ints. One user-keyed
+    exchange; island detection is a vectorized running-max break scan
+    per partition (no per-row loop), the same shape the tumbling/
+    sessionize family uses (§2.9 streaming semantics as batch-over-log)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    span_us = np.int64(30 * 60 * 1_000_000)
+
+    def islands(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "n_islands": pd.Series(dtype="int64"),
+            "covered_us": pd.Series(dtype="int64")})
+        if not len(part):
+            return empty
+        p = part.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = p["user_id"].to_numpy("int64")
+        s = p["ts"].to_numpy("datetime64[us]").astype("int64")
+        e = s + span_us
+        # per-user running max of interval ends: rows of one user are
+        # contiguous after the sort, so a groupwise cummax cannot leak
+        # a previous user's open interval across the boundary
+        seg_id = np.cumsum(np.concatenate([[0], uid[1:] != uid[:-1]]))
+        cme = pd.Series(e).groupby(seg_id).cummax().to_numpy()
+        brk = np.ones(len(s), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (s[1:] > cme[:-1])
+        island = np.cumsum(brk) - 1
+        isl = pd.DataFrame({"user_id": uid, "island": island,
+                            "s": s, "e": e}) \
+            .groupby(["user_id", "island"], as_index=False) \
+            .agg(s0=("s", "min"), e1=("e", "max"))
+        out = isl.assign(dur=isl["e1"] - isl["s0"]) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_islands=("dur", "size"), covered_us=("dur", "sum"))
+        out["n_islands"] = out["n_islands"].astype("int64")
+        out["covered_us"] = out["covered_us"].astype("int64")
+        return out
+
+    return hash_grouped_agg(ev, ["user_id"], lambda b: b, islands)
+
+
+def events_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier screen per event type: exact per-type
+    Q1/Q3 of value cents via the count-map grouped-quantile exchange
+    (quantile_disc rank semantics), then one streaming count pass with
+    the tiny (type, q1, q3) table broadcast. All-integer fences (2v vs
+    2q -/+ 3*IQR) keep the oracle hash exact. The data-quality
+    anomaly-screen family: what a curation pipeline runs before
+    trusting a value column at 100 TB."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.sketch import grouped_value_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "v": _cents(b["value"].to_numpy())})
+
+    cv = ev.map_batches(cents_col, batch_format="pandas")
+    qt = grouped_value_quantiles(cv, "event_type", "v",
+                                 qs=(0.25, 0.75)).to_pandas()
+    piv = qt.pivot(index="event_type", columns="q", values="value")
+    fences = {t: (int(r[0.25]), int(r[0.75]))
+              for t, r in piv.iterrows()}
+    fref = ray.put(fences)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(fref)
+        b = cents_col(b)
+        q1 = b["event_type"].map(lambda t: f[t][0]).to_numpy("int64")
+        q3 = b["event_type"].map(lambda t: f[t][1]).to_numpy("int64")
+        iqr3 = 3 * (q3 - q1)
+        v2 = 2 * b["v"].to_numpy("int64")
+        out = (v2 < 2 * q1 - iqr3) | (v2 > 2 * q3 + iqr3)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "n": np.int64(1),
+                             "n_outliers": out.astype(np.int64)}) \
+            .groupby("event_type", as_index=False).sum()
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("event_type", as_index=False)[
+            ["n", "n_outliers"]].sum()
+
+    res = hash_grouped_agg(ev, ["event_type"], partial, combine,
+                           num_partitions=4).to_pandas()
+    res["q1"] = res["event_type"].map(lambda t: fences[t][0]).astype("int64")
+    res["q3"] = res["event_type"].map(lambda t: fences[t][1]).astype("int64")
+    res["n"] = res["n"].astype("int64")
+    res["n_outliers"] = res["n_outliers"].astype("int64")
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4334,6 +4446,9 @@ QUERIES = {
     "event_value_mad": event_value_mad,
     "doc_fuzzy_title_pairs": doc_fuzzy_title_pairs,
     "events_rolling_sum": events_rolling_sum,
+    "events_table_profile": events_table_profile,
+    "events_interval_islands": events_interval_islands,
+    "events_iqr_outliers": events_iqr_outliers,
 }
 
 ORACLE_SQL = {
@@ -4382,6 +4497,71 @@ ORACLE_SQL = {
                MIN(s.s_acctbal) AS min_bal, MAX(s.s_acctbal) AS max_bal
         FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
         GROUP BY n.n_name
+    """,
+    "events_iqr_outliers": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+            FROM events
+        ), q AS (
+            SELECT event_type,
+                   quantile_disc(v, 0.25) AS q1,
+                   quantile_disc(v, 0.75) AS q3
+            FROM c GROUP BY event_type
+        )
+        SELECT c.event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN 2*c.v < 2*q.q1 - 3*(q.q3 - q.q1)
+                               OR 2*c.v > 2*q.q3 + 3*(q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               q.q1, q.q3
+        FROM c JOIN q USING (event_type)
+        GROUP BY c.event_type, q.q1, q.q3
+    """,
+    "events_interval_islands": """
+        WITH iv AS (
+            SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+            FROM events
+        ), brks AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s <= MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 0 ELSE 1 END AS brk
+            FROM iv
+        ), grp AS (
+            SELECT user_id, s, e,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM brks
+        ), isl AS (
+            SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+            FROM grp GROUP BY user_id, island
+        )
+        SELECT user_id, COUNT(*) AS n_islands,
+               CAST(SUM(epoch_us(e1) - epoch_us(s0)) AS BIGINT)
+                   AS covered_us
+        FROM isl GROUP BY user_id
+    """,
+    "events_table_profile": """
+        SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(event_id) AS n_nulls,
+               COUNT(DISTINCT event_id) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+               COUNT(DISTINCT ts) FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+               COUNT(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+               COUNT(DISTINCT event_type) FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+               COUNT(DISTINCT value) FROM events
+        UNION ALL
+        SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+               COUNT(DISTINCT props) FROM events
     """,
     "q5_local_supplier_volume": """
         SELECT n.n_name,
