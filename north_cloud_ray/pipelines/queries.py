@@ -4295,6 +4295,37 @@ def events_iqr_outliers(sf_dir: str):
     return res.sort_values("event_type").reset_index(drop=True)
 
 
+def doc_graph_bfs(sf_dir: str):
+    """SQL-checked twin for the distributed bounded-BFS operator
+    (crawl-radius / reachability family): edges derived arithmetically
+    from documents (two out-edges per node, (id*7+3) % N and
+    (id*3+11) % N — branching, reproducible in SQL), seeds = ids
+    divisible by 97, min hop <= 4 per reached node via the two-
+    exchange-per-hop frontier expansion; oracle is a bounded recursive
+    CTE."""
+    from ..stages.graph import bfs_hops
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=_cpus())
+    n = docs.count()
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(b["doc_id"].to_numpy("int64"), 2)
+        dst = src.copy()
+        dst[0::2] = (dst[0::2] * 7 + 3) % n
+        dst[1::2] = (dst[1::2] * 3 + 11) % n
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    seeds = docs.filter(lambda r: r["doc_id"] % 97 == 0).map_batches(
+        lambda b: pd.DataFrame({"node": b["doc_id"].to_numpy("int64")}),
+        batch_format="pandas")
+    out = bfs_hops(docs.map_batches(edges, batch_format="pandas"),
+                   seeds, max_hops=4)
+    return out.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy("int64"),
+                                "hop": b["hop"].to_numpy("int64")}),
+        batch_format="pandas")
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4449,6 +4480,7 @@ QUERIES = {
     "events_table_profile": events_table_profile,
     "events_interval_islands": events_interval_islands,
     "events_iqr_outliers": events_iqr_outliers,
+    "doc_graph_bfs": doc_graph_bfs,
 }
 
 ORACLE_SQL = {
@@ -4497,6 +4529,23 @@ ORACLE_SQL = {
                MIN(s.s_acctbal) AS min_bal, MAX(s.s_acctbal) AS max_bal
         FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
         GROUP BY n.n_name
+    """,
+    "doc_graph_bfs": """
+        WITH RECURSIVE nn AS (
+            SELECT COUNT(*) AS n FROM documents
+        ), e0 AS (
+            SELECT doc_id AS a, (doc_id * 7 + 3) % nn.n AS b
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM documents, nn
+        ), reach(id, hop) AS (
+            SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+            UNION
+            SELECT e0.b, reach.hop + 1
+            FROM reach JOIN e0 ON e0.a = reach.id
+            WHERE reach.hop < 4
+        )
+        SELECT id AS node, MIN(hop) AS hop FROM reach GROUP BY id
     """,
     "events_iqr_outliers": """
         WITH c AS (

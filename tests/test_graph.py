@@ -8,6 +8,7 @@ iteration-count-independent)."""
 import numpy as np
 import pandas as pd
 import ray.data
+import ray.data as rd
 
 from north_cloud_ray.stages.graph import indegree, pagerank
 
@@ -187,4 +188,59 @@ def test_triangle_counts_matches_bruteforce(ray_session):
     want = pd.DataFrame({"node": nodes.astype("int64"),
                          "n_triangles": counts[nodes]})
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_exact=True)
+
+
+def test_bfs_hops_min_distance_and_horizon(ray_session):
+    """Diamond graph with a shortcut: hop must be the MINIMUM distance;
+    nodes beyond max_hops and disconnected nodes must be absent; a
+    revisited node must keep its smaller hop."""
+    from north_cloud_ray.stages.graph import bfs_hops
+
+    # 0->1->2->3->4->5 chain, plus shortcut 0->3; node 9 disconnected
+    e = pd.DataFrame({"src": [0, 1, 2, 3, 4, 0],
+                      "dst": [1, 2, 3, 4, 5, 3]})
+    seeds = pd.DataFrame({"node": [0]})
+    got = (bfs_hops(rd.from_pandas(e).repartition(3),
+                    rd.from_pandas(seeds), max_hops=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # shortcut 0->3 pulls 4 and 5 inside the horizon: 3@1, 4@2, 5@3
+    want = pd.DataFrame({"node": [0, 1, 2, 3, 4, 5],
+                         "hop": [0, 1, 2, 1, 2, 3]}).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want,
+                                  check_exact=True)
+
+
+def test_bfs_hops_matches_bruteforce(ray_session):
+    """Random sparse digraph vs a driver BFS."""
+    from collections import deque
+
+    from north_cloud_ray.stages.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    n, m, K = 200, 600, 4
+    e = pd.DataFrame({"src": rng.integers(0, n, m),
+                      "dst": rng.integers(0, n, m)})
+    seed_ids = [0, 50, 199]
+    adj = {}
+    for s, d in zip(e["src"], e["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+    dist = {s: 0 for s in seed_ids}
+    dq = deque(seed_ids)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= K:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = (bfs_hops(rd.from_pandas(e).repartition(8),
+                    rd.from_pandas(pd.DataFrame({"node": seed_ids})),
+                    max_hops=K)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = (pd.DataFrame({"node": sorted(dist),
+                          "hop": [dist[k] for k in sorted(dist)]})
+            .astype("int64"))
+    pd.testing.assert_frame_equal(got.astype("int64"), want,
                                   check_exact=True)
