@@ -4326,6 +4326,89 @@ def doc_graph_bfs(sf_dir: str):
         batch_format="pandas")
 
 
+def events_cdc_state(sf_dir: str):
+    """Change-data-capture merge with tombstones: the events log is a
+    changelog keyed by user_id — cents divisible by 10 is a DELETE, any
+    other value an UPSERT; last writer wins by (ts, event_id). Output
+    is the merged final state (user_id, last_cents), deleted keys
+    absent. The §2.7 upsert-merge family extended with deletes: the
+    per-batch partial keeps ONE newest row per key (last-writer-wins is
+    associative), so only |keys-per-batch| rows ride the exchange and
+    the tombstone filter runs after the per-key combine."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def newest(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        b = b.drop_duplicates("user_id", keep="last")
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "ts": b["ts"],
+            "event_id": b["event_id"].to_numpy("int64"),
+            "c": _cents(b["value"].to_numpy())})
+
+    def merge_filter(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        p = p.drop_duplicates("user_id", keep="last")
+        live = p[p["c"] % 10 != 0]
+        return pd.DataFrame({
+            "user_id": live["user_id"].to_numpy("int64"),
+            "last_cents": live["c"].to_numpy("int64")})
+
+    return hash_grouped_agg(
+        ev.map_batches(newest, batch_format="pandas"),
+        ["user_id"], lambda b: b, merge_filter)
+
+
+def events_winsorized_sum(sf_dir: str):
+    """Winsorized (clipped-tail) robust aggregate per event type: exact
+    P10/P90 of value cents via the count-map grouped-quantile exchange,
+    then one streaming pass clips each value into [p10, p90] and sums —
+    the robust-mean path a reward/score column gets before mixture
+    weighting, where a single corrupt value would otherwise dominate
+    the sum. All-integer output (clipped sum, clipped-row count, n)."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.sketch import grouped_value_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "v": _cents(b["value"].to_numpy())})
+
+    cv = ev.map_batches(cents_col, batch_format="pandas")
+    qt = grouped_value_quantiles(cv, "event_type", "v",
+                                 qs=(0.10, 0.90)).to_pandas()
+    piv = qt.pivot(index="event_type", columns="q", values="value")
+    bounds = {t: (int(r[0.10]), int(r[0.90])) for t, r in piv.iterrows()}
+    bref = ray.put(bounds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(bref)
+        b = cents_col(b)
+        lo = b["event_type"].map(lambda t: f[t][0]).to_numpy("int64")
+        hi = b["event_type"].map(lambda t: f[t][1]).to_numpy("int64")
+        v = b["v"].to_numpy("int64")
+        clip = np.clip(v, lo, hi)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "winsorized_cents": clip,
+            "n_clipped": (v != clip).astype(np.int64),
+            "n": np.int64(1)}) \
+            .groupby("event_type", as_index=False).sum()
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("event_type", as_index=False)[
+            ["winsorized_cents", "n_clipped", "n"]].sum()
+
+    res = hash_grouped_agg(ev, ["event_type"], partial, combine,
+                           num_partitions=4).to_pandas()
+    for c in ("winsorized_cents", "n_clipped", "n"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4481,6 +4564,8 @@ QUERIES = {
     "events_interval_islands": events_interval_islands,
     "events_iqr_outliers": events_iqr_outliers,
     "doc_graph_bfs": doc_graph_bfs,
+    "events_cdc_state": events_cdc_state,
+    "events_winsorized_sum": events_winsorized_sum,
 }
 
 ORACLE_SQL = {
@@ -4529,6 +4614,41 @@ ORACLE_SQL = {
                MIN(s.s_acctbal) AS min_bal, MAX(s.s_acctbal) AS max_bal
         FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
         GROUP BY n.n_name
+    """,
+    "events_winsorized_sum": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+            FROM events
+        ), q AS (
+            SELECT event_type,
+                   quantile_disc(v, 0.10) AS lo,
+                   quantile_disc(v, 0.90) AS hi
+            FROM c GROUP BY event_type
+        )
+        SELECT c.event_type,
+               CAST(SUM(GREATEST(q.lo, LEAST(q.hi, c.v))) AS BIGINT)
+                   AS winsorized_cents,
+               CAST(SUM(CASE WHEN c.v < q.lo OR c.v > q.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               COUNT(*) AS n
+        FROM c JOIN q USING (event_type)
+        GROUP BY c.event_type
+    """,
+    "events_cdc_state": """
+        WITH ops AS (
+            SELECT user_id, ts, event_id,
+                   CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ), ranked AS (
+            SELECT user_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM ops
+        )
+        SELECT user_id, c AS last_cents
+        FROM ranked WHERE rn = 1 AND c % 10 <> 0
     """,
     "doc_graph_bfs": """
         WITH RECURSIVE nn AS (
