@@ -4409,6 +4409,52 @@ def events_winsorized_sum(sf_dir: str):
     return res.sort_values("event_type").reset_index(drop=True)
 
 
+def events_segment_venn(sf_dir: str):
+    """Audience-overlap Venn counts: per user a 3-bit membership mask
+    over (view, click, purchase), then exact user counts per non-empty
+    mask — the segment-overlap report (which dedup/routing segments
+    intersect and by how much). The per-batch partial ORs one mask row
+    per user (associative), so the user exchange carries <= 1 tiny int
+    row per user per batch and the 7-row mask rollup is a second,
+    trivially small combine."""
+    from ..stages.agg import hash_grouped_agg
+
+    SEGS = ("view", "click", "purchase")
+    cutoff = pd.Timestamp("2024-01-02")  # day-1 cohort: sparse masks
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def mask_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # OR == per-bit max, so the per-user OR is one vectorized
+        # groupby-max over 3 indicator columns (no per-group lambda)
+        b = b[b["ts"] < cutoff]
+        et = b["event_type"].to_numpy()
+        d = pd.DataFrame({"user_id": b["user_id"].to_numpy("int64")})
+        for i, s in enumerate(SEGS):
+            d[f"b{i}"] = (et == s).astype(np.int64)
+        return d.groupby("user_id", as_index=False).max()
+
+    def mask_combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("user_id", as_index=False).max()
+        mask = (g["b0"].to_numpy("int64")
+                | (g["b1"].to_numpy("int64") << 1)
+                | (g["b2"].to_numpy("int64") << 2))
+        vc = pd.Series(mask[mask > 0]).value_counts()
+        return pd.DataFrame({"mask": vc.index.to_numpy("int64"),
+                             "n_users": vc.to_numpy("int64")})
+
+    masks = hash_grouped_agg(ev, ["user_id"], mask_partial,
+                             mask_combine).to_pandas()
+    out = masks.groupby("mask", as_index=False)["n_users"].sum()
+    m = out["mask"].to_numpy("int64")
+    return pd.DataFrame({
+        "has_view": (m & 1).astype("int64"),
+        "has_click": ((m >> 1) & 1).astype("int64"),
+        "has_purchase": ((m >> 2) & 1).astype("int64"),
+        "n_users": out["n_users"].to_numpy("int64"),
+    }).sort_values(["has_view", "has_click", "has_purchase"]) \
+      .reset_index(drop=True)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4566,6 +4612,7 @@ QUERIES = {
     "doc_graph_bfs": doc_graph_bfs,
     "events_cdc_state": events_cdc_state,
     "events_winsorized_sum": events_winsorized_sum,
+    "events_segment_venn": events_segment_venn,
 }
 
 ORACLE_SQL = {
@@ -4614,6 +4661,24 @@ ORACLE_SQL = {
                MIN(s.s_acctbal) AS min_bal, MAX(s.s_acctbal) AS max_bal
         FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
         GROUP BY n.n_name
+    """,
+    "events_segment_venn": """
+        WITH m AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS has_view,
+                   MAX(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS has_click,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS has_purchase
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-02'
+            GROUP BY user_id
+        )
+        SELECT has_view, has_click, has_purchase, COUNT(*) AS n_users
+        FROM m
+        WHERE has_view + has_click + has_purchase > 0
+        GROUP BY has_view, has_click, has_purchase
     """,
     "events_winsorized_sum": """
         WITH c AS (
