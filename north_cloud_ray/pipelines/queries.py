@@ -4455,6 +4455,107 @@ def events_segment_venn(sf_dir: str):
       .reset_index(drop=True)
 
 
+def events_markov_transitions(sf_dir: str):
+    """Ordered event-sequence transition counts (first-order Markov
+    mining — the user-journey matrix behind next-action models): per
+    user, each event pairs with that user's NEXT event by (ts,
+    event_id); output is the exact count per (prev_type, next_type)
+    plus the per-prev row total n_from (the transition-probability
+    denominator, kept as exact ints so the hash compare is bit-stable).
+    One user-keyed exchange resolves every adjacency (a user's events
+    may span read batches, so adjacency is only decidable once the
+    whole user is co-located), emitting at most T^2 light count rows
+    per partition; those fold through a tiny prev-keyed second exchange
+    where the denominator is a vectorized transform-sum."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "event_id": b["event_id"].to_numpy("int64"),
+            "_us": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "event_type": b["event_type"].to_numpy()})
+
+    def adjacency(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({"prev_type": pd.Series(dtype=object),
+                                 "next_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        p = p.sort_values(["user_id", "_us", "event_id"],
+                          kind="mergesort")
+        uid = p["user_id"].to_numpy("int64")
+        et = p["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]  # adjacent rows of the SAME user
+        out = (pd.DataFrame({"prev_type": et[:-1][same],
+                             "next_type": et[1:][same]})
+               .groupby(["prev_type", "next_type"]).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pairs = hash_grouped_agg(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], lambda b: b, adjacency)
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "prev_type": pd.Series(dtype=object),
+                "next_type": pd.Series(dtype=object),
+                "n_transitions": pd.Series(dtype="int64"),
+                "n_from": pd.Series(dtype="int64")})
+        g = p.groupby(["prev_type", "next_type"], as_index=False)["n"] \
+             .sum()
+        g["n_transitions"] = g["n"].astype("int64")
+        g["n_from"] = g.groupby("prev_type")["n_transitions"] \
+                       .transform("sum").astype("int64")
+        return g[["prev_type", "next_type", "n_transitions", "n_from"]]
+
+    return hash_grouped_agg(pairs, ["prev_type"], lambda b: b, fold,
+                            num_partitions=4)
+
+
+def events_value_mode(sf_dir: str):
+    """Exact grouped MODE (most frequent integer-cents value per event
+    type, smallest-value tie-break) via the count-map exchange: the
+    per-batch partial pre-counts (type, cents, n) rows — the shuffle
+    carries the type x distinct-cents map, never raw rows — and the
+    per-type combine sums the maps and argmaxes (n DESC, cents ASC).
+    The exact sibling of the Misra-Gries heavy-hitter sketch."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "cents": _cents(b["value"].to_numpy())})
+        out = d.groupby(["event_type", "cents"]).size() \
+               .reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "mode_cents": pd.Series(dtype="int64"),
+                                 "n_mode": pd.Series(dtype="int64")})
+        g = p.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+        g = g.sort_values(["event_type", "n", "cents"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.drop_duplicates("event_type", keep="first")
+        return pd.DataFrame({
+            "event_type": top["event_type"].to_numpy(),
+            "mode_cents": top["cents"].to_numpy("int64"),
+            "n_mode": top["n"].to_numpy("int64")})
+
+    return hash_grouped_agg(ev, ["event_type"], partial, combine,
+                            num_partitions=4)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4611,6 +4712,8 @@ QUERIES = {
     "events_iqr_outliers": events_iqr_outliers,
     "doc_graph_bfs": doc_graph_bfs,
     "events_cdc_state": events_cdc_state,
+    "events_markov_transitions": events_markov_transitions,
+    "events_value_mode": events_value_mode,
     "events_winsorized_sum": events_winsorized_sum,
     "events_segment_venn": events_segment_venn,
 }
@@ -6827,5 +6930,34 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "events_markov_transitions": r"""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     AS next_type
+          FROM events
+        )
+        SELECT event_type AS prev_type, next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n_from
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    "events_value_mode": r"""
+        SELECT event_type, mode_cents, n_mode FROM (
+          SELECT event_type,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS mode_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_mode,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY COUNT(*) DESC,
+                            CAST(FLOOR(value*100 + 0.5) AS BIGINT) ASC)
+                     AS rn
+          FROM events
+          GROUP BY event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+        ) WHERE rn = 1
     """,
 }
