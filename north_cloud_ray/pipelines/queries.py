@@ -4556,6 +4556,67 @@ def events_value_mode(sf_dir: str):
                             num_partitions=4)
 
 
+def events_rolling_active(sf_dir: str):
+    """Rolling 7-day distinct active users per observed day (the
+    WAU-style engagement series). Distinct-over-a-sliding-window does
+    NOT pre-aggregate like sums do, so the exchange plan is: (1) a
+    user-keyed exchange dedups (user, day) exactly (per-batch dedup
+    caps what rides the shuffle at one row per user-day per batch),
+    (2) each user-day expands to the 7 trailing windows it belongs to
+    — light (window_day, user) rows — unioned with one marker row per
+    OBSERVED day so windows landing in calendar gaps are dropped, and
+    (3) a window-keyed exchange dedups (window, user) and counts.
+    Nothing wider than user-day rows is ever shuffled."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "day": day}).drop_duplicates()
+
+    user_days = hash_grouped_agg(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], lambda b: b, lambda p: p.drop_duplicates())
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"wday": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "is_obs": pd.Series(dtype="int64")})
+        day = b["day"].to_numpy("int64")
+        uid = b["user_id"].to_numpy("int64")
+        # membership rows: user-day (d, u) is inside windows d..d+6
+        wday = np.repeat(day, 7) + np.tile(np.arange(7, dtype=np.int64),
+                                           len(day))
+        ex = pd.DataFrame({"wday": wday, "user_id": np.repeat(uid, 7),
+                           "is_obs": np.int64(0)})
+        # marker rows: these days were actually observed
+        obs = pd.DataFrame({"wday": np.unique(day),
+                            "user_id": np.int64(-1),
+                            "is_obs": np.int64(1)})
+        return pd.concat([ex, obs], ignore_index=True)
+
+    expanded = user_days.map_batches(expand, batch_format="pandas")
+
+    def count_windows(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "n_users_7d": pd.Series(dtype="int64")})
+        obs_days = p.loc[p["is_obs"] == 1, "wday"].unique()
+        m = p[(p["is_obs"] == 0) & p["wday"].isin(obs_days)]
+        cnt = (m.drop_duplicates(["wday", "user_id"])
+                .groupby("wday").size())
+        return pd.DataFrame({"day": cnt.index.to_numpy("int64"),
+                             "n_users_7d": cnt.to_numpy("int64")})
+
+    return hash_grouped_agg(expanded, ["wday"], lambda b: b,
+                            count_windows)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4714,6 +4775,7 @@ QUERIES = {
     "events_cdc_state": events_cdc_state,
     "events_markov_transitions": events_markov_transitions,
     "events_value_mode": events_value_mode,
+    "events_rolling_active": events_rolling_active,
     "events_winsorized_sum": events_winsorized_sum,
     "events_segment_venn": events_segment_venn,
 }
@@ -6959,5 +7021,19 @@ ORACLE_SQL = {
           FROM events
           GROUP BY event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT)
         ) WHERE rn = 1
+    """,
+    "events_rolling_active": r"""
+        WITH du AS (
+          SELECT DISTINCT
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day,
+                 user_id
+          FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT days.day,
+               CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_users_7d
+        FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day
+        GROUP BY days.day
     """,
 }
