@@ -4617,6 +4617,63 @@ def events_rolling_active(sf_dir: str):
                             count_windows)
 
 
+def events_first_touch(sf_dir: str):
+    """First-touch attribution: each view converts to that user's NEXT
+    purchase within 7 days (forward as-of with tolerance), and each
+    converting purchase is credited to its EARLIEST attributed view
+    plus the touch count — the marketing-attribution join. Purchases
+    are keyed by (user, purchase time) so timestamp ties collapse
+    identically in pipeline and oracle. One user-keyed exchange of
+    light (user, ts, kind) rows; the per-partition resolve is a single
+    sorted pandas merge_asof (vectorized, no per-user loop) followed by
+    a groupby min/count."""
+    from ..stages.agg import hash_grouped_agg
+
+    TOL_US = 7 * 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin(["view", "purchase"])
+        b = b[m]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "tsu": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "is_p": (b["event_type"] == "purchase").to_numpy()})
+
+    def resolve(p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "purchase_us": pd.Series(dtype="int64"),
+            "first_touch_us": pd.Series(dtype="int64"),
+            "n_touches": pd.Series(dtype="int64")})
+        if not len(p):
+            return empty
+        views = p[~p["is_p"]].sort_values("tsu", kind="mergesort")
+        buys = (p[p["is_p"]][["user_id", "tsu"]]
+                .drop_duplicates()  # tie purchases collapse to one row
+                .sort_values("tsu", kind="mergesort")
+                .rename(columns={"tsu": "purchase_us"}))
+        if not len(views) or not len(buys):
+            return empty
+        att = pd.merge_asof(
+            views[["user_id", "tsu"]], buys,
+            left_on="tsu", right_on="purchase_us", by="user_id",
+            direction="forward", tolerance=TOL_US)
+        att = att.dropna(subset=["purchase_us"])
+        if not len(att):
+            return empty
+        g = att.groupby(["user_id", "purchase_us"], as_index=False).agg(
+            first_touch_us=("tsu", "min"), n_touches=("tsu", "size"))
+        for c in ("user_id", "purchase_us", "first_touch_us",
+                  "n_touches"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return hash_grouped_agg(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], lambda b: b, resolve)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -4776,6 +4833,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_value_mode": events_value_mode,
     "events_rolling_active": events_rolling_active,
+    "events_first_touch": events_first_touch,
     "events_winsorized_sum": events_winsorized_sum,
     "events_segment_venn": events_segment_venn,
 }
@@ -7035,5 +7093,29 @@ ORACLE_SQL = {
                CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_users_7d
         FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day
         GROUP BY days.day
+    """,
+    "events_first_touch": r"""
+        WITH v AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS vts
+          FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS pts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        a AS (
+          SELECT v.user_id, v.vts,
+                 (SELECT MIN(p.pts) FROM p
+                  WHERE p.user_id = v.user_id AND p.pts >= v.vts
+                    AND p.pts <= v.vts + 7*86400000000) AS apts
+          FROM v
+        )
+        SELECT user_id, apts AS purchase_us,
+               CAST(MIN(vts) AS BIGINT) AS first_touch_us,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM a WHERE apts IS NOT NULL
+        GROUP BY user_id, apts
     """,
 }
