@@ -698,6 +698,21 @@ def lineitem_price_quantiles(sf_dir: str):
                            qs=(0.25, 0.5, 0.75, 0.95))
 
 
+def lineitem_price_quantiles_kll(sf_dir: str):
+    """One-pass mergeable KLL quantile sketch over l_extendedprice
+    (stages/sketch.py KLLSketch): every batch emits one ~5 KB blob, a
+    64-way combine tree folds them, the driver reads all five quantiles
+    from O(k log n) floats — the single-pass telemetry companion to the
+    exact multi-pass lineitem_price_quantiles. Approximate by design
+    (rows-only gate); realized normalized-rank error vs the exact
+    quantiles is asserted <= 1% in tests/test_sketches.py."""
+    from ..stages.sketch import kll_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return kll_quantiles(li, "l_extendedprice",
+                         qs=(0.01, 0.25, 0.5, 0.75, 0.99), k=256)
+
+
 def doc_token_stats(sf_dir: str):
     """Per-doc token/char/stopword stats through the TextStats actor pool (vectorized pandas-str kernels, stateful setup once per actor)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -4742,6 +4757,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_heavy_users": events_heavy_users,
     "lineitem_price_quantiles": lineitem_price_quantiles,
+    "lineitem_price_quantiles_kll": lineitem_price_quantiles_kll,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,

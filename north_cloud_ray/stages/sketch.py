@@ -305,6 +305,157 @@ def hll_distinct(ds, col: str, p: int = 12) -> dict:
     return {"estimate": float(est), "registers": reg}
 
 
+# ---- KLL one-pass mergeable quantile sketch (Karnin/Lang/Liberty,
+# FOCS'16, public) — the single-pass companion to exact_quantiles:
+# where exact_quantiles needs a few narrowing passes over the data, one
+# KLL pass yields EVERY quantile at once to ~1/k normalized-rank error
+# from O(k log(n/k)) floats of state, and sketches merge associatively
+# so any partitioning / combine tree gives the same guarantee. ----
+
+
+class KLLSketch:
+    """Simplified KLL: level h holds items of weight 2^h; level
+    capacities shrink geometrically (k * (2/3)^(depth-from-top), min 2).
+    Compaction sorts an over-full level and promotes every other item
+    (surviving weight doubles, standing in for the dropped neighbor).
+    The even/odd offset alternates deterministically per compaction —
+    reproducible sketches at the cost of the randomized worst-case
+    bound; the realized rank error is asserted against the exact oracle
+    in tests. All kernels are numpy (sort / slice), no per-item loops."""
+
+    __slots__ = ("k", "levels", "_flip", "n")
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError("k >= 8")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._flip = 0
+        self.n = 0  # exact total weight (items seen)
+
+    def _cap(self, h: int, depth: int) -> int:
+        return max(2, int(np.ceil(self.k * (2.0 / 3.0) ** (depth - 1 - h))))
+
+    def _size(self) -> int:
+        return sum(len(lv) for lv in self.levels)
+
+    def _compress(self) -> None:
+        while True:
+            depth = len(self.levels)
+            if self._size() <= sum(self._cap(h, depth) for h in range(depth)):
+                return
+            for h in range(depth):
+                if len(self.levels[h]) > self._cap(h, depth):
+                    arr = np.sort(self.levels[h])
+                    off = self._flip & 1
+                    self._flip += 1
+                    up = arr[off::2]
+                    self.levels[h] = np.empty(0, dtype=np.float64)
+                    if h + 1 == len(self.levels):
+                        self.levels.append(up)
+                    else:
+                        self.levels[h + 1] = np.concatenate(
+                            [self.levels[h + 1], up])
+                    break
+            else:
+                return
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> None:
+        for h, lv in enumerate(other.levels):
+            if h == len(self.levels):
+                self.levels.append(lv.copy())
+            elif len(lv):
+                self.levels[h] = np.concatenate([self.levels[h], lv])
+        self.n += other.n
+        self._compress()
+
+    def quantiles(self, qs) -> np.ndarray:
+        """quantile_disc-style ranks over the weighted item multiset:
+        value at cumulative weight >= max(1, round-or-ceil(q*W))."""
+        items = np.concatenate([lv for lv in self.levels if len(lv)])
+        if len(items) == 0:
+            return np.full(len(tuple(qs)), np.nan)
+        weights = np.concatenate(
+            [np.full(len(lv), 1 << h, dtype=np.int64)
+             for h, lv in enumerate(self.levels) if len(lv)])
+        order = np.argsort(items, kind="mergesort")
+        items, cum = items[order], np.cumsum(weights[order])
+        total = cum[-1]
+        out = np.empty(len(tuple(qs)), dtype=np.float64)
+        for i, q in enumerate(qs):
+            rank = _rank_of(float(q), int(total))
+            out[i] = items[np.searchsorted(cum, rank)]
+        return out
+
+    # -- wire format: int64 k, n, n_levels, per-level int64 len + doubles --
+    def to_bytes(self) -> bytes:
+        head = np.array([self.k, self.n, self._flip, len(self.levels)],
+                        dtype=np.int64).tobytes()
+        parts = [head]
+        for lv in self.levels:
+            parts.append(np.int64(len(lv)).tobytes())
+            parts.append(np.ascontiguousarray(lv).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLLSketch":
+        k, n, flip, depth = np.frombuffer(blob[:32], dtype=np.int64)
+        sk = cls(int(k))
+        sk.n, sk._flip = int(n), int(flip)
+        sk.levels = []
+        off = 32
+        for _ in range(depth):
+            ln = int(np.frombuffer(blob[off:off + 8], dtype=np.int64)[0])
+            off += 8
+            sk.levels.append(
+                np.frombuffer(blob[off:off + 8 * ln], dtype=np.float64).copy())
+            off += 8 * ln
+        if not sk.levels:
+            sk.levels = [np.empty(0, dtype=np.float64)]
+        return sk
+
+
+def kll_quantiles(ds, col: str, qs, k: int = 256) -> pd.DataFrame:
+    """One-pass approximate quantiles of a numeric column: each batch
+    builds a KLL sketch (one light blob row out — the raw values never
+    ride the exchange), a combine stage folds ~64 blobs per task, the
+    driver merges the handful of survivors and reads every requested
+    quantile from O(k log(n/k)) floats. Returns (q, value).
+
+    At 100 TB this is ONE streaming pass with sketch-sized shuffle
+    traffic and O(k log n) driver state — the telemetry-grade
+    complement to exact_quantiles' multi-pass exact selection."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k)
+        sk.update(b[col].to_numpy())
+        return pd.DataFrame({"sk": [sk.to_bytes()]})
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k)
+        for blob in p["sk"]:
+            sk.merge(KLLSketch.from_bytes(blob))
+        return pd.DataFrame({"sk": [sk.to_bytes()]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .map_batches(combine, batch_format="pandas", batch_size=64)
+             .to_pandas())
+    sk = KLLSketch(k)
+    for blob in parts["sk"]:
+        sk.merge(KLLSketch.from_bytes(blob))
+    qs = tuple(qs)
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                         "value": sk.quantiles(qs)})
+
+
 def grouped_value_quantiles(ds, group_col: str, value_col: str,
                             qs=(0.25, 0.5, 0.75),
                             num_partitions: int | None = None):

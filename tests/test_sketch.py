@@ -114,3 +114,66 @@ def test_hll_small_range_linear_counting(ray_session):
     res = hll_distinct(ray.data.from_pandas(df).repartition(2), "v")
     err = abs(res["estimate"] - 100) / 100
     assert err < 0.05, err  # linear-counting regime is near-exact
+
+
+def test_kll_sketch_rank_error_and_merge():
+    """Single-process KLL: rank error <= 1% at k=256 on a skewed
+    distribution; merging two half sketches stays within the bound;
+    serialization round-trips; total weight stays within one
+    compaction's drift of n."""
+    from north_cloud_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(3.0, 1.2, 150_000)
+    sv = np.sort(data)
+
+    def rank_err(sk, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
+        est = sk.quantiles(qs)
+        return max(abs(np.searchsorted(sv, e) / len(sv) - q)
+                   for q, e in zip(qs, est))
+
+    one = KLLSketch(256)
+    for i in range(0, len(data), 4096):
+        one.update(data[i:i + 4096])
+    assert rank_err(one) <= 0.01
+    assert sum(len(lv) for lv in one.levels) < 1_500  # sketch-sized state
+
+    a, b = KLLSketch(256), KLLSketch(256)
+    a.update(data[:75_000])
+    b.update(data[75_000:])
+    a.merge(b)
+    assert rank_err(a) <= 0.01
+    assert abs(a.n - len(data)) == 0  # n is counted exactly
+
+    rt = KLLSketch.from_bytes(one.to_bytes())
+    assert np.allclose(rt.quantiles((0.1, 0.5, 0.9)),
+                       one.quantiles((0.1, 0.5, 0.9)))
+    assert rt.n == one.n
+
+
+def test_kll_small_input_exact():
+    """Below one level's capacity nothing compacts: quantiles are exact
+    (quantile_disc rank rule)."""
+    from north_cloud_ray.stages.sketch import KLLSketch, _rank_of
+
+    vals = np.arange(100, dtype=np.float64)
+    sk = KLLSketch(256)
+    sk.update(vals)
+    for q in (0.0, 0.25, 0.5, 1.0):
+        assert sk.quantiles((q,))[0] == vals[_rank_of(q, 100) - 1]
+
+
+def test_kll_quantiles_query_vs_exact(ray_session):
+    """Driver query: one-pass KLL over l_extendedprice within 1%
+    normalized rank error of the DuckDB exact quantile at sf0.001."""
+    from north_cloud_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["lineitem_price_quantiles_kll"](SF)
+    exact = duckdb.sql(
+        f"SELECT l_extendedprice FROM '{SF}/lineitem.parquet'"
+    ).df()["l_extendedprice"].to_numpy()
+    sv = np.sort(exact)
+    assert list(got.columns) == ["q", "value"]
+    assert len(got) == 5
+    for q, v in zip(got["q"], got["value"]):
+        assert abs(np.searchsorted(sv, v) / len(sv) - q) <= 0.01, q
