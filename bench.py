@@ -317,7 +317,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_daily_deltas", "f1_media_budget_take",
         "user_value_trend", "event_value_mad",
         "doc_fuzzy_title_pairs", "events_rolling_sum",
-        "lineitem_price_quantiles_kll",
+        "lineitem_price_quantiles_kll", "events_type_distinct_hll",
     ]
     import ray.data
 

@@ -2950,6 +2950,39 @@ def events_distinct_users_hll(sf_dir: str):
     })
 
 
+def events_type_distinct_hll(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users PER event_type
+    beside the exact grouped twin (stages/sketch.py
+    grouped_hll_distinct) — each batch ships one 4 KB register row per
+    type instead of every (type, user) pair, the group-hashed combine
+    maxes registers. Returns (event_type, n_exact, n_hll, rel_err).
+    Rows-only (register hash not SQL-expressible); per-group error and
+    partitioning-independence pinned in tests/test_sketch.py."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.sketch import grouped_hll_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"], blocks=_cpus())
+    est = grouped_hll_distinct(ev, "event_type", "user_id").to_pandas()
+
+    def uniq(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["event_type", "user_id"])
+
+    def count_users(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.drop_duplicates(["event_type", "user_id"]) \
+                .groupby("event_type", as_index=False)["user_id"].size() \
+                .rename(columns={"size": "n_exact"})
+        g["n_exact"] = g["n_exact"].astype("int64")
+        return g
+
+    exact = hash_grouped_agg(ev, ["event_type"], uniq,
+                             count_users).to_pandas()
+    out = exact.merge(est, on="event_type")
+    out["rel_err"] = (out["n_distinct_est"] - out["n_exact"]).abs() \
+        / out["n_exact"]
+    out = out.rename(columns={"n_distinct_est": "n_hll"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def embedding_pca(sf_dir: str):
     """Distributed PCA over the embeddings table: streaming (d x d)
     covariance partials -> driver eigh (microseconds at d=64) ->
@@ -4758,6 +4791,7 @@ QUERIES = {
     "events_heavy_users": events_heavy_users,
     "lineitem_price_quantiles": lineitem_price_quantiles,
     "lineitem_price_quantiles_kll": lineitem_price_quantiles_kll,
+    "events_type_distinct_hll": events_type_distinct_hll,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,

@@ -273,6 +273,17 @@ def _hll_registers(values: pd.Series, p: int) -> np.ndarray:
     return reg
 
 
+def _hll_estimate(reg: np.ndarray) -> float:
+    """Raw HLL estimate + linear-counting small-range correction."""
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
 def hll_distinct(ds, col: str, p: int = 12) -> dict:
     """Approximate distinct count at sketch cost: one streaming pass,
     each batch contributes a 2^p-byte register array, the driver
@@ -297,12 +308,40 @@ def hll_distinct(ds, col: str, p: int = 12) -> dict:
     for blob in parts["reg"]:
         reg = np.maximum(reg, np.frombuffer(blob, dtype=np.uint8))
 
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
-    zeros = int((reg == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting, small range
-    return {"estimate": float(est), "registers": reg}
+    return {"estimate": _hll_estimate(reg), "registers": reg}
+
+
+def grouped_hll_distinct(ds, group_col: str, col: str, p: int = 12,
+                         num_partitions: int | None = None):
+    """Approximate distinct-count PER GROUP at sketch shuffle cost: each
+    batch emits one 2^p-byte register row per group it contains (the raw
+    value column never rides the exchange), the group-hashed combine
+    elementwise-maxes each group's registers and reads the estimate.
+    Register merge is associative+commutative, so the estimate is
+    partitioning-independent (same bytes for any repartition) and
+    per-group error is the standard 1.04/sqrt(2^p). Returns
+    (group, n_distinct_est:float64) — the grouped companion to
+    hll_distinct for 'distinct users per type/day' telemetry where an
+    exact grouped COUNT(DISTINCT) would shuffle every distinct pair."""
+    if p < 12:
+        raise ValueError("p >= 12 required by the float64 rank path")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = [(g, _hll_registers(sub[col].astype(str), p).tobytes())
+                for g, sub in b.groupby(group_col, sort=False)]
+        return pd.DataFrame(rows, columns=[group_col, "reg"])
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in part.groupby(group_col, sort=False):
+            reg = np.zeros(1 << p, dtype=np.uint8)
+            for blob in sub["reg"]:
+                reg = np.maximum(reg, np.frombuffer(blob, dtype=np.uint8))
+            out.append((g, _hll_estimate(reg)))
+        return pd.DataFrame(out, columns=[group_col, "n_distinct_est"])
+
+    return hash_grouped_agg(ds, [group_col], partial, combine,
+                            num_partitions)
 
 
 # ---- KLL one-pass mergeable quantile sketch (Karnin/Lang/Liberty,

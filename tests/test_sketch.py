@@ -177,3 +177,45 @@ def test_kll_quantiles_query_vs_exact(ray_session):
     assert len(got) == 5
     for q, v in zip(got["q"], got["value"]):
         assert abs(np.searchsorted(sv, v) / len(sv) - q) <= 0.01, q
+
+
+def test_grouped_hll_accuracy_and_partition_independence(ray_session):
+    """Per-group estimates within 5% of exact on planted cardinalities;
+    byte-identical output across different partitionings (register max
+    is associative+commutative)."""
+    import ray.data
+
+    from north_cloud_ray.stages.sketch import grouped_hll_distinct
+
+    rng = np.random.default_rng(13)
+    frames = []
+    truth = {"a": 20_000, "b": 3_000, "c": 150}
+    for g, nd in truth.items():
+        ids = rng.integers(0, nd, size=nd * 3)  # ~nd distinct w/ repeats
+        ids = np.concatenate([ids, np.arange(nd)])  # ensure all present
+        frames.append(pd.DataFrame({"g": g, "u": ids}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=5) \
+           .reset_index(drop=True)
+
+    r4 = grouped_hll_distinct(
+        ray.data.from_pandas(df).repartition(4), "g", "u").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    r9 = grouped_hll_distinct(
+        ray.data.from_pandas(df).repartition(9), "g", "u").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r4, r9)
+    for g, nd in truth.items():
+        est = r4.loc[r4["g"] == g, "n_distinct_est"].iloc[0]
+        assert abs(est - nd) / nd < 0.05, (g, est, nd)
+
+
+def test_events_type_distinct_hll_query(ray_session):
+    from north_cloud_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["events_type_distinct_hll"](SF)
+    want = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1").df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_exact"].tolist() == want["n"].tolist()  # exact twin
+    assert (got["rel_err"] < 0.05).all()
