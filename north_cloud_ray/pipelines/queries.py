@@ -2983,6 +2983,52 @@ def events_type_distinct_hll(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_cohort_overlap_kmv(sf_dir: str):
+    """KMV (bottom-k) sketch set operations: distinct click-users vs
+    purchase-users, their union AND intersection estimated from two
+    one-pass k*8-byte sketches (stages/sketch.py
+    kmv_set_cardinalities) beside the exact distributed twin (per-user
+    has-a/has-b flags through one group-hashed exchange). HLL can only
+    union; the bottom-k Jaccard gives "did both" telemetry without
+    shuffling (user, type) pairs. Returns one row with exact + estimate
+    + rel_err per measure. Rows-only (hash not SQL-expressible); error
+    bounds pinned in tests/test_sketch.py."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.sketch import kmv_set_cardinalities
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"], blocks=_cpus())
+    a = ev.filter(expr="event_type == 'click'")
+    b = ev.filter(expr="event_type == 'purchase'")
+    est = kmv_set_cardinalities(a, b, "user_id", k=1024)
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.assign(
+            has_a=(batch["event_type"] == "click"),
+            has_b=(batch["event_type"] == "purchase"),
+        ).groupby("user_id", as_index=False)[["has_a", "has_b"]].max()
+        return g
+
+    def reduce_counts(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("user_id", as_index=False)[["has_a", "has_b"]] \
+                .max()
+        return pd.DataFrame({
+            "n_a": [np.int64(g["has_a"].sum())],
+            "n_b": [np.int64(g["has_b"].sum())],
+            "n_union": [np.int64((g["has_a"] | g["has_b"]).sum())],
+            "n_intersect": [np.int64((g["has_a"] & g["has_b"]).sum())],
+        })
+
+    parts = hash_grouped_agg(ev, ["user_id"], flags,
+                             reduce_counts).to_pandas()
+    exact = parts[["n_a", "n_b", "n_union", "n_intersect"]].sum()
+    rows = []
+    for m in ("n_a", "n_b", "n_union", "n_intersect"):
+        e, s = int(exact[m]), float(est[m])
+        rows.append((m, e, s, abs(s - e) / max(e, 1)))
+    return pd.DataFrame(rows, columns=["measure", "n_exact", "n_kmv",
+                                       "rel_err"])
+
+
 def embedding_pca(sf_dir: str):
     """Distributed PCA over the embeddings table: streaming (d x d)
     covariance partials -> driver eigh (microseconds at d=64) ->
@@ -4792,6 +4838,7 @@ QUERIES = {
     "lineitem_price_quantiles": lineitem_price_quantiles,
     "lineitem_price_quantiles_kll": lineitem_price_quantiles_kll,
     "events_type_distinct_hll": events_type_distinct_hll,
+    "events_cohort_overlap_kmv": events_cohort_overlap_kmv,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,

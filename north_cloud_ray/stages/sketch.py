@@ -495,6 +495,72 @@ def kll_quantiles(ds, col: str, qs, k: int = 256) -> pd.DataFrame:
                          "value": sk.quantiles(qs)})
 
 
+# ---- KMV (K-minimum-values / bottom-k) distinct sketch with set
+# operations (Bar-Yossef et al. 2002; Beyer et al., SIGMOD'07 —
+# public). HLL merges unions only; KMV sketches additionally estimate
+# INTERSECTION cardinality (Jaccard over the combined bottom-k), the
+# telemetry for "users who did both X and Y" that an exact answer
+# would need a full (user, set) shuffle for. ----
+
+
+def _kmv_hashes(values: pd.Series, k: int) -> np.ndarray:
+    """Bottom-k of the 64-bit row hashes, sorted ascending. Same
+    deterministic hash family as the HLL/partitioner paths, so sketches
+    are mergeable and partitioning-independent (bottom-k of a union is
+    assoc+comm)."""
+    h = pd.util.hash_pandas_object(values, index=False) \
+        .to_numpy().astype(np.uint64)
+    return np.unique(h)[:k]
+
+
+def _kmv_merge(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def _kmv_estimate(sk: np.ndarray, k: int) -> float:
+    """(k-1)/h_k when saturated, exact count below k."""
+    if len(sk) < k:
+        return float(len(sk))
+    return (k - 1) / (float(sk[k - 1]) / float(2**64))
+
+
+def kmv_set_cardinalities(ds_a, ds_b, col: str, k: int = 1024) -> dict:
+    """Distinct |A|, |B|, |A∪B|, |A∩B| estimates from one streaming
+    pass over each side: every batch emits its bottom-k hash row
+    (k*8 bytes), the driver folds them with the associative bottom-k
+    merge. The union sketch is the merge of the two sides; the
+    intersection follows from the Jaccard estimate |{x in union sketch
+    present in both sides}| / |union sketch| * |A∪B| (Beyer et al.).
+    Relative error ~1/sqrt(k) (~3% at k=1024)."""
+    def side_sketch(ds) -> np.ndarray:
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"sk": [_kmv_hashes(b[col].astype(str), k).tobytes()]})
+
+        def combine(p: pd.DataFrame) -> pd.DataFrame:
+            sk = np.empty(0, dtype=np.uint64)
+            for blob in p["sk"]:
+                sk = _kmv_merge(sk, np.frombuffer(blob, dtype=np.uint64), k)
+            return pd.DataFrame({"sk": [sk.tobytes()]})
+
+        parts = (ds.map_batches(partial, batch_format="pandas")
+                 .map_batches(combine, batch_format="pandas",
+                              batch_size=64).to_pandas())
+        sk = np.empty(0, dtype=np.uint64)
+        for blob in parts["sk"]:
+            sk = _kmv_merge(sk, np.frombuffer(blob, dtype=np.uint64), k)
+        return sk
+
+    sa, sb = side_sketch(ds_a), side_sketch(ds_b)
+    su = _kmv_merge(sa, sb, k)
+    n_a, n_b = _kmv_estimate(sa, k), _kmv_estimate(sb, k)
+    n_union = _kmv_estimate(su, k)
+    in_both = np.isin(su, sa) & np.isin(su, sb)
+    jaccard = float(in_both.sum()) / max(len(su), 1)
+    return {"n_a": n_a, "n_b": n_b, "n_union": n_union,
+            "n_intersect": jaccard * n_union, "jaccard": jaccard}
+
+
 def grouped_value_quantiles(ds, group_col: str, value_col: str,
                             qs=(0.25, 0.5, 0.75),
                             num_partitions: int | None = None):

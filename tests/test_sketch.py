@@ -219,3 +219,68 @@ def test_events_type_distinct_hll_query(ray_session):
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["n_exact"].tolist() == want["n"].tolist()  # exact twin
     assert (got["rel_err"] < 0.05).all()
+
+
+def test_kmv_set_cardinalities_accuracy(ray_session):
+    """Planted overlap: |A|=30k, |B|=12k, |A∩B|=6k. KMV at k=1024 must
+    land within ~3/sqrt(k) of each exact cardinality, and be
+    partitioning-independent (bottom-k merge is assoc+comm)."""
+    import ray.data
+
+    from north_cloud_ray.stages.sketch import kmv_set_cardinalities
+
+    rng = np.random.default_rng(17)
+    a_ids = np.arange(30_000)
+    b_ids = np.arange(24_000, 36_000)  # overlap = 24k..30k -> 6k
+    da = pd.DataFrame({"u": rng.permutation(np.repeat(a_ids, 2))})
+    db = pd.DataFrame({"u": rng.permutation(np.repeat(b_ids, 3))})
+
+    def run(pa_, pb_):
+        return kmv_set_cardinalities(
+            ray.data.from_pandas(da).repartition(pa_),
+            ray.data.from_pandas(db).repartition(pb_), "u", k=1024)
+
+    est = run(4, 7)
+    est2 = run(9, 3)
+    assert est == est2  # partitioning-independent
+    tol = 3.0 / np.sqrt(1024)  # ~9.4% (3 sigma)
+    for key, truth in (("n_a", 30_000), ("n_b", 12_000),
+                       ("n_union", 36_000), ("n_intersect", 6_000)):
+        assert abs(est[key] - truth) / truth < tol, (key, est[key])
+
+
+def test_kmv_below_k_exact(ray_session):
+    """Sides smaller than k: every estimate is exact (sketch holds all
+    distinct hashes)."""
+    import ray.data
+
+    from north_cloud_ray.stages.sketch import kmv_set_cardinalities
+
+    da = pd.DataFrame({"u": np.arange(300)})
+    db = pd.DataFrame({"u": np.arange(200, 500)})
+    est = kmv_set_cardinalities(ray.data.from_pandas(da).repartition(3),
+                                ray.data.from_pandas(db).repartition(2),
+                                "u", k=1024)
+    assert est["n_a"] == 300 and est["n_b"] == 300
+    assert est["n_union"] == 500 and round(est["n_intersect"]) == 100
+
+
+def test_events_cohort_overlap_kmv_query(ray_session):
+    from north_cloud_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["events_cohort_overlap_kmv"](SF)
+    want = duckdb.sql(f"""
+        WITH f AS (
+          SELECT user_id,
+                 MAX(event_type = 'click')    AS a,
+                 MAX(event_type = 'purchase') AS b
+          FROM '{SF}/events.parquet' GROUP BY 1)
+        SELECT SUM(a::INT) n_a, SUM(b::INT) n_b,
+               SUM((a OR b)::INT) n_union, SUM((a AND b)::INT) n_int
+        FROM f""").df().iloc[0]
+    m = dict(zip(got["measure"], got["n_exact"]))
+    assert m == {"n_a": int(want["n_a"]), "n_b": int(want["n_b"]),
+                 "n_union": int(want["n_union"]),
+                 "n_intersect": int(want["n_int"])}
+    # at sf0.001 all cohorts are below k -> estimates near-exact
+    assert (got["rel_err"] < 0.05).all()
