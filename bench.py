@@ -318,7 +318,7 @@ def run_queries(sf_dir: str) -> dict:
         "user_value_trend", "event_value_mad",
         "doc_fuzzy_title_pairs", "events_rolling_sum",
         "lineitem_price_quantiles_kll", "events_type_distinct_hll",
-        "events_cohort_overlap_kmv",
+        "events_cohort_overlap_kmv", "lineitem_flag_price_quantiles_kll",
     ]
     import ray.data
 

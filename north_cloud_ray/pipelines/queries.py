@@ -713,6 +713,21 @@ def lineitem_price_quantiles_kll(sf_dir: str):
                          qs=(0.01, 0.25, 0.5, 0.75, 0.99), k=256)
 
 
+def lineitem_flag_price_quantiles_kll(sf_dir: str):
+    """Grouped KLL: per-l_returnflag price quantiles of the continuous
+    l_extendedprice column in ONE pass (stages/sketch.py
+    grouped_kll_quantiles) — per-group ~5 KB sketch blobs ride the
+    group-hash exchange instead of the values (the exact count-map
+    grouped quantiles need a bounded integer domain; this is the float
+    path). Rows-only; per-group rank error <= 1% asserted vs DuckDB
+    exact in tests/test_sketch.py."""
+    from ..stages.sketch import grouped_kll_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_kll_quantiles(li, "l_returnflag", "l_extendedprice",
+                                 qs=(0.25, 0.5, 0.75), k=256)
+
+
 def doc_token_stats(sf_dir: str):
     """Per-doc token/char/stopword stats through the TextStats actor pool (vectorized pandas-str kernels, stateful setup once per actor)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -4839,6 +4854,7 @@ QUERIES = {
     "lineitem_price_quantiles_kll": lineitem_price_quantiles_kll,
     "events_type_distinct_hll": events_type_distinct_hll,
     "events_cohort_overlap_kmv": events_cohort_overlap_kmv,
+    "lineitem_flag_price_quantiles_kll": lineitem_flag_price_quantiles_kll,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,

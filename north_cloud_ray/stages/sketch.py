@@ -495,6 +495,40 @@ def kll_quantiles(ds, col: str, qs, k: int = 256) -> pd.DataFrame:
                          "value": sk.quantiles(qs)})
 
 
+def grouped_kll_quantiles(ds, group_col: str, value_col: str, qs,
+                          k: int = 256,
+                          num_partitions: int | None = None):
+    """Per-group approximate quantiles of a CONTINUOUS column in one
+    pass: each batch emits one KLL blob per group it contains, the
+    group-hashed combine merges each group's sketches and reads the
+    quantiles. Complements grouped_value_quantiles (exact, but its
+    count-map exchange needs a bounded value domain) for float columns
+    where the count map would be as big as the data. Returns
+    (group, q, value); error ~1/k normalized rank per group."""
+    qs = tuple(qs)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in b.groupby(group_col, sort=False):
+            sk = KLLSketch(k)
+            sk.update(sub[value_col].to_numpy())
+            rows.append((g, sk.to_bytes()))
+        return pd.DataFrame(rows, columns=[group_col, "sk"])
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in part.groupby(group_col, sort=False):
+            sk = KLLSketch(k)
+            for blob in sub["sk"]:
+                sk.merge(KLLSketch.from_bytes(blob))
+            vals = sk.quantiles(qs)
+            out.extend((g, float(q), float(v)) for q, v in zip(qs, vals))
+        return pd.DataFrame(out, columns=[group_col, "q", "value"])
+
+    return hash_grouped_agg(ds, [group_col], partial, combine,
+                            num_partitions)
+
+
 # ---- KMV (K-minimum-values / bottom-k) distinct sketch with set
 # operations (Bar-Yossef et al. 2002; Beyer et al., SIGMOD'07 —
 # public). HLL merges unions only; KMV sketches additionally estimate

@@ -284,3 +284,23 @@ def test_events_cohort_overlap_kmv_query(ray_session):
                  "n_intersect": int(want["n_int"])}
     # at sf0.001 all cohorts are below k -> estimates near-exact
     assert (got["rel_err"] < 0.05).all()
+
+
+def test_grouped_kll_query_rank_error(ray_session):
+    """Per-group one-pass KLL quantiles within 1% normalized rank error
+    of the per-group exact values at sf0.001."""
+    from north_cloud_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["lineitem_flag_price_quantiles_kll"](SF).to_pandas()
+    li = duckdb.sql(
+        f"SELECT l_returnflag, l_extendedprice "
+        f"FROM '{SF}/lineitem.parquet'").df()
+    flags = sorted(li["l_returnflag"].unique())
+    assert sorted(got["l_returnflag"].unique()) == flags
+    for flag, sub in li.groupby("l_returnflag"):
+        sv = np.sort(sub["l_extendedprice"].to_numpy())
+        g = got[got["l_returnflag"] == flag]
+        assert len(g) == 3
+        for q, v in zip(g["q"], g["value"]):
+            err = abs(np.searchsorted(sv, v) / len(sv) - q)
+            assert err <= 0.01, (flag, q, err)
