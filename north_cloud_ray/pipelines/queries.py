@@ -713,6 +713,37 @@ def lineitem_price_quantiles_kll(sf_dir: str):
                          qs=(0.01, 0.25, 0.5, 0.75, 0.99), k=256)
 
 
+def doc_compacted_roundtrip(sf_dir: str):
+    """Small-file compaction round trip (stages/compact.py): the
+    documents table is written as 48 tiny part files (the shape a
+    long crawl's fused sink leaves behind), compacted with the
+    crash-safe two-phase operator (marker -> atomic write -> member
+    delete, one Ray task per bin-packed group), and read back. Row
+    content is untouched by construction, so the result is SQL-hash
+    oracled: (doc_id, n_chars) straight from the compacted files —
+    and the query asserts the file count actually collapsed."""
+    import tempfile
+
+    import ray.data
+
+    from ..stages.compact import compact_dir, live_files
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="compact_docs_", dir="/tmp")
+    docs.repartition(48).write_parquet(tmp)
+    before = len(live_files(tmp))
+    stats = compact_dir(tmp, target_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < before, stats
+
+    out = ray.data.read_parquet(live_files(tmp))
+
+    def select(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_chars": b["text"].str.len().astype("int64")})
+
+    return out.map_batches(select, batch_format="pandas")
+
+
 def lineitem_flag_price_quantiles_kll(sf_dir: str):
     """Grouped KLL: per-l_returnflag price quantiles of the continuous
     l_extendedprice column in ONE pass (stages/sketch.py
@@ -4855,6 +4886,7 @@ QUERIES = {
     "events_type_distinct_hll": events_type_distinct_hll,
     "events_cohort_overlap_kmv": events_cohort_overlap_kmv,
     "lineitem_flag_price_quantiles_kll": lineitem_flag_price_quantiles_kll,
+    "doc_compacted_roundtrip": doc_compacted_roundtrip,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
@@ -5217,6 +5249,9 @@ ORACLE_SQL = {
                COUNT(*) FILTER (WHERE prev IS NULL OR ts - prev > INTERVAL 30 MINUTE) AS n_sessions,
                COUNT(*) AS n_events
         FROM x GROUP BY user_id
+    """,
+    "doc_compacted_roundtrip": """
+        SELECT doc_id, LENGTH(text) AS n_chars FROM documents
     """,
     "doc_token_stats": """
         SELECT doc_id, lang, LENGTH(text) AS n_chars,
