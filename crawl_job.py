@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sitemaps", action="store_true")
     p.add_argument("--classify", action="store_true",
                    help="classify documents after the crawl")
+    p.add_argument("--compact", action="store_true",
+                   help="compact per-task sink part files after the run "
+                        "(crash-safe; resume-safe to re-run)")
     args = p.parse_args(argv)
 
     import ray
@@ -67,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
         "out_dir": args.out,
         "resumed_from": runner.store.latest_committed_round() - summary["rounds"],
     }
+    if args.compact:
+        cstats = runner.compact_results()
+        out["compacted_files"] = sum(
+            s["files_before"] - s["files_after"] for s in cstats.values())
     if args.classify:
         from north_cloud_ray.stages.classify import classify_documents
 

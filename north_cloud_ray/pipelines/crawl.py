@@ -1026,3 +1026,32 @@ class CrawlRunner:
             glob.glob(os.path.join(self.store.state_dir(rnd), "frontier-shard-*.parquet"))
         )
         return ray.data.read_parquet(paths)
+
+    def compact_results(self, target_bytes: int | None = None) -> dict:
+        """Offline maintenance between crawl sessions: bin-pack each
+        finished round's ``results/`` and ``blobs/`` part files into
+        ~target-size files (stages/compact.py — crash-safe two-phase
+        protocol, one Ray task per group). A long recrawl run leaves
+        one part file per fetch task per round; downstream
+        ``documents_dataset`` reads pay per-file open cost until this
+        runs. Never run concurrently with an active round (the round's
+        own writers use the same directories). Returns per-directory
+        stats. Resume-safe: re-running after a mid-compaction crash
+        first recovers interrupted groups."""
+        import glob
+
+        from ..stages.compact import DEFAULT_TARGET_BYTES, compact_dir
+
+        tb = target_bytes or DEFAULT_TARGET_BYTES
+        stats: dict[str, dict] = {}
+        last = self.store.latest_committed_round()
+        for rnd in range(last + 1):
+            res = self.store.results_dir(rnd)
+            # top-level part files are the doc records; blobs/ is the
+            # S10 HTML archive (both read back via *.parquet globs, so
+            # compacted files are picked up with no reader change)
+            for label, d in (("results", res),
+                             ("blobs", os.path.join(res, "blobs"))):
+                if os.path.isdir(d) and glob.glob(os.path.join(d, "*.parquet")):
+                    stats[f"round-{rnd:04d}/{label}"] = compact_dir(d, tb)
+        return stats

@@ -127,3 +127,43 @@ def test_doc_compacted_roundtrip_oracle(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype({"n_chars": "int64"}), want.astype({"n_chars": "int64"}))
+
+
+def test_crawl_compact_results_preserves_documents(ray_session, tmp_path):
+    """CrawlRunner.compact_results collapses the fused sink's per-task
+    part files; documents_dataset (rows, bodies, dedup winners) is
+    byte-identical before and after."""
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+
+    out = str(tmp_path / "out")
+    runner = CrawlRunner(
+        out, CrawlConfig(num_shards=4, fetch_concurrency=2,
+                         fetch_batch_size=32, archive_html=True),
+        SyntheticWebConfig(n_hosts=8))
+    runner.run(max_rounds=3)
+
+    def snap():
+        return runner.documents_dataset().to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    before = snap()
+    n_blobs_before = runner.blobs_dataset().count()
+    import glob as _g
+    files_before = len(_g.glob(os.path.join(out, "rounds", "*",
+                                            "results", "*.parquet")))
+    stats = runner.compact_results(target_bytes=1 << 30)
+    files_after = len(_g.glob(os.path.join(out, "rounds", "*",
+                                           "results", "*.parquet")))
+    assert stats, "no directory was compacted"
+    assert files_after < files_before, (files_before, files_after)
+    # memoized winner map was computed pre-compaction; a fresh runner
+    # recomputes it over the compacted layout
+    runner2 = CrawlRunner(
+        out, CrawlConfig(num_shards=4, fetch_concurrency=2,
+                         fetch_batch_size=32, archive_html=True),
+        SyntheticWebConfig(n_hosts=8))
+    after = runner2.documents_dataset().to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    assert runner2.blobs_dataset().count() == n_blobs_before
