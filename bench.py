@@ -319,7 +319,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_fuzzy_title_pairs", "events_rolling_sum",
         "lineitem_price_quantiles_kll", "events_type_distinct_hll",
         "events_cohort_overlap_kmv", "lineitem_flag_price_quantiles_kll",
-        "doc_compacted_roundtrip",
+        "doc_compacted_roundtrip", "doc_erasure_roundtrip",
     ]
     import ray.data
 

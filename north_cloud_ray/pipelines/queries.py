@@ -744,6 +744,44 @@ def doc_compacted_roundtrip(sf_dir: str):
     return out.map_batches(select, batch_format="pandas")
 
 
+def doc_erasure_roundtrip(sf_dir: str):
+    """Targeted-erasure maintenance operator (stages/compact.py
+    delete_rows): the documents table is written as 24 part files, all
+    EVEN doc_ids are erased (containment probe per file reads one
+    column; only files that hit are rewritten via atomic replace, with
+    a parquet audit trail), and the survivors are read back. SQL-hash
+    oracled: (doc_id, n_chars) WHERE doc_id % 2 = 1 — plus in-query
+    asserts that the deletion is idempotent and audited."""
+    import tempfile
+
+    import ray.data
+
+    from ..stages.compact import delete_rows, live_files
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="erase_docs_", dir="/tmp")
+    docs.repartition(24).write_parquet(tmp)
+    ids = docs.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"][b["doc_id"] % 2 == 0]}),
+        batch_format="pandas").to_pandas()["doc_id"].tolist()
+    audit = f"{tmp}/_audit.parquet"
+    stats = delete_rows(tmp, "doc_id", ids, audit_path=audit)
+    assert stats["rows_deleted"] == len(ids), stats
+    again = delete_rows(tmp, "doc_id", ids, audit_path=audit)
+    assert again["rows_deleted"] == 0 and again["files_rewritten"] == 0
+    import pyarrow.parquet as _pq
+
+    assert _pq.read_table(audit).num_rows == len(ids)
+
+    out = ray.data.read_parquet(live_files(tmp))
+
+    def select(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_chars": b["text"].str.len().astype("int64")})
+
+    return out.map_batches(select, batch_format="pandas")
+
+
 def lineitem_flag_price_quantiles_kll(sf_dir: str):
     """Grouped KLL: per-l_returnflag price quantiles of the continuous
     l_extendedprice column in ONE pass (stages/sketch.py
@@ -4887,6 +4925,7 @@ QUERIES = {
     "events_cohort_overlap_kmv": events_cohort_overlap_kmv,
     "lineitem_flag_price_quantiles_kll": lineitem_flag_price_quantiles_kll,
     "doc_compacted_roundtrip": doc_compacted_roundtrip,
+    "doc_erasure_roundtrip": doc_erasure_roundtrip,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
@@ -5252,6 +5291,10 @@ ORACLE_SQL = {
     """,
     "doc_compacted_roundtrip": """
         SELECT doc_id, LENGTH(text) AS n_chars FROM documents
+    """,
+    "doc_erasure_roundtrip": """
+        SELECT doc_id, LENGTH(text) AS n_chars FROM documents
+        WHERE doc_id % 2 = 1
     """,
     "doc_token_stats": """
         SELECT doc_id, lang, LENGTH(text) AS n_chars,

@@ -101,7 +101,9 @@ def live_files(dirpath: str) -> list[str]:
     return sorted(
         os.path.join(dirpath, n) for n in names
         if n.endswith(".parquet") and not n.endswith(".tmp")
-        and n not in dead)
+        # underscore prefix = metadata sidecars (_SUCCESS, _audit, ...),
+        # the standard parquet-reader convention
+        and not n.startswith("_") and n not in dead)
 
 
 def plan_compaction(dirpath: str,
@@ -163,6 +165,81 @@ def compact_group(files: list[str]) -> str:
             pass
     os.unlink(_marker_path(dirpath, stem))
     return out
+
+
+def delete_rows(dirpath: str, col: str, values, *,
+                audit_path: str | None = None) -> dict:
+    """Targeted erasure over a partitioned parquet sink: rewrite ONLY
+    the files that actually contain a target value (cheap containment
+    probe per file: one column read, not the whole table), dropping the
+    matching rows via tmp + atomic replace. Idempotent — a re-run or a
+    retried task finds no matches and rewrites nothing. Distributed one
+    file per Ray Data task; the driver holds file names and the
+    (broadcast) target set only.
+
+    This is the right-to-be-forgotten / takedown maintenance operator a
+    long-lived corpus store needs: at 10^10 docs you cannot rewrite the
+    corpus to delete 10^3 ids, and with doc_id-clustered part files the
+    probe touches one column of each file and rewrites only the few
+    files that hit.
+
+    ``audit_path``: optional parquet file appended with one row per
+    deleted value (value, n_rows) — the tombstone/audit trail.
+    Returns {"files_scanned", "files_rewritten", "rows_deleted"}.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    vals = sorted(set(values))
+    if not vals:
+        return {"files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
+    files = live_files(dirpath)
+    vref = ray.put(pa.array(vals))
+
+    def one_file(b: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        out = []
+        targets = ray.get(vref)
+        for f in b["file"]:
+            probe = pq.read_table(f, columns=[col])
+            hit = pc.is_in(probe[col], value_set=targets)
+            n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+            if n_hit == 0:
+                out.append((f, False, 0, []))
+                continue
+            t = pq.read_table(f)
+            mask = pc.is_in(t[col], value_set=targets)
+            kept = t.filter(pc.invert(mask))
+            gone = t.filter(mask)[col].to_pylist()
+            tmp = f + ".tmp"
+            pq.write_table(kept, tmp)
+            os.replace(tmp, f)
+            out.append((f, True, n_hit, gone))
+        return pd.DataFrame(out, columns=["file", "rewritten", "n",
+                                          "deleted_vals"])
+
+    res = (ray.data.from_items([{"file": f} for f in files])
+           .map_batches(one_file, batch_format="pandas", batch_size=1)
+           .to_pandas())
+    if audit_path and res["n"].sum() > 0:
+        from collections import Counter
+
+        c = Counter(v for lst in res["deleted_vals"] for v in lst)
+        audit = pa.table({
+            "value": list(c.keys()),
+            "n_rows": pa.array(list(c.values()), type=pa.int64()),
+        })
+        if os.path.exists(audit_path):
+            audit = pa.concat_tables([pq.read_table(audit_path), audit])
+        tmp = audit_path + ".tmp"
+        pq.write_table(audit, tmp)
+        os.replace(tmp, audit_path)
+    return {"files_scanned": len(files),
+            "files_rewritten": int(res["rewritten"].sum()),
+            "rows_deleted": int(res["n"].sum())}
 
 
 def compact_dir(dirpath: str,

@@ -167,3 +167,54 @@ def test_crawl_compact_results_preserves_documents(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
     assert runner2.blobs_dataset().count() == n_blobs_before
+
+
+def test_delete_rows_targeted_and_idempotent(ray_session, tmp_path):
+    """Only files containing a target are rewritten (others byte-
+    identical), matching rows vanish, re-run deletes nothing, audit
+    trail carries one row per erased value."""
+    from north_cloud_ray.stages.compact import delete_rows
+
+    d = str(tmp_path / "sink")
+    _write_parts(d, n_files=6, rows_per=50)  # k ranges 0..299 by file
+    targets = [10, 11, 260]  # hit files 0 and 5 only
+    untouched = os.path.join(d, "part-002.parquet")
+    sig_before = open(untouched, "rb").read()
+    audit = str(tmp_path / "audit.parquet")
+
+    stats = delete_rows(d, "k", targets, audit_path=audit)
+    assert stats == {"files_scanned": 6, "files_rewritten": 2,
+                     "rows_deleted": 3}
+    assert open(untouched, "rb").read() == sig_before  # not rewritten
+    rows = _all_rows(d)
+    assert not rows["k"].isin(targets).any()
+    assert len(rows) == 300 - 3
+
+    again = delete_rows(d, "k", targets, audit_path=audit)
+    assert again["rows_deleted"] == 0 and again["files_rewritten"] == 0
+    aud = pq.read_table(audit).to_pandas().sort_values("value")
+    assert aud["value"].tolist() == sorted(targets)
+    assert (aud["n_rows"] == 1).all()
+
+
+def test_delete_rows_empty_targets(ray_session, tmp_path):
+    from north_cloud_ray.stages.compact import delete_rows
+
+    d = str(tmp_path / "sink")
+    _write_parts(d, n_files=2)
+    assert delete_rows(d, "k", []) == {
+        "files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
+
+
+def test_doc_erasure_roundtrip_oracle(ray_session):
+    from north_cloud_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES["doc_erasure_roundtrip"](SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(ORACLE_SQL["doc_erasure_roundtrip"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_chars": "int64"}), want.astype({"n_chars": "int64"}))
