@@ -782,6 +782,101 @@ def doc_erasure_roundtrip(sf_dir: str):
     return out.map_batches(select, batch_format="pandas")
 
 
+def events_pruned_read(sf_dir: str):
+    """Zone-map pruned range read (sources/pruned.py): the events table
+    is written time-clustered (sorted by ts -> range-partitioned
+    blocks -> disjoint per-file min/max), then a middle-third time
+    range is answered by opening ONLY the files whose footer [min,max]
+    intersects it (distributed metadata pass, no data pages) with the
+    row filter pushed down for edge exactness. The query asserts real
+    pruning happened (files_read < files_total) and returns per-type
+    counts — SQL-hash oracled with the same integer-us bound
+    arithmetic."""
+    import tempfile
+
+    from ..sources.pruned import pruned_read
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+            "event_type": b["event_type"],
+        })
+
+    ev_us = ev.map_batches(to_us, batch_format="pandas")
+    tmp = tempfile.mkdtemp(prefix="pruned_events_", dir="/tmp")
+    ev_us.sort("ts_us").write_parquet(tmp)
+
+    mm = ev_us.map_batches(
+        lambda b: pd.DataFrame({"mn": [b["ts_us"].min()],
+                                "mx": [b["ts_us"].max()]}),
+        batch_format="pandas").to_pandas()
+    mn, mx = int(mm["mn"].min()), int(mm["mx"].max())
+    lo = mn + (mx - mn) // 3
+    hi = mn + 2 * ((mx - mn) // 3)
+    ds, stats = pruned_read(tmp, "ts_us", lo, hi)
+    assert stats["files_read"] < stats["files_total"], stats
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).size() \
+             .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ..stages.agg import hash_grouped_agg
+
+    return hash_grouped_agg(ds, ["event_type"], partial, combine)
+
+
+def doc_evolved_read(sf_dir: str):
+    """Schema-evolution read (sources/pruned.py read_evolved): half the
+    documents are written in the OLD sink schema (no lang column), half
+    in the new one, into the same directory; read_evolved harmonizes
+    every file to the target schema (missing lang -> typed nulls) and
+    the query rolls up per-lang counts with NULL -> 'unknown'. SQL-hash
+    oracled via the same doc_id%2 rule."""
+    import tempfile
+
+    from ..sources.pruned import read_evolved
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    tmp = tempfile.mkdtemp(prefix="evolved_docs_", dir="/tmp")
+    docs.map_batches(
+        lambda b: b.loc[b["doc_id"] % 2 == 0, ["doc_id"]],
+        batch_format="pandas").write_parquet(f"{tmp}/v1")
+    docs.map_batches(
+        lambda b: b.loc[b["doc_id"] % 2 != 0],
+        batch_format="pandas").write_parquet(f"{tmp}/v2")
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{tmp}/v1/*.parquet")
+                   + _glob.glob(f"{tmp}/v2/*.parquet"))
+    target = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    ds = read_evolved(files, target)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lang = b["lang"].fillna("unknown")
+        g = pd.DataFrame({"lang": lang}).groupby(
+            "lang", as_index=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("lang", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ..stages.agg import hash_grouped_agg
+
+    return hash_grouped_agg(ds, ["lang"], partial, combine)
+
+
 def lineitem_flag_price_quantiles_kll(sf_dir: str):
     """Grouped KLL: per-l_returnflag price quantiles of the continuous
     l_extendedprice column in ONE pass (stages/sketch.py
@@ -4926,6 +5021,8 @@ QUERIES = {
     "lineitem_flag_price_quantiles_kll": lineitem_flag_price_quantiles_kll,
     "doc_compacted_roundtrip": doc_compacted_roundtrip,
     "doc_erasure_roundtrip": doc_erasure_roundtrip,
+    "events_pruned_read": events_pruned_read,
+    "doc_evolved_read": doc_evolved_read,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
     "embedding_label_stats": embedding_label_stats,
@@ -5295,6 +5392,21 @@ ORACLE_SQL = {
     "doc_erasure_roundtrip": """
         SELECT doc_id, LENGTH(text) AS n_chars FROM documents
         WHERE doc_id % 2 = 1
+    """,
+    "events_pruned_read": """
+        WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+                   FROM events),
+             r AS (SELECT mn + (mx - mn) // 3 AS lo,
+                          mn + 2 * ((mx - mn) // 3) AS hi FROM b)
+        SELECT event_type, COUNT(*) AS n
+        FROM events, r
+        WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi
+        GROUP BY event_type
+    """,
+    "doc_evolved_read": """
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE lang END AS lang,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1
     """,
     "doc_token_stats": """
         SELECT doc_id, lang, LENGTH(text) AS n_chars,

@@ -1,0 +1,135 @@
+"""Zone-map file pruning and schema-evolution reads over parquet sinks.
+
+Two read-side capabilities a long-lived partitioned store needs:
+
+- **Zone-map pruned read**: parquet footers already carry per-column
+  min/max statistics; when the sink is written clustered on a column
+  (the crawl sink clusters on round/shard, an events sink on time), a
+  range query should open ONLY the files whose [min, max] intersects
+  the range. The metadata pass is itself distributed (one footer read
+  per task, light (file, min, max, rows) rows back) so 10^5-file
+  directories never serialize footer IO on the driver; the data pass
+  then reads just the surviving files WITH the row-level filter pushed
+  down for exactness at the file edges.
+
+- **Schema-evolution read**: a sink written over months gains columns
+  (the frontier gained ``unchanged_count`` in round 3). ``read_evolved``
+  reads heterogeneous part files one-per-task and harmonizes every
+  batch to a target schema — missing columns become typed nulls,
+  present columns are safely cast, order is fixed — so downstream
+  operators see ONE schema without rewriting history.
+
+Both compose with stages/compact.py: compaction preserves footers'
+usefulness only if groups are packed from contiguously-clustered files,
+which first-fit-decreasing over sorted names approximates for
+time-stemmed sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _paths(dir_or_paths) -> list[str]:
+    if isinstance(dir_or_paths, str):
+        from ..stages.compact import live_files
+
+        return live_files(dir_or_paths)
+    return sorted(dir_or_paths)
+
+
+def file_zone_map(dir_or_paths, col: str):
+    """Distributed footer scan: one row per file with the column's
+    min/max/rows pulled from parquet metadata ONLY (no data pages are
+    read). Returns a small pandas DataFrame (file, vmin, vmax, n_rows);
+    files lacking statistics for the column get vmin=vmax=None and are
+    never pruned (safe default)."""
+    import ray.data
+
+    files = _paths(dir_or_paths)
+
+    def footer(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for f in b["file"]:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            vmin = vmax = None
+            n = md.num_rows
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                vmin = st.min if vmin is None else min(vmin, st.min)
+                vmax = st.max if vmax is None else max(vmax, st.max)
+            if not ok:
+                vmin = vmax = None
+            out.append((f, vmin, vmax, n))
+        return pd.DataFrame(out, columns=["file", "vmin", "vmax", "n_rows"])
+
+    if not files:
+        return pd.DataFrame(columns=["file", "vmin", "vmax", "n_rows"])
+    return (ray.data.from_items([{"file": f} for f in files])
+            .map_batches(footer, batch_format="pandas", batch_size=64)
+            .to_pandas())
+
+
+def pruned_read(dir_or_paths, col: str, lo, hi, columns=None):
+    """Range read with file-level zone-map pruning + row-level filter
+    pushdown: open only files whose [min, max] intersects [lo, hi],
+    then filter rows exactly (inclusive bounds). Returns (Dataset,
+    stats) where stats reports files_total / files_read — the measure
+    of how much IO the clustering saved."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    zm = file_zone_map(dir_or_paths, col)
+    no_stats = zm["vmin"].isna()
+    hit = no_stats | ((zm["vmax"] >= lo) & (zm["vmin"] <= hi))
+    keep = zm.loc[hit, "file"].tolist()
+    stats = {"files_total": len(zm), "files_read": len(keep)}
+    flt = (pc.field(col) >= lo) & (pc.field(col) <= hi)
+    if not keep:
+        first = _paths(dir_or_paths)[0]
+        empty = pq.read_schema(first).empty_table()
+        if columns:
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty), stats
+    ds = ray.data.read_parquet(keep, filter=flt, columns=columns)
+    return ds, stats
+
+
+def read_evolved(dir_or_paths, target_schema: pa.Schema):
+    """Read part files with HETEROGENEOUS schemas into one Dataset of
+    ``target_schema``: one file per task; per batch, missing columns
+    are appended as typed nulls, present ones safe-cast, order fixed.
+    Extra columns not in the target are dropped (read-time projection).
+    """
+    import ray.data
+
+    files = _paths(dir_or_paths)
+    names = target_schema.names
+
+    def harmonize(b: pd.DataFrame) -> pa.Table:
+        out = []
+        for f in b["file"]:
+            t = pq.read_table(f)
+            cols = []
+            for name in names:
+                typ = target_schema.field(name).type
+                if name in t.column_names:
+                    cols.append(t[name].cast(typ))
+                else:
+                    cols.append(pa.nulls(t.num_rows, type=typ))
+            out.append(pa.Table.from_arrays(cols, names=names))
+        return pa.concat_tables(out)
+
+    if not files:
+        return ray.data.from_arrow(target_schema.empty_table())
+    return (ray.data.from_items([{"file": f} for f in files])
+            .map_batches(harmonize, batch_format="pandas", batch_size=1))
