@@ -320,7 +320,7 @@ def run_queries(sf_dir: str) -> dict:
         "lineitem_price_quantiles_kll", "events_type_distinct_hll",
         "events_cohort_overlap_kmv", "lineitem_flag_price_quantiles_kll",
         "doc_compacted_roundtrip", "doc_erasure_roundtrip",
-        "events_pruned_read", "doc_evolved_read",
+        "events_pruned_read", "doc_evolved_read", "events_zorder_pruned",
     ]
     import ray.data
 

@@ -834,6 +834,69 @@ def events_pruned_read(sf_dir: str):
     return hash_grouped_agg(ds, ["event_type"], partial, combine)
 
 
+def events_zorder_pruned(sf_dir: str):
+    """Z-order (Morton) clustered layout (sources/pruned.py
+    write_zordered): events are written sorted by the interleaved
+    (user_id, ts_us) key, so zone-map pruning works on EITHER
+    dimension — the query proves both (files_read < files_total for a
+    user range AND for a time range; a single-column sort can only
+    prune its own key), then answers the user-range per-type counts
+    from the pruned read. SQL-hash oracled with the same integer bound
+    arithmetic; layout affects IO only, the pushed-down row filter
+    keeps edges exact."""
+    import tempfile
+
+    from ..sources.pruned import pruned_read, write_zordered
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"],
+               blocks=16)
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+        })
+
+    ev_us = ev.map_batches(to_us, batch_format="pandas")
+    tmp = tempfile.mkdtemp(prefix="zorder_events_", dir="/tmp")
+    write_zordered(ev_us, "user_id", "ts_us", tmp)
+
+    mm = ev_us.map_batches(
+        lambda b: pd.DataFrame({
+            "umn": [b["user_id"].min()], "umx": [b["user_id"].max()],
+            "tmn": [b["ts_us"].min()], "tmx": [b["ts_us"].max()]}),
+        batch_format="pandas").to_pandas()
+    umn, umx = int(mm["umn"].min()), int(mm["umx"].max())
+    tmn, tmx = int(mm["tmn"].min()), int(mm["tmx"].max())
+    ulo = umn + (umx - umn) // 3
+    uhi = umn + 2 * ((umx - umn) // 3)
+    # both dimensions must prune under the one layout
+    _, tstats = pruned_read(tmp, "ts_us",
+                            tmn + (tmx - tmn) // 3,
+                            tmn + 2 * ((tmx - tmn) // 3))
+    ds, ustats = pruned_read(tmp, "user_id", ulo, uhi,
+                             columns=["user_id", "event_type"])
+    if ustats["files_total"] >= 8:
+        assert ustats["files_read"] < ustats["files_total"], ustats
+        assert tstats["files_read"] < tstats["files_total"], tstats
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).size() \
+             .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ..stages.agg import hash_grouped_agg
+
+    return hash_grouped_agg(ds, ["event_type"], partial, combine)
+
+
 def doc_evolved_read(sf_dir: str):
     """Schema-evolution read (sources/pruned.py read_evolved): half the
     documents are written in the OLD sink schema (no lang column), half
@@ -5022,6 +5085,7 @@ QUERIES = {
     "doc_compacted_roundtrip": doc_compacted_roundtrip,
     "doc_erasure_roundtrip": doc_erasure_roundtrip,
     "events_pruned_read": events_pruned_read,
+    "events_zorder_pruned": events_zorder_pruned,
     "doc_evolved_read": doc_evolved_read,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
@@ -5407,6 +5471,16 @@ ORACLE_SQL = {
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE lang END AS lang,
                COUNT(*) AS n
         FROM documents GROUP BY 1
+    """,
+    "events_zorder_pruned": """
+        WITH b AS (SELECT MIN(user_id) AS mn, MAX(user_id) AS mx
+                   FROM events),
+             r AS (SELECT mn + (mx - mn) // 3 AS lo,
+                          mn + 2 * ((mx - mn) // 3) AS hi FROM b)
+        SELECT event_type, COUNT(*) AS n
+        FROM events, r
+        WHERE user_id >= lo AND user_id <= hi
+        GROUP BY event_type
     """,
     "doc_token_stats": """
         SELECT doc_id, lang, LENGTH(text) AS n_chars,

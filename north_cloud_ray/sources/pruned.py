@@ -104,6 +104,69 @@ def pruned_read(dir_or_paths, col: str, lo, hi, columns=None):
     return ds, stats
 
 
+def _spread_bits32(x: "np.ndarray") -> "np.ndarray":
+    """Interleave a zero bit after every bit of a 32-bit int (Morton
+    spread, the standard magic-mask ladder) -> uint64."""
+    import numpy as np
+
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def zorder_key(a, b, a_min, a_max, b_min, b_max) -> "np.ndarray":
+    """64-bit Morton (Z-order) key of two numeric columns, each
+    min-max-normalized to 32 bits. Normalization is float64 — fine for
+    LAYOUT (clustering quality), never for correctness: readers always
+    re-filter rows exactly, the key only decides which file a row lands
+    in."""
+    import numpy as np
+
+    def norm(v, lo, hi):
+        v = np.asarray(v, dtype=np.float64)
+        span = max(float(hi) - float(lo), 1.0)
+        return np.clip((v - float(lo)) / span * 0xFFFFFFFF,
+                       0, 0xFFFFFFFF).astype(np.uint64)
+
+    return (_spread_bits32(norm(a, a_min, a_max))
+            | (_spread_bits32(norm(b, b_min, b_max)) << np.uint64(1)))
+
+
+def write_zordered(ds, col_a: str, col_b: str, out_dir: str) -> None:
+    """Z-order-clustered write: one stats pass for the two columns'
+    min/max (tiny partial rows), a map-side Morton key, a sort on the
+    key (range partitioning -> spatially-local files), key dropped at
+    write. After this, ``pruned_read`` on EITHER column skips files —
+    the multi-dimensional layout a single-column sort can't give."""
+    import numpy as np
+
+    mm = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "a_min": [b[col_a].min()], "a_max": [b[col_a].max()],
+            "b_min": [b[col_b].min()], "b_max": [b[col_b].max()]}),
+        batch_format="pandas").to_pandas()
+    a_min, a_max = mm["a_min"].min(), mm["a_max"].max()
+    b_min, b_max = mm["b_min"].min(), mm["b_max"].max()
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # uint64 keys sort wrong as pandas int64; shift to signed order-
+        # preserving int64 (subtract 2^63 via xor of the sign bit)
+        zk = zorder_key(b[col_a].to_numpy(), b[col_b].to_numpy(),
+                        a_min, a_max, b_min, b_max)
+        b["_zkey"] = (zk ^ np.uint64(1 << 63)).view(np.int64)
+        return b
+
+    (ds.map_batches(add_key, batch_format="pandas")
+       .sort("_zkey")
+       .drop_columns(["_zkey"])
+       .write_parquet(out_dir))
+
+
 def read_evolved(dir_or_paths, target_schema: pa.Schema):
     """Read part files with HETEROGENEOUS schemas into one Dataset of
     ``target_schema``: one file per task; per batch, missing columns

@@ -107,3 +107,56 @@ def test_doc_evolved_read_oracle(ray_session):
         .sort_values("lang").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype({"n": "int64"}),
                                   want.astype({"n": "int64"}))
+
+
+def test_zorder_key_locality():
+    """Morton key unit properties: interleaving is exact on small ints,
+    and nearby (a,b) points get nearby keys while far points don't."""
+    from north_cloud_ray.sources.pruned import _spread_bits32, zorder_key
+
+    x = np.array([0b101, 0b11], dtype=np.uint64)
+    assert _spread_bits32(x).tolist() == [0b10001, 0b101]
+    # key of (max,max) has all 64 bits of both normalized dims set
+    k = zorder_key(np.array([10]), np.array([10]), 0, 10, 0, 10)
+    assert k[0] == np.uint64(0xFFFFFFFFFFFFFFFF)
+    k0 = zorder_key(np.array([0]), np.array([0]), 0, 10, 0, 10)
+    assert k0[0] == 0
+
+
+def test_zorder_prunes_both_dimensions(ray_session, tmp_path):
+    """A grid of (a, b) points written z-ordered into 16 files: a range
+    on EITHER dimension alone must skip files; the read stays exact."""
+    import ray.data
+
+    from north_cloud_ray.sources.pruned import pruned_read, write_zordered
+
+    rng = np.random.default_rng(23)
+    n = 40_000
+    df = pd.DataFrame({"a": rng.integers(0, 1000, n),
+                       "b": rng.integers(0, 1000, n)})
+    d = str(tmp_path / "z")
+    write_zordered(ray.data.from_pandas(df).repartition(16), "a", "b", d)
+
+    for col in ("a", "b"):
+        ds, stats = pruned_read(d, col, 100, 299)
+        assert stats["files_total"] >= 8
+        assert stats["files_read"] < stats["files_total"], (col, stats)
+        got = ds.to_pandas()
+        want = df[(df[col] >= 100) & (df[col] <= 299)]
+        assert len(got) == len(want)
+        assert got[col].between(100, 299).all()
+        # full content equality, not just counts
+        gs = got.sort_values(["a", "b"]).reset_index(drop=True)
+        ws = want.sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs, ws)
+
+
+def test_events_zorder_pruned_oracle(ray_session):
+    from north_cloud_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["events_zorder_pruned"](SF).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    want = _oracle(SF, "events_zorder_pruned") \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}),
+                                  want.astype({"n": "int64"}))
