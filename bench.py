@@ -321,6 +321,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_cohort_overlap_kmv", "lineitem_flag_price_quantiles_kll",
         "doc_compacted_roundtrip", "doc_erasure_roundtrip",
         "events_pruned_read", "doc_evolved_read", "events_zorder_pruned",
+        "events_late_data",
     ]
     import ray.data
 

@@ -782,6 +782,103 @@ def doc_erasure_roundtrip(sf_dir: str):
     return out.map_batches(select, batch_format="pandas")
 
 
+def events_late_data(sf_dir: str):
+    """Watermark / late-data semantics (§2.9 streaming-as-batch): each
+    event arrives with a deterministic hash-jittered delay (0-2 h,
+    mirrored exactly in the oracle), the watermark is the running max
+    event-time over everything that arrived EARLIER, and an event is
+    late when its own time trails the watermark by more than the 1 h
+    allowed lateness. The global ordered prefix-max is mega-key-safe:
+    arrival-time-bucketed local prefix-maxes + a 64-row cross-bucket
+    offset table — the same two-exchange shape as the salted running
+    totals; no partition ever holds the whole stream. Returns per-type
+    (n_total, n_late); SQL-hash oracled against the window-function
+    form."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    NB = 64
+    LATE_US = 3600 * 1_000_000
+    I64MIN = np.iinfo(np.int64).min
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[us]").astype("int64")
+        jitter = (b["event_id"] * 2654435761) % 7200 * 1_000_000
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "ts_us": ts_us,
+            "arrival_us": ts_us + jitter.astype("int64"),
+            "event_type": b["event_type"],
+        })
+
+    rows = ev.map_batches(prep, batch_format="pandas")
+    mm = rows.map_batches(
+        lambda b: pd.DataFrame({"mn": [b["arrival_us"].min()],
+                                "mx": [b["arrival_us"].max()]}),
+        batch_format="pandas").to_pandas()
+    mn, mx = int(mm["mn"].min()), int(mm["mx"].max())
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = ((b["arrival_us"] - mn) * NB
+                       // (mx - mn + 1)).astype("int64")
+        return b
+
+    rows = rows.map_batches(bucketize, batch_format="pandas")
+
+    def local_wm(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in part.groupby("bucket", sort=False):
+            s = sub.sort_values(["arrival_us", "event_id"],
+                                kind="mergesort")
+            ts = s["ts_us"].to_numpy()
+            wm = np.empty(len(ts), dtype=np.int64)
+            wm[0] = I64MIN
+            if len(ts) > 1:
+                np.maximum.accumulate(ts[:-1], out=wm[1:])
+            out.append(s.assign(local_wm=wm))
+        return pd.concat(out) if out else part.assign(
+            local_wm=pd.Series(dtype="int64"))
+
+    with_wm = hash_grouped_agg(rows, ["bucket"], lambda b: b, local_wm)
+
+    # 64-row cross-bucket offset table: exclusive prefix-max of each
+    # bucket's max event-time, in bucket (= arrival) order
+    bmax = hash_grouped_agg(
+        rows, ["bucket"],
+        lambda b: b.groupby("bucket", as_index=False)["ts_us"].max(),
+        lambda p: p.groupby("bucket", as_index=False)["ts_us"].max(),
+    ).to_pandas().sort_values("bucket")
+    offs = np.full(NB, I64MIN, dtype=np.int64)
+    run = I64MIN
+    for bkt, m in zip(bmax["bucket"], bmax["ts_us"]):
+        offs[int(bkt)] = run
+        run = max(run, int(m))
+    offs_list = offs.tolist()
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        wm = np.maximum(b["local_wm"].to_numpy(),
+                        np.asarray(offs_list, dtype=np.int64)[
+                            b["bucket"].to_numpy()])
+        seen = wm != I64MIN
+        late = seen & (b["ts_us"].to_numpy() < wm - LATE_US)
+        g = pd.DataFrame({"event_type": b["event_type"],
+                          "late": late.astype("int64")}) \
+            .groupby("event_type", as_index=False) \
+            .agg(n_total=("late", "size"), n_late=("late", "sum"))
+        g["n_total"] = g["n_total"].astype("int64")
+        return g
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", as_index=False)[["n_total", "n_late"]] \
+             .sum()
+        return g.astype({"n_total": "int64", "n_late": "int64"})
+
+    staged = with_wm.map_batches(finalize, batch_format="pandas")
+    return hash_grouped_agg(staged, ["event_type"],
+                            lambda b: b, combine)
+
+
 def events_pruned_read(sf_dir: str):
     """Zone-map pruned range read (sources/pruned.py): the events table
     is written time-clustered (sorted by ts -> range-partitioned
@@ -5086,6 +5183,7 @@ QUERIES = {
     "doc_erasure_roundtrip": doc_erasure_roundtrip,
     "events_pruned_read": events_pruned_read,
     "events_zorder_pruned": events_zorder_pruned,
+    "events_late_data": events_late_data,
     "doc_evolved_read": doc_evolved_read,
     "doc_stratified_sample": doc_stratified_sample,
     "knn_bruteforce": knn_bruteforce,
@@ -5471,6 +5569,25 @@ ORACLE_SQL = {
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE lang END AS lang,
                COUNT(*) AS n
         FROM documents GROUP BY 1
+    """,
+    "events_late_data": """
+        WITH a AS (
+          SELECT event_id, event_type, ts,
+                 epoch_us(ts)
+                 + ((event_id * 2654435761) % 7200) * 1000000 AS arrival_us
+          FROM events),
+        w AS (
+          SELECT event_type, ts,
+                 MAX(epoch_us(ts)) OVER (
+                   ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+          FROM a)
+        SELECT event_type,
+               COUNT(*) AS n_total,
+               SUM(CASE WHEN wm IS NOT NULL
+                         AND epoch_us(ts) < wm - 3600000000
+                        THEN 1 ELSE 0 END) AS n_late
+        FROM w GROUP BY event_type
     """,
     "events_zorder_pruned": """
         WITH b AS (SELECT MIN(user_id) AS mn, MAX(user_id) AS mx

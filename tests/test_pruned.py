@@ -160,3 +160,19 @@ def test_events_zorder_pruned_oracle(ray_session):
         .sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype({"n": "int64"}),
                                   want.astype({"n": "int64"}))
+
+
+def test_events_late_data_oracle(ray_session):
+    """Watermark/late-data vs the DuckDB window-function oracle; the
+    jittered arrival must exercise BOTH classes (some late, not all)."""
+    from north_cloud_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["events_late_data"](SF).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    want = _oracle(SF, "events_late_data") \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_total": "int64", "n_late": "int64"}),
+        want.astype({"n_total": "int64", "n_late": "int64"}))
+    assert got["n_late"].sum() > 0
+    assert got["n_late"].sum() < got["n_total"].sum()
