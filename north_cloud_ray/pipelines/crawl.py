@@ -74,6 +74,7 @@ from ..stages.fetch_parse import (
     fetch_parse_fn,
     light_shard_dir,
 )
+from ..stages.compact import live_files as _live_files
 from ..state.adaptive import adaptive_interval_us as _adaptive_interval_us
 from ..state.checkpoint import CheckpointStore
 
@@ -858,9 +859,15 @@ class CrawlRunner:
         import glob
 
         rnd = "*" if round_filter is None else f"round-{round_filter:04d}"
+        # live_files (not a bare glob): a crash between a compaction
+        # group's committed write and its member unlinks leaves BOTH the
+        # compacted file and members on disk — the marker-exclusion rule
+        # is what keeps this read duplicate-free without recovery
         paths = sorted(
-            glob.glob(os.path.join(self.store.root, "rounds", rnd,
-                                   "results", "*.parquet"))
+            p
+            for d in glob.glob(os.path.join(self.store.root, "rounds",
+                                            rnd, "results"))
+            for p in _live_files(d)
         )
         if not paths:  # no round produced a doc yet
             return ray.data.from_arrow(RESULT_SCHEMA.empty_table().select(
@@ -985,8 +992,12 @@ class CrawlRunner:
         (url_hash, url, host, crawled_at, html)."""
         import glob
 
-        paths = sorted(glob.glob(os.path.join(
-            self.store.root, "rounds", "*", "results", "blobs", "*.parquet")))
+        # marker-aware listing: see documents_dataset
+        paths = sorted(
+            p
+            for d in glob.glob(os.path.join(self.store.root, "rounds",
+                                            "*", "results", "blobs"))
+            for p in _live_files(d))
         if not paths:
             return ray.data.from_arrow(pa.table({
                 "url_hash": pa.array([], type=pa.string()),

@@ -89,8 +89,15 @@ def pruned_read(dir_or_paths, col: str, lo, hi, columns=None):
     import ray.data
 
     zm = file_zone_map(dir_or_paths, col)
+    # stats-less files are never pruned; compare only rows that HAVE
+    # stats (an all-None column arrives object-dtype, and a vectorized
+    # `None >= lo` would raise before the no_stats mask could shortcut)
     no_stats = zm["vmin"].isna()
-    hit = no_stats | ((zm["vmax"] >= lo) & (zm["vmin"] <= hi))
+    hit = no_stats.copy()
+    ok = ~no_stats
+    if ok.any():
+        hit[ok] = ((zm.loc[ok, "vmax"] >= lo)
+                   & (zm.loc[ok, "vmin"] <= hi))
     keep = zm.loc[hit, "file"].tolist()
     stats = {"files_total": len(zm), "files_read": len(keep)}
     flt = (pc.field(col) >= lo) & (pc.field(col) <= hi)
@@ -136,12 +143,14 @@ def zorder_key(a, b, a_min, a_max, b_min, b_max) -> "np.ndarray":
             | (_spread_bits32(norm(b, b_min, b_max)) << np.uint64(1)))
 
 
-def write_zordered(ds, col_a: str, col_b: str, out_dir: str) -> None:
+def write_zordered(ds, col_a: str, col_b: str, out_dir: str) -> dict:
     """Z-order-clustered write: one stats pass for the two columns'
     min/max (tiny partial rows), a map-side Morton key, a sort on the
     key (range partitioning -> spatially-local files), key dropped at
     write. After this, ``pruned_read`` on EITHER column skips files —
-    the multi-dimensional layout a single-column sort can't give."""
+    the multi-dimensional layout a single-column sort can't give.
+    Returns the computed bounds {a_min, a_max, b_min, b_max} so callers
+    deriving range predicates don't re-scan for them."""
     import numpy as np
 
     mm = ds.map_batches(
@@ -165,6 +174,8 @@ def write_zordered(ds, col_a: str, col_b: str, out_dir: str) -> None:
        .sort("_zkey")
        .drop_columns(["_zkey"])
        .write_parquet(out_dir))
+    return {"a_min": a_min, "a_max": a_max,
+            "b_min": b_min, "b_max": b_max}
 
 
 def read_evolved(dir_or_paths, target_schema: pa.Schema):

@@ -183,8 +183,14 @@ def delete_rows(dirpath: str, col: str, values, *,
     probe touches one column of each file and rewrites only the few
     files that hit.
 
-    ``audit_path``: optional parquet file appended with one row per
-    deleted value (value, n_rows) — the tombstone/audit trail.
+    ``audit_path``: optional DIRECTORY of audit sidecars — one parquet
+    per rewritten source file (value, n_rows, source_file), written
+    atomically BEFORE that file's data replace (audit-ahead). A crash
+    therefore never loses audit rows for data that was actually
+    deleted; the opposite window (audit written, replace not reached)
+    converges on re-run, which recomputes the identical sidecar
+    (deterministic stem, atomic overwrite) and then completes the
+    delete. Read the trail with ``read_audit(audit_path)``.
     Returns {"files_scanned", "files_rewritten", "rows_deleted"}.
     """
     import pandas as pd
@@ -196,6 +202,8 @@ def delete_rows(dirpath: str, col: str, values, *,
     if not vals:
         return {"files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
     files = live_files(dirpath)
+    if audit_path:
+        os.makedirs(audit_path, exist_ok=True)
     vref = ray.put(pa.array(vals))
 
     def one_file(b: pd.DataFrame) -> pd.DataFrame:
@@ -208,38 +216,54 @@ def delete_rows(dirpath: str, col: str, values, *,
             hit = pc.is_in(probe[col], value_set=targets)
             n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
             if n_hit == 0:
-                out.append((f, False, 0, []))
+                out.append((f, False, 0))
                 continue
             t = pq.read_table(f)
             mask = pc.is_in(t[col], value_set=targets)
             kept = t.filter(pc.invert(mask))
-            gone = t.filter(mask)[col].to_pylist()
+            gone = t.filter(mask)[col]
+            if audit_path:
+                from collections import Counter
+
+                c = Counter(gone.to_pylist())
+                audit = pa.table({
+                    "value": list(c.keys()),
+                    "n_rows": pa.array(list(c.values()), type=pa.int64()),
+                    "source_file": [os.path.basename(f)] * len(c),
+                })
+                apath = os.path.join(
+                    audit_path, os.path.basename(f) + ".audit.parquet")
+                atmp = apath + ".tmp"
+                pq.write_table(audit, atmp)
+                os.replace(atmp, apath)  # audit lands BEFORE the delete
             tmp = f + ".tmp"
             pq.write_table(kept, tmp)
             os.replace(tmp, f)
-            out.append((f, True, n_hit, gone))
-        return pd.DataFrame(out, columns=["file", "rewritten", "n",
-                                          "deleted_vals"])
+            out.append((f, True, n_hit))
+        return pd.DataFrame(out, columns=["file", "rewritten", "n"])
 
     res = (ray.data.from_items([{"file": f} for f in files])
            .map_batches(one_file, batch_format="pandas", batch_size=1)
            .to_pandas())
-    if audit_path and res["n"].sum() > 0:
-        from collections import Counter
-
-        c = Counter(v for lst in res["deleted_vals"] for v in lst)
-        audit = pa.table({
-            "value": list(c.keys()),
-            "n_rows": pa.array(list(c.values()), type=pa.int64()),
-        })
-        if os.path.exists(audit_path):
-            audit = pa.concat_tables([pq.read_table(audit_path), audit])
-        tmp = audit_path + ".tmp"
-        pq.write_table(audit, tmp)
-        os.replace(tmp, audit_path)
     return {"files_scanned": len(files),
             "files_rewritten": int(res["rewritten"].sum()),
             "rows_deleted": int(res["n"].sum())}
+
+
+def read_audit(audit_path: str):
+    """The erasure audit trail as one pyarrow Table (value, n_rows,
+    source_file); empty table when nothing was ever erased."""
+    import pyarrow as pa
+
+    files = sorted(
+        os.path.join(audit_path, n) for n in os.listdir(audit_path)
+        if n.endswith(".audit.parquet")) if os.path.isdir(audit_path) else []
+    if not files:
+        return pa.table({"value": pa.array([], type=pa.string()),
+                         "n_rows": pa.array([], type=pa.int64()),
+                         "source_file": pa.array([], type=pa.string())})
+    return pa.concat_tables([pq.read_table(f) for f in files],
+                            promote_options="default")
 
 
 def compact_dir(dirpath: str,

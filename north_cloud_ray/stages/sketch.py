@@ -581,6 +581,8 @@ def kmv_set_cardinalities(ds_a, ds_b, col: str, k: int = 1024) -> dict:
                  .map_batches(combine, batch_format="pandas",
                               batch_size=64).to_pandas())
         sk = np.empty(0, dtype=np.uint64)
+        if "sk" not in parts.columns:  # empty side: schema-less frame
+            return sk
         for blob in parts["sk"]:
             sk = _kmv_merge(sk, np.frombuffer(blob, dtype=np.uint64), k)
         return sk

@@ -172,15 +172,15 @@ def test_crawl_compact_results_preserves_documents(ray_session, tmp_path):
 def test_delete_rows_targeted_and_idempotent(ray_session, tmp_path):
     """Only files containing a target are rewritten (others byte-
     identical), matching rows vanish, re-run deletes nothing, audit
-    trail carries one row per erased value."""
-    from north_cloud_ray.stages.compact import delete_rows
+    trail carries one row per erased value with its source file."""
+    from north_cloud_ray.stages.compact import delete_rows, read_audit
 
     d = str(tmp_path / "sink")
     _write_parts(d, n_files=6, rows_per=50)  # k ranges 0..299 by file
     targets = [10, 11, 260]  # hit files 0 and 5 only
     untouched = os.path.join(d, "part-002.parquet")
     sig_before = open(untouched, "rb").read()
-    audit = str(tmp_path / "audit.parquet")
+    audit = str(tmp_path / "audit")
 
     stats = delete_rows(d, "k", targets, audit_path=audit)
     assert stats == {"files_scanned": 6, "files_rewritten": 2,
@@ -192,9 +192,11 @@ def test_delete_rows_targeted_and_idempotent(ray_session, tmp_path):
 
     again = delete_rows(d, "k", targets, audit_path=audit)
     assert again["rows_deleted"] == 0 and again["files_rewritten"] == 0
-    aud = pq.read_table(audit).to_pandas().sort_values("value")
+    aud = read_audit(audit).to_pandas().sort_values("value")
     assert aud["value"].tolist() == sorted(targets)
     assert (aud["n_rows"] == 1).all()
+    assert aud.loc[aud["value"] == 260, "source_file"].iloc[0] \
+        == "part-005.parquet"
 
 
 def test_delete_rows_empty_targets(ray_session, tmp_path):
@@ -218,3 +220,45 @@ def test_doc_erasure_roundtrip_oracle(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype({"n_chars": "int64"}), want.astype({"n_chars": "int64"}))
+
+
+def test_documents_dataset_excludes_committed_members(ray_session, tmp_path):
+    """A compaction that crashed between its committed write and member
+    cleanup must not double documents in documents_dataset (the reader
+    applies the marker-exclusion rule, not a bare glob)."""
+    import shutil
+
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+    from north_cloud_ray.stages.compact import _marker_path, _stem
+
+    out = str(tmp_path / "out")
+    runner = CrawlRunner(
+        out, CrawlConfig(num_shards=4, fetch_concurrency=2,
+                         fetch_batch_size=32),
+        SyntheticWebConfig(n_hosts=8))
+    runner.run(max_rounds=2)
+    before = runner.documents_dataset().to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # simulate the mid-crash state in one results dir: compacted file
+    # committed, members still on disk, marker present
+    import glob as _g
+
+    res = sorted(_g.glob(os.path.join(out, "rounds", "*", "results")))[0]
+    members = sorted(os.path.basename(p)
+                     for p in _g.glob(os.path.join(res, "*.parquet")))
+    assert members
+    stem = _stem(members)
+    t = pq.read_table([os.path.join(res, m) for m in members])
+    pq.write_table(t, os.path.join(res, stem + ".parquet"))
+    with open(_marker_path(res, stem), "w") as f:
+        json.dump({"members": members}, f)
+
+    runner2 = CrawlRunner(
+        out, CrawlConfig(num_shards=4, fetch_concurrency=2,
+                         fetch_batch_size=32),
+        SyntheticWebConfig(n_hosts=8))
+    after = runner2.documents_dataset().to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)

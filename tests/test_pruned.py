@@ -176,3 +176,22 @@ def test_events_late_data_oracle(ray_session):
         want.astype({"n_total": "int64", "n_late": "int64"}))
     assert got["n_late"].sum() > 0
     assert got["n_late"].sum() < got["n_total"].sum()
+
+
+def test_pruned_read_no_statistics_safe(ray_session, tmp_path):
+    """Files written without column statistics are never pruned and
+    never crash the read (documented safe default)."""
+    import pyarrow.parquet as pq
+
+    from north_cloud_ray.sources.pruned import pruned_read
+
+    d = str(tmp_path / "nostats")
+    os.makedirs(d)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"k": np.arange(i * 10, i * 10 + 10)}),
+            os.path.join(d, f"part-{i}.parquet"),
+            write_statistics=False)
+    ds, stats = pruned_read(d, "k", 100, 200)  # out of range entirely
+    assert stats == {"files_total": 3, "files_read": 3}  # nothing pruned
+    assert ds.count() == 0  # row filter still exact

@@ -304,3 +304,19 @@ def test_grouped_kll_query_rank_error(ray_session):
         for q, v in zip(g["q"], g["value"]):
             err = abs(np.searchsorted(sv, v) / len(sv) - q)
             assert err <= 0.01, (flag, q, err)
+
+
+def test_kmv_empty_side(ray_session):
+    """An empty side yields estimate 0 everywhere it should, not a
+    KeyError on the schema-less empty frame."""
+    import ray.data
+
+    from north_cloud_ray.stages.sketch import kmv_set_cardinalities
+
+    da = pd.DataFrame({"u": np.arange(100)})
+    db = pd.DataFrame({"u": np.arange(0)})
+    est = kmv_set_cardinalities(ray.data.from_pandas(da).repartition(2),
+                                ray.data.from_pandas(db).repartition(1),
+                                "u", k=256)
+    assert est["n_a"] == 100 and est["n_b"] == 0
+    assert est["n_union"] == 100 and est["n_intersect"] == 0
