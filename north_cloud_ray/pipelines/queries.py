@@ -4749,9 +4749,11 @@ def doc_graph_bfs(sf_dir: str):
         dst[1::2] = (dst[1::2] * 3 + 11) % n
         return pd.DataFrame({"src": src, "dst": dst})
 
-    seeds = docs.filter(lambda r: r["doc_id"] % 97 == 0).map_batches(
-        lambda b: pd.DataFrame({"node": b["doc_id"].to_numpy("int64")}),
-        batch_format="pandas")
+    def seed_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"node": ids[ids % 97 == 0]})
+
+    seeds = docs.map_batches(seed_rows, batch_format="pandas")
     out = bfs_hops(docs.map_batches(edges, batch_format="pandas"),
                    seeds, max_hops=4)
     return out.map_batches(

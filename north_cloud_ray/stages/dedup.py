@@ -181,10 +181,13 @@ def cluster_labels_distributed(pairs_ds, num_partitions: int = 8,
             lambda b: pd.DataFrame({"node": b["node"], "label": b["label"],
                                     "is_own": np.int8(1)}),
             batch_format="pandas")
+        # bound physical blocks each round — the union's block count
+        # otherwise grows every iteration and the sort-shuffle cost is
+        # superlinear in input blocks (see bfs_hops docstring)
         new_labels = hash_grouped_agg(
             msgs.union(own), ["node"], min_partial, min_combine,
             num_partitions,
-        ).materialize()
+        ).repartition(num_partitions).materialize()
         changed = new_labels.map_batches(
             lambda b: pd.DataFrame({"c": [int(b["changed"].sum())]}),
             batch_format="pandas",

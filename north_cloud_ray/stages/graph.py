@@ -205,7 +205,8 @@ def pagerank(
             r_tagged.union(e_tagged).groupby("_pkey")
             .map_groups(lambda p: contribs(p.drop(columns=["_pkey"])),
                         batch_format="pandas"),
-            ["node", "d"], csum, csum, num_partitions).materialize()
+            ["node", "d"], csum, csum, num_partitions
+        ).repartition(num_partitions).materialize()
         # the one driver-side scalar per iteration
         ddf = contrib.map_batches(
             lambda b: b[b["d"] == 1], batch_format="pandas").to_pandas()
@@ -227,8 +228,12 @@ def pagerank(
             lambda b: b.loc[b["d"] == 0, ["node", "c"]]
                        .assign(_tag=np.int8(1)),
             batch_format="pandas")
+        # re-bound the physical block count each iteration: nt/ct block
+        # counts add up through the union, and sort-shuffle cost grows
+        # superlinearly with input blocks (see bfs_hops docstring)
         ranks = hash_grouped_agg(nt.union(ct), ["node"], lambda b: b,
-                                 new_ranks, num_partitions).materialize()
+                                 new_ranks, num_partitions
+                                 ).repartition(num_partitions).materialize()
 
     return ranks
 
@@ -350,16 +355,25 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int,
     previously-reached node keeps its smaller hop), so visited-set
     subtraction is free. Nothing O(nodes) or O(edges) ever lands on the
     driver; the frontier/distance state stays a Dataset end to end.
-    Returns (node, hop) for every node reachable within max_hops."""
-    from .agg import hash_grouped_agg
+    Returns (node, hop) for every node reachable within max_hops.
+
+    Block-count discipline: each hop unions dist with cand (whose
+    lineage includes marks derived from dist), so without coalescing
+    the physical block count doubles per hop and the sort-based
+    groupby exchange — superlinear in block count — blows up
+    exponentially (measured 4.8 s -> 88.6 s over 4 hops at sf0.01).
+    The distance table is therefore re-bounded to the partition count
+    with a non-shuffle repartition at every materialize."""
+    from .agg import default_partitions, hash_grouped_agg
 
     CAND_EMPTY = pd.DataFrame({"node": pd.Series(dtype="int64"),
                                "hop": pd.Series(dtype="int64")})
 
+    n_parts = num_partitions or default_partitions()
     dist = seeds_ds.map_batches(
         lambda b: pd.DataFrame({"node": b[seed_col].to_numpy("int64"),
                                 "hop": np.int64(0)}),
-        batch_format="pandas").materialize()
+        batch_format="pandas").repartition(n_parts).materialize()
     frontier = dist
 
     def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -397,9 +411,11 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int,
 
         dist = hash_grouped_agg(dist.union(cand), ["node"],
                                 lambda b: b, min_merge,
-                                num_partitions).materialize()
-        frontier = dist.filter(
-            lambda r, h=hop: r["hop"] == h).materialize()
+                                num_partitions
+                                ).repartition(n_parts).materialize()
+        frontier = dist.map_batches(
+            lambda b, h=hop: b.loc[b["hop"] == h],
+            batch_format="pandas").materialize()
         if frontier.count() == 0:
             break
     return dist
