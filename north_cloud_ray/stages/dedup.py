@@ -120,11 +120,22 @@ def cluster_labels_distributed(pairs_ds, num_partitions: int = 8,
 
     from .agg import hash_grouped_agg
 
-    # symmetrical edge list: (node, nbr) in both directions
+    # symmetrical edge list: (node, nbr) in both directions. Integral
+    # object columns are normalized to int64: partition routing hashes
+    # raw values (hash_pandas_object), and object-boxed ints hash
+    # differently from int64 — mixed-dtype batches (e.g. one producer
+    # behind an Acero join, another pure-pandas) would split a node
+    # across combine partitions and break convergence.
     def sym(b: pd.DataFrame) -> pd.DataFrame:
+        a, bb = b["a"], b["b"]
+        if a.dtype == object:
+            try:
+                a, bb = a.astype("int64"), bb.astype("int64")
+            except (ValueError, TypeError):
+                pass
         return pd.DataFrame({
-            "node": pd.concat([b["a"], b["b"]], ignore_index=True),
-            "nbr": pd.concat([b["b"], b["a"]], ignore_index=True),
+            "node": pd.concat([a, bb], ignore_index=True),
+            "nbr": pd.concat([bb, a], ignore_index=True),
         })
 
     # materialized ONCE: every propagation round joins against the edge
@@ -399,28 +410,74 @@ def minhash_lsh_dedup(
     seed: int = 42,
     join_partitions: int = 8,
     dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD,
+    collapse_exact: bool = True,
 ):
     """Returns a Dataset of (doc_id, cluster_id) where cluster_id is the min
     doc_id of the near-dup cluster (singletons map to themselves).
 
-    Pipeline: minhash (text dropped) -> explode LIGHT band rows
+    Pipeline: minhash (text dropped) -> [collapse exact-sha classes to
+    their min-id representative] -> explode LIGHT band rows
     (id, band_id, band_hash int64 — ~24 bytes/row, not the 16x-replicated
     text payload) -> groupby(band_id, band_hash) -> candidate id pairs ->
     dedup pairs -> hash-join texts back by id (bounded candidate set) ->
-    verify true Jaccard once per pair -> min-label propagation.
+    verify true Jaccard once per pair -> min-label propagation ->
+    [expand labels back through the exact classes].
 
     Bucket equality classes are identical to hashing the raw band chunk, so
     clusters match the previous text-carrying implementation exactly (the
     verify step removes any extra hash-collision candidates).
+
+    ``collapse_exact`` (default on) is component-preserving, not a
+    heuristic: exact-duplicate texts have identical shingle sets, hence
+    identical signatures, mutual Jaccard 1 >= any threshold, and land in
+    every bucket together — so an exact class is always one clique inside
+    one component, and collapsing it to its min-id representative (then
+    re-expanding) yields byte-identical labels. Without it, an
+    identical-text swarm of size S contributes O(S^2) candidate pairs per
+    family — measured 50M+ candidates (a 377 GiB verify shuffle) on a
+    1M-doc rung with 200-wide template families; with it, each family
+    costs one light sha-keyed exchange row. The collapse adds one sha
+    pass + two light exchanges: signatures never re-ship text, and the
+    expansion is an id-keyed join of light (id, rep, label) rows.
     """
     import ray
 
     rows_per_band = n_perm // bands
 
-    sigged = ds.map_batches(
-        lambda b: minhash_batch(b, n_perm, shingle_k, seed, text_col, id_col),
-        batch_format="pandas",
-    )
+    def sig_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = minhash_batch(b, n_perm, shingle_k, seed, text_col, id_col)
+        if collapse_exact:
+            sha = hashlib.sha256
+            out["_sha"] = [sha((t or "").encode()).hexdigest()
+                           for t in b[text_col]]
+        return out
+
+    sigged = ds.map_batches(sig_rows, batch_format="pandas")
+
+    mapping = None
+    if collapse_exact:
+        from .agg import hash_grouped_agg as _hga
+
+        def rep_combine(p: pd.DataFrame) -> pd.DataFrame:
+            rep = p.groupby("_sha")[id_col].transform("min")
+            return pd.DataFrame({id_col: p[id_col].to_numpy(),
+                                 "_rep": rep.to_numpy()})
+
+        light = sigged.map_batches(lambda b: b[[id_col, "_sha"]],
+                                   batch_format="pandas")
+        mapping = _hga(light, ["_sha"], lambda b: b, rep_combine,
+                       join_partitions).materialize()
+
+        def keep_min_sig(b: pd.DataFrame) -> pd.DataFrame:
+            return b.sort_values(["_sha", id_col], kind="mergesort") \
+                    .drop_duplicates("_sha", keep="first")
+
+        # materialized: consumed by BOTH the band explode and the final
+        # rep-label assignment (lazy twins would re-run sig+collapse)
+        sigged = _hga(sigged, ["_sha"], keep_min_sig, keep_min_sig,
+                      join_partitions).map_batches(
+            lambda b: b.drop(columns=["_sha"]),
+            batch_format="pandas").materialize()
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -467,21 +524,31 @@ def minhash_lsh_dedup(
 
     from .agg import hash_grouped_agg
 
-    pairs_df = (
+    # Candidate pairs are deduped DISTRIBUTEDLY ((a,b)-keyed partials) and
+    # only pulled to the driver below the broadcast threshold: a template
+    # swarm (many docs pairwise at J~0.5, e.g. boilerplate families) rides
+    # the LSH S-curve into tens of millions of candidates — measured 50M+
+    # on a 1M-doc rung with 200-wide template families — and an
+    # unconditional to_pandas() here is an O(candidates) driver landing.
+    pairs_ds = hash_grouped_agg(
         hash_grouped_agg(exploded, ["band_id", "band_hash"],
-                         lambda b: b, bucket_candidates_part)
-        .to_pandas()
-        .drop_duplicates()
-    )
-    # The candidate-pair set is LSH-bounded and lands on the driver either
-    # way (union-find below). Verification strategy is size-adaptive:
+                         lambda b: b, bucket_candidates_part),
+        ["a", "b"],
+        lambda b: b.drop_duplicates(),
+        lambda p: p.drop_duplicates(),
+        join_partitions,
+    ).materialize()
+    n_cand = pairs_ds.count()
+    pairs_df = (pairs_ds.to_pandas()
+                if n_cand <= VERIFY_BROADCAST_THRESHOLD else None)
+    # Verification strategy is size-adaptive:
     # small pair sets broadcast the candidate-id set and pull back only the
     # candidates' shingle sets (no shuffle at all); huge pair sets fall back
     # to a distributed hash join of texts by id so per-pair text transfer
     # stays off the driver.
-    if len(pairs_df) == 0:
+    if n_cand == 0:
         verified = pairs_df
-    elif len(pairs_df) <= VERIFY_BROADCAST_THRESHOLD:
+    elif n_cand <= VERIFY_BROADCAST_THRESHOLD:
         cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
         ids_ref = ray.put(cand_ids)
 
@@ -499,6 +566,13 @@ def minhash_lsh_dedup(
         ]
         verified = pairs_df[mask]
     else:
+        # Partition count must scale with the pair count: each join
+        # partition CONCATENATES its pair rows (two attached texts each)
+        # into one Arrow table, and int32 string offsets overflow past
+        # 2 GiB per partition (measured at 50M pairs x ~600 B with the
+        # fixed default of 8). ~50k pairs/partition keeps a partition's
+        # text payload in the tens of MB.
+        parts_eff = max(join_partitions, 1 + n_cand // 50_000)
         texts = ds.map_batches(
             lambda b: b[[id_col, text_col]], batch_format="pandas"
         )
@@ -510,30 +584,57 @@ def minhash_lsh_dedup(
             lambda b: b.rename(columns={id_col: "_idb", text_col: "_text_b"}),
             batch_format="pandas",
         )
-        pairs = ray.data.from_pandas(pairs_df)
-        j = pairs.join(ta, join_type="inner", num_partitions=join_partitions,
-                       on=("a",), right_on=("_ida",))
-        j = j.join(tb, join_type="inner", num_partitions=join_partitions,
+        j = pairs_ds.join(ta, join_type="inner", num_partitions=parts_eff,
+                          on=("a",), right_on=("_ida",))
+        j = j.join(tb, join_type="inner", num_partitions=parts_eff,
                    on=("b",), right_on=("_idb",))
 
         def verify(batch: pd.DataFrame) -> pd.DataFrame:
-            keep_a, keep_b = [], []
-            for a, b, tA, tB in zip(batch["a"], batch["b"],
-                                    batch["_text_a"], batch["_text_b"]):
-                sa = set(shingle_hashes(tA or "", shingle_k).tolist())
-                sb = set(shingle_hashes(tB or "", shingle_k).tolist())
-                if jaccard(sa, sb) >= jaccard_threshold:
-                    keep_a.append(a)
-                    keep_b.append(b)
-            return pd.DataFrame({"a": pd.Series(keep_a, dtype=object),
-                                 "b": pd.Series(keep_b, dtype=object)})
+            # per-batch shingle memo: a doc in a swarm appears in MANY
+            # pairs of the same partition — shingle each distinct text
+            # once per batch, not once per pair
+            memo: dict = {}
+
+            def sh(t):
+                s = memo.get(t)
+                if s is None:
+                    s = memo[t] = set(
+                        shingle_hashes(t or "", shingle_k).tolist())
+                return s
+
+            # mask-select so a/b KEEP the join's Arrow-derived dtype:
+            # rebuilding as object Series makes hash_pandas_object route
+            # the same node id to a DIFFERENT partition than its int64
+            # twin rows, which splits nodes across combine partitions in
+            # cluster_labels_distributed and prevents convergence
+            keep = np.fromiter(
+                (jaccard(sh(tA), sh(tB)) >= jaccard_threshold
+                 for tA, tB in zip(batch["_text_a"], batch["_text_b"])),
+                dtype=bool, count=len(batch))
+            return batch.loc[keep, ["a", "b"]]
 
         # stays a Dataset: cluster_assign only pulls it to the driver when
         # the verified count is under the distributed-CC threshold
         verified = j.map_batches(verify, batch_format="pandas")
 
-    return cluster_assign(ds, id_col, verified, join_partitions,
-                          dist_cc_threshold)
+    if mapping is None:
+        return cluster_assign(ds, id_col, verified, join_partitions,
+                              dist_cc_threshold)
+
+    # label the representatives, then expand through the exact classes:
+    # member label = its rep's label (component min id == min over all
+    # members, since every member id >= its class's min-id rep)
+    labels_rep = cluster_assign(
+        sigged.map_batches(lambda b: b[[id_col]], batch_format="pandas"),
+        id_col, verified, join_partitions, dist_cc_threshold,
+    ).map_batches(
+        lambda b: b.rename(columns={id_col: "_lrep"}),
+        batch_format="pandas")
+    out = mapping.join(labels_rep, join_type="inner",
+                       num_partitions=join_partitions,
+                       on=("_rep",), right_on=("_lrep",))
+    return out.map_batches(lambda b: b[[id_col, "cluster_id"]],
+                           batch_format="pandas")
 
 
 # ---------------- simhash ----------------
@@ -772,20 +873,28 @@ def embedding_near_dup(
 
     from .agg import hash_grouped_agg
 
-    pairs_df = (
+    # distributed (a,b)-keyed dedup; driver pull only below the broadcast
+    # threshold — same rationale as minhash_lsh_dedup (an embedding swarm
+    # near the cosine threshold explodes the candidate set)
+    pairs_ds = hash_grouped_agg(
         hash_grouped_agg(exploded, ["table_id", "bucket"],
-                         lambda b: b, bucket_candidates_part)
-        .to_pandas()
-        .drop_duplicates()
-    )
+                         lambda b: b, bucket_candidates_part),
+        ["a", "b"],
+        lambda b: b.drop_duplicates(),
+        lambda p: p.drop_duplicates(),
+        join_partitions,
+    ).materialize()
+    n_cand = pairs_ds.count()
+    pairs_df = (pairs_ds.to_pandas()
+                if n_cand <= verify_broadcast_threshold else None)
 
     # verify is size-adaptive like minhash: bounded pair sets pull back
     # only the candidates' vectors for one driver-side einsum; above the
     # threshold the vectors are attached by a distributed hash join and
     # verified per batch, so driver memory never scales with candidates
-    if len(pairs_df) == 0:
+    if n_cand == 0:
         verified = pairs_df
-    elif len(pairs_df) <= verify_broadcast_threshold:
+    elif n_cand <= verify_broadcast_threshold:
         cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
         ids_ref = ray.put(cand_ids)
 
@@ -803,8 +912,6 @@ def embedding_near_dup(
         sims = np.einsum("ij,ij->i", V[ia], V[ib])
         verified = pairs_df[sims >= cosine_threshold]
     else:
-        import ray.data as rd
-
         # vectors ride the join as packed float64 bytes: Acero joins reject
         # tensor-extension payload columns, and bytes are also ~2x lighter
         # on the exchange than list<double>
@@ -824,10 +931,13 @@ def embedding_near_dup(
         vb = packed.map_batches(
             lambda b: b.rename(columns={"_ida": "_idb", "_vec_a": "_vec_b"}),
             batch_format="pandas")
-        pairs = rd.from_pandas(pairs_df).repartition(join_partitions)
-        j = pairs.join(va, join_type="inner", num_partitions=join_partitions,
-                       on=("a",), right_on=("_ida",))
-        j = j.join(vb, join_type="inner", num_partitions=join_partitions,
+        # scale partitions with the pair count: a join partition holds its
+        # pairs' packed vectors contiguously, and int32 binary offsets
+        # overflow past 2 GiB per partition (see minhash_lsh_dedup)
+        parts_eff = max(join_partitions, 1 + n_cand // 50_000)
+        j = pairs_ds.join(va, join_type="inner", num_partitions=parts_eff,
+                          on=("a",), right_on=("_ida",))
+        j = j.join(vb, join_type="inner", num_partitions=parts_eff,
                    on=("b",), right_on=("_idb",))
 
         def verify(batch: pd.DataFrame) -> pd.DataFrame:

@@ -387,3 +387,40 @@ def test_edit1_pairs_partition_independent(ray_session):
          .sort_values(["a", "b"]).reset_index(drop=True))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_minhash_collapse_exact_is_component_preserving(ray_session):
+    """collapse_exact (default on) must yield byte-identical labels to the
+    uncollapsed pipeline: exact-duplicate texts share shingle sets, hence
+    signatures and buckets, and always verify at J=1 — so collapsing each
+    exact class to its min-id rep and re-expanding cannot change
+    components. Built as an identical-text swarm (3 families x 40 copies),
+    the case that explodes O(S^2) candidates without the collapse."""
+    import ray.data as rd
+
+    base = pd.read_parquet(f"{SF001}/documents.parquet",
+                           columns=["doc_id", "text"]).head(25)
+    rows, nid = [], 0
+    for fam in range(3):  # identical-text swarms
+        for _ in range(40):
+            rows.append((nid, base.iloc[fam]["text"]))
+            nid += 1
+    for i in range(5):    # near-dup pairs (one appended token)
+        t = base.iloc[3 + i]["text"]
+        rows.append((nid, t)); nid += 1
+        rows.append((nid, t + " zz")); nid += 1
+    for i in range(10):   # unique docs (reversed text)
+        rows.append((nid, base.iloc[9 + i]["text"][::-1]))
+        nid += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ds = rd.from_pandas(df).repartition(6)
+
+    on = (minhash_lsh_dedup(ds, collapse_exact=True).to_pandas()
+          .astype({"doc_id": "int64", "cluster_id": "int64"})
+          .sort_values("doc_id").reset_index(drop=True))
+    off = (minhash_lsh_dedup(ds, collapse_exact=False).to_pandas()
+           .astype({"doc_id": "int64", "cluster_id": "int64"})
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(on, off, check_exact=True)
+    sizes = on.groupby("cluster_id").size().sort_values(ascending=False)
+    assert sizes.head(3).tolist() == [40, 40, 40]
