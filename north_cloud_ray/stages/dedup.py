@@ -415,30 +415,37 @@ def minhash_lsh_dedup(
     """Returns a Dataset of (doc_id, cluster_id) where cluster_id is the min
     doc_id of the near-dup cluster (singletons map to themselves).
 
-    Pipeline: minhash (text dropped) -> [collapse exact-sha classes to
-    their min-id representative] -> explode LIGHT band rows
-    (id, band_id, band_hash int64 — ~24 bytes/row, not the 16x-replicated
-    text payload) -> groupby(band_id, band_hash) -> candidate id pairs ->
-    dedup pairs -> hash-join texts back by id (bounded candidate set) ->
-    verify true Jaccard once per pair -> min-label propagation ->
-    [expand labels back through the exact classes].
+    Pipeline: minhash (text dropped) -> explode LIGHT band rows
+    (id, band_id, band_hash int64, text-hash int64 — ~32 bytes/row, not
+    the 16x-replicated text payload) -> groupby(band_id, band_hash) ->
+    candidate id pairs -> dedup pairs -> hash-join texts back by id
+    (bounded candidate set) -> verify true Jaccard once per pair ->
+    min-label propagation.
 
     Bucket equality classes are identical to hashing the raw band chunk, so
-    clusters match the previous text-carrying implementation exactly (the
-    verify step removes any extra hash-collision candidates).
+    clusters match a text-carrying implementation exactly (the verify step
+    removes any extra hash-collision candidates).
 
-    ``collapse_exact`` (default on) is component-preserving, not a
-    heuristic: exact-duplicate texts have identical shingle sets, hence
-    identical signatures, mutual Jaccard 1 >= any threshold, and land in
-    every bucket together — so an exact class is always one clique inside
-    one component, and collapsing it to its min-id representative (then
-    re-expanding) yields byte-identical labels. Without it, an
-    identical-text swarm of size S contributes O(S^2) candidate pairs per
-    family — measured 50M+ candidates (a 377 GiB verify shuffle) on a
-    1M-doc rung with 200-wide template families; with it, each family
-    costs one light sha-keyed exchange row. The collapse adds one sha
-    pass + two light exchanges: signatures never re-ship text, and the
-    expansion is an id-keyed join of light (id, rep, label) rows.
+    ``collapse_exact`` (default on) collapses exact-duplicate texts
+    INSIDE each band bucket: identical texts have identical shingle
+    sets, hence identical signatures, so a whole exact class lands
+    together in every bucket it occupies, and within a bucket the class
+    is grouped by the text hash carried on the band row. Each class
+    emits a (min-id -> member) STAR — tagged exact, verify skipped,
+    since identical texts have Jaccard 1 >= any threshold (including
+    two empty texts: ``jaccard`` defines J(∅,∅)=1, matching the
+    verify path) — plus ordinary all-pairs over the class
+    representatives only. A star has the same connectivity as the
+    clique the uncollapsed pipeline would build and verify, so
+    components (and min labels) are byte-identical. Without the
+    collapse, an identical-text swarm of size S contributes O(S^2)
+    candidate pairs per family — measured 50M+ candidates (a 377 GiB
+    verify shuffle) on a 1M-doc rung with 200-wide template families;
+    with it, each family costs O(S) light star rows. The only cost in
+    the no-swarm case is one sha256 per doc and +8 bytes per band row —
+    no extra exchange, barrier, or materialization. The 8-byte text
+    hash is collision-safe in context: a false star needs a 2^-64 text-
+    hash collision AND an LSH bucket collision on the same pair.
     """
     import ray
 
@@ -448,36 +455,14 @@ def minhash_lsh_dedup(
         out = minhash_batch(b, n_perm, shingle_k, seed, text_col, id_col)
         if collapse_exact:
             sha = hashlib.sha256
-            out["_sha"] = [sha((t or "").encode()).hexdigest()
-                           for t in b[text_col]]
+            out["_tsha"] = np.fromiter(
+                (int.from_bytes(sha((t or "").encode()).digest()[:8],
+                                "little", signed=True)
+                 for t in b[text_col]),
+                dtype=np.int64, count=len(b))
         return out
 
     sigged = ds.map_batches(sig_rows, batch_format="pandas")
-
-    mapping = None
-    if collapse_exact:
-        from .agg import hash_grouped_agg as _hga
-
-        def rep_combine(p: pd.DataFrame) -> pd.DataFrame:
-            rep = p.groupby("_sha")[id_col].transform("min")
-            return pd.DataFrame({id_col: p[id_col].to_numpy(),
-                                 "_rep": rep.to_numpy()})
-
-        light = sigged.map_batches(lambda b: b[[id_col, "_sha"]],
-                                   batch_format="pandas")
-        mapping = _hga(light, ["_sha"], lambda b: b, rep_combine,
-                       join_partitions).materialize()
-
-        def keep_min_sig(b: pd.DataFrame) -> pd.DataFrame:
-            return b.sort_values(["_sha", id_col], kind="mergesort") \
-                    .drop_duplicates("_sha", keep="first")
-
-        # materialized: consumed by BOTH the band explode and the final
-        # rep-label assignment (lazy twins would re-run sig+collapse)
-        sigged = _hga(sigged, ["_sha"], keep_min_sig, keep_min_sig,
-                      join_partitions).map_batches(
-            lambda b: b.drop(columns=["_sha"]),
-            batch_format="pandas").materialize()
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -489,38 +474,60 @@ def minhash_lsh_dedup(
         prime = np.uint64(0x100000001B3)
         for r in range(rows_per_band):
             h = (h ^ chunks[:, :, r]) * prime
-        return pd.DataFrame(
-            {
-                id_col: np.repeat(batch[id_col].to_numpy(), bands),
-                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
-                "band_hash": h.view(np.int64).ravel(),
-            }
-        )
+        cols = {
+            id_col: np.repeat(batch[id_col].to_numpy(), bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": h.view(np.int64).ravel(),
+        }
+        if collapse_exact:
+            cols["_tsha"] = np.repeat(batch["_tsha"].to_numpy(), bands)
+        return pd.DataFrame(cols)
 
     exploded = sigged.map_batches(explode_bands, batch_format="pandas")
 
     def bucket_candidates_part(part: pd.DataFrame) -> pd.DataFrame:
         """Unverified candidate id pairs for every LSH bucket in one hash
-        partition. Vectorized pre-filter: almost all buckets are singletons,
-        so the Python loop only touches buckets that actually collide —
-        not the O(rows) per-key dispatch of a generic grouped map."""
+        partition (hash_grouped_agg delivers complete buckets, and a
+        whole exact class shares every bucket, so per-bucket sha classes
+        are complete classes). Vectorized pre-filter: almost all buckets
+        are singletons, so the Python loop only touches buckets that
+        actually collide. Emits (a, b, x) with a < b; x=1 marks an
+        exact-class star edge that skips Jaccard verification."""
         empty = pd.DataFrame({"a": pd.Series(dtype=object),
-                              "b": pd.Series(dtype=object)})
+                              "b": pd.Series(dtype=object),
+                              "x": pd.Series(dtype=np.int8)})
         dup = part[part.duplicated(["band_id", "band_hash"], keep=False)]
         if dup.empty:
             return empty
-        out_a, out_b = [], []
+        out_a, out_b, out_x = [], [], []
         for _, g in dup.groupby(["band_id", "band_hash"], sort=False):
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
+            if collapse_exact:
+                gs = g.sort_values(["_tsha", id_col], kind="mergesort")
+                ids = gs[id_col].to_numpy()
+                tsh = gs["_tsha"].to_numpy()
+                first = np.r_[True, tsh[1:] != tsh[:-1]]
+                # rep of each row = first (min) id of its sha run
+                run_rep = ids[np.maximum.accumulate(
+                    np.where(first, np.arange(len(ids)), 0))]
+                star_b = ids[~first]
+                if len(star_b):
+                    out_a.append(run_rep[~first])  # rep < member: a < b
+                    out_b.append(star_b)
+                    out_x.append(np.ones(len(star_b), dtype=np.int8))
+                reps = np.sort(ids[first])
+            else:
+                reps = np.unique(g[id_col].to_numpy())
+            if len(reps) < 2:
                 continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
+            ii, jj = np.triu_indices(len(reps), k=1)
+            out_a.append(reps[ii])
+            out_b.append(reps[jj])
+            out_x.append(np.zeros(len(ii), dtype=np.int8))
         if not out_a:
             return empty
         return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+                             "b": np.concatenate(out_b),
+                             "x": np.concatenate(out_x)})
 
     from .agg import hash_grouped_agg
 
@@ -530,42 +537,57 @@ def minhash_lsh_dedup(
     # the LSH S-curve into tens of millions of candidates — measured 50M+
     # on a 1M-doc rung with 200-wide template families — and an
     # unconditional to_pandas() here is an O(candidates) driver landing.
+    # (a, b) determines x — a pair of fixed texts is either sha-equal or
+    # not — so deduping on the id pair alone is tag-safe.
     pairs_ds = hash_grouped_agg(
         hash_grouped_agg(exploded, ["band_id", "band_hash"],
                          lambda b: b, bucket_candidates_part),
         ["a", "b"],
-        lambda b: b.drop_duplicates(),
-        lambda p: p.drop_duplicates(),
+        lambda b: b.drop_duplicates(["a", "b"]),
+        lambda p: p.drop_duplicates(["a", "b"]),
         join_partitions,
     ).materialize()
     n_cand = pairs_ds.count()
     pairs_df = (pairs_ds.to_pandas()
                 if n_cand <= VERIFY_BROADCAST_THRESHOLD else None)
-    # Verification strategy is size-adaptive:
-    # small pair sets broadcast the candidate-id set and pull back only the
-    # candidates' shingle sets (no shuffle at all); huge pair sets fall back
-    # to a distributed hash join of texts by id so per-pair text transfer
-    # stays off the driver.
+    # Verification strategy is size-adaptive (star pairs skip it either
+    # way): small pair sets broadcast the candidate-id set and pull back
+    # only the candidates' shingle sets (no shuffle at all); huge pair
+    # sets fall back to a distributed hash join of texts by id so
+    # per-pair text transfer stays off the driver.
     if n_cand == 0:
-        verified = pairs_df
+        verified = pd.DataFrame({"a": [], "b": []})
     elif n_cand <= VERIFY_BROADCAST_THRESHOLD:
-        cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
-        ids_ref = ray.put(cand_ids)
+        stars_df = pairs_df[pairs_df["x"] == 1]
+        near_df = pairs_df[pairs_df["x"] == 0]
+        if len(near_df):
+            cand_ids = set(near_df["a"]) | set(near_df["b"])
+            ids_ref = ray.put(cand_ids)
 
-        def cand_shingles(b: pd.DataFrame) -> pd.DataFrame:
-            keep = b[b[id_col].isin(ray.get(ids_ref))]
-            shs = shingle_hashes_batch(list(keep[text_col]), shingle_k)
-            return pd.DataFrame({id_col: keep[id_col].to_numpy(),
-                                 "sh": [s.tolist() for s in shs]})
+            def cand_shingles(b: pd.DataFrame) -> pd.DataFrame:
+                keep = b[b[id_col].isin(ray.get(ids_ref))]
+                shs = shingle_hashes_batch(list(keep[text_col]), shingle_k)
+                return pd.DataFrame({id_col: keep[id_col].to_numpy(),
+                                     "sh": [s.tolist() for s in shs]})
 
-        sh_df = ds.map_batches(cand_shingles, batch_format="pandas").to_pandas()
-        shmap = {i: set(s) for i, s in zip(sh_df[id_col], sh_df["sh"])}
-        mask = [
-            jaccard(shmap.get(a, set()), shmap.get(b, set())) >= jaccard_threshold
-            for a, b in zip(pairs_df["a"], pairs_df["b"])
-        ]
-        verified = pairs_df[mask]
+            sh_df = ds.map_batches(cand_shingles,
+                                   batch_format="pandas").to_pandas()
+            shmap = {i: set(s) for i, s in zip(sh_df[id_col], sh_df["sh"])}
+            mask = [
+                jaccard(shmap.get(a, set()),
+                        shmap.get(b, set())) >= jaccard_threshold
+                for a, b in zip(near_df["a"], near_df["b"])
+            ]
+            near_df = near_df[mask]
+        verified = pd.concat([near_df[["a", "b"]], stars_df[["a", "b"]]],
+                             ignore_index=True)
     else:
+        near = pairs_ds.map_batches(
+            lambda b: b.loc[b["x"] == 0, ["a", "b"]],
+            batch_format="pandas")
+        stars = pairs_ds.map_batches(
+            lambda b: b.loc[b["x"] == 1, ["a", "b"]],
+            batch_format="pandas")
         # Partition count must scale with the pair count: each join
         # partition CONCATENATES its pair rows (two attached texts each)
         # into one Arrow table, and int32 string offsets overflow past
@@ -584,8 +606,8 @@ def minhash_lsh_dedup(
             lambda b: b.rename(columns={id_col: "_idb", text_col: "_text_b"}),
             batch_format="pandas",
         )
-        j = pairs_ds.join(ta, join_type="inner", num_partitions=parts_eff,
-                          on=("a",), right_on=("_ida",))
+        j = near.join(ta, join_type="inner", num_partitions=parts_eff,
+                      on=("a",), right_on=("_ida",))
         j = j.join(tb, join_type="inner", num_partitions=parts_eff,
                    on=("b",), right_on=("_idb",))
 
@@ -615,26 +637,10 @@ def minhash_lsh_dedup(
 
         # stays a Dataset: cluster_assign only pulls it to the driver when
         # the verified count is under the distributed-CC threshold
-        verified = j.map_batches(verify, batch_format="pandas")
+        verified = j.map_batches(verify, batch_format="pandas").union(stars)
 
-    if mapping is None:
-        return cluster_assign(ds, id_col, verified, join_partitions,
-                              dist_cc_threshold)
-
-    # label the representatives, then expand through the exact classes:
-    # member label = its rep's label (component min id == min over all
-    # members, since every member id >= its class's min-id rep)
-    labels_rep = cluster_assign(
-        sigged.map_batches(lambda b: b[[id_col]], batch_format="pandas"),
-        id_col, verified, join_partitions, dist_cc_threshold,
-    ).map_batches(
-        lambda b: b.rename(columns={id_col: "_lrep"}),
-        batch_format="pandas")
-    out = mapping.join(labels_rep, join_type="inner",
-                       num_partitions=join_partitions,
-                       on=("_rep",), right_on=("_lrep",))
-    return out.map_batches(lambda b: b[[id_col, "cluster_id"]],
-                           batch_format="pandas")
+    return cluster_assign(ds, id_col, verified, join_partitions,
+                          dist_cc_threshold)
 
 
 # ---------------- simhash ----------------
@@ -759,7 +765,16 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         """Pairwise Hamming for every colliding bucket in one hash
         partition. Singleton buckets are dropped by a vectorized
         duplicated() pre-filter so the Python loop only touches real
-        collisions; hot buckets sub-block (see _bucket_pairs)."""
+        collisions; hot buckets sub-block (see _bucket_pairs).
+
+        EQUAL-signature classes collapse to a (min-id -> member) star
+        before the matmul: distance(a, b) = 0 <= max_hamming by
+        definition, so the uncollapsed pipeline would emit the full
+        clique, and a star has identical connectivity; member-vs-other
+        pairs have the same Hamming as rep-vs-other, so running the
+        matmul over distinct signatures only preserves every component
+        while an identical-text swarm of size S costs O(S) star rows
+        instead of an S x S matmul and O(S^2) pair rows."""
         empty = pd.DataFrame({"a": pd.Series(dtype=object),
                               "b": pd.Series(dtype=object)})
         dup = part[part.duplicated(["band_id", "band_key"], keep=False)]
@@ -770,9 +785,20 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             g = g.drop_duplicates(id_col).sort_values(id_col)
             if len(g) < 2:
                 continue
-            for ii, jj in _bucket_pairs(
-                    g[id_col].to_numpy(),
-                    g["simhash"].to_numpy().astype(np.uint64), int(band_id)):
+            ids = g[id_col].to_numpy()
+            h = g["simhash"].to_numpy().astype(np.uint64)
+            order = np.argsort(h, kind="stable")  # id order kept in ties
+            hs, iss = h[order], ids[order]
+            first = np.r_[True, hs[1:] != hs[:-1]]
+            if not first.all():
+                run_rep = iss[np.maximum.accumulate(
+                    np.where(first, np.arange(len(iss)), 0))]
+                out_a.append(run_rep[~first])
+                out_b.append(iss[~first])
+                iss, hs = iss[first], hs[first]
+            if len(iss) < 2:
+                continue
+            for ii, jj in _bucket_pairs(iss, hs, int(band_id)):
                 out_a.append(ii)
                 out_b.append(jj)
         if not out_a:

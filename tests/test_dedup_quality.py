@@ -393,8 +393,8 @@ def test_minhash_collapse_exact_is_component_preserving(ray_session):
     """collapse_exact (default on) must yield byte-identical labels to the
     uncollapsed pipeline: exact-duplicate texts share shingle sets, hence
     signatures and buckets, and always verify at J=1 — so collapsing each
-    exact class to its min-id rep and re-expanding cannot change
-    components. Built as an identical-text swarm (3 families x 40 copies),
+    in-bucket exact class to a (min-id -> member) star preserves every
+    component. Built as an identical-text swarm (3 families x 40 copies),
     the case that explodes O(S^2) candidates without the collapse."""
     import ray.data as rd
 
@@ -415,12 +415,13 @@ def test_minhash_collapse_exact_is_component_preserving(ray_session):
     df = pd.DataFrame(rows, columns=["doc_id", "text"])
     ds = rd.from_pandas(df).repartition(6)
 
-    on = (minhash_lsh_dedup(ds, collapse_exact=True).to_pandas()
-          .astype({"doc_id": "int64", "cluster_id": "int64"})
-          .sort_values("doc_id").reset_index(drop=True))
-    off = (minhash_lsh_dedup(ds, collapse_exact=False).to_pandas()
-           .astype({"doc_id": "int64", "cluster_id": "int64"})
-           .sort_values("doc_id").reset_index(drop=True))
+    def run(**kw):
+        return (minhash_lsh_dedup(ds, **kw).to_pandas()
+                .astype({"doc_id": "int64", "cluster_id": "int64"})
+                .sort_values("doc_id").reset_index(drop=True))
+
+    on = run(collapse_exact=True)
+    off = run(collapse_exact=False)
     pd.testing.assert_frame_equal(on, off, check_exact=True)
     sizes = on.groupby("cluster_id").size().sort_values(ascending=False)
     assert sizes.head(3).tolist() == [40, 40, 40]
