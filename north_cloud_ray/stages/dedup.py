@@ -841,6 +841,7 @@ def embedding_near_dup(
     join_partitions: int = 8,
     dist_cc_threshold: int = DIST_CC_PAIR_THRESHOLD,
     verify_broadcast_threshold: int = VERIFY_BROADCAST_THRESHOLD,
+    collapse_exact: bool = True,
 ):
     """(id, cluster_id) for embedding near-duplicates.
 
@@ -852,12 +853,30 @@ def embedding_near_dup(
     vectors never ride the exchange as Python lists. Candidates are
     verified with exact float64 cosine over a broadcast-filtered bounded
     candidate set, then min-label clustered. Measured recall lives in
-    tests/test_dedup_quality.py (vs the brute-force pair oracle)."""
+    tests/test_dedup_quality.py (vs the brute-force pair oracle).
+
+    ``collapse_exact`` (default on) collapses bitwise-identical-vector
+    classes inside each bucket to (min-id -> member) star edges that
+    skip verification — identical nonzero vectors have cosine 1, and a
+    star has the same connectivity as the clique the uncollapsed
+    pipeline would verify, so components are identical while an
+    identical-embedding swarm of size S costs O(S) rows instead of
+    O(S^2) pairs. Zero-norm vectors verify at cosine 0, not 1, so each
+    gets a per-row sentinel hash and never joins a class; thresholds
+    within float-eps of 1.0 disable the collapse (identical vectors
+    verify at 1 - O(eps), which such a threshold could reject)."""
     import ray
 
+    # identical-vector star collapse is byte-exact only when the
+    # threshold leaves float headroom: identical normalized vectors
+    # verify at 1 - O(eps), so a threshold at exactly 1.0 could reject
+    # them while a star would not
+    collapse = collapse_exact and cosine_threshold <= 0.999999
+
     def bucketize(batch: pd.DataFrame, planes=None) -> pd.DataFrame:
-        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        raw = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(raw, axis=1, keepdims=True)
+        vecs = raw / np.maximum(norms, 1e-12)
         n = len(vecs)
         signs = (vecs @ planes.T) > 0  # (n, n_tables*n_planes)
         out_ids = np.repeat(batch[id_col].to_numpy(), n_tables)
@@ -866,9 +885,27 @@ def embedding_near_dup(
         for t in range(n_tables):
             block = signs[:, t * n_planes : (t + 1) * n_planes]
             keys[:, t] = block @ (1 << np.arange(n_planes, dtype=np.int64))
-        return pd.DataFrame(
-            {id_col: out_ids, "table_id": tables, "bucket": keys.ravel()}
-        )
+        cols = {id_col: out_ids, "table_id": tables, "bucket": keys.ravel()}
+        if collapse:
+            # 8-byte hash of the raw float64 bytes: bitwise-identical
+            # vectors form exact classes (cos = 1 >= threshold). Zero-
+            # norm vectors verify at cos 0, NOT 1 — give each a per-row
+            # sentinel so they never collapse into a class.
+            blake = hashlib.blake2b
+            vh = np.fromiter(
+                (int.from_bytes(blake(r.tobytes(), digest_size=8).digest(),
+                                "little", signed=True) for r in raw),
+                dtype=np.int64, count=n)
+            z = norms.ravel() <= 0.0
+            if z.any():
+                ids_z = batch[id_col].to_numpy()[z]
+                vh[z] = np.fromiter(
+                    (int.from_bytes(
+                        blake(repr(i).encode(), digest_size=8).digest(),
+                        "little", signed=True) ^ -0x5DEECE66D for i in ids_z),
+                    dtype=np.int64, count=len(ids_z))
+            cols["_vsha"] = np.repeat(vh, n_tables)
+        return pd.DataFrame(cols)
 
     # deterministic planes built once, closed over (broadcast in the closure)
     dim = len(ds.take(1)[0][vec_col])
@@ -879,23 +916,44 @@ def embedding_near_dup(
     )
 
     def bucket_candidates_part(part: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs per bucket; identical-vector classes collapse
+        to (min-id -> member) stars (x=1, verify skipped — cos(v, v) = 1)
+        with all-pairs over class representatives only, mirroring
+        minhash_lsh_dedup's exact-class collapse."""
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64")})
+                              "b": pd.Series(dtype="int64"),
+                              "x": pd.Series(dtype=np.int8)})
         dup = part[part.duplicated(["table_id", "bucket"], keep=False)]
         if dup.empty:
             return empty
-        out_a, out_b = [], []
+        out_a, out_b, out_x = [], [], []
         for _, g in dup.groupby(["table_id", "bucket"], sort=False):
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
+            if collapse:
+                gs = g.sort_values(["_vsha", id_col], kind="mergesort")
+                ids = gs[id_col].to_numpy()
+                vsh = gs["_vsha"].to_numpy()
+                first = np.r_[True, vsh[1:] != vsh[:-1]]
+                run_rep = ids[np.maximum.accumulate(
+                    np.where(first, np.arange(len(ids)), 0))]
+                star_b = ids[~first]
+                if len(star_b):
+                    out_a.append(run_rep[~first])
+                    out_b.append(star_b)
+                    out_x.append(np.ones(len(star_b), dtype=np.int8))
+                reps = np.sort(ids[first])
+            else:
+                reps = np.unique(g[id_col].to_numpy())
+            if len(reps) < 2:
                 continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
+            ii, jj = np.triu_indices(len(reps), k=1)
+            out_a.append(reps[ii])
+            out_b.append(reps[jj])
+            out_x.append(np.zeros(len(ii), dtype=np.int8))
         if not out_a:
             return empty
         return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+                             "b": np.concatenate(out_b),
+                             "x": np.concatenate(out_x)})
 
     from .agg import hash_grouped_agg
 
@@ -906,37 +964,43 @@ def embedding_near_dup(
         hash_grouped_agg(exploded, ["table_id", "bucket"],
                          lambda b: b, bucket_candidates_part),
         ["a", "b"],
-        lambda b: b.drop_duplicates(),
-        lambda p: p.drop_duplicates(),
+        lambda b: b.drop_duplicates(["a", "b"]),
+        lambda p: p.drop_duplicates(["a", "b"]),
         join_partitions,
     ).materialize()
     n_cand = pairs_ds.count()
     pairs_df = (pairs_ds.to_pandas()
                 if n_cand <= verify_broadcast_threshold else None)
 
-    # verify is size-adaptive like minhash: bounded pair sets pull back
-    # only the candidates' vectors for one driver-side einsum; above the
-    # threshold the vectors are attached by a distributed hash join and
-    # verified per batch, so driver memory never scales with candidates
+    # verify is size-adaptive like minhash (star pairs skip it either
+    # way): bounded pair sets pull back only the candidates' vectors for
+    # one driver-side einsum; above the threshold the vectors are
+    # attached by a distributed hash join and verified per batch, so
+    # driver memory never scales with candidates
     if n_cand == 0:
-        verified = pairs_df
+        verified = pd.DataFrame({"a": [], "b": []})
     elif n_cand <= verify_broadcast_threshold:
-        cand_ids = set(pairs_df["a"]) | set(pairs_df["b"])
-        ids_ref = ray.put(cand_ids)
+        stars_df = pairs_df[pairs_df["x"] == 1]
+        near_df = pairs_df[pairs_df["x"] == 0]
+        if len(near_df):
+            cand_ids = set(near_df["a"]) | set(near_df["b"])
+            ids_ref = ray.put(cand_ids)
 
-        def cand_vecs(b: pd.DataFrame) -> pd.DataFrame:
-            keep = b[b[id_col].isin(ray.get(ids_ref))]
-            return pd.DataFrame({id_col: keep[id_col].to_numpy(),
-                                 "vec": list(keep[vec_col].to_numpy())})
+            def cand_vecs(b: pd.DataFrame) -> pd.DataFrame:
+                keep = b[b[id_col].isin(ray.get(ids_ref))]
+                return pd.DataFrame({id_col: keep[id_col].to_numpy(),
+                                     "vec": list(keep[vec_col].to_numpy())})
 
-        vdf = ds.map_batches(cand_vecs, batch_format="pandas").to_pandas()
-        V = np.stack(vdf["vec"].to_numpy()).astype(np.float64)
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        pos = {i: j for j, i in enumerate(vdf[id_col])}
-        ia = pairs_df["a"].map(pos).to_numpy()
-        ib = pairs_df["b"].map(pos).to_numpy()
-        sims = np.einsum("ij,ij->i", V[ia], V[ib])
-        verified = pairs_df[sims >= cosine_threshold]
+            vdf = ds.map_batches(cand_vecs, batch_format="pandas").to_pandas()
+            V = np.stack(vdf["vec"].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            pos = {i: j for j, i in enumerate(vdf[id_col])}
+            ia = near_df["a"].map(pos).to_numpy()
+            ib = near_df["b"].map(pos).to_numpy()
+            sims = np.einsum("ij,ij->i", V[ia], V[ib])
+            near_df = near_df[sims >= cosine_threshold]
+        verified = pd.concat([near_df[["a", "b"]], stars_df[["a", "b"]]],
+                             ignore_index=True)
     else:
         # vectors ride the join as packed float64 bytes: Acero joins reject
         # tensor-extension payload columns, and bytes are also ~2x lighter
@@ -961,8 +1025,12 @@ def embedding_near_dup(
         # pairs' packed vectors contiguously, and int32 binary offsets
         # overflow past 2 GiB per partition (see minhash_lsh_dedup)
         parts_eff = max(join_partitions, 1 + n_cand // 50_000)
-        j = pairs_ds.join(va, join_type="inner", num_partitions=parts_eff,
-                          on=("a",), right_on=("_ida",))
+        near = pairs_ds.map_batches(
+            lambda b: b.loc[b["x"] == 0, ["a", "b"]], batch_format="pandas")
+        stars = pairs_ds.map_batches(
+            lambda b: b.loc[b["x"] == 1, ["a", "b"]], batch_format="pandas")
+        j = near.join(va, join_type="inner", num_partitions=parts_eff,
+                      on=("a",), right_on=("_ida",))
         j = j.join(vb, join_type="inner", num_partitions=parts_eff,
                    on=("b",), right_on=("_idb",))
 
@@ -978,7 +1046,7 @@ def embedding_near_dup(
             keep = np.einsum("ij,ij->i", A, B) >= cosine_threshold
             return batch.loc[keep, ["a", "b"]]
 
-        verified = j.map_batches(verify, batch_format="pandas")
+        verified = j.map_batches(verify, batch_format="pandas").union(stars)
 
     return cluster_assign(ds, id_col, verified, join_partitions,
                           dist_cc_threshold)

@@ -425,3 +425,41 @@ def test_minhash_collapse_exact_is_component_preserving(ray_session):
     pd.testing.assert_frame_equal(on, off, check_exact=True)
     sizes = on.groupby("cluster_id").size().sort_values(ascending=False)
     assert sizes.head(3).tolist() == [40, 40, 40]
+
+
+def test_embedding_collapse_exact_is_component_preserving(ray_session):
+    """Identical-vector star collapse (default on) must yield the same
+    clusters as the uncollapsed pipeline, including the zero-vector edge:
+    zero-norm vectors verify at cosine 0 and must NOT cluster together
+    even though they are bitwise identical and share every LSH bucket."""
+    import ray.data as rd
+    from north_cloud_ray.stages.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    fams = rng.standard_normal((2, dim))
+    rows = []
+    nid = 0
+    for f in range(2):          # identical-vector swarms
+        for _ in range(50):
+            rows.append((nid, fams[f].copy())); nid += 1
+    for _ in range(4):          # bitwise-identical ZERO vectors
+        rows.append((nid, np.zeros(dim))); nid += 1
+    for _ in range(30):         # unique vectors
+        rows.append((nid, rng.standard_normal(dim))); nid += 1
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    ds = rd.from_pandas(df).repartition(5)
+
+    def run(**kw):
+        p = embedding_near_dup(ds, cosine_threshold=0.95, **kw).to_pandas()
+        return dict(zip(p["vec_id"].astype(int), p["cluster_id"].astype(int)))
+
+    on = run(collapse_exact=True)
+    off = run(collapse_exact=False)
+    assert on == off
+    # swarms clustered to their min ids; zero vectors all singletons
+    assert sum(1 for v in on.values() if v == 0) == 50
+    assert sum(1 for v in on.values() if v == 50) == 50
+    for z in range(100, 104):
+        assert on[z] == z
