@@ -830,6 +830,26 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 # ---------------- embedding near-dup ----------------
 
 
+def _vec_hashes(ids: np.ndarray, raw: np.ndarray) -> np.ndarray:
+    """8-byte hash of each row's raw float64 bytes: bitwise-identical
+    vectors form exact classes (cos = 1 >= any sub-1 threshold). Zero-
+    norm vectors verify at cos 0, NOT 1 — each gets a per-row sentinel
+    derived from its id so it never joins a class."""
+    blake = hashlib.blake2b
+    vh = np.fromiter(
+        (int.from_bytes(blake(r.tobytes(), digest_size=8).digest(),
+                        "little", signed=True) for r in raw),
+        dtype=np.int64, count=len(raw))
+    z = np.linalg.norm(raw, axis=1) <= 0.0
+    if z.any():
+        vh[z] = np.fromiter(
+            (int.from_bytes(blake(repr(i).encode(), digest_size=8).digest(),
+                            "little", signed=True) ^ -0x5DEECE66D
+             for i in np.asarray(ids)[z]),
+            dtype=np.int64, count=int(z.sum()))
+    return vh
+
+
 def embedding_near_dup(
     ds,
     id_col: str = "vec_id",
@@ -887,23 +907,7 @@ def embedding_near_dup(
             keys[:, t] = block @ (1 << np.arange(n_planes, dtype=np.int64))
         cols = {id_col: out_ids, "table_id": tables, "bucket": keys.ravel()}
         if collapse:
-            # 8-byte hash of the raw float64 bytes: bitwise-identical
-            # vectors form exact classes (cos = 1 >= threshold). Zero-
-            # norm vectors verify at cos 0, NOT 1 — give each a per-row
-            # sentinel so they never collapse into a class.
-            blake = hashlib.blake2b
-            vh = np.fromiter(
-                (int.from_bytes(blake(r.tobytes(), digest_size=8).digest(),
-                                "little", signed=True) for r in raw),
-                dtype=np.int64, count=n)
-            z = norms.ravel() <= 0.0
-            if z.any():
-                ids_z = batch[id_col].to_numpy()[z]
-                vh[z] = np.fromiter(
-                    (int.from_bytes(
-                        blake(repr(i).encode(), digest_size=8).digest(),
-                        "little", signed=True) ^ -0x5DEECE66D for i in ids_z),
-                    dtype=np.int64, count=len(ids_z))
+            vh = _vec_hashes(batch[id_col].to_numpy(), raw)
             cols["_vsha"] = np.repeat(vh, n_tables)
         return pd.DataFrame(cols)
 
@@ -1136,18 +1140,41 @@ def semdedup(
 
     assigned = ds.map_batches(assign, batch_format="pandas").materialize()
 
+    # identical-vector star collapse inside each k-means cluster: same
+    # exactness argument as embedding_near_dup (cos(v, v) = 1, zero-norm
+    # sentinels, float-headroom guard) — an identical-embedding swarm of
+    # size S costs O(S) star rows and drops out of the S x S matmul
+    collapse = cosine_threshold <= 0.999999
+
     def cluster_pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             z = pd.Series(dtype="int64")
             return pd.DataFrame({"a": z, "b": z})
         ids = g[id_col].to_numpy("int64")
+        raw = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        star_a = star_b = None
+        if collapse:
+            vh = _vec_hashes(ids, raw)
+            order = np.lexsort((ids, vh))
+            vs, iss = vh[order], ids[order]
+            first = np.r_[True, vs[1:] != vs[:-1]]
+            if not first.all():
+                run_rep = iss[np.maximum.accumulate(
+                    np.where(first, np.arange(len(iss)), 0))]
+                star_a, star_b = run_rep[~first], iss[~first]
+                keep = order[first]
+                ids, raw = ids[keep], raw[keep]
         # float64 normalize-then-dot, same kernel as the exact pair oracle
-        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        M = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True),
+                             1e-12)
         S = M @ M.T
         ii, jj = np.where(np.triu(S >= cosine_threshold, k=1))
-        return pd.DataFrame({"a": np.minimum(ids[ii], ids[jj]),
-                             "b": np.maximum(ids[ii], ids[jj])})
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        if star_a is not None:
+            a = np.concatenate([a, star_a])
+            b = np.concatenate([b, star_b])
+        return pd.DataFrame({"a": a, "b": b})
 
     pairs = hash_grouped_map(assigned, ["kcluster"], cluster_pairs_fn,
                              num_partitions=num_partitions)
