@@ -5110,6 +5110,141 @@ def events_first_touch(sf_dir: str):
         ["user_id"], lambda b: b, resolve)
 
 
+def events_hour_moments(sf_dir: str):
+    """Per-event-type diurnal shape: population mean/std/skewness/excess
+    kurtosis of the event's hour-of-day from EXACT int64 raw-moment sums
+    (h..h^4 with h in 0..23, so every sufficient statistic stays far
+    under 2^53 and the int->DOUBLE casts round nothing on either side).
+    One map-side partial + one type-keyed combine; the float expressions
+    mirror the SQL token-for-token (x^1.5 is spelled x*sqrt(x) on both
+    sides — sqrt is IEEE correctly-rounded, pow is not)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype("int64")
+        h = (us % 86_400_000_000) // 3_600_000_000
+        p = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "n": np.int64(1), "s1": h, "s2": h * h,
+                          "s3": h * h * h, "s4": h * h * h * h})
+        return p.groupby("event_type", as_index=False).sum()
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby("event_type", as_index=False).sum()
+        n = s["n"].to_numpy("int64").astype("float64")
+        m1 = s["s1"].to_numpy("int64").astype("float64") / n
+        r2 = s["s2"].to_numpy("int64").astype("float64") / n
+        r3 = s["s3"].to_numpy("int64").astype("float64") / n
+        r4 = s["s4"].to_numpy("int64").astype("float64") / n
+        m2 = r2 - m1 * m1
+        # zero-variance groups divide by zero where SQL HAVING drops them
+        keep = m2 > 0.0
+        s, n, m1, r2, r3, r4, m2 = (x[keep] for x in
+                                    (s.reset_index(drop=True), n, m1,
+                                     r2, r3, r4, m2))
+        skew = (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) / (m2 * np.sqrt(m2))
+        kurt = ((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                 - 3.0 * m1 * m1 * m1 * m1) / (m2 * m2) - 3.0)
+        return pd.DataFrame({
+            "event_type": s["event_type"].to_numpy(dtype=object),
+            "n": s["n"].to_numpy("int64"),
+            "mean_hour": m1, "std_hour": np.sqrt(m2),
+            "skew_hour": skew, "kurt_hour": kurt})
+
+    return hash_grouped_agg(ev, ["event_type"], partial, combine)
+
+
+def events_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (gaps-and-islands
+    over the distinct user-day grid): per-batch dedup bounds the exchange
+    at one light (user, day) row per batch, a user-keyed combine dedups
+    exactly, and the classic day-minus-rank anchor groups consecutive
+    runs — one vectorized cumcount over the sorted partition, no per-user
+    loop. Integer-only output."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "day": day}).drop_duplicates()
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        d = p.drop_duplicates().sort_values(["user_id", "day"],
+                                            kind="mergesort")
+        if not len(d):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_active_days": pd.Series(dtype="int64"),
+                "max_streak": pd.Series(dtype="int64")})
+        rank = d.groupby("user_id").cumcount().to_numpy("int64")
+        runs = pd.DataFrame({
+            "user_id": d["user_id"].to_numpy("int64"),
+            "anchor": d["day"].to_numpy("int64") - rank,
+            "c": np.int64(1),
+        }).groupby(["user_id", "anchor"], as_index=False)["c"].sum()
+        out = (runs.groupby("user_id")
+               .agg(n_active_days=("c", "sum"), max_streak=("c", "max"))
+               .reset_index())
+        return out.astype({"user_id": "int64", "n_active_days": "int64",
+                           "max_streak": "int64"})
+
+    return hash_grouped_agg(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], lambda b: b, combine)
+
+
+def events_type_gini(sf_dir: str):
+    """Per-user behavioral diversity: Gini impurity 1 - sum((c_t/n)^2) of
+    the user's event-type mix, plus the type count. Gini rather than
+    Shannon entropy because impurity needs only exact-int sums and one
+    correctly-rounded division (the DOUBLE hash-matches the oracle);
+    entropy's log is not correctly rounded across engines. Per-batch
+    (user, type) count partials + one user-keyed combine."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({"user_id": b["user_id"].to_numpy("int64"),
+                          "event_type": b["event_type"].to_numpy(),
+                          "c": np.int64(1)})
+        return p.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        ct = p.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        c = ct["c"].to_numpy("int64")
+        g = (ct.assign(cc=c * c)
+             .groupby("user_id", as_index=False)
+             .agg(n_events=("c", "sum"), n_types=("c", "size"),
+                  ss=("cc", "sum")))
+        nf = g["n_events"].to_numpy("int64").astype("float64")
+        gini = 1.0 - g["ss"].to_numpy("int64").astype("float64") / (nf * nf)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy("int64"),
+            "n_events": g["n_events"].to_numpy("int64"),
+            "n_types": g["n_types"].to_numpy("int64"),
+            "gini": gini})
+
+    return hash_grouped_agg(ev, ["user_id"], partial, combine)
+
+
+def source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between source corpora (the corpus-
+    mixing diagnostic: which sources publish the same language?). Token-
+    keyed exchange of distinct (source, token) light rows; each token
+    contributes its source-pair intersections map-side, so nothing wider
+    than per-pair counters reaches the tiny final resolve."""
+    from ..stages.curation import vocab_pair_jaccard
+
+    docs = _read(sf_dir, "documents", ["text", "source"], blocks=_cpus())
+    return vocab_pair_jaccard(docs, group_col="source", text_col="text")
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -5282,6 +5417,10 @@ QUERIES = {
     "events_first_touch": events_first_touch,
     "events_winsorized_sum": events_winsorized_sum,
     "events_segment_venn": events_segment_venn,
+    "events_hour_moments": events_hour_moments,
+    "events_user_streaks": events_user_streaks,
+    "events_type_gini": events_type_gini,
+    "source_vocab_jaccard": source_vocab_jaccard,
 }
 
 ORACLE_SQL = {
@@ -7615,5 +7754,84 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_touches
         FROM a WHERE apts IS NOT NULL
         GROUP BY user_id, apts
+    """,
+    "events_hour_moments": r"""
+        WITH s AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(h) AS s1, SUM(h*h) AS s2,
+                 SUM(h*h*h) AS s3, SUM(h*h*h*h) AS s4
+          FROM (SELECT event_type,
+                       CAST(extract('hour' FROM ts) AS BIGINT) AS h
+                FROM events)
+          GROUP BY event_type
+        ),
+        m AS (
+          SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          FROM s
+        ),
+        c AS (SELECT event_type, n, m1, r2, r3, r4,
+                     r2 - m1 * m1 AS m2 FROM m)
+        SELECT event_type, n, m1 AS mean_hour, sqrt(m2) AS std_hour,
+               (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1)
+                 / (m2 * sqrt(m2)) AS skew_hour,
+               (r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                - 3.0 * m1 * m1 * m1 * m1) / (m2 * m2) - 3.0 AS kurt_hour
+        FROM c WHERE m2 > 0.0
+    """,
+    "events_user_streaks": r"""
+        WITH du AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day
+          FROM events
+        ),
+        r AS (
+          SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS anchor
+          FROM du
+        ),
+        runs AS (SELECT user_id, anchor, COUNT(*) AS c
+                 FROM r GROUP BY user_id, anchor)
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_active_days,
+               CAST(MAX(c) AS BIGINT) AS max_streak
+        FROM runs GROUP BY user_id
+    """,
+    "events_type_gini": r"""
+        WITH ct AS (SELECT user_id, event_type, COUNT(*) AS c
+                    FROM events GROUP BY user_id, event_type)
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               1.0 - CAST(SUM(c*c) AS DOUBLE)
+                     / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                 AS gini
+        FROM ct GROUP BY user_id
+    """,
+    "source_vocab_jaccard": r"""
+        WITH st AS (
+          SELECT DISTINCT source, token FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL)
+          WHERE token <> ''
+        ),
+        sz AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 COUNT(*) AS n_inter
+          FROM st a JOIN st b
+            ON a.token = b.token AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT i.src_a, i.src_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+               CAST(sa.v + sb.v - i.n_inter AS BIGINT) AS n_union,
+               CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.v + sb.v - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.source = i.src_a
+        JOIN sz sb ON sb.source = i.src_b
     """,
 }

@@ -294,6 +294,81 @@ def vocab_topk(
                             num_partitions=num_partitions)
 
 
+def vocab_pair_jaccard(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Pairwise vocabulary Jaccard |Va ∩ Vb| / |Va ∪ Vb| between group
+    corpora (single-space tokens, empties dropped — vocab_topk's exact
+    tokenizer). Exchange plan: distinct (group, token) light rows route
+    by token; each token-partition emits per-pair intersection partials
+    (a self-merge over ≤ n_groups rows per token) plus per-group vocab-
+    size partials (token-partitioning makes distinct counts disjoint
+    across partitions, so they sum exactly); a pair-keyed exchange sums
+    the partials and the final resolve is O(n_groups^2) rows. Only pairs
+    sharing ≥ 1 token appear — disjoint vocabularies have Jaccard 0 and
+    are omitted (mirrors the oracle's inner join)."""
+    from .agg import hash_grouped_agg
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ")
+        ex = (pd.DataFrame({"grp": b[group_col].to_numpy(dtype=object),
+                            "token": toks.to_numpy(dtype=object)})
+              .explode("token"))
+        ex = ex[ex["token"] != ""]
+        return ex.drop_duplicates()
+
+    def per_token(p: pd.DataFrame) -> pd.DataFrame:
+        d = p.drop_duplicates()
+        if not len(d):
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        m = d.merge(d, on="token")
+        m = m[m["grp_x"] < m["grp_y"]]
+        pairs = (m.groupby(["grp_x", "grp_y"], as_index=False).size()
+                 .rename(columns={"grp_x": "a", "grp_y": "b",
+                                  "size": "n"}))
+        sizes = (d.groupby("grp", as_index=False).size()
+                 .rename(columns={"grp": "a", "size": "n"}))
+        sizes["b"] = ""  # sentinel: per-group vocab-size partial
+        out = pd.concat([pairs[["a", "b", "n"]], sizes[["a", "b", "n"]]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    lights = ds.map_batches(light, batch_format="pandas")
+    partials = hash_grouped_agg(lights, ["token"], lambda b: b, per_token,
+                                num_partitions)
+    summed = hash_grouped_agg(
+        partials, ["a", "b"], lambda b: b,
+        lambda p: p.groupby(["a", "b"], as_index=False)["n"].sum(),
+        num_partitions)
+
+    def resolve(p: pd.DataFrame) -> pd.DataFrame:
+        sizes = dict(zip(p.loc[p["b"] == "", "a"],
+                         p.loc[p["b"] == "", "n"].astype("int64")))
+        pr = p[p["b"] != ""]
+        inter = pr["n"].to_numpy("int64")
+        va = pr["a"].map(sizes).to_numpy("int64")
+        vb = pr["b"].map(sizes).to_numpy("int64")
+        union = va + vb - inter
+        return pd.DataFrame({
+            "src_a": pr["a"].to_numpy(dtype=object),
+            "src_b": pr["b"].to_numpy(dtype=object),
+            "n_inter": inter, "n_union": union,
+            "jaccard": inter.astype("float64") / union.astype("float64"),
+        })
+
+    # n_groups^2 + n_groups rows at most: resolve on one tiny partition
+    # (batch_size=None: the size sentinels must share the pair rows'
+    # batch, so resolve must see the whole block)
+    return summed.repartition(1).map_batches(
+        resolve, batch_format="pandas", batch_size=None)
+
+
 def quantile_gate(
     ds,
     value_col: str,
