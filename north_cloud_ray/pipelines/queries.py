@@ -5245,6 +5245,166 @@ def source_vocab_jaccard(sf_dir: str):
     return vocab_pair_jaccard(docs, group_col="source", text_col="text")
 
 
+def events_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each event type's daily-count series (is
+    today's volume predictive of tomorrow's?). Exchange plan: (type, day)
+    count partials -> keyed combine produces the daily series; each
+    (day, c) row re-keys as the x-side of pair day and the y-side of pair
+    day-1, so consecutive-day pairs meet in a second (type, day)-keyed
+    combine that emits per-type Pearson sufficient-stat partials; the
+    final type-keyed combine evaluates the SQL DOUBLE expression
+    token-for-token. Days missing a neighbor drop (inner-join
+    semantics, mirrored by the oracle's self-join on day + 1)."""
+    from ..stages.agg import hash_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        p = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "day": day, "c": np.int64(1)})
+        return p.groupby(["event_type", "day"], as_index=False)["c"].sum()
+
+    daily = hash_grouped_agg(
+        ev, ["event_type", "day"], cpart,
+        lambda p: p.groupby(["event_type", "day"], as_index=False)["c"].sum())
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "pday": pd.Series(dtype="int64"),
+                "x": pd.Series(dtype="int64"),
+                "y": pd.Series(dtype="int64"),
+                "has_x": pd.Series(dtype="int64"),
+                "has_y": pd.Series(dtype="int64")})
+        et = b["event_type"].to_numpy(dtype=object)
+        day = b["day"].to_numpy("int64")
+        c = b["c"].to_numpy("int64")
+        xs = pd.DataFrame({"event_type": et, "pday": day, "x": c,
+                           "y": np.int64(0), "has_x": np.int64(1),
+                           "has_y": np.int64(0)})
+        ys = pd.DataFrame({"event_type": et, "pday": day - 1,
+                           "x": np.int64(0), "y": c,
+                           "has_x": np.int64(0), "has_y": np.int64(1)})
+        return pd.concat([xs, ys], ignore_index=True)
+
+    def pair_stats(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby(["event_type", "pday"], as_index=False).sum()
+        s = s[(s["has_x"] == 1) & (s["has_y"] == 1)]
+        x = s["x"].to_numpy("int64")
+        y = s["y"].to_numpy("int64")
+        out = pd.DataFrame({
+            "event_type": s["event_type"].to_numpy(dtype=object),
+            "n": np.int64(1), "sx": x, "sy": y, "sxy": x * y,
+            "sxx": x * x, "syy": y * y})
+        return out.groupby("event_type", as_index=False).sum()
+
+    pstats = hash_grouped_agg(
+        daily.map_batches(tag, batch_format="pandas"),
+        ["event_type", "pday"], lambda b: b, pair_stats)
+
+    def corr(p: pd.DataFrame) -> pd.DataFrame:
+        s = p.groupby("event_type", as_index=False).sum()
+        n = s["n"].to_numpy("int64").astype("float64")
+        sx = s["sx"].to_numpy("int64").astype("float64")
+        sy = s["sy"].to_numpy("int64").astype("float64")
+        den = (np.sqrt(n * s["sxx"].to_numpy("int64").astype("float64")
+                       - sx * sx)
+               * np.sqrt(n * s["syy"].to_numpy("int64").astype("float64")
+                         - sy * sy))
+        num = (n * s["sxy"].to_numpy("int64").astype("float64")
+               - sx * sy)
+        keep = den != 0.0
+        s = s[keep].reset_index(drop=True)
+        return pd.DataFrame({
+            "event_type": s["event_type"].to_numpy(dtype=object),
+            "n_pairs": s["n"].to_numpy("int64"),
+            "autocorr": (num[keep] / den[keep]).astype("float64")})
+
+    return hash_grouped_agg(pstats, ["event_type"], lambda b: b, corr)
+
+
+def parts_no_bulk_orders(sf_dir: str):
+    """Slow movers by distributed ANTI-join without a row join: parts
+    that never shipped a bulk line (l_quantity >= 48). Part marker rows
+    union with per-batch-deduped bulk-partkey hit rows into ONE
+    partkey-keyed exchange; a key survives with a marker and zero hits —
+    the big side ships at most one light row per distinct partkey per
+    batch and the anti-semantics stay associative."""
+    from ..stages.agg import hash_grouped_agg
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def pmark(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy("int64"),
+            "p_brand": b["p_brand"].to_numpy(dtype=object),
+            "hit": np.int64(0), "is_part": np.int64(1)})
+
+    def lhit(b: pd.DataFrame) -> pd.DataFrame:
+        bulk = b.loc[b["l_quantity"].to_numpy() >= 48, "l_partkey"]
+        k = np.unique(bulk.to_numpy("int64"))
+        return pd.DataFrame({"p_partkey": k, "p_brand": "",
+                             "hit": np.int64(1), "is_part": np.int64(0)})
+
+    tagged = (part.map_batches(pmark, batch_format="pandas")
+              .union(li.map_batches(lhit, batch_format="pandas")))
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("p_partkey", as_index=False).agg(
+            hit=("hit", "sum"), is_part=("is_part", "sum"),
+            p_brand=("p_brand", "max"))  # brand > "" sentinel
+        keep = g[(g["is_part"] >= 1) & (g["hit"] == 0)]
+        return pd.DataFrame({
+            "p_partkey": keep["p_partkey"].to_numpy("int64"),
+            "p_brand": keep["p_brand"].to_numpy(dtype=object)})
+
+    return hash_grouped_agg(tagged, ["p_partkey"], lambda b: b, combine)
+
+
+def events_user_gap_median(sf_dir: str):
+    """Per-user MEDIAN inter-event gap (the robust sibling of
+    events_user_gaps' min/max/sum): users hash-route so one partition
+    holds each user's full stream; gaps are one vectorized sort + shift,
+    the median one grouped quantile. Bit-exact vs SQL: both engines
+    interpolate even-count medians as exact-double midpoints of int64
+    microsecond gaps (every quantity < 2^53, nothing rounds)."""
+    from ..stages.agg import hash_grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "event_id": b["event_id"].to_numpy("int64"),
+            "tsu": b["ts"].to_numpy("datetime64[us]").astype("int64")})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "median_gap_us": pd.Series(dtype="float64")})
+        g = g.sort_values(["tsu", "event_id"], kind="mergesort")
+        gaps = np.diff(g["tsu"].to_numpy("int64"))
+        if not len(gaps):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "median_gap_us": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_gaps": [np.int64(len(gaps))],
+            "median_gap_us": [np.float64(np.median(gaps))]})
+
+    return hash_grouped_map(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], per_user)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -5421,6 +5581,9 @@ QUERIES = {
     "events_user_streaks": events_user_streaks,
     "events_type_gini": events_type_gini,
     "source_vocab_jaccard": source_vocab_jaccard,
+    "events_daily_autocorr": events_daily_autocorr,
+    "parts_no_bulk_orders": parts_no_bulk_orders,
+    "events_user_gap_median": events_user_gap_median,
 }
 
 ORACLE_SQL = {
@@ -7833,5 +7996,55 @@ ORACLE_SQL = {
         FROM inter i
         JOIN sz sa ON sa.source = i.src_a
         JOIN sz sb ON sb.source = i.src_b
+    """,
+    "events_daily_autocorr": r"""
+        WITH ct AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, day
+        ),
+        pr AS (
+          SELECT a.event_type, a.c AS x, b.c AS y
+          FROM ct a JOIN ct b
+            ON b.event_type = a.event_type AND b.day = a.day + 1
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE))
+                - (CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)))
+               / (sqrt((CAST(COUNT(*) AS DOUBLE)
+                        * CAST(SUM(x*x) AS DOUBLE))
+                       - (CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)))
+                  * sqrt((CAST(COUNT(*) AS DOUBLE)
+                          * CAST(SUM(y*y) AS DOUBLE))
+                         - (CAST(SUM(y) AS DOUBLE)
+                            * CAST(SUM(y) AS DOUBLE)))) AS autocorr
+        FROM pr GROUP BY event_type
+        HAVING (sqrt((CAST(COUNT(*) AS DOUBLE)
+                      * CAST(SUM(x*x) AS DOUBLE))
+                     - (CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)))
+                * sqrt((CAST(COUNT(*) AS DOUBLE)
+                        * CAST(SUM(y*y) AS DOUBLE))
+                       - (CAST(SUM(y) AS DOUBLE)
+                          * CAST(SUM(y) AS DOUBLE)))) <> 0
+    """,
+    "parts_no_bulk_orders": r"""
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_partkey NOT IN
+          (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+    """,
+    "events_user_gap_median": r"""
+        WITH g AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) AS BIGINT)
+                 - LAG(CAST(epoch_us(ts) AS BIGINT))
+                     OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+          FROM events
+        )
+        SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               median(gap) AS median_gap_us
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
     """,
 }
