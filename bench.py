@@ -321,7 +321,9 @@ def run_queries(sf_dir: str) -> dict:
         "events_cohort_overlap_kmv", "lineitem_flag_price_quantiles_kll",
         "doc_compacted_roundtrip", "doc_erasure_roundtrip",
         "events_pruned_read", "doc_evolved_read", "events_zorder_pruned",
-        "events_late_data",
+        "events_late_data", "events_hour_moments", "events_user_streaks",
+        "events_type_gini", "source_vocab_jaccard", "events_daily_autocorr",
+        "parts_no_bulk_orders", "events_user_gap_median",
     ]
     import ray.data
 
