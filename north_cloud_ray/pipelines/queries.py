@@ -5110,6 +5110,34 @@ def events_first_touch(sf_dir: str):
         ["user_id"], lambda b: b, resolve)
 
 
+def _moments_combine(p: pd.DataFrame, key: str = "event_type",
+                     suffix: str = "_hour") -> pd.DataFrame:
+    """Population mean/std/skewness/excess-kurtosis per key from exact
+    int64 raw-moment partials (n, s1..s4). Pure (property-tested vs a
+    direct numpy reference); the float expressions mirror the SQL oracle
+    token-for-token."""
+    s = p.groupby(key, as_index=False).sum()
+    n = s["n"].to_numpy("int64").astype("float64")
+    m1 = s["s1"].to_numpy("int64").astype("float64") / n
+    r2 = s["s2"].to_numpy("int64").astype("float64") / n
+    r3 = s["s3"].to_numpy("int64").astype("float64") / n
+    r4 = s["s4"].to_numpy("int64").astype("float64") / n
+    m2 = r2 - m1 * m1
+    # zero-variance groups divide by zero where SQL HAVING drops them
+    keep = m2 > 0.0
+    s, n, m1, r2, r3, r4, m2 = (x[keep] for x in
+                                (s.reset_index(drop=True), n, m1,
+                                 r2, r3, r4, m2))
+    skew = (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) / (m2 * np.sqrt(m2))
+    kurt = ((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+             - 3.0 * m1 * m1 * m1 * m1) / (m2 * m2) - 3.0)
+    return pd.DataFrame({
+        key: s[key].to_numpy(dtype=object),
+        "n": s["n"].to_numpy("int64"),
+        f"mean{suffix}": m1, f"std{suffix}": np.sqrt(m2),
+        f"skew{suffix}": skew, f"kurt{suffix}": kurt})
+
+
 def events_hour_moments(sf_dir: str):
     """Per-event-type diurnal shape: population mean/std/skewness/excess
     kurtosis of the event's hour-of-day from EXACT int64 raw-moment sums
@@ -5130,29 +5158,31 @@ def events_hour_moments(sf_dir: str):
                           "s3": h * h * h, "s4": h * h * h * h})
         return p.groupby("event_type", as_index=False).sum()
 
-    def combine(p: pd.DataFrame) -> pd.DataFrame:
-        s = p.groupby("event_type", as_index=False).sum()
-        n = s["n"].to_numpy("int64").astype("float64")
-        m1 = s["s1"].to_numpy("int64").astype("float64") / n
-        r2 = s["s2"].to_numpy("int64").astype("float64") / n
-        r3 = s["s3"].to_numpy("int64").astype("float64") / n
-        r4 = s["s4"].to_numpy("int64").astype("float64") / n
-        m2 = r2 - m1 * m1
-        # zero-variance groups divide by zero where SQL HAVING drops them
-        keep = m2 > 0.0
-        s, n, m1, r2, r3, r4, m2 = (x[keep] for x in
-                                    (s.reset_index(drop=True), n, m1,
-                                     r2, r3, r4, m2))
-        skew = (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) / (m2 * np.sqrt(m2))
-        kurt = ((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
-                 - 3.0 * m1 * m1 * m1 * m1) / (m2 * m2) - 3.0)
-        return pd.DataFrame({
-            "event_type": s["event_type"].to_numpy(dtype=object),
-            "n": s["n"].to_numpy("int64"),
-            "mean_hour": m1, "std_hour": np.sqrt(m2),
-            "skew_hour": skew, "kurt_hour": kurt})
+    return hash_grouped_agg(ev, ["event_type"], partial, _moments_combine)
 
-    return hash_grouped_agg(ev, ["event_type"], partial, combine)
+
+def _streaks_combine(p: pd.DataFrame) -> pd.DataFrame:
+    """Gaps-and-islands over (user_id, day) rows (dups allowed): longest
+    consecutive-day run + distinct active days per user. Pure
+    (property-tested vs a per-user python reference)."""
+    d = p.drop_duplicates().sort_values(["user_id", "day"],
+                                        kind="mergesort")
+    if not len(d):
+        return pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "n_active_days": pd.Series(dtype="int64"),
+            "max_streak": pd.Series(dtype="int64")})
+    rank = d.groupby("user_id").cumcount().to_numpy("int64")
+    runs = pd.DataFrame({
+        "user_id": d["user_id"].to_numpy("int64"),
+        "anchor": d["day"].to_numpy("int64") - rank,
+        "c": np.int64(1),
+    }).groupby(["user_id", "anchor"], as_index=False)["c"].sum()
+    out = (runs.groupby("user_id")
+           .agg(n_active_days=("c", "sum"), max_streak=("c", "max"))
+           .reset_index())
+    return out.astype({"user_id": "int64", "n_active_days": "int64",
+                       "max_streak": "int64"})
 
 
 def events_user_streaks(sf_dir: str):
@@ -5173,29 +5203,9 @@ def events_user_streaks(sf_dir: str):
             "user_id": b["user_id"].to_numpy("int64"),
             "day": day}).drop_duplicates()
 
-    def combine(p: pd.DataFrame) -> pd.DataFrame:
-        d = p.drop_duplicates().sort_values(["user_id", "day"],
-                                            kind="mergesort")
-        if not len(d):
-            return pd.DataFrame({
-                "user_id": pd.Series(dtype="int64"),
-                "n_active_days": pd.Series(dtype="int64"),
-                "max_streak": pd.Series(dtype="int64")})
-        rank = d.groupby("user_id").cumcount().to_numpy("int64")
-        runs = pd.DataFrame({
-            "user_id": d["user_id"].to_numpy("int64"),
-            "anchor": d["day"].to_numpy("int64") - rank,
-            "c": np.int64(1),
-        }).groupby(["user_id", "anchor"], as_index=False)["c"].sum()
-        out = (runs.groupby("user_id")
-               .agg(n_active_days=("c", "sum"), max_streak=("c", "max"))
-               .reset_index())
-        return out.astype({"user_id": "int64", "n_active_days": "int64",
-                           "max_streak": "int64"})
-
     return hash_grouped_agg(
         ev.map_batches(light, batch_format="pandas"),
-        ["user_id"], lambda b: b, combine)
+        ["user_id"], lambda b: b, _streaks_combine)
 
 
 def events_type_gini(sf_dir: str):
