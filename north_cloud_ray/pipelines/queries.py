@@ -5415,6 +5415,61 @@ def events_user_gap_median(sf_dir: str):
         ["user_id"], per_user)
 
 
+def events_trailing_24h_sum(sf_dir: str):
+    """Time-RANGE-framed windowed aggregate (the frame type the ROWS
+    family can't express): per event, the count and exact cents sum of
+    the same user's events in the trailing 24 h INCLUDING all timestamp
+    peers (SQL RANGE ... AND CURRENT ROW semantics). Users hash-route so
+    one partition holds each user's stream; the resolve is fully
+    vectorized — no per-user loop — via monotone composite keys
+    (user_rank * span + rebased_time is globally sorted, so one
+    np.searchsorted pair finds every row's [t-24h, t-peers] window; the
+    window start clamps at the user's own rebased 0, never crossing into
+    the previous user's segment) and a prefix-sum difference."""
+    from ..stages.agg import hash_grouped_agg
+
+    W_US = 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "ts_us": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "cents": _cents(b["value"].to_numpy())})
+
+    def resolve(p: pd.DataFrame) -> pd.DataFrame:
+        if not len(p):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "ts_us": pd.Series(dtype="int64"),
+                "n_24h": pd.Series(dtype="int64"),
+                "sum_cents_24h": pd.Series(dtype="int64")})
+        p = p.sort_values(["user_id", "ts_us"], kind="mergesort")
+        uid = p["user_id"].to_numpy("int64")
+        tsu = p["ts_us"].to_numpy("int64")
+        cents = p["cents"].to_numpy("int64")
+        # rebase times to this partition's min so composite keys fit
+        # int64 for any user_id: rank(user) * span + (t - t0)
+        t0 = tsu.min()
+        rt = tsu - t0
+        span = np.int64(rt.max()) + W_US + 2
+        urank = np.unique(uid, return_inverse=True)[1].astype("int64")
+        key = urank * span + rt
+        lo = np.searchsorted(key, urank * span + np.maximum(rt - W_US, 0),
+                             side="left")
+        hi = np.searchsorted(key, key, side="right")  # include peers
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        cnt = np.concatenate(([0], np.cumsum(np.ones_like(cents))))
+        return pd.DataFrame({
+            "user_id": uid, "ts_us": tsu,
+            "n_24h": (cnt[hi] - cnt[lo]).astype("int64"),
+            "sum_cents_24h": (cum[hi] - cum[lo]).astype("int64")})
+
+    return hash_grouped_agg(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], lambda b: b, resolve)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -5594,6 +5649,7 @@ QUERIES = {
     "events_daily_autocorr": events_daily_autocorr,
     "parts_no_bulk_orders": parts_no_bulk_orders,
     "events_user_gap_median": events_user_gap_median,
+    "events_trailing_24h_sum": events_trailing_24h_sum,
 }
 
 ORACLE_SQL = {
@@ -8056,5 +8112,18 @@ ORACLE_SQL = {
         SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
                median(gap) AS median_gap_us
         FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+    "events_trailing_24h_sum": r"""
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+               CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_24h
+        FROM (SELECT user_id, ts,
+                     CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                     RANGE BETWEEN 86400000000 PRECEDING
+                           AND CURRENT ROW)
     """,
 }
