@@ -324,7 +324,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_late_data", "events_hour_moments", "events_user_streaks",
         "events_type_gini", "source_vocab_jaccard", "events_daily_autocorr",
         "parts_no_bulk_orders", "events_user_gap_median",
-        "events_trailing_24h_sum",
+        "events_trailing_24h_sum", "events_top_sequences",
     ]
     import ray.data
 

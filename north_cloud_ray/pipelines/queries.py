@@ -5470,6 +5470,42 @@ def events_trailing_24h_sum(sf_dir: str):
         ["user_id"], lambda b: b, resolve)
 
 
+def events_top_sequences(sf_dir: str):
+    """Contiguous sequential-pattern mining: the 20 most common
+    consecutive event-type TRIGRAMS ranked by distinct-user support
+    (which 3-step behaviors are universal?). Users hash-route so one
+    partition holds each stream; trigrams come from two vectorized
+    within-user shifts, dedup to one (user, trigram) row, and the
+    support count + top-k ride the grouped_sum_topk machinery
+    (n DESC, trigram ASC tiebreak — vocab_topk's exact shape)."""
+    from ..stages.agg import grouped_sum_topk, hash_grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def light(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "event_id": b["event_id"].to_numpy("int64"),
+            "tsu": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "event_type": b["event_type"].to_numpy(dtype=object)})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="mergesort")
+        t1 = g["event_type"]
+        t2 = t1.shift(-1)
+        t3 = t1.shift(-2)
+        tri = (t1 + ">" + t2 + ">" + t3).dropna().drop_duplicates()
+        return pd.DataFrame({"trigram": tri.to_numpy(dtype=object),
+                             "n": np.int64(1)})
+
+    per_user_tris = hash_grouped_map(
+        ev.map_batches(light, batch_format="pandas"),
+        ["user_id"], per_user)
+    return grouped_sum_topk(per_user_tris, key="trigram", value_col="n",
+                            k=20)
+
+
 # ---------------- catalogs ----------------
 
 QUERIES = {
@@ -5650,6 +5686,7 @@ QUERIES = {
     "parts_no_bulk_orders": parts_no_bulk_orders,
     "events_user_gap_median": events_user_gap_median,
     "events_trailing_24h_sum": events_trailing_24h_sum,
+    "events_top_sequences": events_top_sequences,
 }
 
 ORACLE_SQL = {
@@ -8125,5 +8162,23 @@ ORACLE_SQL = {
                      ORDER BY CAST(epoch_us(ts) AS BIGINT)
                      RANGE BETWEEN 86400000000 PRECEDING
                            AND CURRENT ROW)
+    """,
+    "events_top_sequences": r"""
+        WITH s AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type, 1) OVER w AS t2,
+                 LEAD(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tri AS (
+          SELECT DISTINCT user_id,
+                 event_type || '>' || t2 || '>' || t3 AS trigram
+          FROM s WHERE t3 IS NOT NULL AND t2 IS NOT NULL
+        )
+        SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY trigram
+        ORDER BY n DESC, trigram ASC
+        LIMIT 20
     """,
 }
