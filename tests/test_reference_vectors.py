@@ -1,0 +1,143 @@
+"""Golden parity tests: the reference's OWN table-driven test vectors,
+ported verbatim, run against this repo's operators.
+
+Sources (/root/reference):
+- crawler/internal/crawler/url_filter_test.go (TestShouldSkipURL)  -> M6
+- crawler/internal/crawler/content_detector_test.go (IsContentURL) -> M7
+- crawler/internal/content/rawcontent/page_type_test.go
+  (TestClassifyPageType)                                           -> M15
+
+Every row is the reference's input/expected pair unchanged; a failure
+here means behavioral drift from the reference on its own fixtures.
+"""
+
+import pyarrow as pa
+import pytest
+
+from north_cloud_ray.frontier.content_url import (is_content_url,
+                                                  is_content_url_mask,
+                                                  should_skip_url,
+                                                  should_skip_url_mask)
+from north_cloud_ray.stages.extract_html import classify_page_type
+
+# url_filter_test.go rows: (url, source_host, want_skip)
+SHOULD_SKIP_VECTORS = [
+    ("https://example.com/report.pdf", "", True),
+    ("https://example.com/photo.jpg", "", True),
+    ("https://example.com/style.css", "", True),
+    ("https://example.com/login", "", True),
+    ("https://example.com/wp-admin/edit.php", "", True),
+    ("https://example.com/cart", "", True),
+    ("https://example.com/shop/item-123", "", True),
+    ("https://example.com/products/widget", "", True),
+    ("https://example.com/store/checkout", "", True),
+    ("https://example.com/category/sports", "", True),
+    ("https://example.com/tag/breaking-news", "", True),
+    ("https://example.com/wp-content/uploads/2026/photo.jpg", "", True),
+    ("https://example.com/wp-content/uploads/2026/doc.html", "", True),
+    ("https://example.com/assets/images/logo.png", "", True),
+    ("https://example.com/assets/data/config.json", "", True),
+    ("https://example.com/static/js/app.js", "", True),
+    ("https://play.google.com/store/apps/details?id=com.example", "", True),
+    ("https://apps.apple.com/us/app/example/id123456", "", True),
+    ("https://d1abc123.cloudfront.net/assets/image.jpg", "", True),
+    ("https://static.xx.fbcdn.net/rsrc.php/v4/y1/r/image.png", "", True),
+    ("https://example.com/news/2026/03/headline-here", "", False),
+    ("https://example.com/", "", False),
+    ("https://example.com/about", "", True),
+    ("https://example.com/story/some-article-title", "", False),
+    ("https://example.com/news/article", "example.com", False),
+    ("https://other.com/news/article", "example.com", True),
+    ("https://cdn.example.com/image.jpg", "example.com", True),
+    ("https://twitter.com/user/status/1", "example.com", True),
+    ("https://other.com/news/article", "", False),
+]
+
+
+@pytest.mark.parametrize("url,host,want", SHOULD_SKIP_VECTORS)
+def test_should_skip_url_reference_vectors(url, host, want):
+    assert should_skip_url(url, source_host=host) is want
+
+
+def test_should_skip_url_mask_matches_scalar_on_reference_vectors():
+    urls = [u for u, host, _ in SHOULD_SKIP_VECTORS if not host]
+    want = [w for u, host, w in SHOULD_SKIP_VECTORS if not host]
+    assert should_skip_url_mask(pa.array(urls)).to_pylist() == want
+
+
+# content_detector_test.go IsContentURL rows (nil explicit patterns)
+CONTENT_URL_TRUE = [
+    "https://example.com/2026/02/14/breaking-news-headline",
+    "https://example.com/2026/02/breaking-news-headline",
+    "https://example.com/article/some-content",
+    "https://example.com/news/some-content",
+    "https://example.com/story/some-content",
+    "https://example.com/post/some-content",
+    "https://example.com/this-is-a-headline",
+    "https://example.com/section/breaking-news-from-the-city",
+]
+CONTENT_URL_FALSE = [
+    "https://example.com", "https://example.com/",
+    "https://example.com/sports", "https://example.com/politics",
+    "https://example.com/entertainment",
+    "https://example.com/login", "https://example.com/signup",
+    "https://example.com/search", "https://example.com/contact",
+    "https://example.com/about", "https://example.com/privacy",
+    "https://example.com/terms", "https://example.com/tag/golang",
+    "https://example.com/category/tech", "https://example.com/author/john",
+    "https://example.com/page/2", "https://example.com/files/report.pdf",
+    "https://example.com/data.xml", "https://example.com/api/data.json",
+    "https://example.com/style.css", "https://example.com/app.js",
+    "https://example.com/logo.png", "https://example.com/photo.jpg",
+]
+
+
+@pytest.mark.parametrize("url", CONTENT_URL_TRUE)
+def test_is_content_url_reference_positives(url):
+    assert is_content_url(url) is True
+
+
+@pytest.mark.parametrize("url", CONTENT_URL_FALSE)
+def test_is_content_url_reference_negatives(url):
+    assert is_content_url(url) is False
+
+
+def test_is_content_url_mask_matches_scalar_on_reference_vectors():
+    urls = CONTENT_URL_TRUE + CONTENT_URL_FALSE
+    want = [True] * len(CONTENT_URL_TRUE) + [False] * len(CONTENT_URL_FALSE)
+    assert is_content_url_mask(pa.array(urls)).to_pylist() == want
+
+
+# page_type_test.go rows:
+# (title, word_count, link_count, og, detected, jsonld,
+#  article_tags, has_datetime, has_signin, want)
+PAGE_TYPE_VECTORS = [
+    ("Breaking News", 350, 0, "", "", "", 0, False, False, "article"),
+    ("Story", 200, 0, "", "", "", 0, False, False, "article"),
+    ("Event", 250, 0, "article", "", "", 0, False, False, "article"),
+    ("Piece", 50, 0, "", "", "NewsArticle", 0, False, False, "article"),
+    ("", 0, 0, "", "", "BlogPosting", 0, False, False, "article"),
+    ("News", 200, 0, "", "", "", 1, False, False, "article"),
+    ("Piece", 0, 0, "", "", "Article", 2, True, False, "article"),
+    ("Login", 500, 0, "", "", "", 0, False, True, "other"),
+    ("Headline", 20, 0, "", "", "", 0, False, False, "stub"),
+    ("Title Only", 0, 0, "", "", "", 0, False, False, "stub"),
+    ("", 100, 30, "", "", "", 0, False, False, "listing"),
+    ("News", 50, 25, "", "", "", 0, False, False, "listing"),
+    ("", 100, 5, "", "", "", 0, False, False, "other"),
+    ("", 80, 8, "", "", "", 0, False, False, "other"),
+]
+
+
+@pytest.mark.parametrize(
+    "title,wc,lc,og,detected,jsonld,tags,has_dt,signin,want",
+    PAGE_TYPE_VECTORS)
+def test_classify_page_type_reference_vectors(
+        title, wc, lc, og, detected, jsonld, tags, has_dt, signin, want):
+    # classify_page_type derives the structural signals from HTML;
+    # build the minimal markup carrying exactly the reference signals
+    html = ("<article>" * tags
+            + ('<time datetime="2026-01-01">' if has_dt else "")
+            + ("Sign in" if signin else ""))
+    assert classify_page_type(title, wc, lc, og, jsonld, html,
+                              detected) == want
