@@ -6,6 +6,8 @@ Sources (/root/reference):
 - crawler/internal/crawler/content_detector_test.go (IsContentURL) -> M7
 - crawler/internal/content/rawcontent/page_type_test.go
   (TestClassifyPageType)                                           -> M15
+- crawler/internal/adaptive/hash_tracker_test.go
+  (TestCalculateAdaptiveInterval)                                  -> A4
 
 Every row is the reference's input/expected pair unchanged; a failure
 here means behavioral drift from the reference on its own fixtures.
@@ -141,3 +143,22 @@ def test_classify_page_type_reference_vectors(
             + ("Sign in" if signin else ""))
     assert classify_page_type(title, wc, lc, og, jsonld, html,
                               detected) == want
+
+
+# hash_tracker_test.go TestCalculateAdaptiveInterval rows
+# (baseline 30 min; cap = 24 h): (unchanged_count, expected_minutes)
+MIN_US = 60 * 1_000_000
+ADAPTIVE_VECTORS = [
+    (0, 30),            # changed -> baseline
+    (1, 60),
+    (2, 2 * 60),
+    (3, 4 * 60),
+    (7, 24 * 60),       # 30min * 2^7 = 64h caps at 24h
+]
+
+
+@pytest.mark.parametrize("uc,want_minutes", ADAPTIVE_VECTORS)
+def test_adaptive_interval_reference_vectors(uc, want_minutes):
+    from north_cloud_ray.state.adaptive import adaptive_interval_us
+
+    assert adaptive_interval_us(30 * MIN_US, uc) == want_minutes * MIN_US
