@@ -89,6 +89,25 @@ ROUTING_TABLE: dict[str, tuple[str, ...]] = {
     "listing": (),
 }
 
+# Canonical indigenous region taxonomy
+# (infrastructure/indigenous/region.go:11-33)
+ALLOWED_REGIONS = frozenset(
+    ("canada", "us", "latin_america", "oceania", "europe", "asia", "africa"))
+
+
+def normalize_region_slug(raw: str) -> str:
+    """Region-slug normalization (region.go:40-59): trim, lowercase,
+    spaces/hyphens -> underscores; '' stays '' (not-set is valid);
+    anything outside the canonical set raises ValueError (the reference
+    returns an error)."""
+    s = (raw or "").strip()
+    if not s:
+        return ""
+    s = s.lower().replace(" ", "_").replace("-", "_")
+    if s not in ALLOWED_REGIONS:
+        raise ValueError(f"invalid indigenous region {raw!r}")
+    return s
+
 
 def rule_score(text: str, domain: str) -> tuple[str, float]:
     """Pattern side: relevance class + confidence (ml-sidecars/README.md:231).

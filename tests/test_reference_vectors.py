@@ -8,6 +8,8 @@ Sources (/root/reference):
   (TestClassifyPageType)                                           -> M15
 - crawler/internal/adaptive/hash_tracker_test.go
   (TestCalculateAdaptiveInterval)                                  -> A4
+- infrastructure/indigenous/region_test.go
+  (TestRegionNormalizationBeforeMeta)                              -> A6/§2.8
 
 Every row is the reference's input/expected pair unchanged; a failure
 here means behavioral drift from the reference on its own fixtures.
@@ -162,3 +164,27 @@ def test_adaptive_interval_reference_vectors(uc, want_minutes):
     from north_cloud_ray.state.adaptive import adaptive_interval_us
 
     assert adaptive_interval_us(30 * MIN_US, uc) == want_minutes * MIN_US
+
+
+# region_test.go rows: (input, want, want_error)
+REGION_VECTORS = [
+    ("canada", "canada", False),
+    ("Canada", "canada", False),
+    ("OCEANIA", "oceania", False),
+    ("Latin America", "latin_america", False),
+    ("latin-america", "latin_america", False),
+    ("  europe  ", "europe", False),
+    ("", "", False),
+    ("invalid_region", "", True),
+]
+
+
+@pytest.mark.parametrize("raw,want,want_err", REGION_VECTORS)
+def test_region_slug_reference_vectors(raw, want, want_err):
+    from north_cloud_ray.stages.scorer import normalize_region_slug
+
+    if want_err:
+        with pytest.raises(ValueError):
+            normalize_region_slug(raw)
+    else:
+        assert normalize_region_slug(raw) == want
