@@ -10,6 +10,9 @@ Sources (/root/reference):
   (TestCalculateAdaptiveInterval)                                  -> A4
 - infrastructure/indigenous/region_test.go
   (TestRegionNormalizationBeforeMeta)                              -> A6/§2.8
+- classifier/internal/classifier/topic_test.go (Classify_*)        -> T4/G6
+- classifier/internal/classifier/quality_test.go
+  (CalculateWordCountScore)                                        -> G7
 
 Every row is the reference's input/expected pair unchanged; a failure
 here means behavioral drift from the reference on its own fixtures.
@@ -188,3 +191,83 @@ def test_region_slug_reference_vectors(raw, want, want_err):
             normalize_region_slug(raw)
     else:
         assert normalize_region_slug(raw) == want
+
+
+# ---------------- topic classifier scenarios (topic_test.go) ----------------
+
+def _topic_rules(*specs):
+    from north_cloud_ray.stages.classify import TopicRule
+
+    return tuple(TopicRule(name, tuple(kws), min_confidence=mc)
+                 for name, kws, mc in specs)
+
+
+def test_topic_classify_crime_reference_scenario():
+    from north_cloud_ray.stages.classify import classify_topics
+
+    rules = _topic_rules(("crime", ["police", "arrest", "charged",
+                                    "murder", "investigation"], 0.3))
+    topics = classify_topics(
+        "Police Arrest Suspect in Downtown Area",
+        "Police have arrested a suspect following an investigation "
+        "into the incident.", rules)
+    assert topics and topics[0][0] == "crime"
+    assert topics[0][1] >= 0.3
+
+
+def test_topic_classify_multiple_topics_reference_scenario():
+    from north_cloud_ray.stages.classify import classify_topics
+
+    rules = _topic_rules(
+        ("crime", ["police", "arrest"], 0.3),
+        ("local_news", ["community", "local", "downtown"], 0.3))
+    topics = classify_topics(
+        "Police Arrest in Downtown Community",
+        "Local police made an arrest in the downtown area affecting "
+        "the community.", rules)
+    names = [t for t, _ in topics]
+    assert len(names) == 2
+    assert "crime" in names and "local_news" in names
+
+
+def test_topic_classify_drops_noisy_fanout_reference_scenario():
+    from north_cloud_ray.stages.classify import (NOISY_FANOUT_THRESHOLD,
+                                                 classify_topics)
+
+    n = NOISY_FANOUT_THRESHOLD + 1
+    specs = [(f"topic_{i}", [f"keyword{i}"], 0.5) for i in range(n)]
+    text = " ".join(f"keyword{i}" for i in range(n))
+    # every rule fires -> the whole fanout drops (noisy-page guard)
+    assert classify_topics("Long page", text, _topic_rules(*specs)) == []
+
+
+def test_topic_classify_trims_lowest_reference_scenario():
+    # reference uses maxTopics=2 via the constructor; our MAX_TOPICS is
+    # the module constant (3), so four rules with descending TF assert
+    # the same trim-lowest behavior
+    from north_cloud_ray.stages.classify import MAX_TOPICS, classify_topics
+
+    specs = [(name, [name], 0.1)
+             for name in ("alpha", "bravo", "charlie", "delta")]
+    body = "alpha alpha alpha alpha bravo bravo bravo charlie charlie delta"
+    topics = classify_topics("", body, _topic_rules(*specs))
+    names = [t for t, _ in topics]
+    assert len(names) == MAX_TOPICS
+    assert "delta" not in names  # lowest-scoring trimmed
+
+
+# quality_test.go CalculateWordCountScore rows: (word_count, wc_component).
+# quality_score exposes the total; the other metadata/richness inputs are
+# zeroed and the documented readability tier (quality.go:242-261) is added.
+QUALITY_WC_VECTORS = [(50, 0), (100, 10), (250, 10),
+                      (400, 15), (700, 20), (1200, 25)]
+
+
+@pytest.mark.parametrize("wc,want_component", QUALITY_WC_VECTORS)
+def test_quality_word_count_tiers_reference_vectors(wc, want_component):
+    from north_cloud_ray.stages.classify import quality_score
+
+    readability = 20 if wc >= 200 else (15 if wc >= 100 else 10)
+    got = quality_score(wc, has_title=False, first_text_len=0,
+                        url_path="", n_media=0)
+    assert got == want_component + readability
