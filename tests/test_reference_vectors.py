@@ -13,6 +13,8 @@ Sources (/root/reference):
 - classifier/internal/classifier/topic_test.go (Classify_*)        -> T4/G6
 - classifier/internal/classifier/quality_test.go
   (CalculateWordCountScore)                                        -> G7
+- classifier/internal/classifier/content_type_{recipe,job,rfp,
+  need_signal}_heuristic_test.go (keyword heuristics)              -> M8
 
 Every row is the reference's input/expected pair unchanged; a failure
 here means behavioral drift from the reference on its own fixtures.
@@ -271,3 +273,65 @@ def test_quality_word_count_tiers_reference_vectors(wc, want_component):
     got = quality_score(wc, has_title=False, first_text_len=0,
                         url_path="", n_media=0)
     assert got == want_component + readability
+
+
+# content_type_*_heuristic_test.go rows: (title, text, want_subtype);
+# "" = the heuristic must NOT fire (single keyword / no signals)
+SUBTYPE_VECTORS = [
+    # recipe
+    ("Grandma's Famous Pasta Recipe",
+     "Preheat oven to 350F. Combine the ingredients in a bowl.", "recipe"),
+    ("Best cooking tips",
+     "Always preheat your oven before cooking.", ""),
+    ("Simple Soup",
+     "Add 2 cups of broth and simmer for 20 minutes.", "recipe"),
+    ("Chemistry Lab Report",
+     "We measured 500 ml of solution into the beaker.", ""),
+    ("City Council Meeting Minutes",
+     "The council discussed the budget.", ""),
+    # job
+    ("Software Developer Position",
+     "Job description: We are looking for a developer. Requirements "
+     "include Go experience. Apply now.", "job"),
+    ("Company News",
+     "The salary for this position has been increased.", ""),
+    ("Local News Update",
+     "The mayor announced new park improvements.", ""),
+    ("APPLY NOW - Full-Time Position",
+     "RESPONSIBILITIES include managing the team.", "job"),
+    # rfp
+    ("Request for Proposal - IT Infrastructure Modernization",
+     "This request for proposal is for IT infrastructure services. "
+     "The submission deadline is April 15, 2026. "
+     "Proposals must include a detailed scope of work.", "rfp"),
+    ("City Council Approves New Budget",
+     "The city council met Tuesday to approve the annual operating "
+     "budget.", ""),
+    ("Appel d'offres - Services informatiques",
+     "This call for tenders is for professional services. "
+     "The procurement department requires proposals by March 30.", "rfp"),
+    # need_signal
+    ("Sagamok First Nation Community Portal",
+     "This site is powered by Drupal 7. We are currently undergoing a "
+     "site migration to better serve our community. Please bear with us "
+     "during the transition.", "need_signal"),
+    ("Northern Ontario Heritage Fund Announces New Grants",
+     "The funding announcement includes grants for digital "
+     "transformation and website modernization projects across Northern "
+     "Ontario communities.", "need_signal"),
+    ("Web Developer Needed - Municipality of Espanola",
+     "We are seeking a web developer to help redesign our municipal "
+     "website. The successful candidate will modernize our website "
+     "redesign initiative.", "need_signal"),
+]
+
+
+@pytest.mark.parametrize("title,text,want", SUBTYPE_VECTORS)
+def test_subtype_keyword_heuristics_reference_vectors(title, text, want):
+    from north_cloud_ray.stages.structured import classify_subtype_from_text
+
+    got, conf, method = classify_subtype_from_text(title, text)
+    assert got == want
+    if want:
+        assert conf == pytest.approx(0.80)
+        assert method == "keyword_heuristic"
