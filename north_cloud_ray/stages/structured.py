@@ -369,9 +369,12 @@ PROVINCE_PATTERNS = {
     r"\bnewfoundland\b": "NL", r"\bprince edward island\b": "PE",
     r"\bnorthwest territories\b": "NT", r"\byukon\b": "YT", r"\bnunavut\b": "NU",
 }
+# location.go:98-108 verbatim (incl. the case-insensitive \bus\b quirk:
+# the pronoun "us" scores united_states in the reference too)
 COUNTRY_PATTERNS = {
     r"\bcanada\b": "canada", r"\bcanadian\b": "canada",
     r"\bunited states\b": "united_states", r"\bu\.s\.\b": "united_states",
+    r"\bus\b": "united_states", r"\bu\.s\.a\.\b": "united_states",
     r"\busa\b": "united_states", r"\bamerican?\b": "united_states",
 }
 _PROVINCE_RES = {re.compile(p, re.I): c for p, c in PROVINCE_PATTERNS.items()}

@@ -15,6 +15,8 @@ Sources (/root/reference):
   (CalculateWordCountScore)                                        -> G7
 - classifier/internal/classifier/content_type_{recipe,job,rfp,
   need_signal}_heuristic_test.go (keyword heuristics)              -> M8
+- classifier/internal/classifier/location_test.go
+  (ExtractEntities + Classify)                                     -> §2.8
 
 Every row is the reference's input/expected pair unchanged; a failure
 here means behavioral drift from the reference on its own fixtures.
@@ -335,3 +337,42 @@ def test_subtype_keyword_heuristics_reference_vectors(title, text, want):
     if want:
         assert conf == pytest.approx(0.80)
         assert method == "keyword_heuristic"
+
+
+# location_test.go ExtractEntities rows: (text, want Canadian cities)
+LOCATION_ENTITY_VECTORS = [
+    ("A man was arrested in Sudbury today.", ["sudbury"]),
+    ("The suspect fled from Toronto to Montreal.", ["toronto", "montreal"]),
+    ("The US Justice Department in Washington announced.", []),
+    ("Sudbury Police in Northern Ontario responded.", ["sudbury"]),
+]
+
+
+@pytest.mark.parametrize("text,want", LOCATION_ENTITY_VECTORS)
+def test_location_entities_reference_vectors(text, want):
+    from north_cloud_ray.stages.structured import _extract_entities
+
+    cities = [n for t, n, _ in _extract_entities(text) if t == "city"]
+    assert sorted(cities) == sorted(want)
+
+
+# location_test.go Classify rows: (title, text, want_city, want_country)
+LOCATION_CLASSIFY_VECTORS = [
+    ("Sudbury Police arrest suspect in downtown stabbing",
+     "A man was taken into custody after the incident.",
+     "sudbury", "canada"),
+    ("US Justice Department opens probe into police shooting",
+     "The federal investigation was announced today in Washington.",
+     "", "united_states"),
+]
+
+
+@pytest.mark.parametrize("title,text,want_city,want_country",
+                         LOCATION_CLASSIFY_VECTORS)
+def test_location_classify_reference_vectors(title, text, want_city,
+                                             want_country):
+    from north_cloud_ray.stages.structured import classify_location
+
+    got = classify_location(title, text)
+    assert got["city"] == want_city
+    assert got["country"] == want_country
