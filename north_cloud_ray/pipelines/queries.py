@@ -2656,6 +2656,53 @@ def location_scores(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def jsonld_structured_extraction(sf_dir: str):
+    """Two-tier Schema.org JSON-LD structured extraction (tier-1
+    schema_org from raw HTML, tier-2 text heuristics) over the fixture
+    corpus, as a distributed map_batches stage. Mirrors
+    recipe_extractor.go:47-123 / job_extractor.go:50-160; the golden
+    field values live in tests/test_jsonld.py."""
+    import json as _json
+
+    from ..sources.html_fixtures import FIXTURES
+    from ..stages.structured import extract_job, extract_recipe
+
+    names = sorted(FIXTURES)
+    df = pd.DataFrame({
+        "fixture": names,
+        "url": [f"https://{n}.fixture.test/page" for n in names],
+        "html": [FIXTURES[n] for n in names],
+    })
+    ds = rd.from_pandas(df).repartition(4)
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fixture, html in zip(b["fixture"], b["html"]):
+            recipe = extract_recipe("", "", html=html)
+            job = extract_job("", "", html=html)
+            # heuristic-tier hits over empty text are not real
+            # extractions here — only the schema_org tier applies
+            recipe = recipe if recipe and recipe[
+                "extraction_method"] == "schema_org" else None
+            job = job if job and job[
+                "extraction_method"] == "schema_org" else None
+            rows.append({
+                "fixture": fixture,
+                "recipe_name": recipe["name"] if recipe else "",
+                "recipe_total_minutes": (
+                    recipe.get("total_time_minutes") or 0) if recipe else 0,
+                "recipe_json": _json.dumps(recipe) if recipe else "null",
+                "job_title": job["title"] if job else "",
+                "job_company": job["company"] if job else "",
+                "job_employment_type": (
+                    job["employment_type"] if job else ""),
+                "job_json": _json.dumps(job) if job else "null",
+            })
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(run, batch_format="pandas")
+
+
 def html_extraction(sf_dir: str):
     """M11-M15 extraction chain over the realistic-HTML fixture corpus:
     selector -> CMS template -> density heuristic -> readability fallback +
@@ -5626,6 +5673,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_features_docs": multimodal_features_docs,
     "html_extraction": html_extraction,
+    "jsonld_structured_extraction": jsonld_structured_extraction,
     "content_type_detection_docs": content_type_detection_docs,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,

@@ -154,10 +154,56 @@ OG_ARTICLE = """
 </body></html>
 """
 
+JSONLD_RECIPE = """
+<html><head><title>Maple Oat Cookies | Kitchen Site</title>
+<script type="application/ld+json">
+[
+ {"@context":"https://schema.org","@type":"BreadcrumbList","itemListElement":[]},
+ {"@context":"https://schema.org","@type":"Recipe",
+  "name":"Maple Oat Cookies",
+  "recipeIngredient":["2 cups rolled oats","1 cup flour","1/2 cup maple syrup"],
+  "recipeInstructions":[
+    {"@type":"HowToStep","text":"Mix the dry ingredients."},
+    {"@type":"HowToStep","text":"Fold in the maple syrup."},
+    {"@type":"HowToStep","text":"Bake at 350F for 12 minutes."}],
+  "prepTime":"PT15M","cookTime":"PT12M","totalTime":"PT27M",
+  "recipeYield":"24 cookies","recipeCategory":"Dessert","recipeCuisine":"Canadian",
+  "nutrition":{"@type":"NutritionInformation","calories":"110 calories"},
+  "image":{"@type":"ImageObject","url":"https://kitchen.test/maple-oat.jpg"},
+  "aggregateRating":{"@type":"AggregateRating","ratingValue":4.6,"ratingCount":87}}
+]
+</script></head><body>
+<article><p>These maple oat cookies come together in under half an hour.</p>
+<p>They keep well in a tin and freeze beautifully for later batches.</p>{FILLER}</article>
+</body></html>
+"""
+
+JSONLD_JOB = """
+<html><head><title>Heavy Equipment Operator - North Mining Co</title>
+<script type="application/ld+json">
+{"@context":"https://schema.org","@type":"JobPosting",
+ "title":"Heavy Equipment Operator",
+ "hiringOrganization":{"@type":"Organization","name":"North Mining Co"},
+ "jobLocation":{"@type":"Place","address":{"@type":"PostalAddress",
+   "addressLocality":"Sudbury","addressRegion":"ON"}},
+ "employmentType":"FULL_TIME",
+ "datePosted":"2024-04-02","validThrough":"2024-05-02",
+ "description":"Operate haul trucks and loaders at the open pit site.",
+ "industry":"Mining","qualifications":"Class DZ licence and two years experience.",
+ "jobBenefits":"Extended health and dental.",
+ "baseSalary":{"@type":"MonetaryAmount","currency":"CAD",
+   "value":{"@type":"QuantitativeValue","minValue":62000,"maxValue":78000}}}
+</script></head><body>
+<main><p>North Mining Co is hiring operators for its Sudbury operations.</p>
+<p>Apply now with your resume and licence details to join the team.</p>{FILLER}</main>
+</body></html>
+"""
+
 
 
 for _n in ("WORDPRESS", "DRUPAL", "POSTMEDIA", "JSONLD_NEWS", "EXCLUDES",
-           "DATE_FALLBACK", "BYLINE", "OG_ARTICLE"):
+           "DATE_FALLBACK", "BYLINE", "OG_ARTICLE", "JSONLD_RECIPE",
+           "JSONLD_JOB"):
     globals()[_n] = globals()[_n].replace("{FILLER}", FILLER)
 
 FIXTURES = {
@@ -175,4 +221,6 @@ FIXTURES = {
     "stub": STUB,
     "signin": SIGNIN,
     "og_article": OG_ARTICLE,
+    "jsonld_recipe": JSONLD_RECIPE,
+    "jsonld_job": JSONLD_JOB,
 }

@@ -165,6 +165,136 @@ def classify_subtype_from_text(title: str, text: str) -> tuple[str, float, str]:
 
 
 # ---------------- structured extractors ----------------
+#
+# Two-tier extraction mirrors the reference: tier 1 parses Schema.org
+# JSON-LD blocks out of the raw HTML ("schema_org",
+# recipe_extractor.go:83-110 / job_extractor.go:88-115); tier 2 falls
+# back to text heuristics ("heuristic"). The JSON-LD accessors live in
+# stages/jsonld.py.
+
+from . import jsonld as _jsonld
+
+_EMPLOYMENT_TYPE_MAP = {
+    "FULL_TIME": "full_time", "PART_TIME": "part_time",
+    "CONTRACT": "contract", "TEMPORARY": "temporary",
+    "INTERN": "internship", "INTERNSHIP": "internship",
+}
+
+
+def _normalize_employment_type(raw: str) -> str:
+    """Schema.org employmentType enum -> normalized lowercase
+    (job_extractor.go:163-174); unknown values lowercase as-is."""
+    if not raw:
+        return ""
+    return _EMPLOYMENT_TYPE_MAP.get(raw, raw.lower())
+
+
+def _recipe_instructions(recipe: dict) -> str:
+    """recipeInstructions in its three Schema.org shapes: plain string,
+    array of strings, array of HowToStep objects (recipe_extractor.go
+    extractInstructions); steps join with a single space."""
+    raw = recipe.get("recipeInstructions")
+    if isinstance(raw, str):
+        return raw
+    if not isinstance(raw, list):
+        return ""
+    steps = []
+    for elem in raw:
+        if isinstance(elem, str):
+            steps.append(elem)
+        elif isinstance(elem, dict):
+            text = _jsonld.string_val(elem, "text")
+            if text:
+                steps.append(text)
+    return " ".join(steps)
+
+
+def _jsonld_image_url(obj: dict) -> str:
+    """image as string or {"url": ...} object (extractImageURL)."""
+    raw = obj.get("image")
+    if isinstance(raw, str):
+        return raw
+    if isinstance(raw, dict):
+        return _jsonld.string_val(raw, "url")
+    return ""
+
+
+def extract_recipe_schema_org(html: str) -> dict | None:
+    """Tier-1 Recipe extraction from JSON-LD (recipe_extractor.go:83-123).
+    Returns None when no Recipe block exists."""
+    recipe = _jsonld.find_by_type(_jsonld.extract_blocks(html), "Recipe")
+    if recipe is None:
+        return None
+    out: dict = {
+        "extraction_method": "schema_org",
+        "name": _jsonld.string_val(recipe, "name"),
+        "ingredients": _jsonld.string_slice_val(recipe, "recipeIngredient") or [],
+        "instructions": _recipe_instructions(recipe),
+        "prep_time_minutes": _jsonld.parse_iso8601_duration(
+            _jsonld.string_val(recipe, "prepTime")),
+        "cook_time_minutes": _jsonld.parse_iso8601_duration(
+            _jsonld.string_val(recipe, "cookTime")),
+        "total_time_minutes": _jsonld.parse_iso8601_duration(
+            _jsonld.string_val(recipe, "totalTime")),
+        "servings": _jsonld.string_val(recipe, "recipeYield"),
+        "category": _jsonld.string_val(recipe, "recipeCategory"),
+        "cuisine": _jsonld.string_val(recipe, "recipeCuisine"),
+        "calories": _jsonld.nested_string_val(recipe, "nutrition", "calories"),
+        "image_url": _jsonld_image_url(recipe),
+        "rating": None, "rating_count": None,
+    }
+    rating = recipe.get("aggregateRating")
+    if isinstance(rating, dict):
+        out["rating"] = _jsonld.float_val(rating, "ratingValue")
+        out["rating_count"] = _jsonld.int_val(rating, "ratingCount")
+    return out
+
+
+def _job_location(job: dict) -> str:
+    """jobLocation.address -> "City, Region" (extractJobLocation)."""
+    loc = job.get("jobLocation")
+    if not isinstance(loc, dict):
+        return ""
+    addr = loc.get("address")
+    if not isinstance(addr, dict):
+        return ""
+    city = _jsonld.string_val(addr, "addressLocality")
+    region = _jsonld.string_val(addr, "addressRegion")
+    if city and region:
+        return f"{city}, {region}"
+    return city or region
+
+
+def extract_job_schema_org(html: str) -> dict | None:
+    """Tier-1 JobPosting extraction from JSON-LD
+    (job_extractor.go:88-160). Returns None when no JobPosting block."""
+    job = _jsonld.find_by_type(_jsonld.extract_blocks(html), "JobPosting")
+    if job is None:
+        return None
+    out: dict = {
+        "extraction_method": "schema_org",
+        "title": _jsonld.string_val(job, "title"),
+        "company": _jsonld.nested_string_val(job, "hiringOrganization", "name"),
+        "location": _job_location(job),
+        "employment_type": _normalize_employment_type(
+            _jsonld.string_val(job, "employmentType")),
+        "posted_date": _jsonld.string_val(job, "datePosted"),
+        "expires_date": _jsonld.string_val(job, "validThrough"),
+        "description": _jsonld.string_val(job, "description"),
+        "industry": _jsonld.string_val(job, "industry"),
+        "qualifications": _jsonld.string_val(job, "qualifications"),
+        "benefits": _jsonld.string_val(job, "jobBenefits"),
+        "salary_currency": "", "salary_min": None, "salary_max": None,
+    }
+    salary = job.get("baseSalary")
+    if isinstance(salary, dict):
+        out["salary_currency"] = _jsonld.string_val(salary, "currency")
+        value = salary.get("value")
+        if isinstance(value, dict):
+            out["salary_min"] = _jsonld.float_val(value, "minValue")
+            out["salary_max"] = _jsonld.float_val(value, "maxValue")
+    return out
+
 
 _INGREDIENT_HEADERS = ("ingredients:",)
 _INSTRUCTION_HEADERS = ("instructions:", "directions:", "method:", "steps:")
@@ -191,9 +321,14 @@ def _find_section(raw: str, lower: str, headers) -> str:
     return raw[start:end if end >= 0 else len(raw)]
 
 
-def extract_recipe(title: str, text: str) -> dict | None:
-    """recipe_extractor.go:180-320 heuristic tier (the schema_org tier
-    lives in extract_html.extract_jsonld upstream)."""
+def extract_recipe(title: str, text: str, html: str = "") -> dict | None:
+    """Recipe extraction: tier-1 Schema.org JSON-LD when HTML is
+    available, tier-2 section-header heuristics over the text
+    (recipe_extractor.go:47-80 tiering, :180-320 heuristic)."""
+    if html:
+        result = extract_recipe_schema_org(html)
+        if result is not None:
+            return result
     lower = text.lower()
     section = _find_section(text, lower, _INGREDIENT_HEADERS)
     ingredients = []
@@ -230,9 +365,23 @@ _EMPLOYMENT_TYPES = (("full-time", "full_time"), ("full time", "full_time"),
                      ("internship", "internship"))
 
 
-def extract_job(title: str, text: str) -> dict | None:
+def extract_job(title: str, text: str, html: str = "") -> dict | None:
+    """Job extraction: tier-1 Schema.org JSON-LD when HTML is available,
+    tier-2 keyword-gated text heuristics (job_extractor.go:50-86)."""
+    if html:
+        result = extract_job_schema_org(html)
+        if result is not None:
+            return result
     lower = text.lower()
-    if _count_keywords(f"{title} {text}".lower(), JOB_KEYWORDS) < MIN_KEYWORD_MATCHES:
+    cm = re.search(r"(?:company|employer|organization):\s*([^\n]+)", text, re.I)
+    lm = re.search(r"location:\s*([^\n]+)", text, re.I)
+    quals = _find_section(
+        text, lower, ("requirements:", "qualifications:")).strip()
+    # Reference gate (job_extractor.go:185-200): nil when no labeled
+    # company/location line and no qualifications section were found;
+    # the keyword gate additionally admits salary/employment-only pages.
+    if not (cm or lm or quals) and _count_keywords(
+            f"{title} {text}".lower(), JOB_KEYWORDS) < MIN_KEYWORD_MATCHES:
         return None
     out: dict = {"extraction_method": "heuristic", "title": title}
     sm = _SALARY_RE.search(text)
@@ -244,12 +393,12 @@ def extract_job(title: str, text: str) -> dict | None:
         if marker in lower:
             out["employment_type"] = etype
             break
-    cm = re.search(r"(?:company|employer|organization):\s*([^\n]+)", text, re.I)
     if cm:
         out["company"] = cm.group(1).strip()
-    lm = re.search(r"location:\s*([^\n]+)", text, re.I)
     if lm:
         out["location"] = lm.group(1).strip()
+    if quals:
+        out["qualifications"] = quals
     return out
 
 
@@ -574,10 +723,12 @@ class StructuredExtractStage:
                    else pd.Series([""] * len(batch)))
         topics_col = (batch["topics"] if "topics" in batch.columns
                       else pd.Series([()] * len(batch)))
-        for url, title, body, ctype, src, tps in zip(
+        html_col = (batch["html"] if "html" in batch.columns
+                    else pd.Series([""] * len(batch)))
+        for url, title, body, ctype, src, tps, html in zip(
                 batch["url"], batch["title"], batch["body"],
-                batch["content_type"], sources, topics_col):
-            title, body = title or "", body or ""
+                batch["content_type"], sources, topics_col, html_col):
+            title, body, html = title or "", body or "", html or ""
             sub = detect_content_type_from_url(url)
             method = "url_pattern" if sub else ""
             if not sub:
@@ -585,9 +736,9 @@ class StructuredExtractStage:
             subtypes.append(sub)
             methods.append(method)
             sidecars = resolve_sidecars(ctype, sub)
-            recipes.append(json.dumps(extract_recipe(title, body))
+            recipes.append(json.dumps(extract_recipe(title, body, html))
                            if "recipe" in sidecars else "null")
-            jobs.append(json.dumps(extract_job(title, body))
+            jobs.append(json.dumps(extract_job(title, body, html))
                         if "job" in sidecars else "null")
             rfps.append(json.dumps(extract_rfp(title, body, url))
                         if "rfp" in sidecars else "null")
