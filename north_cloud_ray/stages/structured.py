@@ -101,6 +101,20 @@ RECIPE_KEYWORDS = ("ingredients", "instructions", "prep time", "cook time",
 JOB_KEYWORDS = ("apply now", "qualifications", "salary", "compensation",
                 "job description", "requirements", "responsibilities",
                 "full-time", "part-time", "resume", "position available")
+EVENT_KEYWORDS = ("register now", "tickets available", "event date",
+                  "venue", "admission", "doors open", "rsvp",
+                  "keynote speaker", "registration deadline")
+EVENT_REPORT_PHRASES = ("scheduled for", "will take place",
+                        "lineup announced", "set to perform",
+                        "protest planned", "hearing set for",
+                        "festival announced", "tournament begins")
+OBITUARY_KEYWORDS = ("passed away", "survived by", "predeceased",
+                     "in loving memory", "memorial service", "funeral",
+                     "obituary", "condolences", "celebration of life",
+                     "rest in peace")
+OBITUARY_CRIME_SUPPRESSORS = ("police said", "charged with",
+                              "investigation", "suspect", "arrested",
+                              "under investigation", "crime")
 RFP_KEYWORDS = ("request for proposal", "request for tender",
                 "request for quotation", "call for tenders",
                 "call for proposals", "invitation to tender",
@@ -146,9 +160,57 @@ def _count_keywords(lower_text: str, keywords) -> int:
     return sum(1 for kw in keywords if kw in lower_text)
 
 
+_MONTH_DATE_RE = re.compile(
+    r"\b(January|February|March|April|May|June|July|August|September|"
+    r"October|November|December)\s+\d{1,2},?\s+\d{4}\b", re.I)
+_STREET_ADDR_RE = re.compile(
+    r"\d+\s+\w+\s+(?:Street|St|Avenue|Ave|Road|Rd|Drive|Dr|Boulevard|Blvd)\b",
+    re.I)
+_LOCATION_SIGNAL_PHRASES = ("at the", "venue:")
+
+
+def _has_location_signal(lower_text: str) -> bool:
+    """Venue phrase or street-address pattern
+    (content_type_event_heuristic.go hasLocationSignal)."""
+    if any(p in lower_text for p in _LOCATION_SIGNAL_PHRASES):
+        return True
+    return bool(_STREET_ADDR_RE.search(lower_text))
+
+
+def classify_event_from_text(lower_combined: str) -> tuple[str, float, str]:
+    """Event detection's three paths
+    (content_type_event_heuristic.go classifyFromEventKeywords):
+    1. >=2 event keywords -> event
+    2. month-name date + location signal -> event
+    3. event coverage phrase -> article subtype event_report
+    Empty result means no event signal."""
+    if _count_keywords(lower_combined, EVENT_KEYWORDS) >= MIN_KEYWORD_MATCHES:
+        return "event", KEYWORD_HEURISTIC_CONFIDENCE, "keyword_heuristic"
+    if (_MONTH_DATE_RE.search(lower_combined)
+            and _has_location_signal(lower_combined)):
+        return "event", KEYWORD_HEURISTIC_CONFIDENCE, "keyword_heuristic"
+    if any(p in lower_combined for p in EVENT_REPORT_PHRASES):
+        return ("event_report", KEYWORD_HEURISTIC_CONFIDENCE,
+                "event_report_heuristic")
+    return "", 0.0, ""
+
+
+def classify_obituary_from_text(lower_combined: str) -> tuple[str, float, str]:
+    """Obituary detection with crime suppression
+    (content_type_obituary_heuristic.go): any crime phrase bails out,
+    else >=2 obituary keywords classify at 0.80."""
+    if any(s in lower_combined for s in OBITUARY_CRIME_SUPPRESSORS):
+        return "", 0.0, ""
+    if _count_keywords(lower_combined, OBITUARY_KEYWORDS) >= MIN_KEYWORD_MATCHES:
+        return "obituary", KEYWORD_HEURISTIC_CONFIDENCE, "keyword_heuristic"
+    return "", 0.0, ""
+
+
 def classify_subtype_from_text(title: str, text: str) -> tuple[str, float, str]:
-    """Keyword-heuristic subtype detection (content_type_*_heuristic.go):
-    first heuristic reaching >=2 matches wins at 0.80 confidence."""
+    """Keyword-heuristic subtype detection in the reference's strategy
+    order (content_type.go classifyFromKeywordHeuristics: recipe -> job
+    -> event -> obituary -> rfp -> need_signal); first heuristic
+    reaching >=2 matches wins at 0.80 confidence."""
     combined = f"{title} {text}".lower()
     recipe_hits = _count_keywords(combined, RECIPE_KEYWORDS)
     if recipe_hits < MIN_KEYWORD_MATCHES and _INGREDIENT_QTY_RE.search(combined):
@@ -156,6 +218,16 @@ def classify_subtype_from_text(title: str, text: str) -> tuple[str, float, str]:
     for name, hits in (
         ("recipe", recipe_hits),
         ("job", _count_keywords(combined, JOB_KEYWORDS)),
+    ):
+        if hits >= MIN_KEYWORD_MATCHES:
+            return name, KEYWORD_HEURISTIC_CONFIDENCE, "keyword_heuristic"
+    event = classify_event_from_text(combined)
+    if event[0]:
+        return event
+    obit = classify_obituary_from_text(combined)
+    if obit[0]:
+        return obit
+    for name, hits in (
         ("rfp", _count_keywords(combined, RFP_KEYWORDS)),
         ("need_signal", _count_keywords(combined, NEED_SIGNAL_KEYWORDS)),
     ):

@@ -339,6 +339,128 @@ def test_subtype_keyword_heuristics_reference_vectors(title, text, want):
         assert method == "keyword_heuristic"
 
 
+# content_type_event_heuristic_test.go rows: (title, text, want subtype)
+EVENT_VECTORS = [
+    ("Annual Tech Conference",
+     "Register now for the biggest event of the year. Tickets available "
+     "at the door.", "event"),
+    ("Conference Info",
+     "The venue is downtown. No other event signals here.", ""),
+    ("Spring Gala",
+     "Join us on March 15, 2026 at the Community Hall for an evening of "
+     "music.", "event"),
+    ("Open House",
+     "Come visit us on January 20, 2027 at 123 Main Street for a tour.",
+     "event"),
+    ("Article about history",
+     "Something happened on July 4, 1776 that changed the world.", ""),
+    ("Regular News Article",
+     "The mayor announced a new policy for the city council.", ""),
+    ("REGISTER NOW for the GALA",
+     "DOORS OPEN at 7pm. Come early for the best seats.", "event"),
+    # event coverage phrases -> article subtype event_report
+    ("Annual Music Festival Returns to Sudbury",
+     "The popular music festival is scheduled for next weekend at the "
+     "waterfront park.", "event_report"),
+    ("Protest March Planned for Downtown",
+     "The demonstration will take place Saturday morning starting at "
+     "city hall.", "event_report"),
+    # 2+ event keywords beat the event_report path
+    ("Register Now for the Festival",
+     "Tickets available at the door. The event is scheduled for "
+     "Saturday.", "event"),
+]
+
+
+@pytest.mark.parametrize("title,text,want", EVENT_VECTORS)
+def test_event_heuristic_reference_vectors(title, text, want):
+    from north_cloud_ray.stages.structured import classify_event_from_text
+
+    got, conf, method = classify_event_from_text(f"{title} {text}".lower())
+    assert got == want
+    if want == "event":
+        assert conf == pytest.approx(0.80)
+        assert method == "keyword_heuristic"
+    elif want == "event_report":
+        assert conf == pytest.approx(0.80)
+        assert method == "event_report_heuristic"
+
+
+# content_type_event_heuristic_test.go TestHasLocationSignal rows
+@pytest.mark.parametrize("text,want", [
+    ("meet at the convention center", True),
+    ("venue: downtown arena", True),
+    ("located at 42 Oak Avenue downtown", True),
+    ("visit us at 100 Sunset Drive", True),
+    ("a regular sentence with no location", False),
+])
+def test_has_location_signal_reference_vectors(text, want):
+    from north_cloud_ray.stages.structured import _has_location_signal
+
+    assert _has_location_signal(text) is want
+
+
+# content_type_obituary_heuristic_test.go rows: (title, text, want)
+OBITUARY_VECTORS = [
+    ("John Smith Obituary",
+     "John Smith passed away peacefully on February 25. He is survived "
+     "by his wife and two children.", "obituary"),
+    ("Community Update",
+     "A memorial service will be held for the victims of the flood.", ""),
+    ("Local Sports Recap",
+     "The team won their third consecutive championship this season.", ""),
+    # crime suppression: any crime phrase bails out
+    ("Man Found Dead",
+     "The victim passed away after the incident. Police said they are "
+     "investigating the circumstances. He is survived by his family.", ""),
+    ("Death Investigation",
+     "The person passed away in hospital. The suspect was charged with "
+     "assault. Condolences poured in.", ""),
+    ("Tragedy Strikes",
+     "The elderly man passed away after the altercation. A suspect was "
+     "arrested at the scene. The funeral will be held Saturday.", ""),
+    ("Death Under Investigation",
+     "He passed away suddenly. The death is under investigation by "
+     "detectives. Survived by his wife.", ""),
+    ("IN LOVING MEMORY of Jane Doe",
+     "She PASSED AWAY on February 20. SURVIVED BY her three children.",
+     "obituary"),
+]
+
+
+@pytest.mark.parametrize("title,text,want", OBITUARY_VECTORS)
+def test_obituary_heuristic_reference_vectors(title, text, want):
+    from north_cloud_ray.stages.structured import classify_obituary_from_text
+
+    got, conf, method = classify_obituary_from_text(
+        f"{title} {text}".lower())
+    assert got == want
+    if want:
+        assert conf == pytest.approx(0.80)
+        assert method == "keyword_heuristic"
+
+
+def test_event_obituary_in_full_subtype_cascade():
+    """content_type.go classifyFromKeywordHeuristics order: event and
+    obituary run between job and rfp and are reachable end-to-end."""
+    from north_cloud_ray.stages.structured import classify_subtype_from_text
+
+    got, _, _ = classify_subtype_from_text(
+        "Spring Gala",
+        "Join us on March 15, 2026 at the Community Hall for music.")
+    assert got == "event"
+    got2, _, _ = classify_subtype_from_text(
+        "John Smith Obituary",
+        "He passed away peacefully. Survived by his wife.")
+    assert got2 == "obituary"
+    # crime article with obituary phrases must NOT be obituary
+    got3, _, _ = classify_subtype_from_text(
+        "Man Dies After Assault",
+        "The victim passed away in hospital. Police said a suspect has "
+        "been arrested. He is survived by his wife and children.")
+    assert got3 != "obituary"
+
+
 # location_test.go ExtractEntities rows: (text, want Canadian cities)
 LOCATION_ENTITY_VECTORS = [
     ("A man was arrested in Sudbury today.", ["sudbury"]),
