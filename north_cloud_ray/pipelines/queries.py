@@ -2215,6 +2215,179 @@ _CTD_SEGMENTS = ("/press/", "/events/", "/recipes/", "/jobs/", "/tenders/",
                  "/obituaries/")
 
 
+# content_type_cascade_docs url variants: v -> (url template, excluded?)
+_CASCADE_URLS = (
+    "https://ex.test/news/item-{d}",      # article within section
+    "https://ex.test/news",               # section index -> excluded
+    "https://ex.test/account/settings",   # excluded prefix
+    "https://ex.test/stories?offset=20",  # pagination -> excluded
+    "https://ex.test/",                   # homepage -> excluded
+    "https://ex.test/story/item-{d}",
+    "https://ex.test/blog/post-{d}",
+    "https://ex.test/login",              # excluded prefix
+    "https://ex.test/category/sports",    # excluded prefix
+    "https://ex.test/posts/update-{d}",
+)
+_CASCADE_EXCLUDED_V = (1, 2, 3, 4, 7, 8)
+_CASCADE_OGS = ("article", "website", "video", "", "image", "news", "")
+
+
+def content_type_cascade_docs(sf_dir: str):
+    """The reference's FULL content-type cascade (content_type.go
+    Classify: URL exclusions -> listing content patterns -> keyword
+    heuristics -> OG metadata -> article/relaxed heuristics -> page
+    default) through classify_content_type_full, over deterministically
+    derived url/og/date/description signals on the documents table —
+    SQL-oracle-checked."""
+    from ..stages.structured import classify_content_type_full
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            ctype, sub, conf, method = classify_content_type_full(
+                _CASCADE_URLS[d % 10].format(d=d),
+                title=f"Doc {d}" if d % 11 else "",
+                raw_text=text or "",
+                og_type=_CASCADE_OGS[d % 7],
+                word_count=100 + (d % 5) * 100,
+                meta_description="" if d % 4 == 0 else "desc",
+                has_published_date=(d % 3 == 0),
+            )
+            rows.append({"doc_id": d, "ctype": ctype, "subtype": sub,
+                         "confidence": conf, "method": method})
+        return pd.DataFrame(rows)
+
+    return docs.map_batches(run, batch_format="pandas")
+
+
+def _cascade_oracle_sql() -> str:
+    """Oracle for content_type_cascade_docs, generated from the live
+    keyword/pattern tables (no drift). The url-exclusion branch is
+    derived independently from the deterministic v -> url mapping, so a
+    URL-logic regression on the Ray side mismatches here."""
+    from ..stages.structured import (
+        _LISTING_DATE_PREFIXES,
+        _LISTING_DATELINES,
+        _READ_MORE_PATTERNS,
+        EVENT_KEYWORDS,
+        EVENT_REPORT_PHRASES,
+        JOB_KEYWORDS,
+        NEED_SIGNAL_KEYWORDS,
+        OBITUARY_CRIME_SUPPRESSORS,
+        OBITUARY_KEYWORDS,
+        RECIPE_KEYWORDS,
+        RFP_KEYWORDS,
+    )
+
+    def hits(kws) -> str:
+        return " + ".join(
+            f"(CASE WHEN strpos(combined, '{kw}') > 0 THEN 1 ELSE 0 END)"
+            for kw in kws)
+
+    def any_of(kws) -> str:
+        return " OR ".join(f"strpos(combined, '{kw}') > 0" for kw in kws)
+
+    def occurrences(col: str, pats) -> str:
+        return " + ".join(
+            f"((length({col}) - length(replace({col}, '{p}', '')))"
+            f" // {len(p)})"
+            for p in pats)
+
+    qty_re = (r"\b\d+\s?(?:cups?|tbsp|tablespoons?|tsp|teaspoons?|ml|g|"
+              r"grams|kg|oz|ounces?)\b")
+    date_re = (r"\b(january|february|march|april|may|june|july|august|"
+               r"september|october|november|december)\s+\d{1,2},?\s+\d{4}\b")
+    addr_re = (r"\d+\s+\w+\s+(street|st|avenue|ave|road|rd|drive|dr|"
+               r"boulevard|blvd)\b")
+    excluded = ", ".join(str(v) for v in _CASCADE_EXCLUDED_V)
+    ogs = " ".join(f"WHEN {i} THEN '{o}'"
+                   for i, o in enumerate(_CASCADE_OGS) if o)
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS v,
+        (CASE doc_id % 7 {ogs} ELSE '' END) AS og,
+        100 + (doc_id % 5) * 100 AS wc,
+        (doc_id % 3 = 0) AS has_date,
+        (doc_id % 4 <> 0) AS has_desc,
+        (doc_id % 11 <> 0) AS has_title,
+        lower(coalesce(text, '')) AS lt,
+        lower((CASE WHEN doc_id % 11 <> 0 THEN 'doc ' || doc_id
+               ELSE '' END) || ' ' || coalesce(text, '')) AS combined
+      FROM documents
+    ),
+    kw AS (
+      SELECT *,
+        (({occurrences('lt', _READ_MORE_PATTERNS)}) >= 3
+         OR ({occurrences('lt', _LISTING_DATE_PREFIXES)}) >= 5
+         OR ({occurrences('lt', _LISTING_DATELINES)}) >= 3) AS listing,
+        ({hits(RECIPE_KEYWORDS)}) AS rh0,
+        ({hits(JOB_KEYWORDS)}) AS jh,
+        ({hits(EVENT_KEYWORDS)}) AS eh,
+        (regexp_matches(combined, '{date_re}')
+         AND (strpos(combined, 'at the') > 0
+              OR strpos(combined, 'venue:') > 0
+              OR regexp_matches(combined, '{addr_re}'))) AS ev_dateloc,
+        ({any_of(EVENT_REPORT_PHRASES)}) AS ev_report,
+        ({hits(OBITUARY_KEYWORDS)}) AS oh,
+        ({any_of(OBITUARY_CRIME_SUPPRESSORS)}) AS ob_sup,
+        ({hits(RFP_KEYWORDS)}) AS fh,
+        ({hits(NEED_SIGNAL_KEYWORDS)}) AS sh
+      FROM d
+    ),
+    adj AS (
+      SELECT *,
+        rh0 + (CASE WHEN rh0 < 2
+                     AND regexp_matches(combined, '{qty_re}', 'i')
+                    THEN 1 ELSE 0 END) AS rh
+      FROM kw
+    ),
+    steps AS (
+      SELECT doc_id,
+        CASE
+          WHEN v IN ({excluded}) THEN 1     -- url_exclusion
+          WHEN listing THEN 2               -- content_pattern
+          WHEN rh >= 2 THEN 3
+          WHEN jh >= 2 THEN 4
+          WHEN eh >= 2 OR ev_dateloc THEN 5
+          WHEN ev_report THEN 6
+          WHEN oh >= 2 AND NOT ob_sup THEN 7
+          WHEN fh >= 2 THEN 8
+          WHEN sh >= 2 THEN 9
+          WHEN og IN ('article', 'news') THEN 10
+          WHEN og = 'video' THEN 11
+          WHEN og = 'image' THEN 12
+          WHEN wc >= 200 AND has_title AND has_date AND has_desc THEN 13
+          WHEN NOT has_date AND wc >= 300 AND has_title AND has_desc THEN 14
+          ELSE 15
+        END AS step
+      FROM adj
+    )
+    SELECT doc_id,
+      CASE step WHEN 1 THEN 'page' WHEN 2 THEN 'page'
+                WHEN 3 THEN 'recipe' WHEN 4 THEN 'job' WHEN 5 THEN 'event'
+                WHEN 6 THEN 'article' WHEN 7 THEN 'obituary'
+                WHEN 8 THEN 'rfp' WHEN 9 THEN 'need_signal'
+                WHEN 10 THEN 'article' WHEN 11 THEN 'video'
+                WHEN 12 THEN 'image' WHEN 13 THEN 'article'
+                WHEN 14 THEN 'article' ELSE 'page' END AS ctype,
+      CASE step WHEN 6 THEN 'event_report' ELSE '' END AS subtype,
+      CASE step WHEN 1 THEN 0.9 WHEN 2 THEN 0.85
+                WHEN 10 THEN 0.78 WHEN 11 THEN 0.78 WHEN 12 THEN 0.78
+                WHEN 13 THEN 0.75 WHEN 14 THEN 0.65 WHEN 15 THEN 0.6
+                ELSE 0.80 END AS confidence,
+      CASE step WHEN 1 THEN 'url_exclusion' WHEN 2 THEN 'content_pattern'
+                WHEN 6 THEN 'event_report_heuristic'
+                WHEN 10 THEN 'og_metadata' WHEN 11 THEN 'og_metadata'
+                WHEN 12 THEN 'og_metadata' WHEN 13 THEN 'heuristic'
+                WHEN 14 THEN 'heuristic_relaxed' WHEN 15 THEN 'default'
+                ELSE 'keyword_heuristic' END AS method
+    FROM steps
+    """
+
+
 def content_type_detection_docs(sf_dir: str):
     """M8 content-type detection through the REAL detection functions
     (URL-pattern table incl. the .pdf/query-string rules, then the
@@ -2255,8 +2428,12 @@ def _ctd_oracle_sql() -> str:
     """Oracle for content_type_detection_docs, generated from the live
     keyword tables (no drift)."""
     from ..stages.structured import (
+        EVENT_KEYWORDS,
+        EVENT_REPORT_PHRASES,
         JOB_KEYWORDS,
         NEED_SIGNAL_KEYWORDS,
+        OBITUARY_CRIME_SUPPRESSORS,
+        OBITUARY_KEYWORDS,
         RECIPE_KEYWORDS,
         RFP_KEYWORDS,
     )
@@ -2266,8 +2443,17 @@ def _ctd_oracle_sql() -> str:
             f"(CASE WHEN strpos(combined, '{kw}') > 0 THEN 1 ELSE 0 END)"
             for kw in kws)
 
+    def any_of(kws) -> str:
+        return " OR ".join(f"strpos(combined, '{kw}') > 0" for kw in kws)
+
     qty_re = (r"\b\d+\s?(?:cups?|tbsp|tablespoons?|tsp|teaspoons?|ml|g|"
               r"grams|kg|oz|ounces?)\b")
+    # event date-location path (content_type_event_heuristic.go);
+    # combined is lowercased, so month names match in lowercase
+    date_re = (r"\b(january|february|march|april|may|june|july|august|"
+               r"september|october|november|december)\s+\d{1,2},?\s+\d{4}\b")
+    addr_re = (r"\d+\s+\w+\s+(street|st|avenue|ave|road|rd|drive|dr|"
+               r"boulevard|blvd)\b")
     titles = " ".join(
         f"WHEN {i} THEN '{t}'" for i, t in enumerate(_CTD_TITLES) if t)
     return rf"""
@@ -2282,6 +2468,14 @@ def _ctd_oracle_sql() -> str:
       SELECT doc_id, v, combined,
         ({hits(RECIPE_KEYWORDS)}) AS rh0,
         ({hits(JOB_KEYWORDS)}) AS jh,
+        ({hits(EVENT_KEYWORDS)}) AS eh,
+        (regexp_matches(combined, '{date_re}')
+         AND (strpos(combined, 'at the') > 0
+              OR strpos(combined, 'venue:') > 0
+              OR regexp_matches(combined, '{addr_re}'))) AS ev_dateloc,
+        ({any_of(EVENT_REPORT_PHRASES)}) AS ev_report,
+        ({hits(OBITUARY_KEYWORDS)}) AS oh,
+        ({any_of(OBITUARY_CRIME_SUPPRESSORS)}) AS ob_suppressed,
         ({hits(RFP_KEYWORDS)}) AS fh,
         ({hits(NEED_SIGNAL_KEYWORDS)}) AS sh,
         CASE v WHEN 0 THEN 'press_release' WHEN 1 THEN 'event'
@@ -2295,18 +2489,25 @@ def _ctd_oracle_sql() -> str:
         rh0 + (CASE WHEN rh0 < 2
                      AND regexp_matches(combined, '{qty_re}', 'i')
                     THEN 1 ELSE 0 END) AS rh,
-        jh, fh, sh
+        jh, eh, ev_dateloc, ev_report,
+        oh, ob_suppressed, fh, sh
       FROM kw
     )
     SELECT doc_id,
       CASE WHEN usub <> '' THEN usub
            WHEN rh >= 2 THEN 'recipe'
            WHEN jh >= 2 THEN 'job'
+           WHEN eh >= 2 OR ev_dateloc THEN 'event'
+           WHEN ev_report THEN 'event_report'
+           WHEN oh >= 2 AND NOT ob_suppressed THEN 'obituary'
            WHEN fh >= 2 THEN 'rfp'
            WHEN sh >= 2 THEN 'need_signal'
            ELSE '' END AS subtype,
       CASE WHEN usub <> '' THEN 'url_pattern'
-           WHEN rh >= 2 OR jh >= 2 OR fh >= 2 OR sh >= 2
+           WHEN rh >= 2 OR jh >= 2 OR eh >= 2 OR ev_dateloc
+             THEN 'keyword_heuristic'
+           WHEN ev_report THEN 'event_report_heuristic'
+           WHEN (oh >= 2 AND NOT ob_suppressed) OR fh >= 2 OR sh >= 2
              THEN 'keyword_heuristic'
            ELSE '' END AS method
     FROM adj
@@ -5675,6 +5876,7 @@ QUERIES = {
     "html_extraction": html_extraction,
     "jsonld_structured_extraction": jsonld_structured_extraction,
     "content_type_detection_docs": content_type_detection_docs,
+    "content_type_cascade_docs": content_type_cascade_docs,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
@@ -6080,6 +6282,7 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
     "content_type_detection_docs": _ctd_oracle_sql(),
+    "content_type_cascade_docs": _cascade_oracle_sql(),
     "f1_span_stats_docs": r"""
         WITH d AS (
           SELECT doc_id,

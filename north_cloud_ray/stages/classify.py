@@ -47,21 +47,10 @@ TF_NORM = 2.5                  # topic.go:17
 
 _PUNCT_RE = re.compile(r"[,.!?;:]")
 
-# content_type.go:36-49
-ALWAYS_EXCLUDED_PREFIXES = (
-    "/account", "/login", "/signin", "/signup", "/register",
-    "/ads", "/advertisements", "/directory", "/submissions",
-    "/category", "/categories", "/browse", "/listings",
-    "/search", "/results",
-)
-# content_type.go:53-64
-SECTION_INDEX_PATHS = (
-    "/news", "/articles", "/stories", "/posts", "/blog",
-    "/ontario-news", "/local-news", "/breaking-news",
-    "/classifieds", "/classified",
-    "/jobs", "/careers", "/employment", "/work-with-us", "/opportunities",
-    "/rfp", "/rfps", "/tenders", "/procurement", "/solicitations", "/bids",
-)
+# content_type.go:36-64 — owned by structured.py, which carries the
+# full-fidelity cascade (classify_content_type_full); this module keeps
+# the vectorized 3-type collapse used on the crawl path
+from .structured import ALWAYS_EXCLUDED_PREFIXES, SECTION_INDEX_PATHS
 
 _DATE_PATH_RE = re.compile(r"/\d{4}/\d{2}(/\d{2})?/[^/]+")
 # non-capturing twin for vectorized str.contains (same language)
@@ -167,7 +156,9 @@ def classify_content_type(url: str, word_count: int) -> tuple[str, float, str]:
     path = "/" + path.split("?", 1)[0].split("#", 1)[0]
     lower = path.lower().rstrip("/") or "/"
     for p in ALWAYS_EXCLUDED_PREFIXES:
-        if lower.startswith(p):
+        # segment-boundary prefix (content_type.go matchesURLPattern):
+        # /ads matches /ads/x but not /adsorption
+        if lower == p or lower.startswith(p + "/"):
             return "page", 0.9, "url_exclusion"
     if lower in SECTION_INDEX_PATHS:
         return "listing", 0.85, "section_index"
@@ -213,7 +204,7 @@ class ClassifyActor:
         )
         self._excl_re = re.compile(
             "^(?:" + "|".join(re.escape(p) for p in ALWAYS_EXCLUDED_PREFIXES)
-            + ")")
+            + ")(?:/|$)")
 
     def _topic_scores(self, titles: pd.Series, bodies: pd.Series) -> np.ndarray:
         """(n_docs, n_rules) score matrix — the topic.go:167-247 formula.

@@ -206,6 +206,192 @@ def classify_obituary_from_text(lower_combined: str) -> tuple[str, float, str]:
     return "", 0.0, ""
 
 
+# ---------------- full content-type cascade (content_type.go) ----------------
+
+PAGINATION_QUERY_PARAMS = ("page", "p", "pagenum", "paged", "page_num",
+                           "page_number", "offset", "start", "from")
+
+_READ_MORE_PATTERNS = ("read more", "read more >", "read more>>",
+                       "continue reading", "full story")
+_LISTING_DATE_PREFIXES = ("jan ", "feb ", "mar ", "apr ", "may ", "jun ",
+                          "jul ", "aug ", "sep ", "oct ", "nov ", "dec ")
+_LISTING_DATELINES = ("toronto —", "ottawa —", "ontario —",
+                      "vancouver —", "montreal —",
+                      "calgary —", "edmonton —")
+MIN_READ_MORE_FOR_LISTING = 3
+MIN_DATES_FOR_LISTING = 5
+MIN_SUMMARIES_FOR_LISTING = 3
+
+
+def _is_numeric(s: str) -> bool:
+    """Integer string, optional leading minus (content_type.go isNumeric)."""
+    if not s:
+        return False
+    body = s[1:] if s[0] == "-" else s
+    return bool(body) and body.isdigit()
+
+
+def matches_url_pattern(path: str, pattern: str) -> bool:
+    """Prefix match honoring path-segment boundaries
+    (content_type.go matchesURLPattern): /classifieds matches
+    /classifieds and /classifieds/job-listings but not /classifieds-x."""
+    if path == pattern:
+        return True
+    if pattern.endswith("/"):
+        return path.startswith(pattern)
+    return path.startswith(pattern + "/")
+
+
+def _is_exact_section_path(path: str, section: str) -> bool:
+    return path == section or path == section + "/"
+
+
+# content_type.go:36-64 (shared with classify.py's collapsed variant)
+ALWAYS_EXCLUDED_PREFIXES = (
+    "/account", "/login", "/signin", "/signup", "/register",
+    "/ads", "/advertisements", "/directory", "/submissions",
+    "/category", "/categories", "/browse", "/listings",
+    "/search", "/results",
+)
+SECTION_INDEX_PATHS = (
+    "/news", "/articles", "/stories", "/posts", "/blog",
+    "/ontario-news", "/local-news", "/breaking-news",
+    "/classifieds", "/classified",
+    "/jobs", "/careers", "/employment", "/work-with-us", "/opportunities",
+    "/rfp", "/rfps", "/tenders", "/procurement", "/solicitations", "/bids",
+)
+
+
+def _has_pagination_query(query: str) -> bool:
+    """Pagination query param with a numeric value
+    (content_type.go hasPaginationQuery)."""
+    if not query:
+        return False
+    from urllib.parse import parse_qs
+    try:
+        values = parse_qs(query, keep_blank_values=True,
+                          strict_parsing=False)
+    except ValueError:
+        lower = query.lower()
+        return any(f"{p}=" in lower for p in PAGINATION_QUERY_PARAMS)
+    for p in PAGINATION_QUERY_PARAMS:
+        if p in values:
+            v = values[p][0].strip()
+            if v and _is_numeric(v):
+                return True
+    return False
+
+
+def is_non_content_url(url: str) -> bool:
+    """URL patterns indicating non-article pages
+    (content_type.go isNonContentURL): excluded prefixes, exact section
+    index paths, redirect/auth query params, pagination params, and the
+    homepage."""
+    if not url:
+        return False
+    from urllib.parse import urlsplit
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return _is_non_content_url_fallback(url)
+    path = parts.path.lower()
+    if any(matches_url_pattern(path, p) for p in ALWAYS_EXCLUDED_PREFIXES):
+        return True
+    if any(_is_exact_section_path(path, s) for s in SECTION_INDEX_PATHS):
+        return True
+    query = parts.query.lower()
+    if "returnurl=" in query or "redirect=" in query:
+        return True
+    if _has_pagination_query(query):
+        return True
+    return path in ("/", "")
+
+
+def _is_non_content_url_fallback(url: str) -> bool:
+    """Split-free path matching when URL parsing fails
+    (content_type.go isNonContentURLFallback)."""
+    before_query = url.split("?", 1)[0]
+    idx = before_query.find("://")
+    rest = before_query[idx + 3:] if idx >= 0 else before_query
+    slash = rest.find("/")
+    path = rest[slash:] if slash >= 0 else "/"
+    path = path.lower().rstrip("/") or "/"
+    if path == "/":
+        return True
+    if any(matches_url_pattern(path, p) for p in ALWAYS_EXCLUDED_PREFIXES):
+        return True
+    if any(_is_exact_section_path(path, s) for s in SECTION_INDEX_PATHS):
+        return True
+    lower = url.lower()
+    return "returnurl=" in lower or "redirect=" in lower
+
+
+def is_listing_page_content(raw_text: str) -> bool:
+    """Listing/index page content patterns
+    (content_type.go isListingPageContent): 3+ read-more links, 5+
+    month-abbreviation dates, or 3+ news datelines."""
+    lower = (raw_text or "").lower()
+    if sum(lower.count(p) for p in _READ_MORE_PATTERNS) \
+            >= MIN_READ_MORE_FOR_LISTING:
+        return True
+    if sum(lower.count(p) for p in _LISTING_DATE_PREFIXES) \
+            >= MIN_DATES_FOR_LISTING:
+        return True
+    return sum(lower.count(p) for p in _LISTING_DATELINES) \
+        >= MIN_SUMMARIES_FOR_LISTING
+
+
+def classify_content_type_full(
+    url: str, *, title: str = "", raw_text: str = "", raw_html: str = "",
+    og_type: str = "", word_count: int = 0, meta_description: str = "",
+    og_description: str = "", has_published_date: bool = False,
+    detected_content_type: str = "",
+) -> tuple[str, str, float, str]:
+    """The reference's full content-type cascade
+    (content_type.go Classify, strategies in order): crawler
+    detected_content_type (1.0) -> Schema.org JSON-LD Recipe/JobPosting/
+    Event (1.0) -> URL exclusions (page 0.9) -> listing content patterns
+    (page 0.85) -> keyword heuristics (0.80) -> OG type (0.78) -> article
+    heuristic (0.75) -> relaxed article heuristic (0.65) -> page default
+    (0.6). Returns (type, subtype, confidence, method)."""
+    if detected_content_type:
+        sub = "" if detected_content_type == "article" else detected_content_type
+        return "article", sub, 1.0, "detected_content_type"
+    if raw_html:
+        blocks = _jsonld.extract_blocks(raw_html)
+        for schema_type, ctype in (("Recipe", "recipe"),
+                                   ("JobPosting", "job"),
+                                   ("Event", "event")):
+            if _jsonld.find_by_type(blocks, schema_type) is not None:
+                return ctype, "", 1.0, "schema_org"
+    if is_non_content_url(url):
+        return "page", "", 0.9, "url_exclusion"
+    if is_listing_page_content(raw_text):
+        return "page", "", 0.85, "content_pattern"
+    sub, conf, method = classify_subtype_from_text(title, raw_text)
+    if sub == "event_report":
+        return "article", "event_report", conf, method
+    if sub:
+        return sub, "", conf, method
+    og = (og_type or "").strip().lower()
+    if og:
+        if og in ("article", "news") or "article" in og:
+            return "article", "", 0.78, "og_metadata"
+        if og != "website":
+            if og == "video" or "video" in og:
+                return "video", "", 0.78, "og_metadata"
+            if og == "image" or "image" in og:
+                return "image", "", 0.78, "og_metadata"
+    has_description = bool(meta_description or og_description)
+    if (word_count >= 200 and title and has_published_date
+            and has_description):
+        return "article", "", 0.75, "heuristic"
+    if (not has_published_date and word_count >= 300 and title
+            and has_description):
+        return "article", "", 0.65, "heuristic_relaxed"
+    return "page", "", 0.6, "default"
+
+
 def classify_subtype_from_text(title: str, text: str) -> tuple[str, float, str]:
     """Keyword-heuristic subtype detection in the reference's strategy
     order (content_type.go classifyFromKeywordHeuristics: recipe -> job

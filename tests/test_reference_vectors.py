@@ -440,6 +440,219 @@ def test_obituary_heuristic_reference_vectors(title, text, want):
         assert method == "keyword_heuristic"
 
 
+# ---------------- full content-type cascade (content_type_test.go) ----------
+
+# matchesURLPattern rows
+@pytest.mark.parametrize("path,pattern,want", [
+    ("/classifieds", "/classifieds", True),
+    ("/classifieds/job-listings", "/classifieds", True),
+    ("/directory/some-business", "/directory", True),
+    ("/submissions/newstip", "/submissions", True),
+    ("/local-news/article-title", "/classifieds", False),
+    ("/classifieds/job-listings", "/classifieds/", True),
+    ("/account/settings", "/account", True),
+])
+def test_matches_url_pattern_reference_vectors(path, pattern, want):
+    from north_cloud_ray.stages.structured import matches_url_pattern
+
+    assert matches_url_pattern(path, pattern) is want
+
+
+# Classify cascade rows: (kwargs, want_type, want_conf, want_method)
+ARTICLE_KW = dict(title="Test Article Title",
+                  raw_text="This is a test article with substantial "
+                           "content to be classified.",
+                  word_count=300, meta_description="Test description",
+                  has_published_date=True)
+
+CASCADE_VECTORS = [
+    # OG metadata
+    (dict(url="https://example.com/story/article", title="Test Article",
+          raw_text="This is a test article with enough content to be "
+                   "classified as an article.",
+          og_type="article", word_count=300, has_published_date=True),
+     "article", 0.78, "og_metadata"),
+    (dict(url="", title="Test Video", raw_text="This is a video content.",
+          og_type="video", word_count=50),
+     "video", 0.78, "og_metadata"),
+    # article heuristic (0.75) and page default (0.6)
+    (dict(url="", title="Breaking News Story", raw_text="x " * 400,
+          word_count=250,
+          meta_description="This is a news article about current events",
+          has_published_date=True),
+     "article", 0.75, "heuristic"),
+    (dict(url="", title="About Us",
+          raw_text="This is a short page with minimal content.",
+          word_count=50),
+     "page", 0.6, "default"),
+    (dict(url="", title="", raw_text="x " * 400, word_count=250,
+          has_published_date=True),
+     "page", 0.6, "default"),
+    # OGType authoritative even without date; "website" ignored
+    (dict(url="https://example.com/some-page", title="Some Page",
+          raw_text="Content here.", og_type="article", word_count=300),
+     "article", 0.78, "og_metadata"),
+    (dict(url="https://example.com/article", title="Article Title",
+          raw_text="Article content here.", og_type="website",
+          word_count=250, meta_description="Article description",
+          has_published_date=True),
+     "article", 0.75, "heuristic"),
+    # relaxed heuristic: no date, 300+ words
+    (dict(url="https://example.com/some-article",
+          title="Six men now charged in 2024 multi-city drug bust",
+          raw_text="The police arrested several suspects in a large "
+                   "drug bust spanning multiple cities.",
+          meta_description="Six men have been charged in connection "
+                           "with a drug bust.",
+          word_count=600),
+     "article", 0.65, "heuristic_relaxed"),
+    # URL exclusions
+    (dict(url="https://www.baytoday.ca/classifieds", title="Test Page",
+          raw_text="Some content", word_count=250),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://www.baytoday.ca/directory/health-care/wellwise",
+          title="Test Page", raw_text="Some content", word_count=250),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://www.baytoday.ca/submissions/newstip",
+          title="Test Page", raw_text="Some content", word_count=250),
+     "page", 0.9, "url_exclusion"),
+    # pagination query params
+    (dict(url="https://www.sudbury.com/ontario-news?page=5", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/news?p=2", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/articles?pagenum=3", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/stories?offset=20", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/story/article-title", **ARTICLE_KW),
+     "article", 0.75, "heuristic"),
+    # section index pages excluded; articles within them pass through
+    (dict(url="https://example.com/news", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/news/", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/blog", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/news/six-men-charged-drug-bust",
+          **ARTICLE_KW),
+     "article", 0.75, "heuristic"),
+    (dict(url="https://www.sudbury.com/ontario-news/man-arrested-after-standoff",
+          **ARTICLE_KW),
+     "article", 0.75, "heuristic"),
+    (dict(url="https://example.com/blog/my-first-post", **ARTICLE_KW),
+     "article", 0.75, "heuristic"),
+    (dict(url="https://example.com/classifieds/job-listings/plumber",
+          **ARTICLE_KW),
+     "article", 0.75, "heuristic"),
+    (dict(url="https://example.com/account/settings", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/login/reset-password", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/category/sports", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    (dict(url="https://example.com/search/results", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    # homepage
+    (dict(url="https://example.com/", **ARTICLE_KW),
+     "page", 0.9, "url_exclusion"),
+    # Schema.org strategies (override OG type)
+    (dict(url="", title="Test Recipe", og_type="article",
+          raw_html='<html><head><script type="application/ld+json">'
+                   '{"@type": "Recipe", "name": "Test Recipe"}'
+                   '</script></head><body></body></html>'),
+     "recipe", 1.0, "schema_org"),
+    (dict(url="", title="Job Opening",
+          raw_html='<html><head><script type="application/ld+json">'
+                   '{"@type": "JobPosting", "title": "Developer"}'
+                   '</script></head><body></body></html>'),
+     "job", 1.0, "schema_org"),
+    (dict(url="", title="Tech Conference 2026", og_type="article",
+          raw_html='<html><head><script type="application/ld+json">'
+                   '{"@type": "Event", "name": "Tech Conference 2026"}'
+                   '</script></head><body></body></html>'),
+     "event", 1.0, "schema_org"),
+    # BreadcrumbList-only falls through to OG
+    (dict(url="", title="Some Article", og_type="article", word_count=500,
+          raw_html='<html><head><script type="application/ld+json">'
+                   '{"@type": "BreadcrumbList"}'
+                   '</script></head><body></body></html>'),
+     "article", 0.78, "og_metadata"),
+    # detected_content_type passthrough
+    (dict(url="https://x.test/a", detected_content_type="press_release"),
+     "article", 1.0, "detected_content_type"),
+]
+
+
+@pytest.mark.parametrize("kwargs,want_type,want_conf,want_method",
+                         CASCADE_VECTORS)
+def test_content_type_cascade_reference_vectors(kwargs, want_type,
+                                                want_conf, want_method):
+    from north_cloud_ray.stages.structured import classify_content_type_full
+
+    ctype, _sub, conf, method = classify_content_type_full(
+        kwargs.pop("url"), **kwargs)
+    assert ctype == want_type
+    assert conf == pytest.approx(want_conf)
+    assert method == want_method
+
+
+def test_detected_content_type_article_subtype_collapses():
+    from north_cloud_ray.stages.structured import classify_content_type_full
+
+    ctype, sub, conf, method = classify_content_type_full(
+        "https://x.test/a", detected_content_type="article")
+    assert (ctype, sub, conf, method) == ("article", "", 1.0,
+                                          "detected_content_type")
+
+
+# isListingPageContent rows
+LISTING_TEXT_READ_MORE = (
+    "Toronto police investigating after second incident\n"
+    "TORONTO — Toronto police are investigating thefts.\nRead more >\n"
+    "Future uncertain for Ontario college students\n"
+    "TORONTO — Cuts and layoffs follow policy changes.\nRead more >\n"
+    "Toronto police probing Christmas Eve collision\n"
+    "TORONTO — Police released more information.\nRead more >")
+LISTING_TEXT_DATELINES = (
+    "TORONTO — First article summary here.\nDec 26, 2025 9:31 AM\n"
+    "OTTAWA — Second article summary here.\nDec 26, 2025 4:00 AM\n"
+    "TORONTO — Third article summary here.\nDec 25, 2025 11:11 AM\n"
+    "ONTARIO — Fourth article summary here.\nDec 24, 2025 7:23 PM")
+LISTING_TEXT_DATES = (
+    "Article one summary. Dec 26, 2025 9:31 AM\n"
+    "Article two summary. Dec 26, 2025 4:00 AM\n"
+    "Article three summary. Dec 25, 2025 11:11 AM\n"
+    "Article four summary. Dec 24, 2025 7:23 PM\n"
+    "Article five summary. Dec 24, 2025 6:07 PM\n"
+    "Article six summary. Dec 24, 2025 2:37 PM")
+REGULAR_ARTICLE_TEXT = (
+    "This is a regular news article with a single topic and narrative. "
+    "It has enough content to be classified as an article. The content "
+    "flows coherently from one paragraph to the next, discussing a "
+    "single subject in depth. There are no multiple article summaries "
+    'or "Read more" links. This is the kind of content that should be '
+    "classified as an article.")
+
+
+@pytest.mark.parametrize("raw_text,want_type", [
+    (LISTING_TEXT_READ_MORE, "page"),
+    (LISTING_TEXT_DATELINES, "page"),
+    (LISTING_TEXT_DATES, "page"),
+    (REGULAR_ARTICLE_TEXT, "article"),
+])
+def test_listing_page_content_reference_vectors(raw_text, want_type):
+    from north_cloud_ray.stages.structured import classify_content_type_full
+
+    ctype, _, _, method = classify_content_type_full(
+        "https://example.com/content", title="Test Content",
+        raw_text=raw_text, word_count=300,
+        meta_description="Test description", has_published_date=True)
+    assert ctype == want_type
+    if want_type == "page":
+        assert method == "content_pattern"
+
+
 def test_event_obituary_in_full_subtype_cascade():
     """content_type.go classifyFromKeywordHeuristics order: event and
     obituary run between job and rfp and are reachable end-to-end."""
