@@ -2388,6 +2388,156 @@ def _cascade_oracle_sql() -> str:
     """
 
 
+# crime_rules_docs deterministic title cycle (vectors from the ported
+# crime_rules_test.go parity suite: core / excluded / international /
+# neutral shapes)
+_CRIME_TITLES = (
+    "Man charged with murder after stabbing",
+    "Police respond to downtown shooting",
+    "Full-Time Position Available",
+    "New restaurant opens downtown",
+    "Opinion: Crime rates are a political tool",
+    "Suspect arrested for assault in park",
+    "RCMP investigating bank robbery in Sudbury",
+    "U.S. police investigate murder in Minneapolis",
+    "Jury convicts accused in deadly shooting case",
+    "Mississaugas of the Credit First Nation resident faces drug, "
+    "weapon, assault charges",
+    "Police make arrest in weapons case",
+    "Police drug bust seizes fentanyl in Vancouver",
+    "Best contractors in the Vancouver area",
+    "Hockey team wins championship",
+    "Woman found dead, police launch investigation",
+    "Shooting for the stars: local athlete's journey",
+)
+
+
+def crime_rules_docs(sf_dir: str):
+    """The crime sidecar's full rule engine (crime_rules.go: exclusions,
+    authority-gated violent/property/drug patterns, court outcomes,
+    accusation charges, weapon+authority, international downgrade,
+    justice append) over deterministic titles + document-text bodies —
+    SQL-oracle-checked (every regex re-runs verbatim under DuckDB)."""
+    from ..stages.crime_rules import classify_crime_rules
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_titles = len(_CRIME_TITLES)
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            rel, conf, types = classify_crime_rules(
+                _CRIME_TITLES[d % n_titles], text or "")
+            rows.append({"doc_id": d, "relevance": rel,
+                         "confidence": conf,
+                         "crime_types": ",".join(types)})
+        return pd.DataFrame(rows)
+
+    return docs.map_batches(run, batch_format="pandas")
+
+
+def _crime_rules_oracle_sql() -> str:
+    """Oracle for crime_rules_docs, generated from the live pattern
+    tables in stages/crime_rules.py (regexes run verbatim in DuckDB)."""
+    from ..stages import crime_rules as cr
+
+    def fired(col, pats) -> str:
+        return " OR ".join(
+            f"regexp_matches({col}, '{p}')" for p, _c in pats)
+
+    def group_conf(col, pats) -> str:
+        return "GREATEST(" + ", ".join(
+            f"CASE WHEN regexp_matches({col}, '{p}') "
+            f"THEN CAST({c} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+            for p, c in pats) + ")"
+
+    excl = " OR ".join(f"regexp_matches(title, '{p}')"
+                       for p in cr.EXCLUDE_PATTERNS)
+    intl = " OR ".join(f"regexp_matches(title, '{p}')"
+                       for p in cr.INTERNATIONAL_PATTERNS)
+    titles = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(
+            s.replace("'", "''") for s in _CRIME_TITLES))
+    return rf"""
+    WITH d AS (
+      SELECT doc_id,
+        (CASE doc_id % {len(_CRIME_TITLES)} {titles} END) AS title,
+        coalesce(text, '') AS body
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, title,
+        title || ' ' || substring(body, 1, {cr.TRUNCATE_BODY_MAX_CHARS})
+          AS txt
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, title, txt,
+        ({excl}) AS excluded,
+        ({fired('txt', cr.VIOLENT_CRIME_PATTERNS)}) AS v_f,
+        ({fired('txt', cr.PROPERTY_CRIME_PATTERNS)}) AS p_f,
+        ({fired('txt', cr.DRUG_CRIME_PATTERNS)}) AS d_f,
+        ({fired('txt', cr.COURT_OUTCOME_PATTERNS)}) AS c_f,
+        ({fired('txt', cr.ACCUSATION_CHARGES_PATTERNS)}) AS a_f,
+        ({fired('txt', cr.WEAPON_AUTHORITY_PATTERNS)}) AS w_f,
+        {group_conf('txt', cr.VIOLENT_CRIME_PATTERNS)} AS v_c,
+        {group_conf('txt', cr.PROPERTY_CRIME_PATTERNS)} AS p_c,
+        {group_conf('txt', cr.DRUG_CRIME_PATTERNS)} AS d_c,
+        {group_conf('txt', cr.COURT_OUTCOME_PATTERNS)} AS c_c,
+        {group_conf('txt', cr.ACCUSATION_CHARGES_PATTERNS)} AS a_c,
+        {group_conf('txt', cr.WEAPON_AUTHORITY_PATTERNS)} AS w_c,
+        ({intl}) AS intl,
+        regexp_matches(txt, '{cr.JUSTICE_PATTERN}') AS justice,
+        (strpos(lower(txt), 'assault') > 0
+         OR strpos(lower(txt), 'weapon') > 0
+         OR strpos(lower(txt), 'robbery') > 0) AS acc_vw,
+        (strpos(lower(txt), 'drug') > 0) AS acc_d,
+        (strpos(lower(txt), 'theft') > 0) AS acc_p
+      FROM t
+    ),
+    segs AS (
+      SELECT doc_id, excluded, intl, justice,
+        (v_f OR p_f OR d_f OR c_f OR a_f OR w_f) AS any_core,
+        GREATEST(CAST({cr.CONFIDENCE_DEFAULT} AS DOUBLE),
+                 v_c, p_c, d_c, c_c, a_c, w_c)
+          AS core_conf,
+        -- crime_types segments in the reference's append order
+        [x FOR x IN [
+          CASE WHEN v_f THEN 'violent_crime' END,
+          CASE WHEN p_f THEN 'property_crime' END,
+          CASE WHEN d_f THEN 'drug_crime' END,
+          CASE WHEN c_f THEN 'criminal_justice' END,
+          CASE WHEN a_f AND acc_vw AND NOT v_f THEN 'violent_crime' END,
+          CASE WHEN a_f AND acc_d AND NOT d_f THEN 'drug_crime' END,
+          CASE WHEN a_f AND acc_p AND NOT p_f THEN 'property_crime' END,
+          CASE WHEN w_f AND NOT v_f AND NOT (a_f AND acc_vw)
+               THEN 'violent_crime' END
+        ] IF x IS NOT NULL] AS base_types
+      FROM f
+    )
+    SELECT doc_id,
+      CASE WHEN excluded THEN 'not_crime'
+           WHEN any_core AND intl THEN 'peripheral_crime'
+           WHEN any_core THEN 'core_street_crime'
+           ELSE 'not_crime' END AS relevance,
+      CASE WHEN excluded THEN CAST({cr.CONFIDENCE_EXCLUSION} AS DOUBLE)
+           WHEN any_core AND intl
+             THEN core_conf
+                  * CAST({cr.INTERNATIONAL_DOWNGRADE_RATIO} AS DOUBLE)
+           WHEN any_core THEN core_conf
+           ELSE CAST({cr.CONFIDENCE_DEFAULT} AS DOUBLE)
+      END AS confidence,
+      CASE WHEN excluded THEN ''
+           ELSE coalesce(list_aggregate(
+             CASE WHEN len(base_types) > 0 AND justice
+                  THEN list_append(base_types, 'criminal_justice')
+                  ELSE base_types END, 'string_agg', ','), '')
+      END AS crime_types
+    FROM segs
+    """
+
+
 def content_type_detection_docs(sf_dir: str):
     """M8 content-type detection through the REAL detection functions
     (URL-pattern table incl. the .pdf/query-string rules, then the
@@ -5877,6 +6027,7 @@ QUERIES = {
     "jsonld_structured_extraction": jsonld_structured_extraction,
     "content_type_detection_docs": content_type_detection_docs,
     "content_type_cascade_docs": content_type_cascade_docs,
+    "crime_rules_docs": crime_rules_docs,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
@@ -6283,6 +6434,7 @@ ORACLE_SQL = {
     """,
     "content_type_detection_docs": _ctd_oracle_sql(),
     "content_type_cascade_docs": _cascade_oracle_sql(),
+    "crime_rules_docs": _crime_rules_oracle_sql(),
     "f1_span_stats_docs": r"""
         WITH d AS (
           SELECT doc_id,
