@@ -2538,6 +2538,101 @@ def _crime_rules_oracle_sql() -> str:
     """
 
 
+# indigenous_rules_docs deterministic multilingual title cycle (from the
+# ported indigenous_rules_test.go parity vectors)
+_INDIGENOUS_TITLES = (
+    "Anishinaabe community gathers",
+    "First Nations leaders meet",
+    "Inuit hunters adapt to climate change",
+    "Treaty rights affirmed by court",
+    "Pueblos indigenas exigen derechos",
+    "Les peuples autochtones manifestent",
+    "Samefolket kampar for rattigheter",
+    "Indigenous art exhibit opens",
+    "Reconciliation efforts continue",
+    "Weather forecast: sunny skies",
+    "Stock market report for today",
+    "First Nations and Metis nation leaders discuss treaty rights",
+)
+
+
+def indigenous_rules_docs(sf_dir: str):
+    """The indigenous sidecar's multilingual rule engine
+    (indigenous_rules.go: core/peripheral pattern sets, 10-category
+    bonus, capped confidence formula) over deterministic titles +
+    document-text bodies — SQL-oracle-checked (patterns re-run verbatim
+    under DuckDB)."""
+    from ..stages.indigenous_rules import classify_indigenous_rules
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = len(_INDIGENOUS_TITLES)
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            rel, conf = classify_indigenous_rules(
+                _INDIGENOUS_TITLES[d % n], text or "")
+            rows.append({"doc_id": d, "relevance": rel, "confidence": conf})
+        return pd.DataFrame(rows)
+
+    return docs.map_batches(run, batch_format="pandas")
+
+
+def _indigenous_rules_oracle_sql() -> str:
+    """Oracle for indigenous_rules_docs, generated from the live
+    pattern/keyword tables in stages/indigenous_rules.py."""
+    from ..stages import indigenous_rules as ir
+
+    core_hits = " + ".join(
+        f"(CASE WHEN regexp_matches(lt, '{p}') THEN 1 ELSE 0 END)"
+        for p in ir.INDIGENOUS_CORE_PATTERNS)
+    periph = " OR ".join(
+        f"regexp_matches(lt, '{p}')"
+        for p in ir.INDIGENOUS_PERIPHERAL_PATTERNS)
+    cats = " + ".join(
+        "(CASE WHEN "
+        + " OR ".join(f"strpos(lt, '{kw}') > 0" for kw in kws)
+        + " THEN 1 ELSE 0 END)"
+        for kws in ir.INDIGENOUS_CATEGORY_KEYWORDS.values())
+    titles = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(
+            s.replace("'", "''") for s in _INDIGENOUS_TITLES))
+    return rf"""
+    WITH d AS (
+      SELECT doc_id,
+        lower((CASE doc_id % {len(_INDIGENOUS_TITLES)} {titles} END)
+              || ' '
+              || substring(coalesce(text, ''), 1,
+                           {ir.RULE_MAX_BODY_CHARS})) AS lt
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+        ({core_hits}) AS core_hits,
+        ({periph}) AS periph,
+        LEAST(CAST({ir.CONFIDENCE_CAT_BONUS_MAX} AS DOUBLE),
+              LEAST(({cats}), {ir.MAX_CATEGORY_EXTRACT})
+              * CAST({ir.CONFIDENCE_CAT_BONUS_PER} AS DOUBLE)) AS bonus
+      FROM d
+    )
+    SELECT doc_id,
+      CASE WHEN core_hits >= 1 THEN 'core_indigenous'
+           WHEN periph THEN 'peripheral_indigenous'
+           ELSE 'not_indigenous' END AS relevance,
+      CASE WHEN core_hits >= 1 THEN
+             LEAST(CAST({ir.CONFIDENCE_CORE_MAX} AS DOUBLE),
+                   CAST({ir.CONFIDENCE_CORE_BASE} AS DOUBLE)
+                   + CAST({ir.CONFIDENCE_CORE_PER_HIT} AS DOUBLE)
+                     * core_hits + bonus)
+           WHEN periph THEN
+             CAST({ir.CONFIDENCE_PERIPH_BASE} AS DOUBLE) + bonus
+           ELSE CAST({ir.CONFIDENCE_NOT_INDIGENOUS} AS DOUBLE)
+      END AS confidence
+    FROM f
+    """
+
+
 def content_type_detection_docs(sf_dir: str):
     """M8 content-type detection through the REAL detection functions
     (URL-pattern table incl. the .pdf/query-string rules, then the
@@ -6028,6 +6123,7 @@ QUERIES = {
     "content_type_detection_docs": content_type_detection_docs,
     "content_type_cascade_docs": content_type_cascade_docs,
     "crime_rules_docs": crime_rules_docs,
+    "indigenous_rules_docs": indigenous_rules_docs,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
@@ -6435,6 +6531,7 @@ ORACLE_SQL = {
     "content_type_detection_docs": _ctd_oracle_sql(),
     "content_type_cascade_docs": _cascade_oracle_sql(),
     "crime_rules_docs": _crime_rules_oracle_sql(),
+    "indigenous_rules_docs": _indigenous_rules_oracle_sql(),
     "f1_span_stats_docs": r"""
         WITH d AS (
           SELECT doc_id,
