@@ -2183,24 +2183,47 @@ def sidecar_scores(sf_dir: str):
     return score_documents(classified)
 
 
+# sidecar_scores_docs deterministic title cycle: core / peripheral /
+# excluded / international / neutral shapes across all five domains
+_SIDECAR_TITLES = (
+    "Police respond to downtown shooting",            # crime core
+    "Gold mining exploration expands in the north",   # mining core
+    "New film premieres at the festival",             # entertainment core
+    "First Nations leaders meet",                     # indigenous core
+    "Startup open source sdk launch announced",       # coforge core
+    "Mineral exploration continues",                  # mining peripheral
+    "Streaming on netflix tonight",                   # ent. peripheral
+    "Reconciliation efforts continue",                # ind. peripheral
+    "The company completed an ipo",                   # coforge peripheral
+    "Weather forecast: sunny skies",                  # neutral
+    "Full-Time Position Available",                   # crime exclusion
+    "U.S. police investigate murder in Minneapolis",  # crime intl downgrade
+)
+
+
 def sidecar_scores_docs(sf_dir: str):
     """A6 hybrid rules+ML matrix through the REAL score_documents stage
-    (all five sidecar domains, J5 routing gate, decision-path matrix) over
-    the documents table — fully SQL-oracle-checked: the oracle SQL is
-    GENERATED from the same DOMAIN_PATTERNS table (no drift), the stub-ML
-    score is sha256-hex-byte arithmetic DuckDB reproduces exactly, and
-    every confidence is per-row float arithmetic. The crawl-docs variant
-    stays `sidecar_scores`."""
+    (all five sidecar domains with their faithful ported rule engines,
+    J5 routing gate, decision-path matrix) over the documents table with
+    deterministic domain titles — fully SQL-oracle-checked: the oracle
+    SQL is GENERATED from the same engine pattern tables (no drift), the
+    stub-ML score is sha256-hex-byte arithmetic DuckDB reproduces
+    exactly. The crawl-docs variant stays `sidecar_scores`."""
     from ..stages.scorer import score_documents
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = len(_SIDECAR_TITLES)
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
         return pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy(),
+            "doc_id": ids,
+            # index by doc_id//4 so the title cycle is independent of
+            # the %4 page gate (otherwise the slots at 0/4/8 only ever
+            # land on non-routed pages)
+            "title": [_SIDECAR_TITLES[(int(d) // 4) % n] for d in ids],
             "body": b["text"].fillna(""),
-            "content_type": np.where(b["doc_id"].to_numpy() % 4 == 0,
-                                     "page", "article"),
+            "content_type": np.where(ids % 4 == 0, "page", "article"),
         })
 
     return score_documents(docs.map_batches(derive, batch_format="pandas"))
@@ -2386,6 +2409,78 @@ def _cascade_oracle_sql() -> str:
                 ELSE 'keyword_heuristic' END AS method
     FROM steps
     """
+
+
+def quality_scores_docs(sf_dir: str):
+    """The reference's full four-component quality scorer
+    (quality.go Score: word-count, metadata completeness, richness,
+    readability — each 0-25) over deterministically derived metadata
+    signals on the documents table — SQL-oracle-checked. The crawl
+    path keeps the span-model adaptation in `doc_quality_gate`."""
+    from ..stages.classify import quality_score_full
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            wc = len((text or "").split())
+            score = quality_score_full(
+                wc,
+                title="" if d % 7 == 0 else f"Doc {d}",
+                meta_description="" if d % 3 == 0 else "desc",
+                has_published_date=(d % 2 == 0),
+                og_title="" if d % 5 == 0 else "og title",
+                og_image="" if d % 4 == 0 else "https://x.test/i.jpg",
+                meta_keywords="" if d % 6 == 0 else "k1, k2",
+                canonical_url="" if d % 8 == 0 else "https://x.test/c",
+                og_type="" if d % 9 == 0 else "article",
+                og_url="" if d % 10 == 0 else "https://x.test/o",
+            )
+            rows.append({"doc_id": d, "word_count": wc,
+                         "quality_score": score})
+        return pd.DataFrame(rows)
+
+    return docs.map_batches(run, batch_format="pandas")
+
+
+_QUALITY_DOCS_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN coalesce(text, '') = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')),
+                                            '\\s+')) END AS wc,
+        (doc_id % 7 <> 0) AS has_title,
+        (doc_id % 3 <> 0) AS has_desc,
+        (doc_id % 2 = 0) AS has_date,
+        (doc_id % 5 <> 0) AS has_ogtitle,
+        (doc_id % 4 <> 0) AS has_ogimage,
+        (doc_id % 6 <> 0) AS has_kw,
+        (doc_id % 8 <> 0) AS has_canon,
+        (doc_id % 9 <> 0) AS has_ogtype,
+        (doc_id % 10 <> 0) AS has_ogurl
+      FROM documents
+    )
+    SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+      CAST(LEAST(100, GREATEST(0,
+        (CASE WHEN wc < 100 THEN 0 WHEN wc < 300 THEN 10
+              WHEN wc < 500 THEN 15 WHEN wc < 1000 THEN 20
+              ELSE 25 END)
+        + (CASE WHEN has_title THEN 5 ELSE 0 END)
+        + (CASE WHEN has_desc THEN 5 ELSE 0 END)
+        + (CASE WHEN has_date THEN 5 ELSE 0 END)
+        + (CASE WHEN has_ogtitle OR has_ogimage THEN 5 ELSE 0 END)
+        + (CASE WHEN has_kw THEN 5 ELSE 0 END)
+        + (CASE WHEN has_ogimage THEN 10 ELSE 0 END)
+        + (CASE WHEN has_kw THEN 5 ELSE 0 END)
+        + (CASE WHEN has_canon THEN 5 ELSE 0 END)
+        + (CASE WHEN has_ogtype AND has_ogurl THEN 5 ELSE 0 END)
+        + (CASE WHEN wc >= 200 THEN 20 WHEN wc >= 100 THEN 15
+                ELSE 10 END)
+      )) AS BIGINT) AS quality_score
+    FROM d
+"""
 
 
 # crime_rules_docs deterministic title cycle (vectors from the ported
@@ -2759,49 +2854,134 @@ def _ctd_oracle_sql() -> str:
     """
 
 
-def _sidecar_hit_expr(p: str) -> str:
-    if " " in p:
-        return f"(strpos(lt, '{p}') > 0)"
-    return f"list_contains(ws, '{p}')"
-
-
 def _sidecar_oracle_sql() -> str:
-    """Oracle for sidecar_scores_docs, generated from the live
-    DOMAIN_PATTERNS table so pattern edits can't drift from the SQL."""
-    from ..stages.scorer import DOMAIN_PATTERNS
+    """Oracle for sidecar_scores_docs, generated from the live faithful
+    rule engines (crime_rules.py / indigenous_rules.py / domain_rules.py
+    pattern tables run verbatim under DuckDB) so engine edits can't
+    drift from the SQL. Stub-ML scores are sha256-hex-byte arithmetic
+    DuckDB reproduces exactly."""
+    from ..stages import crime_rules as cr
+    from ..stages import indigenous_rules as ir
+    from ..stages.domain_rules import SIMPLE_DOMAIN_PATTERNS
 
-    selects = []
-    for d, pats in DOMAIN_PATTERNS.items():
-        core = " + ".join(
-            f"(CASE WHEN {_sidecar_hit_expr(p)} THEN 1 ELSE 0 END)"
-            for p in pats["core"])
-        periph = " OR ".join(_sidecar_hit_expr(p)
-                             for p in pats["peripheral"])
+    def fired(col, pats) -> str:
+        return " OR ".join(
+            f"regexp_matches({col}, '{p}')" for p, *_ in
+            (pats if isinstance(pats[0], tuple) else [(x,) for x in pats]))
+
+    def group_conf(col, pats) -> str:
+        return "GREATEST(" + ", ".join(
+            f"CASE WHEN regexp_matches({col}, '{p}') "
+            f"THEN CAST({c} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+            for p, c in pats) + ")"
+
+    def ml(d: str) -> str:
         sha = f"sha256('42:{d}:' || CAST(doc_id AS VARCHAR))"
+        return (f"('0x' || substr({sha}, 1, 2))::INTEGER / 255.0 AS mscore,\n"
+                f"             0.5 + (('0x' || substr({sha}, 3, 2))::INTEGER"
+                f" / 255.0) / 2.0 AS m_conf")
+
+    crime_excl = " OR ".join(f"regexp_matches(title, '{p}')"
+                             for p in cr.EXCLUDE_PATTERNS)
+    crime_intl = " OR ".join(f"regexp_matches(title, '{p}')"
+                             for p in cr.INTERNATIONAL_PATTERNS)
+    crime_any = " OR ".join([
+        fired("txt", cr.VIOLENT_CRIME_PATTERNS),
+        fired("txt", cr.PROPERTY_CRIME_PATTERNS),
+        fired("txt", cr.DRUG_CRIME_PATTERNS),
+        fired("txt", cr.COURT_OUTCOME_PATTERNS),
+        fired("txt", cr.ACCUSATION_CHARGES_PATTERNS),
+        fired("txt", cr.WEAPON_AUTHORITY_PATTERNS),
+    ])
+    crime_conf = ("GREATEST(CAST(" + str(cr.CONFIDENCE_DEFAULT)
+                  + " AS DOUBLE), "
+                  + ", ".join(group_conf("txt", g) for g in (
+                      cr.VIOLENT_CRIME_PATTERNS, cr.PROPERTY_CRIME_PATTERNS,
+                      cr.DRUG_CRIME_PATTERNS, cr.COURT_OUTCOME_PATTERNS,
+                      cr.ACCUSATION_CHARGES_PATTERNS,
+                      cr.WEAPON_AUTHORITY_PATTERNS)) + ")")
+    ind_core_hits = " + ".join(
+        f"(CASE WHEN regexp_matches(lt, '{p}') THEN 1 ELSE 0 END)"
+        for p in ir.INDIGENOUS_CORE_PATTERNS)
+    ind_periph = " OR ".join(
+        f"regexp_matches(lt, '{p}')"
+        for p in ir.INDIGENOUS_PERIPHERAL_PATTERNS)
+    ind_cats = " + ".join(
+        "(CASE WHEN "
+        + " OR ".join(f"strpos(lt, '{kw}') > 0" for kw in kws)
+        + " THEN 1 ELSE 0 END)"
+        for kws in ir.INDIGENOUS_CATEGORY_KEYWORDS.values())
+    ind_bonus = (f"LEAST(CAST({ir.CONFIDENCE_CAT_BONUS_MAX} AS DOUBLE), "
+                 f"LEAST(({ind_cats}), {ir.MAX_CATEGORY_EXTRACT}) "
+                 f"* CAST({ir.CONFIDENCE_CAT_BONUS_PER} AS DOUBLE))")
+    titles = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(
+            x.replace("'", "''") for x in _SIDECAR_TITLES))
+
+    selects = [f"""
+          SELECT doc_id, 'crime' AS domain,
+             CASE WHEN {crime_excl} THEN 'not'
+                  WHEN ({crime_any}) AND ({crime_intl}) THEN 'peripheral'
+                  WHEN {crime_any} THEN 'core'
+                  ELSE 'not' END AS r_rel,
+             CASE WHEN {crime_excl}
+                    THEN CAST({cr.CONFIDENCE_EXCLUSION} AS DOUBLE)
+                  WHEN ({crime_any}) AND ({crime_intl}) THEN {crime_conf}
+                    * CAST({cr.INTERNATIONAL_DOWNGRADE_RATIO} AS DOUBLE)
+                  WHEN {crime_any} THEN {crime_conf}
+                  ELSE CAST({cr.CONFIDENCE_DEFAULT} AS DOUBLE)
+             END AS r_conf,
+             {ml('crime')}
+          FROM d""", f"""
+          SELECT doc_id, 'indigenous' AS domain,
+             CASE WHEN ({ind_core_hits}) >= 1 THEN 'core'
+                  WHEN {ind_periph} THEN 'peripheral'
+                  ELSE 'not' END AS r_rel,
+             CASE WHEN ({ind_core_hits}) >= 1 THEN
+                    LEAST(CAST({ir.CONFIDENCE_CORE_MAX} AS DOUBLE),
+                          CAST({ir.CONFIDENCE_CORE_BASE} AS DOUBLE)
+                          + CAST({ir.CONFIDENCE_CORE_PER_HIT} AS DOUBLE)
+                            * ({ind_core_hits}) + {ind_bonus})
+                  WHEN {ind_periph} THEN
+                    CAST({ir.CONFIDENCE_PERIPH_BASE} AS DOUBLE) + {ind_bonus}
+                  ELSE CAST({ir.CONFIDENCE_NOT_INDIGENOUS} AS DOUBLE)
+             END AS r_conf,
+             {ml('indigenous')}
+          FROM d"""]
+    for dom, groups in SIMPLE_DOMAIN_PATTERNS.items():
+        core = " OR ".join(f"regexp_matches(lt, '{p}')"
+                           for p in groups["core"])
+        periph = " OR ".join(f"regexp_matches(lt, '{p}')"
+                             for p in groups["peripheral"])
         selects.append(f"""
-          SELECT doc_id, '{d}' AS domain,
-                 ({core}) AS core_hits, ({periph}) AS periph,
-                 ('0x' || substr({sha}, 1, 2))::INTEGER / 255.0 AS mscore,
-                 0.5 + (('0x' || substr({sha}, 3, 2))::INTEGER / 255.0) / 2.0
-                   AS m_conf
+          SELECT doc_id, '{dom}' AS domain,
+             CASE WHEN {core} THEN 'core'
+                  WHEN {periph} THEN 'peripheral'
+                  ELSE 'not' END AS r_rel,
+             CASE WHEN {core} THEN CAST(0.90 AS DOUBLE)
+                  WHEN {periph} THEN CAST(0.70 AS DOUBLE)
+                  ELSE CAST(0.5 AS DOUBLE) END AS r_conf,
+             {ml(dom)}
           FROM d""")
     body = " UNION ALL ".join(selects)
     return rf"""
-    WITH d AS (
-      SELECT doc_id, lower(text) AS lt,
-             string_split_regex(lower(text), '\s+') AS ws
+    WITH d0 AS (
+      SELECT doc_id,
+        (CASE (doc_id // 4) % {len(_SIDECAR_TITLES)} {titles} END) AS title,
+        coalesce(text, '') AS body
       FROM documents WHERE doc_id % 4 <> 0
     ),
-    s AS ({body}),
+    d AS (
+      SELECT doc_id, title,
+        title || ' ' || substring(body, 1, 500) AS txt,
+        lower(title || ' ' || substring(body, 1, 500)) AS lt
+      FROM d0
+    ),
     m AS (
-      SELECT doc_id, domain, m_conf,
-        CASE WHEN core_hits > 0 THEN 'core'
-             WHEN periph THEN 'peripheral' ELSE 'not' END AS r_rel,
-        CASE WHEN core_hits > 0 THEN least(0.95, 0.6 + 0.1 * core_hits)
-             WHEN periph THEN 0.65 ELSE 0.6 END AS r_conf,
+      SELECT doc_id, domain, r_rel, r_conf, m_conf,
         CASE WHEN mscore >= 0.7 THEN 'core'
              WHEN mscore >= 0.3 THEN 'peripheral' ELSE 'not' END AS m_rel
-      FROM s
+      FROM ({body})
     )
     SELECT doc_id, domain,
       CASE WHEN r_rel = 'core' THEN 'core'
@@ -6124,6 +6304,7 @@ QUERIES = {
     "content_type_cascade_docs": content_type_cascade_docs,
     "crime_rules_docs": crime_rules_docs,
     "indigenous_rules_docs": indigenous_rules_docs,
+    "quality_scores_docs": quality_scores_docs,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
@@ -6532,6 +6713,7 @@ ORACLE_SQL = {
     "content_type_cascade_docs": _cascade_oracle_sql(),
     "crime_rules_docs": _crime_rules_oracle_sql(),
     "indigenous_rules_docs": _indigenous_rules_oracle_sql(),
+    "quality_scores_docs": _QUALITY_DOCS_ORACLE,
     "f1_span_stats_docs": r"""
         WITH d AS (
           SELECT doc_id,
@@ -7817,16 +7999,17 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     # extraction_quality runs the DOM-extraction chain over the
-    # deterministic 14-page fixture corpus — not computable in SQL, but the
+    # deterministic 16-page fixture corpus — not computable in SQL, but the
     # expected output IS a fixed golden table; the oracle pins the pipeline
-    # to it (any extractor/fixture drift hash-mismatches loudly)
+    # to it (any extractor/fixture drift hash-mismatches loudly). The two
+    # Schema.org recipe/job fixtures land in ('other','heuristic','50+').
     "extraction_quality": """
         SELECT * FROM (VALUES
             ('article', 'heuristic',   '50+', CAST(1 AS BIGINT)),
             ('article', 'template',    '50+', CAST(1 AS BIGINT)),
             ('listing', 'heuristic',   '50+', CAST(1 AS BIGINT)),
             ('listing', 'readability', '0+',  CAST(1 AS BIGINT)),
-            ('other',   'heuristic',   '50+', CAST(4 AS BIGINT)),
+            ('other',   'heuristic',   '50+', CAST(6 AS BIGINT)),
             ('other',   'readability', '0+',  CAST(1 AS BIGINT)),
             ('other',   'template',    '50+', CAST(2 AS BIGINT)),
             ('stub',    'readability', '0+',  CAST(3 AS BIGINT))

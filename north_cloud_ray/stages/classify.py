@@ -150,6 +150,93 @@ def quality_score(
     return min(100, wc + meta + rich + read)
 
 
+def word_count_quality(word_count: int, min_word_count: int = 100,
+                       optimal_word_count: int = 1000) -> int:
+    """Word-count component 0-25 (quality.go calculateWordCountScore)."""
+    if word_count < min_word_count:
+        return 0
+    if word_count < 300:
+        return 10
+    if word_count < 500:
+        return 15
+    if word_count < optimal_word_count:
+        return 20
+    return 25
+
+
+def metadata_quality(title: str = "", meta_description: str = "",
+                     og_description: str = "",
+                     has_published_date: bool = False, og_title: str = "",
+                     og_image: str = "", meta_keywords: str = "") -> int:
+    """Metadata-completeness component 0-25
+    (quality.go calculateMetadataScore): 5 points each for title,
+    description (meta or OG), published date, OG metadata (title or
+    image), keywords."""
+    score = 0
+    if title:
+        score += 5
+    if meta_description or og_description:
+        score += 5
+    if has_published_date:
+        score += 5
+    if og_title or og_image:
+        score += 5
+    if meta_keywords:
+        score += 5
+    return score
+
+
+def richness_quality(og_image: str = "", meta_keywords: str = "",
+                     canonical_url: str = "", og_type: str = "",
+                     og_url: str = "") -> int:
+    """Content-richness component 0-25
+    (quality.go calculateRichnessScore): image 10, keywords 5,
+    canonical 5, structured OG (type AND url) 5."""
+    score = 0
+    if og_image:
+        score += 10
+    if meta_keywords:
+        score += 5
+    if canonical_url:
+        score += 5
+    if og_type and og_url:
+        score += 5
+    return score
+
+
+def readability_quality(word_count: int) -> int:
+    """Readability component 0-25 (quality.go
+    calculateReadabilityScore tiers: 20 at 200+, 15 at 100+, else 10)."""
+    if word_count >= 200:
+        return 20
+    if word_count >= 100:
+        return 15
+    return 10
+
+
+def quality_score_full(word_count: int, *, title: str = "",
+                       meta_description: str = "", og_description: str = "",
+                       has_published_date: bool = False, og_title: str = "",
+                       og_image: str = "", meta_keywords: str = "",
+                       canonical_url: str = "", og_type: str = "",
+                       og_url: str = "", min_word_count: int = 100,
+                       optimal_word_count: int = 1000) -> int:
+    """The reference's full 0-100 quality score (quality.go Score):
+    word-count + metadata-completeness + content-richness + readability,
+    each 0-25, clamped to 0-100. `quality_score` above remains the
+    span-model adaptation used on the crawl path (documented mapping)."""
+    total = (
+        word_count_quality(word_count, min_word_count, optimal_word_count)
+        + metadata_quality(title, meta_description, og_description,
+                           has_published_date, og_title, og_image,
+                           meta_keywords)
+        + richness_quality(og_image, meta_keywords, canonical_url,
+                           og_type, og_url)
+        + readability_quality(word_count)
+    )
+    return max(0, min(100, total))
+
+
 def classify_content_type(url: str, word_count: int) -> tuple[str, float, str]:
     """Returns (type, confidence, method)."""
     path = url.split("://", 1)[-1].partition("/")[2]

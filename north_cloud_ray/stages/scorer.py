@@ -4,9 +4,12 @@ decision matrix and review_required semantics.
 Reference semantics (classifier/internal/classifier/indigenous.go:131-204,
 mirrored by the mining/entertainment sidecars; ml-sidecars/README.md):
 
-- rule side: pattern matching produces relevance in {core, peripheral, not}
-  with confidence 0.6 base / 0.65 peripheral / 0.6 + 0.1*core_hits capped
-  at 0.95.
+- rule side: each domain runs its FAITHFUL ported engine — crime
+  (crime_rules.py, authority-gated groups), indigenous
+  (indigenous_rules.py, multilingual + category bonus), mining/
+  entertainment/coforge (domain_rules.py, first-match 0.90/0.70/0.5) —
+  whose domain-specific relevance labels map onto {core, peripheral,
+  not} for the matrix.
 - ML side: a model maps a relevance score to the same classes (core >= 0.7,
   peripheral >= 0.3). Sidecar errors/unreachable => rules-only fallback
   (classifier.go:350-369).
@@ -45,41 +48,15 @@ _RULE_ML_DISAGREE_WEIGHT = 0.7
 _ML_OVERRIDE_THRESHOLD = 0.90
 _ML_OVERRIDE_WEIGHT = 0.8
 
-# Pattern tables for the five reference sidecar domains. Single-token
-# patterns match whitespace tokens; patterns containing a space match as
-# substrings (the phrase form of the reference's regex alternations —
-# indigenous_rules.go:63-102, coforge_rules.go:33-49). Confidences follow
-# the unified 0.6+0.1/hit matrix rather than each sidecar's bespoke
-# constants (documented divergence; the matrix semantics are shared).
-DOMAIN_PATTERNS: dict[str, dict[str, tuple[str, ...]]] = {
-    "crime": {
-        "core": ("police", "arrest", "court", "assault", "theft"),
-        "peripheral": ("incident", "investigation"),
-    },
-    "mining": {
-        "core": ("mine", "mining", "ore", "drill", "nickel", "gold"),
-        "peripheral": ("mineral", "assay"),
-    },
-    "entertainment": {
-        "core": ("film", "music", "festival", "concert", "artist"),
-        "peripheral": ("show", "gallery"),
-    },
-    # indigenous_rules.go:63-102 (multilingual signal set, abridged)
-    "indigenous": {
-        "core": ("anishinaabe", "ojibwe", "first nations", "inuit",
-                 "aboriginal", "treaty rights", "residential school",
-                 "indigenous peoples", "tribal sovereignty", "land rights"),
-        "peripheral": ("indigenous", "reconciliation", "first nation",
-                       "reservation"),
-    },
-    # coforge_rules.go:33-49 (dev+entrepreneur intersection signal)
-    "coforge": {
-        "core": ("developer platform", "dev tool", "open source sdk",
-                 "developer experience", "devtools"),
-        "peripheral": ("startup", "funding", "sdk", "api", "saas",
-                       "open source", "github", "ipo", "merger"),
-    },
-}
+# The five reference sidecar domains. Each rule side is the FAITHFUL
+# engine ported from the reference: crime_rules.py (authority-gated
+# pattern groups), indigenous_rules.py (multilingual patterns +
+# category bonus), domain_rules.py (mining/entertainment/coforge
+# first-match 0.90/0.70/0.5 engines). rule_score maps each engine's
+# domain-specific relevance labels onto the shared core/peripheral/not
+# classes the decision matrix operates on.
+SIDECAR_DOMAINS: tuple[str, ...] = (
+    "crime", "mining", "entertainment", "indigenous", "coforge")
 
 # J5 routing table (classifier.go:126-150): content subtype -> sidecar list,
 # fallback 'article'
@@ -109,23 +86,38 @@ def normalize_region_slug(raw: str) -> str:
     return s
 
 
-def rule_score(text: str, domain: str) -> tuple[str, float]:
-    """Pattern side: relevance class + confidence (ml-sidecars/README.md:231).
-    Space-containing patterns match as phrases (substring), single tokens
-    match the whitespace token set."""
-    pats = DOMAIN_PATTERNS[domain]
-    lower = text.lower()
-    words = set(lower.split())
+# domain-specific relevance labels -> the shared matrix classes
+_RELEVANCE_CLASS = {
+    "core_street_crime": RELEVANCE_CORE,
+    "peripheral_crime": RELEVANCE_PERIPHERAL,
+    "not_crime": RELEVANCE_NOT,
+    "core_indigenous": RELEVANCE_CORE,
+    "peripheral_indigenous": RELEVANCE_PERIPHERAL,
+    "not_indigenous": RELEVANCE_NOT,
+    "core": RELEVANCE_CORE,
+    "peripheral": RELEVANCE_PERIPHERAL,
+    "not": RELEVANCE_NOT,
+}
 
-    def hit(p: str) -> bool:
-        return (p in lower) if " " in p else (p in words)
 
-    core_hits = sum(1 for p in pats["core"] if hit(p))
-    if core_hits:
-        return RELEVANCE_CORE, min(0.95, 0.6 + 0.1 * core_hits)
-    if any(hit(p) for p in pats["peripheral"]):
-        return RELEVANCE_PERIPHERAL, 0.65
-    return RELEVANCE_NOT, 0.6
+def rule_score(text: str, domain: str, title: str = "") -> tuple[str, float]:
+    """Rule side of the hybrid matrix: each domain runs its faithful
+    ported engine (crime_rules.py / indigenous_rules.py /
+    domain_rules.py), with the engine's domain-specific relevance label
+    mapped onto the shared core/peripheral/not classes."""
+    if domain == "crime":
+        from .crime_rules import classify_crime_rules
+
+        rel, conf, _types = classify_crime_rules(title, text)
+    elif domain == "indigenous":
+        from .indigenous_rules import classify_indigenous_rules
+
+        rel, conf = classify_indigenous_rules(title, text)
+    else:
+        from .domain_rules import classify_simple_rules
+
+        rel, conf = classify_simple_rules(domain, title, text)
+    return _RELEVANCE_CLASS[rel], conf
 
 
 class StubModel:
@@ -181,7 +173,7 @@ class ScorerActor:
 
     def __init__(self, domains: tuple[str, ...] | None = None, seed: int = 42,
                  ml_available: bool = True):
-        self.domains = tuple(domains or tuple(DOMAIN_PATTERNS))
+        self.domains = tuple(domains or SIDECAR_DOMAINS)
         self.models = {d: StubModel(d, seed, ml_available) for d in self.domains}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -191,13 +183,17 @@ class ScorerActor:
             batch["content_type"].to_pylist()
             if "content_type" in batch.column_names else ["article"] * len(doc_ids)
         )
+        titles = (
+            batch["title"].to_pylist()
+            if "title" in batch.column_names else [""] * len(doc_ids)
+        )
         out_rows = []
-        for doc_id, body, ctype in zip(doc_ids, bodies, ctypes):
+        for doc_id, body, ctype, title in zip(doc_ids, bodies, ctypes, titles):
             routed = ROUTING_TABLE.get(ctype, ROUTING_TABLE["article"])
             for d in self.domains:
                 if d not in routed:
                     continue
-                r_rel, r_conf = rule_score(body or "", d)
+                r_rel, r_conf = rule_score(body or "", d, title or "")
                 ml = self.models[d].classify(doc_id, body or "")
                 rel, conf, review, path = merge_results(r_rel, r_conf, ml)
                 out_rows.append(

@@ -51,13 +51,29 @@ def test_merge_matrix(rule, ml, want):
 
 
 def test_rule_score_tiers():
-    assert rule_score("police arrest downtown", "crime") == (RELEVANCE_CORE, 0.8)
-    assert rule_score("police", "crime") == (RELEVANCE_CORE, 0.7)
-    assert rule_score("an incident report", "crime") == (RELEVANCE_PERIPHERAL, 0.65)
-    assert rule_score("nothing here", "crime") == (RELEVANCE_NOT, 0.6)
-    # cap at 0.95
-    rel, conf = rule_score("police arrest court assault theft", "crime")
-    assert rel == RELEVANCE_CORE and conf == 0.95
+    """Each domain dispatches to its faithful ported engine."""
+    # crime (crime_rules.go): crime action + authority indicator
+    assert rule_score("police respond to downtown shooting", "crime") == \
+        (RELEVANCE_CORE, 0.90)
+    assert rule_score("nothing here", "crime") == (RELEVANCE_NOT, 0.5)
+    # authority gate: fiction/metaphor without authority is not core
+    assert rule_score("murder mystery on stage", "crime")[0] == RELEVANCE_NOT
+    # title-only international downgrade
+    rel, conf = rule_score(
+        "", "crime", title="U.S. police investigate murder in Minneapolis")
+    assert rel == RELEVANCE_PERIPHERAL
+    assert conf == pytest.approx(0.95 * 0.7)
+    # mining (mining_rules.go): first-match 0.90 / 0.70 / 0.5 tiers
+    assert rule_score("gold mining expands in the region", "mining") == \
+        (RELEVANCE_CORE, 0.90)
+    assert rule_score("a mineral claim was staked", "mining") == \
+        (RELEVANCE_PERIPHERAL, 0.70)
+    assert rule_score("nothing relevant", "mining") == (RELEVANCE_NOT, 0.5)
+    # entertainment
+    assert rule_score("the film opens friday", "entertainment") == \
+        (RELEVANCE_CORE, 0.90)
+    assert rule_score("local arts coverage", "entertainment") == \
+        (RELEVANCE_PERIPHERAL, 0.70)
 
 
 def test_stub_model_deterministic_and_fallback():
@@ -72,7 +88,8 @@ def test_score_documents_stage(ray_session):
     docs = rd.from_pandas(pd.DataFrame(
         {
             "doc_id": ["a", "b", "c"],
-            "body": ["police arrest at the mine", "music festival tonight",
+            "body": ["police arrested a man after an armed robbery",
+                     "music festival tonight",
                      "nothing at all"],
             "content_type": ["article", "article", "page"],
         }
@@ -91,18 +108,17 @@ def test_score_documents_stage(ray_session):
 
 def test_indigenous_coforge_domains_routed_and_scored():
     """The two sidecar domains the reference also runs (classifier.go:79-81)
-    are in the pattern table and the article route; phrase patterns match
-    as substrings, single tokens as words."""
+    are registered and routed; scoring runs their faithful engines."""
     from north_cloud_ray.stages.scorer import (
-        DOMAIN_PATTERNS,
         RELEVANCE_CORE,
         RELEVANCE_NOT,
         RELEVANCE_PERIPHERAL,
         ROUTING_TABLE,
+        SIDECAR_DOMAINS,
         rule_score,
     )
 
-    assert {"indigenous", "coforge"} <= set(DOMAIN_PATTERNS)
+    assert {"indigenous", "coforge"} <= set(SIDECAR_DOMAINS)
     assert {"indigenous", "coforge"} <= set(ROUTING_TABLE["article"])
 
     rel, conf = rule_score(
@@ -112,10 +128,10 @@ def test_indigenous_coforge_domains_routed_and_scored():
     rel, _ = rule_score("a plain hockey story", "indigenous")
     assert rel == RELEVANCE_NOT
     rel, conf = rule_score(
-        "the startup raised funding for its developer platform", "coforge")
-    assert rel == RELEVANCE_CORE
+        "the developer platform launch attracted new funding", "coforge")
+    assert rel == RELEVANCE_CORE and conf == 0.90
     rel, conf = rule_score("the company completed an ipo", "coforge")
-    assert rel == RELEVANCE_PERIPHERAL and conf == 0.65
+    assert rel == RELEVANCE_PERIPHERAL and conf == 0.70
 
 
 def test_scorer_matrix_covers_new_domains(ray_session):
