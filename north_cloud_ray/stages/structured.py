@@ -942,28 +942,39 @@ def match_icp(title: str, body: str, source_name: str = "", url: str = "",
 
 # ---------------- sidecar routing (J5, ResolveSidecars) ----------------
 
+# The reference's default routing (config.go getDefaultRouting) plus the
+# structured-extractor rows this engine adds for recipe/job/rfp/
+# need_signal subtypes (the reference gates those extractors by content
+# type/topics inside each extractor instead).
 ROUTING_TABLE: dict[str, tuple[str, ...]] = {
-    "article": ("crime", "mining", "entertainment", "location"),
+    "article": ("crime", "mining", "coforge", "entertainment",
+                "indigenous", "location"),
+    "article:event": ("location",),
+    "article:event_report": ("location",),
+    "article:blotter": ("crime",),
+    "article:report": (),
     "article:recipe": ("recipe",),
     "article:job": ("job", "location"),
     "article:rfp": ("rfp", "location"),
     "article:need_signal": ("need_signal", "location"),
-    "article:event": ("location",),
     "article:obituary": ("location",),
     "page": (),
     "listing": (),
 }
 
 
-def resolve_sidecars(content_type: str, subtype: str = "") -> tuple[str, ...]:
+def resolve_sidecars(content_type: str, subtype: str = "",
+                     table: dict[str, tuple[str, ...]] | None = None,
+                     ) -> tuple[str, ...]:
     """classifier.go:126-150: article:<subtype> first, then article, then
     the bare content type; unknown keys run nothing."""
+    table = ROUTING_TABLE if table is None else table
     if content_type == "article" and subtype:
         key = f"article:{subtype}"
-        if key in ROUTING_TABLE:
-            return ROUTING_TABLE[key]
-        return ROUTING_TABLE.get("article", ())
-    return ROUTING_TABLE.get(content_type, ())
+        if key in table:
+            return table[key]
+        return table.get("article", ())
+    return table.get(content_type, ())
 
 
 # ---------------- Ray stage ----------------

@@ -653,6 +653,51 @@ def test_listing_page_content_reference_vectors(raw_text, want_type):
         assert method == "content_pattern"
 
 
+# classifier_routing_test.go TestResolveSidecars rows (the test's own
+# routing table)
+_ROUTING_TEST_TABLE = {
+    "article": ("crime", "mining", "location"),
+    "article:event": ("location",),
+    "article:event_report": ("location",),
+    "article:blotter": ("crime",),
+    "article:report": (),
+    "page": (),
+}
+
+
+@pytest.mark.parametrize("ctype,subtype,want", [
+    ("article", "", ("crime", "mining", "location")),
+    ("article", "event", ("location",)),
+    ("article", "event_report", ("location",)),
+    ("article", "blotter", ("crime",)),
+    # unknown subtype falls back to article
+    ("article", "press_release", ("crime", "mining", "location")),
+    # explicit empty routing
+    ("article", "report", ()),
+    ("page", "", ()),
+    # missing content-type key runs nothing
+    ("video", "", ()),
+])
+def test_resolve_sidecars_reference_vectors(ctype, subtype, want):
+    from north_cloud_ray.stages.structured import resolve_sidecars
+
+    assert resolve_sidecars(ctype, subtype, _ROUTING_TEST_TABLE) == want
+
+
+def test_default_routing_matches_reference_default():
+    """config.go getDefaultRouting rows are present verbatim in the
+    production table (plus this engine's structured-extractor rows)."""
+    from north_cloud_ray.stages.structured import ROUTING_TABLE
+
+    assert ROUTING_TABLE["article"] == (
+        "crime", "mining", "coforge", "entertainment", "indigenous",
+        "location")
+    assert ROUTING_TABLE["article:event"] == ("location",)
+    assert ROUTING_TABLE["article:event_report"] == ("location",)
+    assert ROUTING_TABLE["article:blotter"] == ("crime",)
+    assert ROUTING_TABLE["article:report"] == ()
+
+
 def test_event_obituary_in_full_subtype_cascade():
     """content_type.go classifyFromKeywordHeuristics order: event and
     obituary run between job and rfp and are reachable end-to-end."""
