@@ -325,6 +325,10 @@ def run_queries(sf_dir: str) -> dict:
         "events_type_gini", "source_vocab_jaccard", "events_daily_autocorr",
         "parts_no_bulk_orders", "events_user_gap_median",
         "events_trailing_24h_sum", "events_top_sequences",
+        "content_type_detection_docs", "content_type_cascade_docs",
+        "crime_rules_docs", "indigenous_rules_docs",
+        "quality_scores_docs", "sidecar_scores_docs",
+        "jsonld_structured_extraction",
     ]
     import ray.data
 

@@ -1633,8 +1633,9 @@ def publisher_routing_events(sf_dir: str):
 
 
 def source_reputation_events(sf_dir: str):
-    """A8 through the REAL source_reputation aggregate (integer-cents mean
-    quality per source) on a deterministic events-derived stream —
+    """A8 through the REAL source_reputation aggregate (the full
+    source_reputation.go formula: avg quality, spam-ratio penalty, trust
+    boost, rank tiers) on a deterministic events-derived stream —
     SQL-oracle-checked; the crawl-docs variant stays `source_reputation`."""
     from ..stages.publish import source_reputation
 
@@ -7084,13 +7085,46 @@ ORACLE_SQL = {
         WHERE NOT (channel = 'content:crime' AND doc_id % 10 = 0
                    AND doc_id < 2000)
     """,
+    # full source_reputation.go formula: avg quality x (1 - spamRatio*0.1),
+    # 10% trust boost (n>=10, avg>=70, ratio<0.05), clamp + truncate, rank
+    # tiers; all arithmetic in DOUBLE to match the Python kernel bit-for-bit
     "source_reputation_events": """
-        SELECT user_id % 50 AS source_id,
-               COUNT(*) AS n_docs,
-               CAST((SUM((event_id * 37) % 101) * 100) // COUNT(*)
-                    AS BIGINT) AS reputation
-        FROM events
-        GROUP BY user_id % 50
+        WITH g AS (
+          SELECT user_id % 50 AS source_id,
+                 COUNT(*) AS n_docs,
+                 SUM(CASE WHEN (event_id * 37) % 101 < 30
+                          THEN 1 ELSE 0 END) AS spam_count,
+                 CAST(SUM((event_id * 37) % 101) AS DOUBLE)
+                   / COUNT(*) AS avg_q
+          FROM events GROUP BY user_id % 50
+        ),
+        s AS (
+          SELECT source_id, n_docs, spam_count,
+            avg_q * (CAST(1 AS DOUBLE)
+                     - (CAST(spam_count AS DOUBLE) / n_docs)
+                       * CAST(0.1 AS DOUBLE))
+            * (CASE WHEN n_docs >= 10 AND avg_q >= CAST(70 AS DOUBLE)
+                     AND CAST(spam_count AS DOUBLE) / n_docs
+                         < CAST(0.05 AS DOUBLE)
+                    THEN CAST(1.1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)
+              AS raw_score
+          FROM g
+        )
+        SELECT source_id, n_docs, CAST(spam_count AS BIGINT) AS spam_count,
+          CAST(FLOOR(LEAST(CAST(100 AS DOUBLE),
+                           GREATEST(CAST(0 AS DOUBLE), raw_score)))
+               AS BIGINT) AS reputation,
+          CASE WHEN FLOOR(LEAST(CAST(100 AS DOUBLE),
+                    GREATEST(CAST(0 AS DOUBLE), raw_score))) >= 75
+                    AND n_docs >= 10 THEN 'trusted'
+               WHEN FLOOR(LEAST(CAST(100 AS DOUBLE),
+                    GREATEST(CAST(0 AS DOUBLE), raw_score))) >= 50
+                    THEN 'moderate'
+               WHEN FLOOR(LEAST(CAST(100 AS DOUBLE),
+                    GREATEST(CAST(0 AS DOUBLE), raw_score))) >= 30
+                    THEN 'low'
+               ELSE 'spam' END AS rank
+        FROM s
     """,
     "doc_fingerprints": r"""
         WITH toks AS (

@@ -184,25 +184,75 @@ def advance_cursor(classified_df: pd.DataFrame) -> tuple[int, str] | None:
 # ---------------- source reputation (A8) ----------------
 
 
+# source_reputation.go:11-21 constants
+REPUTATION_DEFAULT_SCORE = 50
+SPAM_THRESHOLD = 30
+MIN_ARTICLES_FOR_TRUST = 10
+REPUTATION_DECAY_RATE = 0.1
+REPUTATION_BOOST = 1.1
+TRUST_QUALITY_FLOOR = 70.0
+TRUST_SPAM_RATIO_CAP = 0.05
+
+
+def reputation_score(avg_quality: float, total_articles: int,
+                     spam_count: int) -> int:
+    """calculateReputationScore (source_reputation.go:163-200): average
+    quality x (1 - spamRatio*decay), 10% trust boost for established
+    high-quality low-spam sources, clamped 0-100 and truncated."""
+    if total_articles == 0:
+        return REPUTATION_DEFAULT_SCORE
+    spam_ratio = spam_count / total_articles
+    score = avg_quality * (1.0 - spam_ratio * REPUTATION_DECAY_RATE)
+    if (total_articles >= MIN_ARTICLES_FOR_TRUST
+            and avg_quality >= TRUST_QUALITY_FLOOR
+            and spam_ratio < TRUST_SPAM_RATIO_CAP):
+        score *= REPUTATION_BOOST
+    return int(max(0.0, min(100.0, score)))
+
+
+def determine_rank(score: int, total_articles: int) -> str:
+    """determineRank tiers (source_reputation.go:221-235)."""
+    if score >= 75 and total_articles >= MIN_ARTICLES_FOR_TRUST:
+        return "trusted"
+    if score >= 50:
+        return "moderate"
+    if score >= 30:
+        return "low"
+    return "spam"
+
+
 def source_reputation(classified_ds) -> pd.DataFrame:
-    """Per-source running quality aggregate (classifier/source_reputation.go):
-    groupby(source_id) over classified docs -> mean quality (integer-cents
-    to stay order-independent), doc count. Joined back per round as a
+    """Per-source reputation (classifier/source_reputation.go): grouped
+    (sum quality, count, spam count where quality < 30) partials combine
+    associatively, then the full reputation formula + rank tiers run
+    vectorized on the small per-source table. Joined back per round as a
     broadcast side table."""
     from .agg import hash_grouped_agg
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("source_id", as_index=False).agg(
-            quality_sum=("quality_score", "sum"), n_docs=("quality_score", "size")
+        b = b.assign(is_spam=(b["quality_score"] < SPAM_THRESHOLD)
+                     .astype("int64"))
+        return b.groupby("source_id", as_index=False).agg(
+            quality_sum=("quality_score", "sum"),
+            n_docs=("quality_score", "size"),
+            spam_count=("is_spam", "sum"),
         )
-        return g
 
     def combine(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby("source_id", as_index=False).agg(
-            quality_sum=("quality_sum", "sum"), n_docs=("n_docs", "sum")
+            quality_sum=("quality_sum", "sum"), n_docs=("n_docs", "sum"),
+            spam_count=("spam_count", "sum"),
         )
 
     rep = hash_grouped_agg(classified_ds, ["source_id"], partial, combine,
                            num_partitions=4).to_pandas()
-    rep["reputation"] = (rep["quality_sum"] * 100 // rep["n_docs"]).astype("int64")
-    return rep[["source_id", "n_docs", "reputation"]]
+    avg = rep["quality_sum"] / rep["n_docs"]
+    rep["reputation"] = [
+        reputation_score(a, int(n), int(s))
+        for a, n, s in zip(avg, rep["n_docs"], rep["spam_count"])
+    ]
+    rep["rank"] = [determine_rank(int(r), int(n))
+                   for r, n in zip(rep["reputation"], rep["n_docs"])]
+    rep["spam_count"] = rep["spam_count"].astype("int64")
+    rep["reputation"] = rep["reputation"].astype("int64")
+    return rep[["source_id", "n_docs", "spam_count", "reputation", "rank"]]

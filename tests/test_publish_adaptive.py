@@ -68,8 +68,41 @@ def test_publish_cursor_and_history(ray_session):
 def test_source_reputation(ray_session):
     rep = source_reputation(rd.from_pandas(_docs())).set_index("source_id")
     assert rep.loc["s1", "n_docs"] == 2
-    assert rep.loc["s1", "reputation"] == (80 + 45) * 100 // 2
-    assert rep.loc["s2", "reputation"] == (90 + 20) * 100 // 2
+    # source_reputation.go formula: avg quality, spam penalty, truncation
+    assert rep.loc["s1", "spam_count"] == 0
+    assert rep.loc["s1", "reputation"] == int((80 + 45) / 2)  # 62
+    # s2 has one spam doc (20 < 30): 55 * (1 - 0.5*0.1) = 52.25 -> 52
+    assert rep.loc["s2", "spam_count"] == 1
+    assert rep.loc["s2", "reputation"] == 52
+    assert rep.loc["s1", "rank"] == "moderate"
+    assert rep.loc["s2", "rank"] == "moderate"
+
+
+def test_reputation_score_reference_vectors():
+    """source_reputation_test.go CalculateReputationScore +
+    DetermineRank + UpdateAfterClassification_Multiple vectors."""
+    from north_cloud_ray.stages.publish import (
+        determine_rank,
+        reputation_score,
+    )
+
+    # no articles -> default 50
+    assert reputation_score(0.0, 0, 0) == 50
+    # high quality, no spam, established -> boosted into 85..100
+    assert 85 <= reputation_score(90.0, 100, 0) <= 100
+    # low quality with 30% spam -> 0..40
+    assert 0 <= reputation_score(40.0, 100, 30) <= 40
+    # good quality, 10% spam -> 60..75 (no boost: ratio >= 0.05)
+    assert 60 <= reputation_score(70.0, 50, 5) <= 75
+    # rolling-average scenario: 5 articles, 1 spam -> moderate 50..75
+    avg = (80 + 75 + 90 + 25 + 85) / 5.0
+    assert 50 <= reputation_score(avg, 5, 1) <= 75
+
+    assert determine_rank(85, 5) == "moderate"   # not enough articles
+    assert determine_rank(85, 20) == "trusted"
+    assert determine_rank(60, 15) == "moderate"
+    assert determine_rank(40, 10) == "low"
+    assert determine_rank(20, 5) == "spam"
 
 
 def test_adaptive_interval():
