@@ -328,7 +328,7 @@ def run_queries(sf_dir: str) -> dict:
         "content_type_detection_docs", "content_type_cascade_docs",
         "crime_rules_docs", "indigenous_rules_docs",
         "quality_scores_docs", "sidecar_scores_docs",
-        "jsonld_structured_extraction",
+        "jsonld_structured_extraction", "mining_drill_docs",
     ]
     import ray.data
 

@@ -2484,6 +2484,68 @@ _QUALITY_DOCS_ORACLE = """
 """
 
 
+# mining_drill_docs deterministic drill-paragraph cycle (shapes from the
+# ported drill_extractor_test.go parity vectors)
+_DRILL_PARAS = (
+    "Drill hole DDH-24-001 returned 12.5m @ 3.2 g/t Au from 45.0m.",
+    "DDH-24-002: 8.0m @ 1.5% Cu",
+    "Hole BH-001 intersected gold mineralization from 45.0m to 57.5m "
+    "grading 2.1 g/t Au",
+    "Drill holes DDH-24-001 and DDH-24-002 were completed. "
+    "Results are pending.",
+    "The company announced a new mining project in northern Ontario.",
+    "DDH-24-003 returned 20.0m @ 1.8% Cu including 5.0m @ 3.2% Cu",
+)
+
+
+def mining_drill_docs(sf_dir: str):
+    """The mining sidecar's drill-result extraction chain
+    (drill_extractor.go regex strategies + drill_normalizer.go
+    normalization/dedup) over deterministic drill paragraphs prepended
+    to document text — SQL-oracle-checked against a pinned golden table
+    (any extractor drift hash-mismatches loudly)."""
+    from ..stages.drill import extract_drill_regex, normalize_drill_results
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = len(_DRILL_PARAS)
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            # word-salad doc text cannot contain drill patterns; the
+            # prepended paragraph fully determines the extraction
+            body = _DRILL_PARAS[d % n] + " " + (text or "")
+            res, conf = extract_drill_regex(body)
+            norm = normalize_drill_results(res)
+            first = norm[0] if norm else {
+                "hole_id": "", "commodity": "", "intercept_m": 0.0,
+                "grade": 0.0, "unit": ""}
+            rows.append({"doc_id": d, "confidence": conf,
+                         "n_results": len(norm), **first})
+        return pd.DataFrame(rows)
+
+    return docs.map_batches(run, batch_format="pandas")
+
+
+# golden expectations per paragraph index, pinned from the engine
+_MINING_DRILL_ORACLE = """
+    WITH g(v, confidence, n_results, hole_id, commodity,
+           intercept_m, grade, unit) AS (VALUES
+      (0, 'complete', 1, 'DDH-24-001', 'gold', 12.5, 3.2, 'g/t'),
+      (1, 'complete', 1, 'DDH-24-002', 'copper', 8.0, 1.5, '%'),
+      (2, 'complete', 2, 'BH-001', 'gold', 57.5, 2.1, 'g/t'),
+      (3, 'partial', 0, '', '', 0.0, 0.0, ''),
+      (4, 'none', 0, '', '', 0.0, 0.0, ''),
+      (5, 'complete', 2, 'DDH-24-003', 'copper', 20.0, 1.8, '%'))
+    SELECT d.doc_id, g.confidence, CAST(g.n_results AS BIGINT) AS n_results,
+           g.hole_id, g.commodity,
+           CAST(g.intercept_m AS DOUBLE) AS intercept_m,
+           CAST(g.grade AS DOUBLE) AS grade, g.unit
+    FROM documents d JOIN g ON d.doc_id % 6 = g.v
+"""
+
+
 # crime_rules_docs deterministic title cycle (vectors from the ported
 # crime_rules_test.go parity suite: core / excluded / international /
 # neutral shapes)
@@ -6306,6 +6368,7 @@ QUERIES = {
     "crime_rules_docs": crime_rules_docs,
     "indigenous_rules_docs": indigenous_rules_docs,
     "quality_scores_docs": quality_scores_docs,
+    "mining_drill_docs": mining_drill_docs,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
@@ -6715,6 +6778,7 @@ ORACLE_SQL = {
     "crime_rules_docs": _crime_rules_oracle_sql(),
     "indigenous_rules_docs": _indigenous_rules_oracle_sql(),
     "quality_scores_docs": _QUALITY_DOCS_ORACLE,
+    "mining_drill_docs": _MINING_DRILL_ORACLE,
     "f1_span_stats_docs": r"""
         WITH d AS (
           SELECT doc_id,
