@@ -653,6 +653,51 @@ def test_listing_page_content_reference_vectors(raw_text, want_type):
         assert method == "content_pattern"
 
 
+# infrastructure/icp/seed_test.go vectors (the test's own seed)
+_ICP_TEST_SEED = (
+    {"name": "indigenous_channel",
+     "keywords": ("first nation", "indigenous-owned",
+                  "economic development"),
+     "topics": ("indigenous",),
+     "required_any": ("first nation", "sudbury", "ontario", "canada"),
+     "min_score": 0.30},
+    {"name": "northern_ontario_industry",
+     "keywords": ("sudbury", "mining"), "topics": (),
+     "required_any": (), "min_score": 0.30},
+    {"name": "private_sector_smb",
+     "keywords": ("consultancy",), "topics": (),
+     "required_any": (), "min_score": 0.30},
+)
+
+
+def test_icp_requires_canadian_anchor_for_indigenous_channel():
+    from north_cloud_ray.stages.structured import match_icp
+
+    # Australian Aboriginal content lacks every required_any anchor
+    assert match_icp(
+        "ABC Indigenous reports new Aboriginal business program in "
+        "Australia",
+        "The Aboriginal and Torres Strait Islander program supports "
+        "economic development.",
+        topics=["indigenous"], segments=_ICP_TEST_SEED) is None
+
+
+def test_icp_emits_segments_with_model_version():
+    from north_cloud_ray.stages.structured import match_icp
+
+    result = match_icp(
+        "Wahnapitae First Nation selects Sudbury engineering consultancy",
+        "The Indigenous-owned firm will support water infrastructure and "
+        "economic development.",
+        source_name="Northern Ontario Business",
+        topics=["indigenous", "mining"], segments=_ICP_TEST_SEED)
+    assert result is not None
+    assert result["model_version"] == "v1"
+    assert result["segments"]
+    assert result["segments"][0]["segment"] == "indigenous_channel"
+    assert "first nation" in result["segments"][0]["matched_keywords"]
+
+
 # classifier_routing_test.go TestResolveSidecars rows (the test's own
 # routing table)
 _ROUTING_TEST_TABLE = {
