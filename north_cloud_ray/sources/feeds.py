@@ -123,6 +123,81 @@ def discover_feed_url(page_html: str, host: str) -> str | None:
     return m.group(1) if m else None
 
 
+# attribute-order-insensitive link-rel scan for the full discoverer
+_LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.I)
+_ATTR_RE = re.compile(r"(\w+)\s*=\s*\"([^\"]*)\"")
+
+
+def extract_feed_link_candidates(base_url: str, body: str) -> list[str]:
+    """All <link rel="alternate"> hrefs whose type contains rss+xml or
+    atom+xml, resolved against the base URL, in document order
+    (discovery.go extractFeedLinkCandidates)."""
+    from urllib.parse import urljoin
+
+    out = []
+    for tag in _LINK_TAG_RE.findall(body or ""):
+        attrs = dict((k.lower(), v) for k, v in _ATTR_RE.findall(tag))
+        if attrs.get("rel", "").lower() != "alternate":
+            continue
+        t = attrs.get("type", "")
+        if "rss+xml" not in t and "atom+xml" not in t:
+            continue
+        href = attrs.get("href", "")
+        if not href:
+            continue
+        resolved = urljoin(base_url, href)
+        if resolved:
+            out.append(resolved)
+    return out
+
+
+class FeedDiscoverer:
+    """The full S4 discovery procedure (feed/discovery.go:66-273):
+    fetch the base page, validate each link-rel candidate by fetching
+    and parsing it as a feed, fall back to probing the well-known
+    paths, and skip sources retried within the retry window.
+
+    ``fetch(url) -> {"status": int, "body": str}`` (raise or return
+    None on transport error); the clock is injected (virtual time)."""
+
+    def __init__(self, fetch, retry_after_us: int = 3600 * US_PER_SEC):
+        self._fetch = fetch
+        self._retry_after_us = retry_after_us
+        self._attempted: dict[str, int] = {}
+
+    def _is_valid_feed(self, url: str) -> bool:
+        try:
+            res = self._fetch(url)
+        except Exception:
+            return False
+        if res is None or res.get("status") != 200:
+            return False
+        return bool(parse_feed(res.get("body") or ""))
+
+    def discover_feed(self, source_id: str, base_url: str,
+                      now_us: int = 0) -> str:
+        last = self._attempted.get(source_id)
+        if last is not None and now_us - last < self._retry_after_us:
+            return ""
+        self._attempted[source_id] = now_us
+        try:
+            res = self._fetch(base_url)
+        except Exception:
+            res = None
+        if res is not None and res.get("status") == 200:
+            for cand in extract_feed_link_candidates(
+                    base_url, res.get("body") or ""):
+                if self._is_valid_feed(cand):
+                    return cand
+        from urllib.parse import urljoin
+
+        for path in COMMON_FEED_PATHS:
+            cand = urljoin(base_url, path)
+            if cand and self._is_valid_feed(cand):
+                return cand
+        return ""
+
+
 @dataclass
 class FeedPollResult:
     candidates: pd.DataFrame

@@ -234,3 +234,138 @@ def test_sitemap_declared_nondefault_url_is_fetched():
     # declared non-default + the declared default (via renderer), probe
     # not repeated
     assert urls == ["https://h1/entry/default", "https://h1/news/declared"]
+
+
+# ---------------- full discovery procedure (feed/discovery_test.go) ---------
+
+HTML_RSS_LINK = """<!DOCTYPE html>
+<html><head>
+  <link rel="alternate" type="application/rss+xml" title="RSS" href="/feed.xml">
+</head><body></body></html>"""
+
+HTML_ATOM_LINK = """<!DOCTYPE html>
+<html><head>
+  <link rel="alternate" type="application/atom+xml" title="Atom" href="/atom.xml">
+</head><body></body></html>"""
+
+HTML_RELATIVE_LINK = """<!DOCTYPE html>
+<html><head>
+  <link rel="alternate" type="application/rss+xml" href="blog/feed">
+</head><body></body></html>"""
+
+HTML_NO_FEEDS = """<!DOCTYPE html>
+<html><head>
+  <link rel="stylesheet" href="/style.css">
+</head><body><p>No feeds here</p></body></html>"""
+
+VALID_RSS = """<?xml version="1.0" encoding="UTF-8"?>
+<rss version="2.0"><channel><title>Test</title>
+<item><title>Article</title><link>https://example.com/article</link></item>
+</channel></rss>"""
+
+
+def _mock_fetch(responses, errors=()):
+    def fetch(url):
+        if url in errors:
+            raise ConnectionError(url)
+        r = responses.get(url)
+        if r is None:
+            return {"status": 404, "body": ""}
+        return r
+    return fetch
+
+
+def test_discover_feed_html_rss_link():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    d = FeedDiscoverer(_mock_fetch({
+        "https://example.com": {"status": 200, "body": HTML_RSS_LINK},
+        "https://example.com/feed.xml": {"status": 200, "body": VALID_RSS},
+    }))
+    assert d.discover_feed("src-1", "https://example.com") == \
+        "https://example.com/feed.xml"
+
+
+def test_discover_feed_html_atom_link():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    d = FeedDiscoverer(_mock_fetch({
+        "https://example.com": {"status": 200, "body": HTML_ATOM_LINK},
+        "https://example.com/atom.xml": {"status": 200, "body": VALID_RSS},
+    }))
+    assert d.discover_feed("src-1", "https://example.com") == \
+        "https://example.com/atom.xml"
+
+
+def test_discover_feed_relative_url():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    d = FeedDiscoverer(_mock_fetch({
+        "https://example.com": {"status": 200, "body": HTML_RELATIVE_LINK},
+        "https://example.com/blog/feed": {"status": 200, "body": VALID_RSS},
+    }))
+    assert d.discover_feed("src-1", "https://example.com") == \
+        "https://example.com/blog/feed"
+
+
+def test_discover_feed_common_path_fallback():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    d = FeedDiscoverer(_mock_fetch({
+        "https://example.com": {"status": 200, "body": HTML_NO_FEEDS},
+        "https://example.com/rss": {"status": 200, "body": VALID_RSS},
+    }))
+    assert d.discover_feed("src-1", "https://example.com") == \
+        "https://example.com/rss"
+
+
+def test_discover_feed_none_found():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    d = FeedDiscoverer(_mock_fetch({
+        "https://example.com": {"status": 200, "body": HTML_NO_FEEDS},
+    }))
+    assert d.discover_feed("src-1", "https://example.com") == ""
+
+
+def test_discover_feed_recently_attempted_skipped():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    d = FeedDiscoverer(_mock_fetch({
+        "https://example.com": {"status": 200, "body": HTML_RSS_LINK},
+        "https://example.com/feed.xml": {"status": 200, "body": VALID_RSS},
+    }), retry_after_us=3600 * 1_000_000)
+    assert d.discover_feed("src-1", "https://example.com", now_us=0) == \
+        "https://example.com/feed.xml"
+    # second attempt inside the retry window is skipped
+    assert d.discover_feed("src-1", "https://example.com",
+                           now_us=60 * 1_000_000) == ""
+    # after the window elapses it runs again
+    assert d.discover_feed("src-1", "https://example.com",
+                           now_us=3601 * 1_000_000) == \
+        "https://example.com/feed.xml"
+
+
+def test_discover_feed_invalid_candidate_skipped():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    html_bad_link = """<!DOCTYPE html>
+<html><head>
+  <link rel="alternate" type="application/rss+xml" href="/feed.xml">
+</head><body></body></html>"""
+    d = FeedDiscoverer(_mock_fetch({
+        "https://example.com": {"status": 200, "body": html_bad_link},
+        "https://example.com/feed.xml":
+            {"status": 200, "body": "<html><body>Not a feed</body></html>"},
+        "https://example.com/rss": {"status": 200, "body": VALID_RSS},
+    }))
+    # invalid link-rel candidate falls through to common-path probing
+    assert d.discover_feed("src-1", "https://example.com") == \
+        "https://example.com/rss"
+
+
+def test_discover_feed_base_fetch_error():
+    from north_cloud_ray.sources.feeds import FeedDiscoverer
+
+    d = FeedDiscoverer(_mock_fetch({}, errors={"https://example.com"}))
+    assert d.discover_feed("src-1", "https://example.com") == ""
