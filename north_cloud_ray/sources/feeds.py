@@ -37,7 +37,6 @@ from ..config import (
 )
 
 FEED_POLL_BASE_BACKOFF_US = 60 * US_PER_SEC
-FEED_AUTO_DISABLE_ERRORS = 5
 
 FEED_STATE_SCHEMA = pa.schema(
     [
@@ -198,6 +197,50 @@ class FeedDiscoverer:
         return ""
 
 
+# ---------------- poll-error classification (feed/poll_error.go) -------
+
+ERR_RATE_LIMITED = "rate_limited"
+ERR_FORBIDDEN = "forbidden"
+ERR_NOT_FOUND = "not_found"
+ERR_GONE = "gone"
+ERR_UPSTREAM = "upstream_failure"
+ERR_NETWORK = "network"
+ERR_PARSE = "parse_error"
+ERR_UNEXPECTED = "unexpected"
+
+LEVEL_WARN = "warn"
+LEVEL_ERROR = "error"
+
+# consecutive failures before auto-disable; rate_limited and unexpected
+# are never auto-disabled (poll_error.go:85-103)
+DISABLE_THRESHOLDS: dict[str, int] = {
+    ERR_NOT_FOUND: 3, ERR_GONE: 1, ERR_FORBIDDEN: 5,
+    ERR_UPSTREAM: 10, ERR_NETWORK: 10, ERR_PARSE: 5,
+}
+
+
+def classify_poll_status(status: int) -> tuple[str, str]:
+    """(error_type, log_level) for an HTTP status
+    (poll_error.go ClassifyHTTPStatus)."""
+    if status == 429:
+        return ERR_RATE_LIMITED, LEVEL_WARN
+    if status == 403:
+        return ERR_FORBIDDEN, LEVEL_WARN
+    if status == 404:
+        return ERR_NOT_FOUND, LEVEL_WARN
+    if status == 410:
+        return ERR_GONE, LEVEL_WARN
+    if 500 <= status <= 599:
+        return ERR_UPSTREAM, LEVEL_WARN
+    return ERR_UNEXPECTED, LEVEL_ERROR
+
+
+def disable_threshold(err_type: str) -> tuple[int, bool]:
+    """(threshold, should_ever_disable) — poll_error.go DisableThreshold."""
+    t = DISABLE_THRESHOLDS.get(err_type)
+    return (t, True) if t is not None else (0, False)
+
+
 @dataclass
 class FeedPollResult:
     candidates: pd.DataFrame
@@ -206,7 +249,11 @@ class FeedPollResult:
 
 def poll_feeds_batch(state: pd.DataFrame, web, now_us: int) -> FeedPollResult:
     """Poll every due feed row; returns frontier candidates (origin=feed,
-    priority 7) + updated state. Pure given (state, web, now)."""
+    priority 7) + updated state. Pure given (state, web, now).
+
+    Errors are classified per poll_error.go; auto-disable is
+    type-aware (WARN-level types only, per-type consecutive-failure
+    thresholds — checkDisableThreshold)."""
     cand_rows: list[dict] = []
     out = state.copy().reset_index(drop=True)
     for i, row in out.iterrows():
@@ -217,10 +264,15 @@ def poll_feeds_batch(state: pd.DataFrame, web, now_us: int) -> FeedPollResult:
         except Exception:
             res = None
         if res is None or res["status"] >= 400:
+            if res is None:
+                err_type, level = ERR_NETWORK, LEVEL_WARN
+            else:
+                err_type, level = classify_poll_status(res["status"])
             n = int(row["consecutive_errors"]) + 1
             out.at[i, "consecutive_errors"] = n
             out.at[i, "next_poll_at"] = now_us + FEED_POLL_BASE_BACKOFF_US * (2 ** (n - 1))
-            if n >= FEED_AUTO_DISABLE_ERRORS:
+            threshold, can_disable = disable_threshold(err_type)
+            if level == LEVEL_WARN and can_disable and n >= threshold:
                 out.at[i, "disabled"] = True
             continue
         out.at[i, "consecutive_errors"] = 0

@@ -107,10 +107,13 @@ def test_poll_feeds_conditional_get_and_backoff():
     c2 = r2.candidates
     assert len(c2) == 0 or len(c2[c2["parent_url"] == big.feed_url(feed_host)]) == 0
 
-    # error host backs off exponentially until disabled
+    # error host backs off exponentially until the network-type
+    # auto-disable threshold (10 consecutive failures, poll_error.go)
     st = r1.new_state
     now = int(bad["next_poll_at"])
-    for i in range(2, 6):
+    for i in range(2, 11):
+        b = st[st["host"] == err_host].iloc[0]
+        assert not b["disabled"]
         r = poll_feeds_batch(st, big, now_us=now)
         st = r.new_state
         b = st[st["host"] == err_host].iloc[0]
@@ -369,3 +372,29 @@ def test_discover_feed_base_fetch_error():
 
     d = FeedDiscoverer(_mock_fetch({}, errors={"https://example.com"}))
     assert d.discover_feed("src-1", "https://example.com") == ""
+
+
+# poll_error_test.go vectors
+def test_classify_poll_status_vectors():
+    from north_cloud_ray.sources.feeds import classify_poll_status
+
+    assert classify_poll_status(429) == ("rate_limited", "warn")
+    assert classify_poll_status(403) == ("forbidden", "warn")
+    assert classify_poll_status(404) == ("not_found", "warn")
+    assert classify_poll_status(410) == ("gone", "warn")
+    assert classify_poll_status(500) == ("upstream_failure", "warn")
+    assert classify_poll_status(599) == ("upstream_failure", "warn")
+    assert classify_poll_status(418) == ("unexpected", "error")
+
+
+def test_disable_threshold_vectors():
+    from north_cloud_ray.sources.feeds import disable_threshold
+
+    assert disable_threshold("not_found") == (3, True)
+    assert disable_threshold("gone") == (1, True)
+    assert disable_threshold("forbidden") == (5, True)
+    assert disable_threshold("upstream_failure") == (10, True)
+    assert disable_threshold("network") == (10, True)
+    assert disable_threshold("parse_error") == (5, True)
+    assert disable_threshold("rate_limited") == (0, False)
+    assert disable_threshold("unexpected") == (0, False)
