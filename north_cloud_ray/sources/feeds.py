@@ -115,6 +115,45 @@ def parse_sitemap(xml_body: str) -> tuple[list[str], list[dict]]:
     return children, urls
 
 
+def parse_lastmod(raw: str) -> int | None:
+    """Sitemap lastmod -> epoch microseconds: RFC 3339 first, then
+    date-only (sitemap.go parseLastMod); None when unparseable."""
+    from datetime import datetime, timezone
+
+    s = (raw or "").strip()
+    if not s:
+        return None
+    for parser in (
+        lambda v: datetime.fromisoformat(v.replace("Z", "+00:00")),
+        lambda v: datetime.strptime(v, "%Y-%m-%d").replace(
+            tzinfo=timezone.utc),
+    ):
+        try:
+            dt = parser(s)
+        except ValueError:
+            continue
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    return None
+
+
+def filter_sitemap_urls(urls: list[dict], max_age_us: int,
+                        now_us: int) -> list[dict]:
+    """lastmod max-age filter (sitemap.go buildSitemapURLs/shouldInclude):
+    max_age_us <= 0 keeps everything; URLs without a parseable lastmod
+    are always kept; otherwise keep lastmod >= now - max_age."""
+    if max_age_us <= 0:
+        return list(urls)
+    cutoff = now_us - max_age_us
+    out = []
+    for u in urls:
+        lm = parse_lastmod(u.get("lastmod") or "")
+        if lm is None or lm >= cutoff:
+            out.append(u)
+    return out
+
+
 def discover_feed_url(page_html: str, host: str) -> str | None:
     """S4: link-rel discovery from a page head; common-path probing is the
     caller's fallback (COMMON_FEED_PATHS)."""
@@ -293,7 +332,8 @@ def poll_feeds_batch(state: pd.DataFrame, web, now_us: int) -> FeedPollResult:
     return FeedPollResult(pd.DataFrame(cand_rows), out)
 
 
-def sitemap_candidates(web, host: str, now_us: int) -> list[dict]:
+def sitemap_candidates(web, host: str, now_us: int,
+                       max_age_us: int = 0) -> list[dict]:
     """Resolve a host's sitemap (following one level of sitemap index) into
     frontier candidates (origin=sitemap, priority 6). Discovery is the
     union of the two standard paths: ``Sitemap:`` lines declared in the
@@ -301,7 +341,9 @@ def sitemap_candidates(web, host: str, now_us: int) -> list[dict]:
     Protocol) and the /sitemap.xml common-path probe — a host whose
     robots declares a sitemap is seeded even when the probe misses.
     robots.txt here is the same deterministic fixture fetch the fetch
-    stage caches per process; fetch errors degrade to probe-only."""
+    stage caches per process; fetch errors degrade to probe-only.
+    ``max_age_us`` > 0 applies the lastmod max-age filter
+    (sitemap.go ParseSitemap; no-lastmod URLs always pass)."""
     declared: list[str] = []
     try:
         body, status = web.robots_fetch(host)
@@ -347,6 +389,7 @@ def sitemap_candidates(web, host: str, now_us: int) -> list[dict]:
             if m and seen_children < 8:
                 seen_children += 1
                 bodies.append(web.render_sitemap(host, part=int(m.group(1))))
+        urls = filter_sitemap_urls(urls, max_age_us, now_us)
         for u in urls:
             out.append(
                 {"url": u["url"], "origin": ORIGIN_SITEMAP, "priority": prio,

@@ -398,3 +398,39 @@ def test_disable_threshold_vectors():
     assert disable_threshold("parse_error") == (5, True)
     assert disable_threshold("rate_limited") == (0, False)
     assert disable_threshold("unexpected") == (0, False)
+
+
+# sitemap_test.go max-age filter and lastmod parsing vectors
+def test_sitemap_max_age_filter():
+    from north_cloud_ray.sources.feeds import filter_sitemap_urls
+
+    US = 1_000_000
+    now = 100 * 24 * 3600 * US  # day 100
+    urls = [
+        {"url": "https://example.com/recent",
+         "lastmod": "1970-04-10T00:00:00Z"},   # day 99 (1h-ish old scale)
+        {"url": "https://example.com/old", "lastmod": "1970-01-05"},
+        {"url": "https://example.com/no-date", "lastmod": None},
+    ]
+    # 30-day max age: recent + no-date kept, old filtered
+    kept = filter_sitemap_urls(urls, 30 * 24 * 3600 * US, now)
+    assert [u["url"] for u in kept] == [
+        "https://example.com/recent", "https://example.com/no-date"]
+    # maxAge <= 0 keeps everything
+    assert len(filter_sitemap_urls(urls, 0, now)) == 3
+
+
+def test_parse_lastmod_formats():
+    from north_cloud_ray.sources.feeds import parse_lastmod
+
+    # RFC 3339
+    assert parse_lastmod("2024-01-15T10:30:00Z") is not None
+    # date-only fallback (sitemap_test.go TestParseSitemapDateOnlyLastmod)
+    v = parse_lastmod("2024-06-15")
+    assert v is not None
+    from datetime import datetime, timezone
+    dt = datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc)
+    assert (dt.year, dt.month, dt.day) == (2024, 6, 15)
+    # unparseable -> None (URL then always included)
+    assert parse_lastmod("not a date") is None
+    assert parse_lastmod("") is None
