@@ -747,8 +747,9 @@ def extract_page(html: str, url: str = "", container_selector: str = "",
     if used == "heuristic":
         method = "heuristic"
 
-    # title: template title selector -> og:title -> JSON-LD headline ->
-    # <title> -> first h1
+    # title: template title selector -> JSON-LD headline -> og:title ->
+    # <title> -> first h1 (extractor_test.go TitleFallbackChain: JSON-LD
+    # beats og:title)
     title = ""
     if template is not None and template.title:
         n = select_first(root, template.title)
@@ -756,7 +757,7 @@ def extract_page(html: str, url: str = "", container_selector: str = "",
     meta = extract_metadata(root)
     jsonld = meta.pop("jsonld")
     if not title:
-        title = meta["og_title"] or jsonld.get("jsonld_headline", "")
+        title = jsonld.get("jsonld_headline", "") or meta["og_title"]
     if not title:
         n = select_first(root, "title")
         title = n.clean_text() if n is not None else ""

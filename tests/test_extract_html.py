@@ -193,3 +193,59 @@ def test_stage_over_ray_dataset(ray_session):
     assert (out["word_count"] > 0).sum() >= len(fixtures) - 2
     by_url = dict(zip(out["url"], out["page_type"]))
     assert by_url["https://fixture.test/11"] == "stub"
+
+
+# extractor_test.go fallback-chain vectors (title / date / author)
+@pytest.mark.parametrize("html,want", [
+    ('<html><head><meta property="og:title" content="OG Title">'
+     '<script type="application/ld+json">'
+     '{"@type":"NewsArticle","headline":"JSON-LD Headline"}</script>'
+     '</head><body></body></html>', "JSON-LD Headline"),
+    ('<html><head><meta property="og:title" content="OG Title">'
+     '</head><body></body></html>', "OG Title"),
+    ('<html><head><title>Page Title</title></head><body></body></html>',
+     "Page Title"),
+    ('<html><head></head><body><h1>H1 Title</h1></body></html>',
+     "H1 Title"),
+])
+def test_title_fallback_chain_reference_vectors(html, want):
+    assert extract_page(html, url="https://example.com/test")["title"] == want
+
+
+@pytest.mark.parametrize("html,want", [
+    ('<html><head><meta property="article:published_time" '
+     'content="2025-06-15T10:00:00Z"></head><body></body></html>',
+     "2025-06-15T10:00:00Z"),
+    ('<html><head><script type="application/ld+json">'
+     '{"@type":"NewsArticle","headline":"Test",'
+     '"datePublished":"2025-07-20T14:30:00Z"}</script>'
+     '</head><body></body></html>', "2025-07-20T14:30:00Z"),
+    ('<html><head></head><body>'
+     '<time datetime="2025-08-10T09:00:00Z">August 10</time>'
+     '</body></html>', "2025-08-10T09:00:00Z"),
+    ('<html><head></head><body><span class="published-date">'
+     '<time datetime="2025-09-01T12:00:00Z">Sep 1</time></span>'
+     '</body></html>', "2025-09-01T12:00:00Z"),
+    ('<html><head></head><body></body></html>', ""),
+])
+def test_date_fallback_chain_reference_vectors(html, want):
+    assert extract_page(
+        html, url="https://example.com/test")["published_date"] == want
+
+
+@pytest.mark.parametrize("html,want", [
+    ('<html><head><meta name="author" content="Meta Author">'
+     '</head><body></body></html>', "Meta Author"),
+    ('<html><head><script type="application/ld+json">'
+     '{"@type":"NewsArticle","headline":"Test",'
+     '"author":{"@type":"Person","name":"JSONLD Author"}}</script>'
+     '</head><body></body></html>', "JSONLD Author"),
+    ('<html><head></head><body><a rel="author">Link Author</a>'
+     '</body></html>', "Link Author"),
+    ('<html><head></head><body><span class="byline">Byline Author</span>'
+     '</body></html>', "Byline Author"),
+    ('<html><head></head><body></body></html>', ""),
+])
+def test_author_fallback_chain_reference_vectors(html, want):
+    assert extract_page(
+        html, url="https://example.com/test")["author"] == want
