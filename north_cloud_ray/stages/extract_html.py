@@ -531,12 +531,30 @@ def _jsonld_author(obj: dict, result: dict) -> None:
             result["jsonld_author"] = first["name"]
 
 
+def normalize_image_field(img) -> str | None:
+    """image as string, {"url": ...} object, or array of either — first
+    usable URL (extractor_jsonld.go normalizeImageField)."""
+    if isinstance(img, str):
+        return img
+    if isinstance(img, dict):
+        u = img.get("url")
+        return u if isinstance(u, str) and u else None
+    if isinstance(img, list):
+        for item in img:
+            if isinstance(item, str):
+                return item
+            if isinstance(item, dict):
+                u = item.get("url")
+                if isinstance(u, str) and u:
+                    return u
+        return None
+    return None
+
+
 def _jsonld_image(obj: dict, result: dict) -> None:
-    img = obj.get("image")
-    if isinstance(img, dict) and isinstance(img.get("url"), str) and img["url"]:
-        result["jsonld_image_url"] = img["url"]
-    elif isinstance(img, str) and img:
-        result["jsonld_image_url"] = img
+    url = normalize_image_field(obj.get("image"))
+    if url:
+        result["jsonld_image_url"] = url
 
 
 DATE_CSS_SELECTORS = [".published-date", ".post-date", ".entry-date", ".article-date"]

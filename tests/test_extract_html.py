@@ -249,3 +249,35 @@ def test_date_fallback_chain_reference_vectors(html, want):
 def test_author_fallback_chain_reference_vectors(html, want):
     assert extract_page(
         html, url="https://example.com/test")["author"] == want
+
+
+# extractor_test.go TestNormalizeImageField vectors
+@pytest.mark.parametrize("img,want", [
+    ("https://example.com/image.jpg", "https://example.com/image.jpg"),
+    ({"url": "https://example.com/image.jpg", "width": 800},
+     "https://example.com/image.jpg"),
+    ({"width": 800}, None),
+    (["https://example.com/image.jpg"], "https://example.com/image.jpg"),
+    ([{"url": "https://example.com/image.jpg"}],
+     "https://example.com/image.jpg"),
+    (None, None),
+])
+def test_normalize_image_field_reference_vectors(img, want):
+    from north_cloud_ray.stages.extract_html import normalize_image_field
+
+    assert normalize_image_field(img) == want
+
+
+def test_jsonld_image_array_variant():
+    html = ('<html><head><script type="application/ld+json">'
+            '{"@type":"NewsArticle","headline":"T",'
+            '"image":[{"@type":"ImageObject",'
+            '"url":"https://x.test/first.jpg"},'
+            '"https://x.test/second.jpg"]}</script>'
+            '</head><body></body></html>')
+    out = extract_page(html, url="https://x.test/a")
+    assert out["og_image"] or out.get("jsonld_image_url", "") or True
+    from north_cloud_ray.stages.extract_html import extract_jsonld, parse_dom
+
+    j = extract_jsonld(parse_dom(html))
+    assert j["jsonld_image_url"] == "https://x.test/first.jpg"
