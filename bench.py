@@ -329,6 +329,7 @@ def run_queries(sf_dir: str) -> dict:
         "crime_rules_docs", "indigenous_rules_docs",
         "quality_scores_docs", "sidecar_scores_docs",
         "jsonld_structured_extraction", "mining_drill_docs",
+        "publisher_domain_routing",
     ]
     import ray.data
 

@@ -2546,6 +2546,95 @@ _MINING_DRILL_ORACLE = """
 """
 
 
+# publisher_domain_routing deterministic item fixtures — one per routing
+# domain shape (ported router test scenarios; fixture 6 exercises the
+# indigenous confidence gate and routes nowhere)
+_ROUTE_FIXTURES: tuple[dict, ...] = (
+    {"topics": ["local_news", "sports"], "quality_score": 60,
+     "content_type": "article"},
+    {"topics": ["crime"], "quality_score": 55, "content_type": "article",
+     "crime_relevance": "core_street_crime", "homepage_eligible": True,
+     "category_pages": ["violent-crime"], "location_country": "canada",
+     "location_city": "sudbury", "location_province": "ON",
+     "location_specificity": "city"},
+    {"quality_score": 45, "content_type": "article",
+     "crime_relevance": "peripheral_crime",
+     "crime_sub_label": "criminal_justice"},
+    {"quality_score": 50, "content_type": "article",
+     "mining": {"relevance": "core_mining",
+                "commodities": ["gold", "iron_ore"],
+                "mining_stage": "exploration", "location": "local_canada"}},
+    {"quality_score": 65, "content_type": "article",
+     "entertainment": {"relevance": "core_entertainment",
+                       "homepage_eligible": True, "categories": ["Film"]},
+     "location_country": "usa"},
+    {"quality_score": 70, "content_type": "article",
+     "indigenous": {"relevance": "core_indigenous",
+                    "final_confidence": 0.8, "categories": ["culture"],
+                    "region": "latin-america"}},
+    {"quality_score": 40, "content_type": "article",
+     "indigenous": {"relevance": "core_indigenous",
+                    "final_confidence": 0.2}},
+    {"quality_score": 60, "content_type": "article",
+     "coforge": {"relevance": "core_coforge",
+                 "audience": "startup founders", "topics": ["dev_tools"],
+                 "industries": ["fintech"]}},
+    {"quality_score": 55, "content_type": "article",
+     "recipe": {"category": "Dessert", "cuisine": "Italian"}},
+    {"quality_score": 55, "content_type": "article",
+     "job": {"employment_type": "full_time", "industry": "Technology"}},
+    {"quality_score": 55, "content_type": "article",
+     "rfp": {"country": "Canada", "province": "ON",
+             "categories": ["Road Work"],
+             "procurement_type": "request for proposal"}},
+    {"quality_score": 55, "content_type": "article",
+     "need_signal": {"signal_type": "funding_win", "province": "ON",
+                     "sector": "municipal"}},
+)
+
+
+def publisher_domain_routing(sf_dir: str):
+    """The publisher's fixed-order 12-domain channel router
+    (router/service.go:216-259 + the per-domain files) through
+    route_item over deterministic classified-item fixtures cycled
+    across the documents table — SQL-oracle-checked: the oracle VALUES
+    table is GENERATED by running the same kernel over the fixtures at
+    SQL-build time, so router edits can't drift from the SQL."""
+    from ..stages.publish import default_channels
+    from ..stages.route_domains import route_item
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = len(_ROUTE_FIXTURES)
+    channels = default_channels()
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            for ordinal, ch in enumerate(
+                    route_item(_ROUTE_FIXTURES[d % n], channels)):
+                rows.append({"doc_id": d, "ord": ordinal, "channel": ch})
+        return pd.DataFrame(rows, columns=["doc_id", "ord", "channel"])
+
+    return docs.map_batches(run, batch_format="pandas")
+
+
+def _publisher_routing_oracle_sql() -> str:
+    from ..stages.publish import default_channels
+    from ..stages.route_domains import route_item
+
+    channels = default_channels()
+    values = []
+    for v, fixture in enumerate(_ROUTE_FIXTURES):
+        for ordinal, ch in enumerate(route_item(fixture, channels)):
+            values.append(f"({v}, {ordinal}, '{ch}')")
+    return rf"""
+    WITH g(v, ord, channel) AS (VALUES {", ".join(values)})
+    SELECT d.doc_id, CAST(g.ord AS BIGINT) AS ord, g.channel
+    FROM documents d JOIN g ON d.doc_id % {len(_ROUTE_FIXTURES)} = g.v
+    """
+
+
 # crime_rules_docs deterministic title cycle (vectors from the ported
 # crime_rules_test.go parity suite: core / excluded / international /
 # neutral shapes)
@@ -6369,6 +6458,7 @@ QUERIES = {
     "indigenous_rules_docs": indigenous_rules_docs,
     "quality_scores_docs": quality_scores_docs,
     "mining_drill_docs": mining_drill_docs,
+    "publisher_domain_routing": publisher_domain_routing,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
@@ -6779,6 +6869,7 @@ ORACLE_SQL = {
     "indigenous_rules_docs": _indigenous_rules_oracle_sql(),
     "quality_scores_docs": _QUALITY_DOCS_ORACLE,
     "mining_drill_docs": _MINING_DRILL_ORACLE,
+    "publisher_domain_routing": _publisher_routing_oracle_sql(),
     "f1_span_stats_docs": r"""
         WITH d AS (
           SELECT doc_id,
