@@ -517,9 +517,14 @@ def classify_and_store(runner, rules: tuple[TopicRule, ...] | None = None,
     def statusify(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["url"] = validate_url_column(batch["url"])  # M21 guard
+        # quality_gate.go applyQualityGate: below-threshold ARTICLES pass
+        # flagged low_quality; below-threshold non-articles are rejected
+        above = batch["quality_score"] >= min_quality
+        is_article = batch["content_type"] == "article"
         batch["classification_status"] = np.where(
-            batch["quality_score"] >= min_quality, "classified", "filtered"
+            above | is_article, "classified", "filtered"
         )
+        batch["low_quality"] = (~above) & is_article
         batch["topics"] = batch["topics"].map(
             lambda t: ",".join(t) if t is not None else ""
         )

@@ -176,8 +176,15 @@ def test_classify_and_store_lifecycle(ray_session, tmp_path):
     df = stored.to_pandas()
     assert set(df["classification_status"]) <= {"classified", "filtered"}
     assert counts.get("classified", 0) > 0
-    assert (df.loc[df["quality_score"] < 45, "classification_status"] == "filtered").all()
-    assert (df.loc[df["quality_score"] >= 45, "classification_status"] == "classified").all()
+    # quality_gate.go: below-threshold ARTICLES pass flagged low_quality;
+    # below-threshold non-articles are rejected (filtered)
+    below = df["quality_score"] < 45
+    art = df["content_type"] == "article"
+    assert (df.loc[below & ~art, "classification_status"] == "filtered").all()
+    assert (df.loc[below & art, "classification_status"] == "classified").all()
+    assert df.loc[below & art, "low_quality"].all()
+    assert (df.loc[~below, "classification_status"] == "classified").all()
+    assert not df.loc[~below, "low_quality"].any()
     # store is standalone: re-read has the flattened schema
     assert "spans" not in df.columns and "topics" in df.columns
 
