@@ -2619,6 +2619,102 @@ def publisher_domain_routing(sf_dir: str):
     return docs.map_batches(run, batch_format="pandas")
 
 
+def publisher_full_routing(sf_dir: str):
+    """End-to-end publisher routing over REAL crawl output: classify the
+    crawl docs (topics/quality/content-type), run the five sidecar rule
+    engines through the hybrid scorer, pivot the per-domain relevances
+    back onto each doc with a distributed hash join, assemble the
+    ContentItem fields and route through the fixed-order 12-domain
+    router. Rows-only (every stage above is individually
+    oracle-checked)."""
+    from ..stages.classify import classify_documents
+    from ..stages.publish import default_channels
+    from ..stages.route_domains import route_item
+    from ..stages.scorer import score_documents
+
+    # scorer short classes -> each domain's relevance labels
+    rel_map = {
+        "crime": {"core": "core_street_crime",
+                  "peripheral": "peripheral_crime", "not": "not_crime"},
+        "mining": {"core": "core_mining", "peripheral": "peripheral_mining",
+                   "not": "not_mining"},
+        "entertainment": {"core": "core_entertainment",
+                          "peripheral": "peripheral_entertainment",
+                          "not": "not_entertainment"},
+        "indigenous": {"core": "core_indigenous",
+                       "peripheral": "peripheral_indigenous",
+                       "not": "not_indigenous"},
+        "coforge": {"core": "core_coforge", "peripheral": "peripheral",
+                    "not": "not_relevant"},
+    }
+
+    runner = _crawl("pubroute")
+    docs = runner.documents_dataset().drop_columns(["spans"])
+    classified = classify_documents(docs, concurrency=2)
+    def _keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id", "title", "body", "content_type",
+                 "quality_score"]].copy()
+        # flatten the list column: object-dtype lists don't survive the
+        # hash-shuffle join's Arrow conversion
+        out["topics"] = b["topics"].map(
+            lambda t: ",".join(t) if t is not None else "")
+        return out
+
+    keep = classified.map_batches(_keep, batch_format="pandas")
+    scores = score_documents(keep.map_batches(
+        lambda b: b[["doc_id", "title", "body", "content_type"]],
+        batch_format="pandas",
+    ))
+
+    def pivot(b: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, domain) rows -> one row per doc with rel_/conf_ cols;
+        # runs inside groupby(doc_id).map_groups so each doc is whole
+        rows = []
+        for doc_id, g in b.groupby("doc_id", sort=False):
+            row = {"doc_id": doc_id}
+            for _, r in g.iterrows():
+                row[f"rel_{r['domain']}"] = r["relevance"]
+                row[f"conf_{r['domain']}"] = float(r["final_confidence"])
+            rows.append(row)
+        cols = ["doc_id"] + [f"rel_{d}" for d in rel_map] + \
+            [f"conf_{d}" for d in rel_map]
+        return pd.DataFrame(rows).reindex(columns=cols)
+
+    pivoted = scores.groupby("doc_id").map_groups(
+        pivot, batch_format="pandas")
+    # left outer: docs the scorer's routing gate skipped (page/listing)
+    # still route through the topic and DB-channel layers
+    joined = keep.join(pivoted, join_type="left_outer", on=("doc_id",),
+                       num_partitions=8)
+    channels = default_channels()
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in b.iterrows():
+            topics = r["topics"]
+            if isinstance(topics, str):
+                topics = [t for t in topics.split(",") if t]
+            item = {
+                "topics": list(topics) if topics is not None else [],
+                "quality_score": int(r["quality_score"]),
+                "content_type": r["content_type"],
+                "crime_relevance": rel_map["crime"].get(
+                    r.get("rel_crime"), ""),
+            }
+            for dom in ("mining", "entertainment", "indigenous", "coforge"):
+                rel = rel_map[dom].get(r.get(f"rel_{dom}"), "")
+                if rel:
+                    item[dom] = {"relevance": rel,
+                                 "final_confidence":
+                                     float(r.get(f"conf_{dom}") or 0.0)}
+            for ordinal, ch in enumerate(route_item(item, channels)):
+                rows.append({"doc_id": r["doc_id"], "ord": ordinal,
+                             "channel": ch})
+        return pd.DataFrame(rows, columns=["doc_id", "ord", "channel"])
+
+    return joined.map_batches(route, batch_format="pandas")
+
+
 def _publisher_routing_oracle_sql() -> str:
     from ..stages.publish import default_channels
     from ..stages.route_domains import route_item
@@ -6459,6 +6555,7 @@ QUERIES = {
     "quality_scores_docs": quality_scores_docs,
     "mining_drill_docs": mining_drill_docs,
     "publisher_domain_routing": publisher_domain_routing,
+    "publisher_full_routing": publisher_full_routing,
     "structured_extraction": structured_extraction,
     "location_scores": location_scores,
     "origin_budget": origin_budget,
