@@ -716,10 +716,16 @@ def extract_need_signal(title: str, text: str, url: str = "") -> dict | None:
             org = org.split(d)[0]
             break
     em = _EMAIL_RE.search(text)
+    email = em.group(0) if em else ""
+    from .org_normalize import resolve as _resolve_org
+
     return {
         "signal_type": best_type or "new_program",
         "organization_name": org.strip(),
-        "contact_email": em.group(0) if em else "",
+        # attribution fallback chain explicit -> email -> url
+        # (need_signal_extractor.go:107-117, org_normalize.go Resolve)
+        "organization_name_normalized": _resolve_org(org.strip(), email, url),
+        "contact_email": email,
         "source_url": url,
         "keywords": matched,
         "confidence": KEYWORD_HEURISTIC_CONFIDENCE,
