@@ -237,16 +237,24 @@ def supplier_nation_stats(sf_dir: str):
     )
 
 
-def q5_local_supplier_volume(sf_dir: str):
+def q5_local_supplier_volume(sf_dir: str,
+                             order_broadcast_threshold: int = 2_000_000):
     """TPC-H Q5-style local-supplier volume (J3/J1-style multi-join):
     revenue by nation for one region and one year where the line's
     supplier and the order's customer share a nation. Dim chains
     (region->nation, supplier->nation, customer->nation) broadcast as
-    flat numpy lookups; the qualifying-order map rides the object store
-    as two aligned sorted arrays (int64 keys + int8 nation codes) —
-    O(orders-in-year) ints, never row frames — so the lineitem pass is
-    one streaming searchsorted semi-join with no shuffle before the
-    tiny per-nation combine."""
+    flat numpy lookups. The qualifying-order map is SIZE-GATED (it
+    scales with the FACT table, orders/7, not a dimension): at or
+    under ``order_broadcast_threshold`` keys it rides the object store
+    as two aligned sorted arrays (int64 keys + int8 nation codes, one
+    ``ray.put``) and the lineitem pass is one streaming searchsorted
+    semi-join; above the gate it NEVER lands on the driver — lineitem
+    (orderkey, snat, cents) partials and order (orderkey, cnat) marker
+    rows meet in one tagged-union orderkey exchange (the
+    ``customer_order_totals`` machinery) whose combine applies the
+    snat==cnat locality filter, so only per-nation partials leave the
+    partitions. Both paths sum exact int64 cents — bit-equal
+    (forced-path test)."""
     nation = _read(sf_dir, "nation",
                    ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -278,10 +286,8 @@ def q5_local_supplier_volume(sf_dir: str):
                             "cnat": cn[idx[hit]]})
         return out
 
-    om = orders.map_batches(qualify, batch_format="pandas").to_pandas()
-    order_o = np.argsort(om["o_orderkey"].to_numpy(), kind="stable")
-    o_ref = ray.put((om["o_orderkey"].to_numpy()[order_o],
-                     om["cnat"].to_numpy()[order_o]))
+    qual = orders.map_batches(qualify, batch_format="pandas").materialize()
+    n_qual = qual.count()
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     skeys = sup["s_suppkey"].to_numpy()
@@ -295,39 +301,96 @@ def q5_local_supplier_volume(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def local_rev(b: pd.DataFrame) -> pd.DataFrame:
-        ok, onat = ray.get(o_ref)
-        sk, snat = ray.get(s_ref)
-        nm = ray.get(names_ref)
-        if len(ok) == 0 or len(b) == 0:
-            return pd.DataFrame({"n_name": np.array([], dtype=object),
-                                 "revenue_cents": np.array([], dtype=np.int64)})
-        lo_k = b["l_orderkey"].to_numpy()
-        idx = np.searchsorted(ok, lo_k)
-        idx[idx >= len(ok)] = 0
-        hit = ok[idx] == lo_k
-        sup_k = b["l_suppkey"].to_numpy()
-        sidx = np.searchsorted(sk, sup_k)
-        sidx[sidx >= len(sk)] = 0
-        local = hit & (sk[sidx] == sup_k) & (snat[sidx] == onat[idx])
-        b = b[local]
-        cents = _cents(
-            (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy())
-        return (pd.DataFrame({"n_name": nm[snat[sidx[local]]],
-                              "revenue_cents": cents})
-                .groupby("n_name", as_index=False)
-                .agg(revenue_cents=("revenue_cents", "sum")))
-
     from ..stages.agg import hash_grouped_agg
 
     def combine(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby("n_name", as_index=False).agg(
             revenue_cents=("revenue_cents", "sum"))
 
-    return hash_grouped_agg(
-        li.map_batches(local_rev, batch_format="pandas"),
-        ["n_name"], lambda b: b, combine, num_partitions=4,
-    )
+    if n_qual <= order_broadcast_threshold:
+        om = qual.to_pandas()
+        order_o = np.argsort(om["o_orderkey"].to_numpy(), kind="stable")
+        o_ref = ray.put((om["o_orderkey"].to_numpy()[order_o],
+                         om["cnat"].to_numpy()[order_o]))
+
+        def local_rev(b: pd.DataFrame) -> pd.DataFrame:
+            ok, onat = ray.get(o_ref)
+            sk, snat = ray.get(s_ref)
+            nm = ray.get(names_ref)
+            if len(ok) == 0 or len(b) == 0:
+                return pd.DataFrame(
+                    {"n_name": np.array([], dtype=object),
+                     "revenue_cents": np.array([], dtype=np.int64)})
+            lo_k = b["l_orderkey"].to_numpy()
+            idx = np.searchsorted(ok, lo_k)
+            idx[idx >= len(ok)] = 0
+            hit = ok[idx] == lo_k
+            sup_k = b["l_suppkey"].to_numpy()
+            sidx = np.searchsorted(sk, sup_k)
+            sidx[sidx >= len(sk)] = 0
+            local = hit & (sk[sidx] == sup_k) & (snat[sidx] == onat[idx])
+            b = b[local]
+            cents = _cents(
+                (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy())
+            return (pd.DataFrame({"n_name": nm[snat[sidx[local]]],
+                                  "revenue_cents": cents})
+                    .groupby("n_name", as_index=False)
+                    .agg(revenue_cents=("revenue_cents", "sum")))
+
+        return hash_grouped_agg(
+            li.map_batches(local_rev, batch_format="pandas"),
+            ["n_name"], lambda b: b, combine, num_partitions=4,
+        )
+
+    # distributed path: tagged-union orderkey exchange; the fact-scaled
+    # qualifying-order map never leaves the object store
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        sk, snat = ray.get(s_ref)
+        sup_k = b["l_suppkey"].to_numpy()
+        sidx = np.searchsorted(sk, sup_k)
+        sidx[sidx >= len(sk)] = 0
+        ok_sup = sk[sidx] == sup_k
+        cents = _cents(
+            (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy())
+        p = pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy("int64"),
+                          "nat": snat[sidx].astype(np.int8),
+                          "cents": cents,
+                          "is_ord": np.int8(0)})[ok_sup]
+        return p.groupby(["o_orderkey", "nat", "is_ord"],
+                         as_index=False)["cents"].sum()
+
+    def ord_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy("int64"),
+                             "nat": b["cnat"].to_numpy().astype(np.int8),
+                             "is_ord": np.int8(1),
+                             "cents": np.int64(0)})
+
+    tagged = (li.map_batches(li_partial, batch_format="pandas")
+              .union(qual.map_batches(ord_rows, batch_format="pandas")))
+
+    def local_combine(part: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(names_ref)
+        mk = part[part["is_ord"] == 1]
+        cmap = pd.Series(mk["nat"].to_numpy("int64"),
+                         index=mk["o_orderkey"].to_numpy("int64"))
+        g = part[part["is_ord"] == 0]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"n_name": np.array([], dtype=object),
+                 "revenue_cents": np.array([], dtype=np.int64)})
+        cn = g["o_orderkey"].map(cmap)
+        local = cn.notna().to_numpy() & (
+            cn.fillna(-1).to_numpy("int64") == g["nat"].to_numpy("int64"))
+        g = g[local]
+        return (pd.DataFrame({"n_name": nm[g["nat"].to_numpy("int64")],
+                              "revenue_cents": g["cents"].to_numpy("int64")})
+                .groupby("n_name", as_index=False)
+                .agg(revenue_cents=("revenue_cents", "sum")))
+
+    partials = hash_grouped_agg(tagged, ["o_orderkey"], lambda b: b,
+                                local_combine)
+    return hash_grouped_agg(partials, ["n_name"], lambda b: b, combine,
+                            num_partitions=4)
 
 
 def orders_lineitem_join(sf_dir: str):

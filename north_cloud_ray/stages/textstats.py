@@ -207,7 +207,8 @@ def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def collocations_topk(ds, text_col: str = "text", k: int = 50,
                       min_count: int = 5,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      vocab_broadcast_threshold: int | None = None):
     """Phrase-mining collocations: top-k word bigrams by LIFT =
     (c_xy * n_tokens) / (c_x * c_y) among bigrams with c_xy >=
     min_count. Lift is the PMI argument without the log: both products
@@ -218,15 +219,23 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
 
     Shape: per-batch vectorized shifted-array bigram counts (the BPE
     pair-explode applied to words) partial-summed into ONE
-    bigram-keyed exchange; unigram counts and the total token count are
-    vocab-bounded and broadcast into the per-partition scorer;
-    per-partition top-k caps the driver reduce at P*k rows. Returns
-    (left, right, c_xy, lift). A corpus whose distinct vocabulary
-    outgrows the broadcast (10^8+ tokens) would swap the dict for two
-    token-keyed hash joins of the bigram table against the unigram
-    Dataset (left then right) — the unigram_lm size-adaptive shape;
-    min_count pre-filtering before the joins keeps that path light."""
-    from .agg import grouped_sum_topk, hash_grouped_agg
+    bigram-keyed exchange. Size-adaptive unigram attach (the
+    ``unigram_lm_score`` gate, corpus.py): a vocab at or under
+    ``vocab_broadcast_threshold`` ships ONCE via ``ray.put`` and is
+    probed per partition; a larger vocab never lands on the driver —
+    the min_count-surviving bigram rows hash-join the unigram Dataset
+    twice (tagged-union token exchange for c_x then c_y), and only
+    per-block top-k candidate rows reach the driver. Both paths score
+    in identical float64 operand order, so they are bit-equal
+    (asserted by the forced-path test). Returns (left, right, c_xy,
+    lift)."""
+    import ray
+
+    from .agg import hash_grouped_agg
+    from .corpus import VOCAB_BROADCAST_THRESHOLD
+
+    if vocab_broadcast_threshold is None:
+        vocab_broadcast_threshold = VOCAB_BROADCAST_THRESHOLD
 
     def unigrams(b: pd.DataFrame) -> pd.DataFrame:
         toks = b[text_col].fillna("").str.split().explode()
@@ -242,12 +251,20 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
                           "right": pd.Series([], dtype=object),
                           "c_xy": pd.Series([], dtype="int64"),
                           "lift": pd.Series([], dtype="float64")})
-    uni = hash_grouped_agg(ds, ["token"], unigrams, usum,
-                           num_partitions).to_pandas()
-    if "token" not in uni.columns:  # schema-less empty corpus result
+    # vocab-sized Dataset; materialized once because both the gate count
+    # and the scalar token total (plus one of the two attach paths) read
+    # it — blocks stay in the object store, never a driver frame unless
+    # the broadcast gate passes
+    uni_ds = hash_grouped_agg(ds, ["token"], unigrams, usum,
+                              num_partitions).materialize()
+    n_vocab = uni_ds.count()
+    if n_vocab == 0:
         return empty
-    counts = dict(zip(uni["token"], uni["n"].astype(int)))
-    n_tokens = int(uni["n"].sum())
+    # scalar total via bounded per-block partial sums (one int per block)
+    n_tokens = int(sum(
+        r["s"] for r in uni_ds.map_batches(
+            lambda b: pd.DataFrame({"s": [np.int64(b["n"].sum())]}),
+            batch_format="pandas").take_all()))
 
     def bigrams(b: pd.DataFrame) -> pd.DataFrame:
         toks = b[text_col].fillna("").str.split()
@@ -268,16 +285,8 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
         g["n"] = g["n"].astype("int64")
         return g
 
-    def score_topk(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby(["left", "right"], as_index=False)["n"].sum()
-        g = g[g["n"] >= min_count]
-        if len(g) == 0:
-            return pd.DataFrame({"left": pd.Series([], dtype=object),
-                                 "right": pd.Series([], dtype=object),
-                                 "c_xy": pd.Series([], dtype="int64"),
-                                 "lift": pd.Series([], dtype="float64")})
-        cx = g["left"].map(counts).to_numpy("float64")
-        cy = g["right"].map(counts).to_numpy("float64")
+    def _score(g: pd.DataFrame, cx: np.ndarray,
+               cy: np.ndarray) -> pd.DataFrame:
         # all-float64 in oracle operand order: no int64 wrap at corpus
         # scale, and the rounding matches CAST-first SQL exactly
         lift = (g["n"].to_numpy("float64") * float(n_tokens)) / (cx * cy)
@@ -288,10 +297,87 @@ def collocations_topk(ds, text_col: str = "text", k: int = 50,
         return out.sort_values(["lift", "left", "right"],
                                ascending=[False, True, True]).head(k)
 
-    cand = hash_grouped_agg(
-        ds.map_batches(bigrams, batch_format="pandas"),
-        ["left", "right"], lambda b: b, score_topk,
-        num_partitions).to_pandas()
+    if n_vocab <= vocab_broadcast_threshold:
+        vdf = uni_ds.to_pandas()
+        # one object-store copy; workers ray.get a plasma handle instead
+        # of unpickling a per-task closure copy
+        counts_ref = ray.put(pd.Series(vdf["n"].to_numpy("int64"),
+                                       index=vdf["token"].to_numpy()))
+
+        def score_topk(part: pd.DataFrame) -> pd.DataFrame:
+            counts = ray.get(counts_ref)
+            g = part.groupby(["left", "right"], as_index=False)["n"].sum()
+            g = g[g["n"] >= min_count]
+            if len(g) == 0:
+                return empty.copy()
+            cx = g["left"].map(counts).to_numpy("float64")
+            cy = g["right"].map(counts).to_numpy("float64")
+            return _score(g, cx, cy)
+
+        cand = hash_grouped_agg(
+            ds.map_batches(bigrams, batch_format="pandas"),
+            ["left", "right"], lambda b: b, score_topk,
+            num_partitions).to_pandas()
+    else:
+        # distributed attach: bigram combine first (min_count prunes the
+        # join input), then two token-keyed tagged-union exchanges
+        def bsum(part: pd.DataFrame) -> pd.DataFrame:
+            g = part.groupby(["left", "right"], as_index=False)["n"].sum()
+            g = g[g["n"] >= min_count]
+            return g.reset_index(drop=True)
+
+        bg = hash_grouped_agg(
+            ds.map_batches(bigrams, batch_format="pandas"),
+            ["left", "right"], lambda b: b, bsum, num_partitions)
+
+        def _attach(bg_ds, tok_col: str, out_col: str):
+            def tag_bg(b: pd.DataFrame) -> pd.DataFrame:
+                o = b.copy()
+                o["tok"] = o[tok_col].to_numpy()
+                o["_cnt"] = np.int64(0)
+                o["_is_uni"] = np.int64(0)
+                return o
+
+            def tag_uni(b: pd.DataFrame) -> pd.DataFrame:
+                o = pd.DataFrame({"tok": b["token"].to_numpy(dtype=object)})
+                o["_cnt"] = b["n"].to_numpy("int64")
+                o["_is_uni"] = np.int64(1)
+                return o
+
+            tagged = (bg_ds.map_batches(tag_bg, batch_format="pandas")
+                      .union(uni_ds.map_batches(tag_uni,
+                                                batch_format="pandas")))
+
+            def join(part: pd.DataFrame) -> pd.DataFrame:
+                u = part[part["_is_uni"] == 1]
+                m = pd.Series(u["_cnt"].to_numpy("int64"),
+                              index=u["tok"].to_numpy())
+                g = part[part["_is_uni"] == 0]
+                if len(g) == 0:
+                    cols = [c for c in part.columns
+                            if c not in ("tok", "_cnt", "_is_uni")]
+                    out = g[cols].copy()
+                    out[out_col] = pd.Series([], dtype="int64")
+                    return out
+                g = g.copy()
+                g[out_col] = g["tok"].map(m).to_numpy("int64")
+                return g.drop(columns=["tok", "_cnt", "_is_uni"])
+
+            return hash_grouped_agg(tagged, ["tok"], lambda b: b, join,
+                                    num_partitions)
+
+        withx = _attach(bg, "left", "c_x")
+        withxy = _attach(withx, "right", "c_y")
+
+        def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0 or "left" not in b.columns:
+                return empty.copy()
+            return _score(b, b["c_x"].to_numpy("float64"),
+                          b["c_y"].to_numpy("float64"))
+
+        cand = withxy.map_batches(block_topk,
+                                  batch_format="pandas").to_pandas()
+
     if "lift" not in cand.columns:  # no bigram survived min_count
         return empty
     return (cand.sort_values(["lift", "left", "right"],

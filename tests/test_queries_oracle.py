@@ -83,3 +83,15 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(ds)
     assert len(df) > 10
     assert {"doc_id", "content_type", "quality_score"} <= set(df.columns)
+
+def test_q5_distributed_path_equals_broadcast(ray_session):
+    """Forced-path equality: order_broadcast_threshold=0 routes the
+    qualifying-order map through the tagged-union orderkey exchange;
+    exact int64 cents must equal the broadcast searchsorted path."""
+    from north_cloud_ray.pipelines.queries import q5_local_supplier_volume
+
+    broad = _canon(_to_pandas(q5_local_supplier_volume(SF)))
+    dist = _canon(_to_pandas(
+        q5_local_supplier_volume(SF, order_broadcast_threshold=0)))
+    pd.testing.assert_frame_equal(broad, dist)
+    assert len(broad) > 0

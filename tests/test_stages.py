@@ -405,3 +405,18 @@ def test_pca_survives_empty_blocks(ray_session):
                      batch_format="pandas")  # some blocks empty out
     mean, comps = pca_fit(ds, n_components=2)
     assert mean.shape == (8,) and comps.shape == (2, 8)
+
+
+def test_collocations_distributed_path_equals_broadcast(ray_session):
+    """Forced-path equality: vocab threshold 0 routes through the
+    token-keyed tagged-union joins; results must be bit-equal to the
+    broadcast-dict path (same float64 operand order in both scorers)."""
+    from north_cloud_ray.stages.textstats import collocations_topk
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    broad = collocations_topk(ds, k=25, min_count=3).reset_index(drop=True)
+    dist = collocations_topk(
+        ds, k=25, min_count=3,
+        vocab_broadcast_threshold=0).reset_index(drop=True)
+    pd.testing.assert_frame_equal(broad, dist)
+    assert len(broad) > 0
