@@ -766,14 +766,39 @@ def lineitem_price_quantiles_kll(sf_dir: str):
     (stages/sketch.py KLLSketch): every batch emits one ~5 KB blob, a
     64-way combine tree folds them, the driver reads all five quantiles
     from O(k log n) floats — the single-pass telemetry companion to the
-    exact multi-pass lineitem_price_quantiles. Approximate by design
-    (rows-only gate); realized normalized-rank error vs the exact
-    quantiles is asserted <= 1% in tests/test_sketches.py."""
-    from ..stages.sketch import kll_quantiles
+    exact multi-pass lineitem_price_quantiles. Returns (q, value,
+    kll_ok) where value is the EXACT quantile_disc (distributed
+    selection) and kll_ok asserts the sketch estimate's realized
+    normalized rank error <= 2% (one extra counting pass ranks each
+    estimate). The sketch itself isn't SQL-expressible but this shape
+    is SQL-hash oracled: the oracle recomputes the exact quantiles and
+    pins kll_ok=TRUE, so a drifting sketch fails the driver gate.
+    Tighter 1% error additionally asserted in tests/test_sketch.py."""
+    from ..stages.sketch import exact_quantiles, kll_quantiles
 
     li = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    return kll_quantiles(li, "l_extendedprice",
-                         qs=(0.01, 0.25, 0.5, 0.75, 0.99), k=256)
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    est = kll_quantiles(li, "l_extendedprice", qs=qs, k=256)
+    exact = exact_quantiles(li, "l_extendedprice", qs=qs)
+    thr = est["value"].to_numpy("float64")
+
+    def rank_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["l_extendedprice"].to_numpy("float64")
+        return pd.DataFrame({
+            "i": np.arange(len(thr), dtype=np.int64),
+            "n_le": np.searchsorted(np.sort(v), thr, side="right")
+            .astype(np.int64),
+            "n": np.int64(len(v)),
+        })
+
+    ranks = (li.map_batches(rank_partial, batch_format="pandas")
+             .to_pandas().groupby("i").sum())
+    rel = np.abs(ranks["n_le"].to_numpy("float64")
+                 / max(int(ranks["n"].iloc[0]), 1)
+                 - np.asarray(qs, dtype=np.float64))
+    out = exact.copy()
+    out["kll_ok"] = (rel <= 0.02).astype(bool)
+    return out
 
 
 def doc_compacted_roundtrip(sf_dir: str):
@@ -4253,10 +4278,14 @@ def lang_word_quantiles(sf_dir: str):
 
 def events_distinct_users_hll(sf_dir: str):
     """HyperLogLog distinct-user telemetry beside its exact twin: one
-    sketch pass (4 KB of driver state) + the exact distributed distinct
-    count; returns (n_exact, n_hll, rel_err). Rows-only — the register
-    hash isn't SQL-expressible — with accuracy + partitioning-
-    independence pinned in tests/test_sketch.py."""
+    sketch pass (4 KB of driver state) plus the exact distributed
+    distinct count; returns (n_exact, hll_ok) where hll_ok asserts the sketch
+    estimate landed within 5% relative error of the exact count. The
+    register hash itself isn't SQL-expressible, but this shape IS
+    SQL-hash oracled: the oracle recomputes n_exact and pins
+    hll_ok=TRUE, so a drifting sketch fails the driver gate. Accuracy
+    + partitioning-independence additionally pinned in
+    tests/test_sketch.py."""
     from ..stages.agg import hash_grouped_agg
     from ..stages.sketch import hll_distinct
 
@@ -4269,8 +4298,7 @@ def events_distinct_users_hll(sf_dir: str):
     n_exact = hash_grouped_agg(ev, ["user_id"], uniq, uniq).count()
     return pd.DataFrame({
         "n_exact": np.array([n_exact], dtype="int64"),
-        "n_hll": [float(est)],
-        "rel_err": [abs(est - n_exact) / n_exact],
+        "hll_ok": [bool(abs(est - n_exact) / max(n_exact, 1) <= 0.05)],
     })
 
 
@@ -4279,9 +4307,12 @@ def events_type_distinct_hll(sf_dir: str):
     beside the exact grouped twin (stages/sketch.py
     grouped_hll_distinct) — each batch ships one 4 KB register row per
     type instead of every (type, user) pair, the group-hashed combine
-    maxes registers. Returns (event_type, n_exact, n_hll, rel_err).
-    Rows-only (register hash not SQL-expressible); per-group error and
-    partitioning-independence pinned in tests/test_sketch.py."""
+    maxes registers. Returns (event_type, n_exact, hll_ok) with hll_ok
+    asserting the per-group sketch estimate within 5% of exact — the
+    register hash isn't SQL-expressible but this shape is SQL-hash
+    oracled (oracle recomputes grouped exact counts, pins
+    hll_ok=TRUE). Per-group error and partitioning-independence
+    additionally pinned in tests/test_sketch.py."""
     from ..stages.agg import hash_grouped_agg
     from ..stages.sketch import grouped_hll_distinct
 
@@ -4301,9 +4332,10 @@ def events_type_distinct_hll(sf_dir: str):
     exact = hash_grouped_agg(ev, ["event_type"], uniq,
                              count_users).to_pandas()
     out = exact.merge(est, on="event_type")
-    out["rel_err"] = (out["n_distinct_est"] - out["n_exact"]).abs() \
-        / out["n_exact"]
-    out = out.rename(columns={"n_distinct_est": "n_hll"})
+    rel_err = (out["n_distinct_est"] - out["n_exact"]).abs() \
+        / out["n_exact"].clip(lower=1)
+    out["hll_ok"] = (rel_err <= 0.05).astype(bool)
+    out = out[["event_type", "n_exact", "hll_ok"]]
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -4314,9 +4346,12 @@ def events_cohort_overlap_kmv(sf_dir: str):
     kmv_set_cardinalities) beside the exact distributed twin (per-user
     has-a/has-b flags through one group-hashed exchange). HLL can only
     union; the bottom-k Jaccard gives "did both" telemetry without
-    shuffling (user, type) pairs. Returns one row with exact + estimate
-    + rel_err per measure. Rows-only (hash not SQL-expressible); error
-    bounds pinned in tests/test_sketch.py."""
+    shuffling (user, type) pairs. Returns one row per measure with the
+    exact count and kmv_ok asserting the sketch estimate within 5% —
+    the bottom-k hash isn't SQL-expressible but this shape is SQL-hash
+    oracled (oracle recomputes the four exact cardinalities via
+    grouped boolean flags, pins kmv_ok=TRUE). Error bounds
+    additionally pinned in tests/test_sketch.py."""
     from ..stages.agg import hash_grouped_agg
     from ..stages.sketch import kmv_set_cardinalities
 
@@ -4348,9 +4383,10 @@ def events_cohort_overlap_kmv(sf_dir: str):
     rows = []
     for m in ("n_a", "n_b", "n_union", "n_intersect"):
         e, s = int(exact[m]), float(est[m])
-        rows.append((m, e, s, abs(s - e) / max(e, 1)))
-    return pd.DataFrame(rows, columns=["measure", "n_exact", "n_kmv",
-                                       "rel_err"])
+        rows.append((m, e, bool(abs(s - e) / max(e, 1) <= 0.05)))
+    out = pd.DataFrame(rows, columns=["measure", "n_exact", "kmv_ok"])
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return out
 
 
 def embedding_pca(sf_dir: str):
@@ -6682,6 +6718,41 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_distinct_users_hll": """
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS hll_ok
+        FROM events
+    """,
+    "events_type_distinct_hll": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS hll_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "events_cohort_overlap_kmv": """
+        WITH f AS (
+            SELECT user_id,
+                   MAX(event_type = 'click')    AS ha,
+                   MAX(event_type = 'purchase') AS hb
+            FROM events GROUP BY user_id)
+        SELECT 'n_a' AS measure,
+               CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               TRUE AS kmv_ok FROM f
+        UNION ALL
+        SELECT 'n_b',
+               CAST(SUM(CASE WHEN hb THEN 1 ELSE 0 END) AS BIGINT),
+               TRUE FROM f
+        UNION ALL
+        SELECT 'n_union',
+               CAST(SUM(CASE WHEN ha OR hb THEN 1 ELSE 0 END) AS BIGINT),
+               TRUE FROM f
+        UNION ALL
+        SELECT 'n_intersect',
+               CAST(SUM(CASE WHEN ha AND hb THEN 1 ELSE 0 END) AS BIGINT),
+               TRUE FROM f
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -7569,6 +7640,21 @@ ORACLE_SQL = {
         UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75)
         FROM lineitem
         UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95)
+        FROM lineitem
+        ORDER BY q
+    """,
+    "lineitem_price_quantiles_kll": """
+        SELECT CAST(0.01 AS DOUBLE) AS q,
+               quantile_disc(l_extendedprice, 0.01) AS value,
+               TRUE AS kll_ok
+        FROM lineitem
+        UNION ALL SELECT 0.25, quantile_disc(l_extendedprice, 0.25), TRUE
+        FROM lineitem
+        UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5), TRUE
+        FROM lineitem
+        UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75), TRUE
+        FROM lineitem
+        UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99), TRUE
         FROM lineitem
         ORDER BY q
     """,
