@@ -97,6 +97,14 @@ class CrawlConfig:
     fetch_concurrency: int = 8
     fetch_batch_size: int = 256
 
+    # streaming merge gate: a frontier partition with more rows than this
+    # is merged url_hash-range chunk by chunk (row-group granularity)
+    # instead of as one frame, so per-task heap stays ~chunk-sized even
+    # when shards outgrow worker memory (the 10^10-frontier path;
+    # partitions stay sorted by url_hash to make the ranges disjoint).
+    # 0 disables streaming (always whole-frame).
+    merge_stream_rows: int = 2_000_000
+
     # stop conditions for the generation loop
     max_rounds: int = 50
     max_depth: int = 3  # collector.go:26-49 default depth

@@ -68,6 +68,67 @@ def dedup_candidates(cands: pd.DataFrame) -> pd.DataFrame:
     return rep.reset_index()
 
 
+def apply_submits(
+    df: pd.DataFrame,
+    old_hashes: set[str],
+    claimed_hashes: set[str],
+    candidates: pd.DataFrame,
+) -> pd.DataFrame:
+    """The submit step (merge_shard step 3) factored out so the split
+    (fetch-overlapped) merge can run it AFTER the non-renamed outcome
+    step: the insert decision tests membership in the PRE-ROUND hash set
+    (``old_hashes``), not the current frame, and the priority/next_fetch
+    update mask (status==pending AND not claimed) selects only rows the
+    outcome step never touches — so outcomes-then-submits is byte-equal
+    to merge_shard's submits-then-outcomes order (renamed-away deletions
+    and rename inserts happen in a later step in both orders)."""
+    if len(candidates) == 0:
+        return df
+    df = df.copy()
+    if "unchanged_count" not in df.columns:
+        df["unchanged_count"] = np.int32(0)
+    df.set_index("url_hash", drop=False, inplace=True)
+    cand = dedup_candidates(candidates)
+    existing_mask = cand["url_hash"].isin(old_hashes).to_numpy()
+    new_rows = cand.loc[~existing_mask]
+    upd_cand = cand.loc[existing_mask]
+    if len(upd_cand):
+        # every pre-round row is still present at this point (renamed-away
+        # deletions run in the later renamed-outcome step)
+        tgt = df.loc[upd_cand["url_hash"]]
+        ok = (tgt["status"] == STATUS_PENDING).to_numpy() & ~tgt[
+            "url_hash"
+        ].isin(claimed_hashes).to_numpy()
+        sel = upd_cand[ok]
+        if len(sel):
+            ix = sel["url_hash"].to_numpy()
+            # cast back to the frontier column dtype (int8): candidate
+            # priorities arrive int64 and pandas 3 rejects the implicit
+            # downcast on assignment
+            df.loc[ix, "priority"] = np.maximum(
+                df.loc[ix, "priority"].to_numpy(), sel["priority"].to_numpy()
+            ).astype(df["priority"].dtype, copy=False)
+            df.loc[ix, "next_fetch_at"] = np.minimum(
+                df.loc[ix, "next_fetch_at"].to_numpy(),
+                sel["next_fetch_at"].to_numpy(),
+            )
+    if len(new_rows):
+        add = new_rows.copy()
+        add["status"] = STATUS_PENDING
+        add["last_fetched_at"] = np.int64(0)
+        add["fetch_count"] = np.int32(0)
+        add["content_hash"] = None
+        add["etag"] = None
+        add["last_modified"] = None
+        add["retry_count"] = np.int8(0)
+        add["last_error"] = None
+        add["unchanged_count"] = np.int32(0)
+        add = add.reindex(columns=df.columns, fill_value=None)
+        add.set_index("url_hash", drop=False, inplace=True)
+        df = pd.concat([df, add])
+    return df.reset_index(drop=True)
+
+
 def merge_shard(
     old: pd.DataFrame,
     claimed_hashes: set[str],
@@ -100,46 +161,11 @@ def merge_shard(
     df = old.copy()
     if "unchanged_count" not in df.columns:  # pre-A4 frames / test fixtures
         df["unchanged_count"] = np.int32(0)
-    df.set_index("url_hash", drop=False, inplace=True)
 
-    # --- (3) submits against pending, non-claimed rows ---
-    if len(candidates):
-        cand = dedup_candidates(candidates)
-        existing_mask = cand["url_hash"].isin(df.index).to_numpy()
-        new_rows = cand.loc[~existing_mask]
-        upd_cand = cand.loc[existing_mask]
-        if len(upd_cand):
-            tgt = df.loc[upd_cand["url_hash"]]
-            ok = (tgt["status"] == STATUS_PENDING).to_numpy() & ~tgt[
-                "url_hash"
-            ].isin(claimed_hashes).to_numpy()
-            sel = upd_cand[ok]
-            if len(sel):
-                ix = sel["url_hash"].to_numpy()
-                # cast back to the frontier column dtype (int8): candidate
-                # priorities arrive int64 and pandas 3 rejects the implicit
-                # downcast on assignment
-                df.loc[ix, "priority"] = np.maximum(
-                    df.loc[ix, "priority"].to_numpy(), sel["priority"].to_numpy()
-                ).astype(df["priority"].dtype, copy=False)
-                df.loc[ix, "next_fetch_at"] = np.minimum(
-                    df.loc[ix, "next_fetch_at"].to_numpy(),
-                    sel["next_fetch_at"].to_numpy(),
-                )
-        if len(new_rows):
-            add = new_rows.copy()
-            add["status"] = STATUS_PENDING
-            add["last_fetched_at"] = np.int64(0)
-            add["fetch_count"] = np.int32(0)
-            add["content_hash"] = None
-            add["etag"] = None
-            add["last_modified"] = None
-            add["retry_count"] = np.int8(0)
-            add["last_error"] = None
-            add["unchanged_count"] = np.int32(0)
-            add = add.reindex(columns=df.columns, fill_value=None)
-            add.set_index("url_hash", drop=False, inplace=True)
-            df = pd.concat([df, add])
+    # --- (3) submits against pending, non-claimed rows (old == df here,
+    # so the pre-round hash set IS the current index) ---
+    df = apply_submits(df, set(df["url_hash"]), claimed_hashes, candidates)
+    df.set_index("url_hash", drop=False, inplace=True)
 
     # --- (4)/(5) per-claim outcomes ---
     if len(updates):

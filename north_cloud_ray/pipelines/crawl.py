@@ -29,13 +29,19 @@ Scale notes (10^10-frontier design, tested single-node):
   because they are co-partitioned two-sided merges against a partitioned
   store — expressing them as a Dataset groupby would re-shuffle the full
   frontier every round.
-- Shard sizing bounds per-task memory: a claim/merge task holds ONE
-  shard's pending slice / partition as a single frame, so num_shards must
-  be sized so a partition fits a worker (10^10-URL frontier at ~200 B/row
-  -> ~2 TB total -> >=4k shards for 512 MB partitions). If partitions
-  must exceed worker memory, the next step is row-group streaming inside
-  the merge (sorted-by-url_hash partitions + a streaming two-way merge);
-  the current whole-partition frame is the documented simplification.
+- Shard sizing bounds per-task memory: a claim task holds ONE shard's
+  pending slice as a frame, so num_shards must be sized so the DUE slice
+  fits a worker (10^10-URL frontier at ~200 B/row -> ~2 TB total -> >=4k
+  shards for 512 MB partitions). The merge no longer needs that: a
+  partition above cfg.merge_stream_rows rows is merged url_hash-range
+  chunk by chunk (row-group streaming; partitions are kept sorted by
+  url_hash), so merge heap is ~chunk-sized however large the shard —
+  byte-equal to the whole-frame path by forced test.
+- Per-round serial residue is overlapped away: fetch tasks stream
+  per-shard processed-claim counts, and a shard's merge launches (heavy
+  reads + non-renamed outcome pass) the moment its updates are complete
+  — only the bounded rename resolution and the small phase-B tail run
+  after the global fetch stream drains.
 """
 
 from __future__ import annotations
@@ -161,6 +167,10 @@ def _frontier_to_table(df: pd.DataFrame) -> pa.Table:
     if "unchanged_count" not in df.columns:  # pre-A4 builders (bench seeding)
         df = df.assign(unchanged_count=np.int32(0))
     cols = [f.name for f in FRONTIER_SCHEMA]
+    # partitions are kept SORTED by url_hash: the streaming merge relies on
+    # disjoint row-group hash ranges, and the frontier is a set (no
+    # consumer is row-order-sensitive)
+    df = df.sort_values("url_hash", kind="mergesort")
     return pa.Table.from_pandas(df[cols], schema=FRONTIER_SCHEMA, preserve_index=False)
 
 
@@ -341,17 +351,25 @@ CAND_COLS = [
 ]
 
 
+def _light_files(light_dir: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(light_dir, "*.parquet")))
+
+
 def _read_light_partition(
-    light_dir: str, extra_cands: pd.DataFrame
+    light_dir: str, extra_cands: pd.DataFrame,
+    files: list[str] | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Read one shard's pre-partitioned light records (written by the fused
     fetch sink) into (updates, cands) frames. ``extra_cands`` are the
-    driver-side feed/sitemap candidates for this shard (bounded)."""
-    import glob as _glob
-
+    driver-side feed/sitemap candidates for this shard (bounded).
+    ``files`` restricts the read to an explicit snapshot (the split merge
+    reads the dir in two passes: the early snapshot, then only the files
+    that appeared while it overlapped the fetch tail)."""
     import pyarrow.compute as pc
 
-    files = sorted(_glob.glob(os.path.join(light_dir, "*.parquet")))
+    files = _light_files(light_dir) if files is None else files
     if files:
         lt = pq.read_table(files)
         upd_tbl = lt.filter(pc.equal(lt["rec"], "update")).select(UPDATE_COLS)
@@ -376,6 +394,171 @@ def _read_light_partition(
     return updates, cands
 
 
+@ray.remote(num_cpus=0)
+class _RenameGate:
+    """Per-round rendezvous for the bounded rename-resolution output.
+
+    Early-launched merge tasks do their heavy reads + non-renamed merge
+    while the global fetch stream is still draining, then block here (a
+    blocked ``ray.get`` releases the task's CPU slot, so the waiting
+    merges never starve the rename-check tasks) until the driver's
+    resolution posts (inserts_by_shard, rejected)."""
+
+    def __init__(self):
+        import asyncio
+
+        self._ev = asyncio.Event()
+        self._ins: dict = {}
+        self._rej: list = []
+
+    async def set(self, inserts_by_shard: dict, rejected: list) -> None:
+        self._ins, self._rej = inserts_by_shard, rejected
+        self._ev.set()
+
+    async def get(self, shard: int):
+        await self._ev.wait()
+        return self._ins.get(shard), self._rej
+
+
+def _merge_shard_streaming(
+    shard: int,
+    old_path: str,
+    claimed: set,
+    updates: pd.DataFrame,
+    cands: pd.DataFrame,
+    ins: pd.DataFrame,
+    rejected: set,
+    host_state: pa.Table,
+    out_frontier: str,
+    out_host_state: str,
+    max_retries: int,
+    cuckoo_in: str | None,
+    cuckoo_out: str | None,
+    recrawl_baseline_us: int,
+    seen_filter: str,
+    chunk_rows: int,
+) -> dict:
+    """Row-group-streaming merge: the partition is processed in sorted
+    url_hash-range chunks (each a run of row groups totalling
+    ~chunk_rows rows) so the task's heap holds ONE chunk plus the
+    bounded per-round inputs, never the whole partition. Byte-equal to
+    the whole-frame path (forced in tests): merge_shard/apply_submits
+    are row-local in url_hash, ranges are disjoint, and every bounded
+    input row (update / candidate / rename insert) is routed to exactly
+    the chunk owning its hash range."""
+    from ..frontier.merge import apply_submits, dedup_candidates
+
+    pf = pq.ParquetFile(old_path)
+    n_groups = pf.metadata.num_row_groups
+    chunks: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for g in range(n_groups):
+        cur.append(g)
+        cur_rows += pf.metadata.row_group(g).num_rows
+        if cur_rows >= chunk_rows:
+            chunks.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        chunks.append(cur)
+    if not chunks:
+        chunks = [[]]
+
+    if len(updates):
+        ren_mask = updates["renamed"].fillna(False).to_numpy(dtype=bool)
+        upd_ren, upd_rest = updates[ren_mask], updates[~ren_mask]
+    else:
+        upd_ren = upd_rest = updates
+    empty_cands = cands.iloc[0:0]
+
+    def _slice(df: pd.DataFrame, lo: str, hi: str | None) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        h = df["url_hash"].to_numpy()
+        m = h >= lo
+        if hi is not None:
+            m &= h < hi
+        return df[m]
+
+    from ..state.seenfilter import build_checked, filter_full, load_filter
+
+    filt = None
+    if cuckoo_out is not None and cuckoo_in and os.path.exists(cuckoo_in):
+        with open(cuckoo_in, "rb") as f:
+            filt = load_filter(f.read())
+    rebuild = cuckoo_out is not None and filt is None
+
+    status_counts: dict = {}
+    frontier_size = 0
+    new_urls = 0
+    # chunk i owns [first_hash_i, first_hash_{i+1}); chunk 0 starts at ""
+    # and the last chunk is unbounded, so inserted hashes outside every
+    # old range still land exactly once
+    firsts: list[str] = []
+    for gs in chunks:
+        if gs:
+            t0 = pf.read_row_groups([gs[0]], columns=["url_hash"])
+            firsts.append(t0["url_hash"][0].as_py() if t0.num_rows else "")
+        else:
+            firsts.append("")
+    with CheckpointStore.table_writer(FRONTIER_SCHEMA, out_frontier) as w:
+        for i, gs in enumerate(chunks):
+            lo = firsts[i] if i > 0 else ""
+            hi = firsts[i + 1] if i + 1 < len(chunks) else None
+            old_c = (pf.read_row_groups(gs).to_pandas() if gs
+                     else pq.read_table(old_path).to_pandas().iloc[0:0])
+            m = merge_shard(
+                old_c, claimed, _slice(upd_rest, lo, hi), empty_cands,
+                pd.DataFrame(), set(), max_retries,
+                recrawl_baseline_us=recrawl_baseline_us,
+            )
+            cands_c = _slice(cands, lo, hi)
+            m = apply_submits(m, set(old_c["url_hash"]), claimed, cands_c)
+            m = merge_shard(
+                m, claimed, _slice(upd_ren, lo, hi), empty_cands,
+                _slice(ins, lo, hi), rejected, max_retries,
+                recrawl_baseline_us=recrawl_baseline_us,
+            )
+            w.write_table(_frontier_to_table(m))
+            frontier_size += len(m)
+            for k, v in m["status"].value_counts().items():
+                status_counts[k] = status_counts.get(k, 0) + int(v)
+            if len(cands_c):
+                new_urls += int(
+                    (~dedup_candidates(cands_c)["url_hash"]
+                     .isin(set(old_c["url_hash"]))).sum())
+            if cuckoo_out is not None and not rebuild:
+                old_set = set(old_c["url_hash"])
+                merged_set = set(m["url_hash"])
+                removed = old_set - merged_set
+                if (filter_full(filt, len(merged_set))
+                        or (removed and not getattr(filt, "supports_remove",
+                                                    False))):
+                    rebuild = True
+                else:
+                    added = [h for h in m["url_hash"] if h not in old_set]
+                    if all(filt.add(h) for h in added):
+                        for h in removed:
+                            if filt.contains(h):
+                                filt.remove(h)
+                    else:
+                        rebuild = True
+    if cuckoo_out is not None:
+        if rebuild:  # rare path: one column re-scan of the committed output
+            hashes = pq.read_table(
+                out_frontier, columns=["url_hash"])["url_hash"].to_pylist()
+            filt = build_checked(seen_filter, hashes)
+        CheckpointStore.write_bytes(filt.to_bytes(), cuckoo_out)
+    CheckpointStore.write_table(host_state, out_host_state)
+    return {
+        "shard": shard,
+        "frontier_size": frontier_size,
+        "claimed": len(claimed),
+        "new_urls": new_urls,
+        **{f"status_{k}": int(v) for k, v in status_counts.items()},
+    }
+
+
 @ray.remote
 def _merge_task(
     shard: int,
@@ -393,22 +576,92 @@ def _merge_task(
     cuckoo_out: str | None = None,
     recrawl_baseline_us: int = 0,
     seen_filter: str = "cuckoo",
+    rename_gate=None,
+    merge_stream_rows: int = 0,
 ) -> dict:
     """Per-shard merge step: apply submits + outcomes, write round r+1 state.
 
     Updates/candidates are read from this shard's ``results/light``
     partition (written pre-routed by the fetch tasks) — the round's result
     set never concentrates on the driver, so round breadth scales with the
-    cluster, not with one process."""
+    cluster, not with one process.
+
+    Split execution (fetch-overlap): the heavy work — reading the old
+    partition + claims + the light snapshot and merging the NON-renamed
+    outcomes — runs as soon as this shard's update rows are complete
+    (which the driver learns from the streamed count rows, before the
+    global fetch stream drains). Only then does the task wait on
+    ``rename_gate`` for the bounded rename-resolution output, re-reads
+    any light files that appeared meanwhile (cross-shard outlinks only —
+    a late update row would mean the completion counting broke, and
+    raises), and applies submits + renamed outcomes + inserts. The
+    outcome/submit reorder is byte-equal by apply_submits' contract
+    (frontier/merge.py). When ``rename_gate`` is None the same split
+    order runs with the directly-passed rename values.
+
+    A partition larger than ``merge_stream_rows`` routes to the
+    row-group-streaming merge instead (bounded heap; it needs the full
+    light partition + rename output up front, so it waits on the gate
+    first and gives up the fetch-overlap — the right trade once shards
+    outgrow worker memory)."""
+    if merge_stream_rows and (
+            pq.ParquetFile(old_path).metadata.num_rows > merge_stream_rows):
+        if rename_gate is not None:
+            rename_inserts, rename_rejected = ray.get(
+                rename_gate.get.remote(shard))
+        claimed = set(
+            pq.read_table(claims_path,
+                          columns=["url_hash"])["url_hash"].to_pylist())
+        updates, cands = _read_light_partition(light_dir, extra_cands)
+        cands = cands[CAND_COLS[:-1]]
+        ins = (rename_inserts.to_pandas()
+               if rename_inserts is not None else pd.DataFrame())
+        return _merge_shard_streaming(
+            shard, old_path, claimed, updates, cands, ins,
+            set(rename_rejected), host_state, out_frontier, out_host_state,
+            max_retries, cuckoo_in, cuckoo_out, recrawl_baseline_us,
+            seen_filter, chunk_rows=max(1, merge_stream_rows // 4),
+        )
+
     old = pq.read_table(old_path).to_pandas()
     claimed = set(
         pq.read_table(claims_path, columns=["url_hash"])["url_hash"].to_pylist()
     )
-    updates, cands = _read_light_partition(light_dir, extra_cands)
+    from ..frontier.merge import apply_submits
+
+    files1 = _light_files(light_dir)
+    updates, cands = _read_light_partition(light_dir, extra_cands, files1)
+    if len(updates):
+        ren_mask = updates["renamed"].fillna(False).to_numpy(dtype=bool)
+        upd_ren, upd_rest = updates[ren_mask], updates[~ren_mask]
+    else:
+        upd_ren = upd_rest = updates
+    empty_cands = cands.iloc[0:0]
+    merged = merge_shard(
+        old, claimed, upd_rest, empty_cands, pd.DataFrame(), set(),
+        max_retries, recrawl_baseline_us=recrawl_baseline_us,
+    )
+
+    if rename_gate is not None:
+        rename_inserts, rename_rejected = ray.get(
+            rename_gate.get.remote(shard))
+        seen1 = set(files1)
+        files2 = [f for f in _light_files(light_dir) if f not in seen1]
+        if files2:
+            upd2, cands2 = _read_light_partition(
+                light_dir, extra_cands.iloc[0:0], files2)
+            if len(upd2):
+                raise RuntimeError(
+                    f"shard {shard}: {len(upd2)} update rows appeared after "
+                    "the completion count — early-merge launch is unsound")
+            cands = pd.concat([cands, cands2], ignore_index=True)
+
     cands = cands[CAND_COLS[:-1]]
     ins = rename_inserts.to_pandas() if rename_inserts is not None else pd.DataFrame()
+    merged = apply_submits(merged, set(old["url_hash"]), claimed, cands)
     merged = merge_shard(
-        old, claimed, updates, cands, ins, set(rename_rejected), max_retries,
+        merged, claimed, upd_ren, empty_cands, ins,
+        set(rename_rejected), max_retries,
         recrawl_baseline_us=recrawl_baseline_us,
     )
     CheckpointStore.write_table(_frontier_to_table(merged), out_frontier)
@@ -613,19 +866,84 @@ class CrawlRunner:
             if len(poll.candidates):
                 feed_cands = _expand_candidates(poll.candidates, cfg.num_shards)
 
-        ren_tbls = [ray.get(r) for r in light_ds.to_arrow_refs()]
-        claim_out = ray.get(meta_refs)  # long since done — no extra wait
+        claim_out = ray.get(meta_refs)  # claims finish well before the fetch
         n_pending = sum(c[0] for c in claim_out)
         n_claims = sum(c[1] for c in claim_out)
         host_states = [c[2] for c in claim_out]
-        _mark("fetch")  # includes the (overlapped) claim phase
+        expected = [c[1] for c in claim_out]  # per-shard claim counts
 
         import pyarrow.compute as pc
 
-        nonempty = [t for t in ren_tbls if t.num_rows]
+        # round r+1 state dirs must exist before ANY merge launches
+        self.store.clear_uncommitted_state(rnd + 1)
+        if new_feed_state is not None:
+            store.write_table(
+                new_feed_state,
+                os.path.join(store.state_dir(rnd + 1), "feedstate.parquet"),
+            )
+        feed_by_shard = dict(tuple(feed_cands.groupby("shard", sort=False))) \
+            if len(feed_cands) else {}
+        empty_cand = feed_cands.iloc[0:0]
+        gate = _RenameGate.remote()
+        merge_refs: dict[int, ray.ObjectRef] = {}
+
+        def _launch_merge(s: int, ins=None, rej=None, use_gate=False):
+            merge_refs[s] = _merge_task.remote(
+                s,
+                store.frontier_path(rnd, s),
+                os.path.join(store.claims_dir(rnd), f"shard-{s:03d}.parquet"),
+                light_shard_dir(results_dir, s),
+                feed_by_shard.get(s, empty_cand),
+                ins,
+                rej,
+                host_states[s],
+                store.frontier_path(rnd + 1, s),
+                store.host_state_path(rnd + 1, s),
+                cfg.max_retries,
+                store.cuckoo_path(rnd, s),
+                store.cuckoo_path(rnd + 1, s),
+                cfg.recrawl_baseline_us,
+                cfg.seen_filter,
+                rename_gate=gate if use_gate else None,
+                merge_stream_rows=cfg.merge_stream_rows,
+            )
+
+        # 2c. drain the light stream, early-launching a shard's merge the
+        # moment its update rows are complete (count rows, fetch_parse_fn):
+        # the merge's heavy reads + non-renamed outcome pass then overlap
+        # the fetch tail instead of serializing after it. Early launches
+        # are capped at the CPU count so gate-blocked tasks bound worker
+        # heap (at 4k shards the remainder launches post-resolution with
+        # direct values and no wait).
+        max_early = int(ray.cluster_resources().get("CPU", 8))
+        processed = [0] * cfg.num_shards
+        ren_tbls: list[pa.Table] = []
+        for bundle in light_ds.iter_internal_ref_bundles():
+            for blk_ref, _md in bundle.blocks:
+                tbl: pa.Table = ray.get(blk_ref)
+                if tbl.num_rows == 0:
+                    continue
+                cnt = tbl.filter(pc.equal(tbl["rec"], "count"))
+                for s, n in zip(cnt["shard"].to_pylist(),
+                                cnt["claim_at"].to_pylist()):
+                    processed[int(s)] += int(n)
+                ren = tbl.filter(pc.and_(
+                    pc.equal(tbl["rec"], "update"),
+                    pc.fill_null(tbl["renamed"], False),
+                ))
+                if ren.num_rows:
+                    ren_tbls.append(ren)
+            if len(merge_refs) < max_early:
+                for s in range(cfg.num_shards):
+                    if s not in merge_refs and processed[s] >= expected[s]:
+                        _launch_merge(s, use_gate=True)
+                        if len(merge_refs) >= max_early:
+                            break
+        _mark("fetch")  # includes the (overlapped) claim + early merges
+
         renames_tbl = (
-            pa.concat_tables(nonempty, promote_options="default")
-            if nonempty else RESULT_SCHEMA.empty_table().select(LIGHT_COLS)
+            pa.concat_tables(ren_tbls, promote_options="default")
+            if ren_tbls else RESULT_SCHEMA.empty_table().select(LIGHT_COLS)
         )
         if n_claims == 0:
             os.makedirs(results_dir, exist_ok=True)
@@ -651,39 +969,20 @@ class CrawlRunner:
         inserts_by_shard, rejected = self._resolve_renames(
             rnd, renames_all, feed_hashes_by_shard, results_dir
         )
+        rejected_sorted = sorted(rejected)
+        # release the gate-blocked early merges, then launch the rest with
+        # the resolution values passed directly (no wait)
+        gate.set.remote(inserts_by_shard, rejected_sorted)
+        for s in range(cfg.num_shards):
+            if s not in merge_refs:
+                _launch_merge(s, ins=inserts_by_shard.get(s),
+                              rej=rejected_sorted)
         _mark("rename")
 
-        # 4. merge, per shard; commit state round+1
-        self.store.clear_uncommitted_state(rnd + 1)
-        if new_feed_state is not None:
-            store.write_table(
-                new_feed_state,
-                os.path.join(store.state_dir(rnd + 1), "feedstate.parquet"),
-            )
-        feed_by_shard = dict(tuple(feed_cands.groupby("shard", sort=False))) \
-            if len(feed_cands) else {}
-        empty_cand = feed_cands.iloc[0:0]
-        merge_refs = [
-            _merge_task.remote(
-                s,
-                store.frontier_path(rnd, s),
-                os.path.join(store.claims_dir(rnd), f"shard-{s:03d}.parquet"),
-                light_shard_dir(results_dir, s),
-                feed_by_shard.get(s, empty_cand),
-                inserts_by_shard.get(s),
-                sorted(rejected),
-                host_states[s],
-                store.frontier_path(rnd + 1, s),
-                store.host_state_path(rnd + 1, s),
-                cfg.max_retries,
-                store.cuckoo_path(rnd, s),
-                store.cuckoo_path(rnd + 1, s),
-                cfg.recrawl_baseline_us,
-                cfg.seen_filter,
-            )
-            for s in range(cfg.num_shards)
-        ]
-        shard_metrics = ray.get(merge_refs)
+        # 4. merge barrier; commit state round+1
+        shard_metrics = ray.get([merge_refs[s]
+                                 for s in range(cfg.num_shards)])
+        ray.kill(gate)
         store.commit_state(rnd + 1)
         if cfg.state_keep_last:
             store.prune_state(cfg.state_keep_last)

@@ -201,9 +201,153 @@ JSONLD_JOB = """
 
 
 
+TORSTAR = """
+<html><head><title>Star Page Title</title></head><body>
+<header><nav><a href="/a">Sections</a><a href="/b">Subscribe</a></nav></header>
+<article>
+  <h1>Star Investigation Headline</h1>
+  <div class="c-article-body__content">
+    <p>Opening paragraph of the Star investigation with substantial words.</p>
+    <p>Second paragraph developing the investigation in further detail here.</p>{FILLER}
+  </div>
+</article>
+</body></html>
+"""
+
+VILLAGE_MEDIA = """
+<html><head><title>Village</title></head><body>
+<div class="article-detail">
+  <h1 class="article-detail__title">Northern Town Headline</h1>
+  <div class="article-detail__meta">By Someone | 2 hrs ago</div>
+  <div class="article-detail__body">
+    <p>Local reporting paragraph one with a healthy number of words inside.</p>
+    <p>Local reporting paragraph two continuing the community coverage story.</p>{FILLER}
+  </div>
+</div>
+</body></html>
+"""
+
+BLACK_PRESS = """
+<html><head><title>Bulletin</title></head><body>
+<article>
+  <h1>Island Community Headline</h1>
+  <div class="article-body-text">
+    <p>Coverage paragraph number one of the island community news story.</p>
+    <p>Coverage paragraph number two with additional reported specifics.</p>{FILLER}
+  </div>
+  <div class="related-stories"><a href="/r1">Related one</a></div>
+</article>
+</body></html>
+"""
+
+# generator-less page that only the og:type article + <article> HTML
+# detection path can catch (templates.go generic_og_article ordering:
+# MUST lose to wordpress/drupal when their generators are present)
+GENERIC_OG = """
+<html><head><title>Generic</title>
+<meta property="og:type" content="article"/>
+<meta property="og:title" content="Generic OG Headline"/>
+</head><body>
+<article>
+  <div class="entry-content">
+    <p>Generic article body paragraph one with plenty of textual content.</p>
+    <p>Generic article body paragraph two to satisfy the extraction gate.</p>{FILLER}
+  </div>
+</article>
+</body></html>
+"""
+
+# JSON-LD image ARRAY of mixed string/object entries (extractor_jsonld.go
+# image normalization: first usable url wins)
+JSONLD_IMAGE_ARRAY = """
+<html><head>
+<script type="application/ld+json">
+{"@type":"NewsArticle","headline":"Array Image Headline",
+ "datePublished":"2024-06-02T12:00:00Z",
+ "image":[{"@type":"ImageObject","url":"https://x.test/first.jpg"},
+          "https://x.test/second.jpg"],
+ "author":[{"@type":"Person","name":"First Author"},
+           {"@type":"Person","name":"Second Author"}]}
+</script></head><body>
+<article><p>Body for the array-image page with enough words to extract.</p>
+<p>Another body paragraph so the page passes the minimum length checks.</p>{FILLER}</article>
+</body></html>
+"""
+
+# top-level JSON-LD LIST with a non-articleish object first: dispatch must
+# skip the BreadcrumbList and take the BlogPosting
+JSONLD_LIST_BLOG = """
+<html><head>
+<script type="application/ld+json">
+[{"@type":"BreadcrumbList","itemListElement":[]},
+ {"@type":"BlogPosting","headline":"Blog Post Headline",
+  "datePublished":"2024-04-04T09:30:00Z",
+  "author":"Solo Blogger","wordCount":180}]
+</script></head><body>
+<article><p>Blog body paragraph that definitely carries sufficient words.</p>
+<p>Second blog paragraph to keep the extraction quality gate satisfied.</p>{FILLER}</article>
+</body></html>
+"""
+
+# malformed JSON-LD (trailing comma) must not break the chain: title
+# falls through to og:title
+JSONLD_MALFORMED = """
+<html><head><title>Tag Title</title>
+<meta property="og:title" content="OG Wins Here"/>
+<script type="application/ld+json">
+{"@type":"NewsArticle","headline":"Broken",}
+</script></head><body>
+<article><p>Content paragraph that still extracts when the JSON is broken.</p>
+<p>Further prose giving the density extractor something real to work on.</p>{FILLER}</article>
+</body></html>
+"""
+
+# WordPress generator present but the entry-content body is MISSING:
+# resolve_template picks wordpress, extract_raw_text must fall through to
+# the density heuristic instead of returning empty
+TEMPLATE_BODY_MISSING = """
+<html><head><meta name="generator" content="WordPress 6.4"/>
+<title>No Entry Content</title></head><body>
+<div class="weird-wrap">
+  <p>The body lives outside the WordPress selectors in this odd theme.</p>
+  <p>It still reads like an article with multiple reasonable sentences.</p>{FILLER}
+</div>
+</body></html>
+"""
+
+# figure/figcaption + aside junk around the body: captions and asides must
+# not leak into raw_text
+FIGURE_CAPTION = """
+<html><head><title>Figures</title></head><body>
+<article>
+  <figure><img src="/a.jpg"/><figcaption>Caption text to exclude</figcaption></figure>
+  <aside class="newsletter-signup">Sign up for our newsletter now</aside>
+  <p>The genuine article text surrounding the figure with enough words.</p>
+  <p>More genuine article text after the aside block, again substantial.</p>{FILLER}
+</article>
+</body></html>
+"""
+
+# PressRelease articleish variant + publisher object + keywords
+JSONLD_PRESS_RELEASE = """
+<html><head>
+<script type="application/ld+json">
+{"@type":"PressRelease","headline":"Press Release Headline",
+ "datePublished":"2024-07-07T08:00:00Z",
+ "publisher":{"@type":"Organization","name":"Agency Corp"},
+ "keywords":["mining","permit"]}
+</script></head><body>
+<article><p>Press release body paragraph one announcing the development.</p>
+<p>Press release body paragraph two with the obligatory further details.</p>{FILLER}</article>
+</body></html>
+"""
+
 for _n in ("WORDPRESS", "DRUPAL", "POSTMEDIA", "JSONLD_NEWS", "EXCLUDES",
            "DATE_FALLBACK", "BYLINE", "OG_ARTICLE", "JSONLD_RECIPE",
-           "JSONLD_JOB"):
+           "JSONLD_JOB", "TORSTAR", "VILLAGE_MEDIA", "BLACK_PRESS",
+           "GENERIC_OG", "JSONLD_IMAGE_ARRAY", "JSONLD_LIST_BLOG",
+           "JSONLD_MALFORMED", "TEMPLATE_BODY_MISSING", "FIGURE_CAPTION",
+           "JSONLD_PRESS_RELEASE"):
     globals()[_n] = globals()[_n].replace("{FILLER}", FILLER)
 
 FIXTURES = {
@@ -223,4 +367,14 @@ FIXTURES = {
     "og_article": OG_ARTICLE,
     "jsonld_recipe": JSONLD_RECIPE,
     "jsonld_job": JSONLD_JOB,
+    "torstar": TORSTAR,
+    "village_media": VILLAGE_MEDIA,
+    "black_press": BLACK_PRESS,
+    "generic_og": GENERIC_OG,
+    "jsonld_image_array": JSONLD_IMAGE_ARRAY,
+    "jsonld_list_blog": JSONLD_LIST_BLOG,
+    "jsonld_malformed": JSONLD_MALFORMED,
+    "template_body_missing": TEMPLATE_BODY_MISSING,
+    "figure_caption": FIGURE_CAPTION,
+    "jsonld_press_release": JSONLD_PRESS_RELEASE,
 }

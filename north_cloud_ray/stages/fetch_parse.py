@@ -644,4 +644,24 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
         pc.equal(light["rec"], "update"),
         pc.fill_null(light["renamed"], False),
     )
-    return light.filter(renamed)
+    # per-shard processed-claim counts ride the light STREAM only (never
+    # the files) as rec="count" rows with the count in claim_at: the
+    # driver's early-merge launcher accumulates them to learn when a
+    # shard's update rows are all durably in its light partition — the
+    # files above are written BEFORE this return, so a complete count
+    # implies a complete partition.
+    upd = light.filter(pc.equal(light["rec"], "update"))
+    u_shards = upd.column("shard").to_numpy(zero_copy_only=False)
+    uniq, cnts = np.unique(u_shards, return_counts=True)
+    count_arrays = []
+    for f in light.schema:
+        if f.name == "rec":
+            count_arrays.append(pa.array(["count"] * len(uniq), type=f.type))
+        elif f.name == "shard":
+            count_arrays.append(pa.array(uniq, type=f.type))
+        elif f.name == "claim_at":
+            count_arrays.append(pa.array(cnts, type=f.type))
+        else:
+            count_arrays.append(pa.nulls(len(uniq), type=f.type))
+    count_tbl = pa.Table.from_arrays(count_arrays, schema=light.schema)
+    return pa.concat_tables([light.filter(renamed), count_tbl])

@@ -140,6 +140,28 @@ class CheckpointStore:
         return pq.read_table(path, columns=columns, filters=filters)
 
     @staticmethod
+    def table_writer(schema: pa.Schema, path: str):
+        """Streaming variant of write_table: an atomic-commit writer the
+        chunked merge appends row-group-sized tables to (same tmp+replace
+        protocol; a Lance backend swaps this for its fragment writer)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            w = pq.ParquetWriter(tmp, schema)
+            try:
+                yield w
+            except BaseException:
+                w.close()
+                raise
+            w.close()
+            os.replace(tmp, path)
+
+        return _cm()
+
+    @staticmethod
     def write_bytes(data: bytes, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"

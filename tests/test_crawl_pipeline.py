@@ -178,3 +178,32 @@ def test_bloom_backend_equals_cuckoo(ray_session, tmp_path):
     ca = _pipeline_claim_log(outs["cuckoo"])
     cb = _pipeline_claim_log(outs["bloom"])
     pd.testing.assert_frame_equal(ca, cb)
+
+
+def test_streaming_merge_equals_frame_merge(ray_session, tmp_path_factory):
+    """Forced streaming path (merge_stream_rows=1 -> every partition
+    chunks through the row-group-streaming merge) must produce the same
+    committed frontier as the whole-frame path over a multi-round crawl
+    with redirects, feeds off, recrawl on (exercises A4 + renames +
+    candidate submits through the chunked order)."""
+    import dataclasses
+
+    outs = {}
+    for name, cfg in (
+        ("frame", CRAWL_CFG),
+        ("stream", dataclasses.replace(CRAWL_CFG, merge_stream_rows=1)),
+    ):
+        out = str(tmp_path_factory.mktemp(f"smerge-{name}") / "out")
+        runner = CrawlRunner(
+            out, dataclasses.replace(cfg, recrawl_baseline_us=10**9),
+            WEB_CFG)
+        runner.run(max_rounds=4)
+        outs[name] = runner
+
+    fa = outs["frame"].frontier_dataset().to_pandas() \
+        .sort_values("url_hash").reset_index(drop=True)
+    fb = outs["stream"].frontier_dataset().to_pandas() \
+        .sort_values("url_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        fa[FRONTIER_CMP_COLS], fb[FRONTIER_CMP_COLS])
+    assert len(fa) > 100

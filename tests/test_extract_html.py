@@ -281,3 +281,109 @@ def test_jsonld_image_array_variant():
 
     j = extract_jsonld(parse_dom(html))
     assert j["jsonld_image_url"] == "https://x.test/first.jpg"
+
+
+# ---- round-4 corpus widening: CMS registry variants + JSON-LD matrix
+# (mirrors rawcontent/extractor_test.go + regression_test.go breadth) ----
+
+def test_torstar_template():
+    from north_cloud_ray.sources.html_fixtures import TORSTAR
+
+    out = extract_page(TORSTAR, url="https://www.thestar.com/news/gta/x")
+    assert out["template_name"] == "torstar"
+    assert out["extraction_method"] == "template"
+    assert out["title"] == "Star Investigation Headline"
+    assert "Opening paragraph of the Star investigation" in out["raw_text"]
+    assert "Subscribe" not in out["raw_text"]  # header nav excluded
+
+
+def test_village_media_template():
+    from north_cloud_ray.sources.html_fixtures import VILLAGE_MEDIA
+
+    out = extract_page(VILLAGE_MEDIA, url="https://www.sudbury.com/local/x")
+    assert out["template_name"] == "village_media"
+    assert out["title"] == "Northern Town Headline"
+    assert "Local reporting paragraph one" in out["raw_text"]
+
+
+def test_black_press_template():
+    from north_cloud_ray.sources.html_fixtures import BLACK_PRESS
+
+    out = extract_page(BLACK_PRESS, url="https://www.nanaimobulletin.com/x")
+    assert out["template_name"] == "black_press"
+    assert "Coverage paragraph number one" in out["raw_text"]
+
+
+def test_generic_og_detection_path():
+    from north_cloud_ray.sources.html_fixtures import GENERIC_OG, WORDPRESS
+
+    out = extract_page(GENERIC_OG, url="https://unknown-domain.test/a")
+    assert out["template_name"] == "generic_og_article"
+    assert out["title"] == "Generic OG Headline"
+    assert "Generic article body paragraph one" in out["raw_text"]
+    # registry ORDER: a WordPress generator must still win over og:type
+    out2 = extract_page(WORDPRESS, url="https://unknown-domain.test/b")
+    assert out2["template_name"] == "wordpress"
+
+
+def test_jsonld_image_array_and_author_list():
+    from north_cloud_ray.sources.html_fixtures import JSONLD_IMAGE_ARRAY
+
+    out = extract_page(JSONLD_IMAGE_ARRAY, url="https://x.test/arr")
+    assert out["title"] == "Array Image Headline"
+    assert out["jsonld_image_url"] == "https://x.test/first.jpg"
+    assert out["jsonld_author"] == "First Author"
+
+
+def test_jsonld_toplevel_list_skips_non_articleish():
+    from north_cloud_ray.sources.html_fixtures import JSONLD_LIST_BLOG
+
+    out = extract_page(JSONLD_LIST_BLOG, url="https://x.test/blog")
+    assert out["jsonld_schema_type"] == "BlogPosting"
+    assert out["title"] == "Blog Post Headline"
+    assert out["jsonld_author"] == "Solo Blogger"
+    # the word count rides the raw jsonld dict (record flattens a fixed set)
+    from north_cloud_ray.stages.extract_html import extract_jsonld, parse_dom
+    from north_cloud_ray.sources.html_fixtures import JSONLD_LIST_BLOG as F
+    assert extract_jsonld(parse_dom(F))["jsonld_word_count"] == 180
+
+
+def test_jsonld_malformed_falls_back_to_og_title():
+    from north_cloud_ray.sources.html_fixtures import JSONLD_MALFORMED
+
+    out = extract_page(JSONLD_MALFORMED, url="https://x.test/broken")
+    assert out["title"] == "OG Wins Here"  # JSON parse failure is silent
+    assert "Content paragraph that still extracts" in out["raw_text"]
+
+
+def test_template_body_missing_falls_to_heuristic():
+    from north_cloud_ray.sources.html_fixtures import TEMPLATE_BODY_MISSING
+
+    out = extract_page(TEMPLATE_BODY_MISSING, url="https://x.test/theme")
+    assert "body lives outside the WordPress selectors" in out["raw_text"]
+    assert out["extraction_method"] == "heuristic"
+
+
+def test_figure_caption_and_aside_excluded():
+    from north_cloud_ray.sources.html_fixtures import FIGURE_CAPTION
+
+    out = extract_page(
+        FIGURE_CAPTION, url="https://x.test/fig",
+        exclude_selectors=("figcaption", ".newsletter-signup"))
+    assert "genuine article text surrounding the figure" in out["raw_text"]
+    assert "Caption text to exclude" not in out["raw_text"]
+    assert "Sign up for our newsletter" not in out["raw_text"]
+    # without excludes the container text keeps the caption (spec: excludes
+    # are per-source config, not defaults)
+    noex = extract_page(FIGURE_CAPTION, url="https://x.test/fig")
+    assert "genuine article text surrounding the figure" in noex["raw_text"]
+
+
+def test_jsonld_press_release_fields():
+    from north_cloud_ray.sources.html_fixtures import JSONLD_PRESS_RELEASE
+
+    out = extract_page(JSONLD_PRESS_RELEASE, url="https://x.test/pr")
+    assert out["jsonld_schema_type"] == "PressRelease"
+    assert out["title"] == "Press Release Headline"
+    assert out["jsonld_publisher"] == "Agency Corp"
+    assert out["jsonld_keywords"] == "mining,permit"
