@@ -297,10 +297,18 @@ class ClassifyActor:
         """(n_docs, n_rules) score matrix — the topic.go:167-247 formula.
 
         Cleaning is one vectorized pass; the counting itself is a per-doc
-        Counter + O(vocab) dict lookups per rule. (An explode +
-        string-groupby variant was measured 4x SLOWER on article-sized
-        pages — factorizing millions of token strings costs more than
-        per-doc C-level Counters; see bench notes r3.)"""
+        Counter + O(vocab) dict lookups per rule. Two alternatives were
+        measured and REJECTED on article-sized pages: an explode +
+        string-groupby variant 4x slower (factorizing millions of token
+        strings costs more than per-doc C-level Counters; bench notes
+        r3), and a keyword-set-filtered Counter
+        (``Counter(t for t in split if t in kwset)``) 19% slower (r4:
+        15.0 vs 17.9 ms/300 docs — the generator's per-token Python
+        frame overhead exceeds the savings from the smaller dict). An
+        Aho-Corasick/flashtext pass targets multi-word substring
+        matching, but the ported registry has 59 single-token keywords
+        and ZERO multi-word ones, so there is no substring scan to
+        accelerate."""
         n = len(titles)
         cleaned = (
             (titles.fillna("") + " " + bodies.fillna(""))
