@@ -1130,15 +1130,62 @@ def lineitem_flag_price_quantiles_kll(sf_dir: str):
     """Grouped KLL: per-l_returnflag price quantiles of the continuous
     l_extendedprice column in ONE pass (stages/sketch.py
     grouped_kll_quantiles) — per-group ~5 KB sketch blobs ride the
-    group-hash exchange instead of the values (the exact count-map
-    grouped quantiles need a bounded integer domain; this is the float
-    path). Rows-only; per-group rank error <= 1% asserted vs DuckDB
-    exact in tests/test_sketch.py."""
-    from ..stages.sketch import grouped_kll_quantiles
+    group-hash exchange instead of the values. Returns (l_returnflag,
+    q, value, kll_ok): value is the EXACT per-group quantile_disc (the
+    count-map grouped quantiles work here because 2-decimal prices are
+    a bounded-multiplicity domain — distinct (flag, price) pairs, not
+    the row multiset, ride the exchange) and kll_ok asserts the
+    per-group sketch estimate's realized normalized rank error <= 2%
+    via one extra counting pass. SQL-hash oracled: the oracle
+    recomputes the grouped exact quantiles, pins kll_ok=TRUE. Tighter
+    1% error additionally asserted in tests/test_sketch.py."""
+    from ..stages.agg import hash_grouped_agg
+    from ..stages.sketch import grouped_kll_quantiles, grouped_value_quantiles
 
+    qs = (0.25, 0.5, 0.75)
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-    return grouped_kll_quantiles(li, "l_returnflag", "l_extendedprice",
-                                 qs=(0.25, 0.5, 0.75), k=256)
+    est = grouped_kll_quantiles(li, "l_returnflag", "l_extendedprice",
+                                qs=qs, k=256).to_pandas()
+    exact = grouped_value_quantiles(li, "l_returnflag", "l_extendedprice",
+                                    qs=qs).to_pandas()
+    # per-(flag, q) rank check: tiny thresholds dict broadcast into one
+    # counting pass; per-batch partial rows are (flag, i, n_le, n)
+    est = est.sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+    thr = {f: g["value"].to_numpy("float64")
+           for f, g in est.groupby("l_returnflag", sort=False)}
+    thr_ref = ray.put(thr)
+
+    def rank_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        rows = []
+        for f, sub in b.groupby("l_returnflag", sort=False):
+            v = np.sort(sub["l_extendedprice"].to_numpy("float64"))
+            n_le = np.searchsorted(v, t[f], side="right")
+            for i, nl in enumerate(n_le):
+                rows.append((f, np.int64(i), np.int64(nl),
+                             np.int64(len(v))))
+        return pd.DataFrame(rows, columns=["l_returnflag", "i", "n_le", "n"])
+
+    ranks = hash_grouped_agg(
+        li.map_batches(rank_partial, batch_format="pandas"),
+        ["l_returnflag", "i"],
+        lambda b: b,
+        lambda p: p.groupby(["l_returnflag", "i"], as_index=False)
+        [["n_le", "n"]].sum(),
+    ).to_pandas()
+    qarr = np.asarray(qs, dtype=np.float64)
+    ranks["rel"] = np.abs(
+        ranks["n_le"].to_numpy("float64")
+        / np.maximum(ranks["n"].to_numpy("float64"), 1)
+        - qarr[ranks["i"].to_numpy("int64")])
+    ok = {(f, int(i)): bool(r <= 0.02)
+          for f, i, r in zip(ranks["l_returnflag"], ranks["i"],
+                             ranks["rel"])}
+    out = exact.sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+    qidx = {float(q): i for i, q in enumerate(qs)}
+    out["kll_ok"] = [ok[(f, qidx[float(q)])]
+                     for f, q in zip(out["l_returnflag"], out["q"])]
+    return out
 
 
 def doc_token_stats(sf_dir: str):
@@ -7642,6 +7689,18 @@ ORACLE_SQL = {
         UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95)
         FROM lineitem
         ORDER BY q
+    """,
+    "lineitem_flag_price_quantiles_kll": """
+        SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+               quantile_disc(l_extendedprice, 0.25) AS value, TRUE AS kll_ok
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.5, quantile_disc(l_extendedprice, 0.5), TRUE
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.75, quantile_disc(l_extendedprice, 0.75), TRUE
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag, q
     """,
     "lineitem_price_quantiles_kll": """
         SELECT CAST(0.01 AS DOUBLE) AS q,

@@ -301,22 +301,38 @@ def test_events_cohort_overlap_kmv_query(ray_session):
 
 def test_grouped_kll_query_rank_error(ray_session):
     """Per-group one-pass KLL quantiles within 1% normalized rank error
-    of the per-group exact values at sf0.001."""
-    from north_cloud_ray.pipelines.queries import QUERIES
+    of the per-group exact values at sf0.001; the driver query returns
+    the exact per-group quantiles plus the sketch-within-bound flag."""
+    import ray.data
 
-    got = QUERIES["lineitem_flag_price_quantiles_kll"](SF).to_pandas()
+    from north_cloud_ray.pipelines.queries import QUERIES
+    from north_cloud_ray.stages.sketch import grouped_kll_quantiles
+
     li = duckdb.sql(
         f"SELECT l_returnflag, l_extendedprice "
         f"FROM '{SF}/lineitem.parquet'").df()
     flags = sorted(li["l_returnflag"].unique())
-    assert sorted(got["l_returnflag"].unique()) == flags
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_returnflag", "l_extendedprice"])
+    sk = grouped_kll_quantiles(ds, "l_returnflag", "l_extendedprice",
+                               qs=(0.25, 0.5, 0.75), k=256).to_pandas()
     for flag, sub in li.groupby("l_returnflag"):
         sv = np.sort(sub["l_extendedprice"].to_numpy())
-        g = got[got["l_returnflag"] == flag]
+        g = sk[sk["l_returnflag"] == flag]
         assert len(g) == 3
         for q, v in zip(g["q"], g["value"]):
             err = abs(np.searchsorted(sv, v) / len(sv) - q)
             assert err <= 0.01, (flag, q, err)
+
+    got = QUERIES["lineitem_flag_price_quantiles_kll"](SF)
+    assert sorted(got["l_returnflag"].unique()) == flags
+    assert got["kll_ok"].all()
+    for flag, sub in li.groupby("l_returnflag"):
+        sv = np.sort(sub["l_extendedprice"].to_numpy())
+        g = got[got["l_returnflag"] == flag]
+        for q, v in zip(g["q"], g["value"]):
+            rank = max(1, int(np.ceil(q * len(sv))))
+            assert v == sv[rank - 1], (flag, q)  # exact quantile_disc
 
 
 def test_kmv_empty_side(ray_session):
