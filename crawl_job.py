@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact", action="store_true",
                    help="compact per-task sink part files after the run "
                         "(crash-safe; resume-safe to re-run)")
+    p.add_argument("--merge-stream-rows", type=int, default=2_000_000,
+                   help="frontier partitions above this row count merge "
+                        "via url_hash-range row-group streaming (bounded "
+                        "heap); 0 forces whole-frame merges")
     args = p.parse_args(argv)
 
     import ray
@@ -59,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         use_feeds=args.feeds,
         use_sitemaps=args.sitemaps,
         max_rounds=args.rounds,
+        merge_stream_rows=args.merge_stream_rows,
     )
     runner = CrawlRunner(args.out, cfg, web_cfg)
     t0 = time.perf_counter()
