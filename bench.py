@@ -187,7 +187,10 @@ def run_scaling_workload(num_cpus: int, node_k: int | None = None,
         mega_host_factor=12, text_scale=SCALING_TEXT_SCALE,
     )
     cfg = CrawlConfig(
-        num_shards=16,
+        # shards must be IDENTICAL at every parallelism level (same
+        # workload); 32 keeps the claim/merge waves full-width at the
+        # high level (16 left half the 32-CPU level idle during them)
+        num_shards=int(os.environ.get("NCRAY_BENCH_SHARDS", "32")),
         fetch_concurrency=max(2, num_cpus - 2),
         fetch_batch_size=512,
         round_window_us=3600 * 1_000_000,
