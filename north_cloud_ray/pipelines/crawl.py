@@ -556,6 +556,18 @@ def _merge_shard_streaming(
         "claimed": len(claimed),
         "new_urls": new_urls,
         **{f"status_{k}": int(v) for k, v in status_counts.items()},
+        "lineage": {
+            "frontier_in": {"path": old_path,
+                            "rows": int(pf.metadata.num_rows)},
+            "claims": {"rows": len(claimed)},
+            "light": {"updates": int(len(updates)),
+                      "candidates": int(len(cands))},
+            "rename_inserts": int(len(ins)),
+            "rename_rejected": len(rejected),
+            "frontier_out": {"path": out_frontier, "rows": frontier_size},
+            "merge_mode": "row-group-streaming",
+            "chunks": len(chunks),
+        },
     }
 
 
@@ -711,6 +723,21 @@ def _merge_task(
         if len(cands)
         else 0,
         **{f"status_{k}": int(v) for k, v in status_counts.items()},
+        # per-partition lineage: every input that produced this partition
+        # of round r+1 state, with row counts — enough to audit or replay
+        # one shard without touching the others (persisted in the round's
+        # metrics.json by run_round)
+        "lineage": {
+            "frontier_in": {"path": old_path, "rows": int(len(old))},
+            "claims": {"path": claims_path, "rows": len(claimed)},
+            "light": {"dir": light_dir,
+                      "updates": int(len(updates)),
+                      "candidates": int(len(cands))},
+            "rename_inserts": int(len(ins)),
+            "rename_rejected": len(rename_rejected),
+            "frontier_out": {"path": out_frontier,
+                             "rows": int(len(merged))},
+        },
     }
 
 
