@@ -49,10 +49,43 @@ def entry() -> Any:
     return classified.map_batches(flatten, batch_format="pandas")
 
 
+def _drained(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Bounded wait for full CPU availability before a query starts.
+
+    The driver (and bench) run catalog queries back-to-back in one Ray
+    session; a prior query's actor pool releases its CPUs
+    asynchronously, and on a small session two overlapping pools can
+    starve the next pipeline's read tasks (observed as a multi-minute
+    wedge in the pytest sweep). Pools normally drain in well under a
+    second — the 10 s bound only matters for a genuinely leaked pool,
+    which the query then surfaces by running slowly rather than
+    hanging the whole sweep."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(sf_dir: str) -> Any:
+        import time
+
+        import ray
+
+        if ray.is_initialized():
+            # total-1, not total: a single leaked pool actor must not
+            # make every query burn the full wait (see tests/conftest.py)
+            total = ray.cluster_resources().get("CPU", 0)
+            deadline = time.time() + 5
+            while (time.time() < deadline
+                   and ray.available_resources().get("CPU", 0)
+                   < max(1, total - 1)):
+                time.sleep(0.05)
+        return fn(sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from north_cloud_ray.pipelines.queries import QUERIES
 
-    return dict(QUERIES)
+    return {name: _drained(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -279,7 +279,10 @@ def run_scaling_workload(num_cpus: int, node_k: int | None = None,
 
 
 def run_queries(sf_dir: str) -> dict:
-    from north_cloud_ray.pipelines.queries import QUERIES
+    # the drained wrapper waits (bounded) for the previous query's actor
+    # pool to release its CPUs — see __ray_entry__._drained
+    from __ray_entry__ import queries as _queries
+    QUERIES = _queries()
 
     _quiet_data_context()
     names = [

@@ -2795,7 +2795,14 @@ def publisher_full_routing(sf_dir: str):
             lambda t: ",".join(t) if t is not None else "")
         return out
 
-    keep = classified.map_batches(_keep, batch_format="pandas")
+    # ``keep`` feeds BOTH join sides below. Without this materialize, Ray
+    # Data (no common-subexpression reuse) would execute the classify
+    # ACTOR-POOL chain twice inside ONE plan — two 2-actor pools grab
+    # every CPU of a 4-CPU session and the plan's own read tasks starve:
+    # an intermittent full-suite deadlock (observed twice, 27+ min
+    # wedges). Materializing at this light-row boundary runs classify
+    # once and hands both branches object-store blocks.
+    keep = classified.map_batches(_keep, batch_format="pandas").materialize()
     scores = score_documents(keep.map_batches(
         lambda b: b[["doc_id", "title", "body", "content_type"]],
         batch_format="pandas",
