@@ -8500,20 +8500,20 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     # extraction_quality runs the DOM-extraction chain over the
-    # deterministic 16-page fixture corpus — not computable in SQL, but the
+    # deterministic 32-page fixture corpus — not computable in SQL, but the
     # expected output IS a fixed golden table; the oracle pins the pipeline
     # to it (any extractor/fixture drift hash-mismatches loudly). The two
     # Schema.org recipe/job fixtures land in ('other','heuristic','50+').
     "extraction_quality": """
-        -- pinned over the 26-fixture golden corpus (fixture URLs are
+        -- pinned over the 32-fixture golden corpus (fixture URLs are
         -- name.fixture.test, so only DETECT-based templates resolve;
         -- domain-routed ones exercise 'template' in their own tests)
         SELECT * FROM (VALUES
-            ('article', 'heuristic',   '50+', CAST(3 AS BIGINT)),
+            ('article', 'heuristic',   '50+', CAST(6 AS BIGINT)),
             ('article', 'template',    '50+', CAST(2 AS BIGINT)),
             ('listing', 'heuristic',   '50+', CAST(1 AS BIGINT)),
             ('listing', 'readability', '0+',  CAST(1 AS BIGINT)),
-            ('other',   'heuristic',   '50+', CAST(13 AS BIGINT)),
+            ('other',   'heuristic',   '50+', CAST(16 AS BIGINT)),
             ('other',   'readability', '0+',  CAST(1 AS BIGINT)),
             ('other',   'template',    '50+', CAST(2 AS BIGINT)),
             ('stub',    'readability', '0+',  CAST(3 AS BIGINT))

@@ -328,6 +328,86 @@ FIGURE_CAPTION = """
 </body></html>
 """
 
+# article:published_time meta must WIN over JSON-LD datePublished
+# (extractor_test.go DateFallbackChain: meta is step 1, JSON-LD step 2)
+META_PUBLISHED_TIME = """
+<html><head><title>Meta Dated</title>
+<meta property="article:published_time" content="2024-01-15T06:00:00Z"/>
+<script type="application/ld+json">
+{"@type":"NewsArticle","headline":"Meta Date Headline",
+ "datePublished":"2023-12-31T23:00:00Z"}
+</script></head><body>
+<article><p>The body of the meta-dated page carries enough words to pass.</p>
+<p>Another sentence follows so the extraction quality gate is satisfied.</p>{FILLER}</article>
+</body></html>
+"""
+
+# NO title tag, og:title or JSON-LD: the title chain must fall through to
+# the first h1 (extractor_test.go TitleFallbackChain step 4)
+H1_TITLE = """
+<html><head></head><body>
+<h1>The H1 Fallback Headline</h1>
+<div class="story">
+<p>Body text for the h1-titled page with a comfortable number of words.</p>
+<p>A second paragraph keeps the page above the extraction word gates.</p>{FILLER}</div>
+</body></html>
+"""
+
+# author via <a rel="author"> — the chain step between JSON-LD author and
+# the byline CSS selectors (extractor_metadata.go author fallbacks)
+REL_AUTHOR = """
+<html><head><title>Rel Author Page</title></head><body>
+<article>
+<p>Story by <a rel="author" href="/staff/pat">Pat Journalist</a> follows.</p>
+<p>The article body proceeds with sufficient words for every length gate.</p>{FILLER}
+</article></body></html>
+"""
+
+# @context OBJECT + mainEntityOfPage object + nameless publisher +
+# wordCount int: the raw-blob normalizers all fire on one page
+JSONLD_OBJECT_CONTEXT = """
+<html><head>
+<script type="application/ld+json">
+{"@context":{"@vocab":"https://schema.org/"},
+ "@type":"Article","headline":"Object Context Headline",
+ "datePublished":"2024-08-08T11:00:00Z",
+ "mainEntityOfPage":{"@type":"WebPage","@id":"https://obj.test/canon"},
+ "publisher":{"@type":"Organization"},
+ "author":{"@type":"Person","name":"Objectful Author"},
+ "wordCount":215}
+</script></head><body>
+<article><p>Object-context article body with plenty of descriptive words.</p>
+<p>The second paragraph continues and keeps the word counter climbing.</p>{FILLER}</article>
+</body></html>
+"""
+
+# accented content + HTML entities in title and body: entity decoding must
+# survive the chain into raw_text/title byte-identically
+FRENCH_ENTITIES = """
+<html><head><title>L&#39;actualit&eacute; r&eacute;gionale &amp; plus</title></head><body>
+<article>
+<p>Le conseil municipal s&#39;est r&eacute;uni mardi pour discuter du r&egrave;glement.</p>
+<p>Des consultations suppl&eacute;mentaires sont pr&eacute;vues d&egrave;s l&#39;automne prochain.</p>{FILLER}
+</article></body></html>
+"""
+
+# two SEPARATE ld+json script tags: the first (BreadcrumbList) must be
+# skipped, the second (NewsArticle) extracted — dispatch iterates scripts,
+# not just list elements within one script
+TWO_SCRIPTS = """
+<html><head>
+<script type="application/ld+json">
+{"@type":"BreadcrumbList","itemListElement":[]}
+</script>
+<script type="application/ld+json">
+{"@type":"NewsArticle","headline":"Second Script Headline",
+ "datePublished":"2024-02-02T10:00:00Z","author":"Script Author"}
+</script></head><body>
+<article><p>Two-script page body paragraph with the usual healthy length.</p>
+<p>One more paragraph of body text to clear the minimum word threshold.</p>{FILLER}</article>
+</body></html>
+"""
+
 # PressRelease articleish variant + publisher object + keywords
 JSONLD_PRESS_RELEASE = """
 <html><head>
@@ -347,7 +427,9 @@ for _n in ("WORDPRESS", "DRUPAL", "POSTMEDIA", "JSONLD_NEWS", "EXCLUDES",
            "JSONLD_JOB", "TORSTAR", "VILLAGE_MEDIA", "BLACK_PRESS",
            "GENERIC_OG", "JSONLD_IMAGE_ARRAY", "JSONLD_LIST_BLOG",
            "JSONLD_MALFORMED", "TEMPLATE_BODY_MISSING", "FIGURE_CAPTION",
-           "JSONLD_PRESS_RELEASE"):
+           "JSONLD_PRESS_RELEASE", "META_PUBLISHED_TIME", "H1_TITLE",
+           "REL_AUTHOR", "JSONLD_OBJECT_CONTEXT", "FRENCH_ENTITIES",
+           "TWO_SCRIPTS"):
     globals()[_n] = globals()[_n].replace("{FILLER}", FILLER)
 
 FIXTURES = {
@@ -377,4 +459,10 @@ FIXTURES = {
     "template_body_missing": TEMPLATE_BODY_MISSING,
     "figure_caption": FIGURE_CAPTION,
     "jsonld_press_release": JSONLD_PRESS_RELEASE,
+    "meta_published_time": META_PUBLISHED_TIME,
+    "h1_title": H1_TITLE,
+    "rel_author": REL_AUTHOR,
+    "jsonld_object_context": JSONLD_OBJECT_CONTEXT,
+    "french_entities": FRENCH_ENTITIES,
+    "two_scripts": TWO_SCRIPTS,
 }

@@ -470,6 +470,9 @@ def extract_jsonld(root: Node) -> dict:
             else:
                 continue
             result["jsonld_schema_type"] = t
+            # indexed raw blob rides along, polymorphic fields flattened
+            # (extractor_jsonld.go:134-135)
+            result["jsonld_raw"] = normalize_jsonld_object(obj)
     return result
 
 
@@ -555,6 +558,160 @@ def _jsonld_image(obj: dict, result: dict) -> None:
     url = normalize_image_field(obj.get("image"))
     if url:
         result["jsonld_image_url"] = url
+
+
+# ---------------- raw JSON-LD normalization for indexing ----------------
+# The reference indexes the whole articleish JSON-LD object alongside the
+# typed fields, normalized so polymorphic fields (@context, author, image,
+# publisher, mainEntityOfPage, wordCount) never carry object/array values
+# into the search index's dynamic mapping
+# (extractor_jsonld.go:307-364 normalizeJSONLDObject,
+# 437-492 NormalizeJSONLDRawForIndex). Ported field-for-field; vectors
+# from extractor_test.go:26-470 live in tests/test_extract_html.py.
+
+DEFAULT_SCHEMA_ORG_URL = "https://schema.org"
+
+
+def normalize_context_field(ctx) -> str:
+    """@context string | {"@vocab": ...} object | array -> string
+    (extractor_jsonld.go:369-390)."""
+    if isinstance(ctx, str):
+        return ctx
+    if isinstance(ctx, dict):
+        v = ctx.get("@vocab")
+        return v if isinstance(v, str) else DEFAULT_SCHEMA_ORG_URL
+    if isinstance(ctx, list):
+        for item in ctx:
+            if isinstance(item, str):
+                return item
+        return DEFAULT_SCHEMA_ORG_URL
+    return DEFAULT_SCHEMA_ORG_URL
+
+
+def normalize_object_to_name(val) -> str | None:
+    """string | {"name": ...} -> name string, else None (removal signal)
+    (extractor_jsonld.go:421-434)."""
+    if isinstance(val, str):
+        return val
+    if isinstance(val, dict):
+        name = val.get("name")
+        if isinstance(name, str) and name:
+            return name
+    return None
+
+
+def normalize_entity_to_url(val) -> str | None:
+    """mainEntityOfPage string | object with @id/url -> URL string
+    (extractor_jsonld.go:503-520): @id wins over url."""
+    if isinstance(val, str):
+        return val
+    if isinstance(val, dict):
+        i = val.get("@id")
+        if isinstance(i, str) and i:
+            return i
+        u = val.get("url")
+        if isinstance(u, str) and u:
+            return u
+    return None
+
+
+def normalize_author_field(val) -> str | None:
+    """author string | object | array -> string; array entries join with
+    ", " and nameless objects drop (extractor_jsonld.go:528-573)."""
+    if isinstance(val, str):
+        return val
+    if isinstance(val, dict):
+        name = val.get("name")
+        return name if isinstance(name, str) and name else None
+    if isinstance(val, list):
+        names = []
+        for item in val:
+            if isinstance(item, str):
+                names.append(item)
+            elif isinstance(item, dict):
+                name = item.get("name")
+                if isinstance(name, str) and name:
+                    names.append(name)
+        return ", ".join(names) if names else None
+    return None
+
+
+def normalize_to_string(val) -> str:
+    """Scalar -> string, matching Go fmt %v: bools lowercase, whole
+    floats print without the trailing .0 (extractor_jsonld.go:522-525)."""
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, float):
+        return f"{val:g}"
+    return str(val)
+
+
+def normalize_publisher_value(val) -> str | None:
+    """publisher string | object | array (first element)
+    (extractor_jsonld.go:487-492)."""
+    if isinstance(val, list):
+        return normalize_object_to_name(val[0]) if val else None
+    return normalize_object_to_name(val)
+
+
+def normalize_main_entity_value(val) -> str | None:
+    """mainEntityOfPage with the array variant (first element)
+    (extractor_jsonld.go:494-500)."""
+    if isinstance(val, list):
+        return normalize_entity_to_url(val[0]) if val else None
+    return normalize_entity_to_url(val)
+
+
+def _set_or_delete(out: dict, key: str, val) -> None:
+    if val is None:
+        out.pop(key, None)
+    else:
+        out[key] = val
+
+
+def normalize_jsonld_object(obj: dict) -> dict:
+    """Shallow-copied object with every polymorphic field normalized to a
+    string (extractor_jsonld.go:307-364). Note mainEntityOfPage here uses
+    the NON-array normalizer, mirroring the reference's asymmetry with
+    NormalizeJSONLDRawForIndex."""
+    out = dict(obj)
+    if "@context" in out:
+        out["@context"] = normalize_context_field(out["@context"])
+    if "author" in out:
+        _set_or_delete(out, "author", normalize_author_field(out["author"]))
+    if "image" in out:
+        _set_or_delete(out, "image", normalize_image_field(out["image"]))
+    if "publisher" in out:
+        _set_or_delete(out, "publisher",
+                       normalize_object_to_name(out["publisher"]))
+    if "mainEntityOfPage" in out:
+        _set_or_delete(out, "mainEntityOfPage",
+                       normalize_entity_to_url(out["mainEntityOfPage"]))
+    if "wordCount" in out:
+        out["wordCount"] = normalize_to_string(out["wordCount"])
+    return out
+
+
+def normalize_jsonld_raw_for_index(jsonld_data: dict | None) -> None:
+    """Idempotent pre-index guard over jsonld_data["jsonld_raw"], mutating
+    in place (extractor_jsonld.go:437-485): publisher/mainEntityOfPage
+    accept the array variant here, author/image share the object
+    normalizers."""
+    if not isinstance(jsonld_data, dict):
+        return
+    raw = jsonld_data.get("jsonld_raw")
+    if not isinstance(raw, dict):
+        return
+    if "publisher" in raw:
+        _set_or_delete(raw, "publisher",
+                       normalize_publisher_value(raw["publisher"]))
+    if "author" in raw:
+        _set_or_delete(raw, "author", normalize_author_field(raw["author"]))
+    if "image" in raw:
+        _set_or_delete(raw, "image", normalize_image_field(raw["image"]))
+    if "mainEntityOfPage" in raw:
+        _set_or_delete(raw, "mainEntityOfPage",
+                       normalize_main_entity_value(raw["mainEntityOfPage"]))
 
 
 DATE_CSS_SELECTORS = [".published-date", ".post-date", ".entry-date", ".article-date"]
@@ -826,6 +983,13 @@ def extract_page(html: str, url: str = "", container_selector: str = "",
         "jsonld_date_published": str(jsonld.get("jsonld_date_published", "")),
         "jsonld_keywords": ",".join(jsonld.get("jsonld_keywords", [])),
         "jsonld_location": str(jsonld.get("jsonld_location", "")),
+        # Arrow-friendly raw blob: canonical (sorted-key) JSON string of
+        # the normalized articleish object, "" when no JSON-LD extracted
+        "jsonld_raw": (
+            json.dumps(jsonld["jsonld_raw"], sort_keys=True,
+                       ensure_ascii=False)
+            if isinstance(jsonld.get("jsonld_raw"), dict) else ""
+        ),
     }
 
 

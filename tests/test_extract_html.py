@@ -387,3 +387,252 @@ def test_jsonld_press_release_fields():
     assert out["title"] == "Press Release Headline"
     assert out["jsonld_publisher"] == "Agency Corp"
     assert out["jsonld_keywords"] == "mining,permit"
+
+
+# ---------------- raw JSON-LD normalization vectors ----------------
+# ported from extractor_test.go:26-470 (TestNormalizeContextField,
+# TestNormalizeImageField, TestNormalizeObjectToName,
+# TestNormalizeEntityToURL, TestNormalizeToString,
+# TestNormalizeJSONLDObject_*, TestNormalizeJSONLDRawForIndex)
+
+def test_normalize_context_field_vectors():
+    from north_cloud_ray.stages.extract_html import normalize_context_field
+
+    default = "https://schema.org"
+    vectors = [
+        ("https://schema.org", "https://schema.org"),
+        ({"@vocab": "https://schema.org/"}, "https://schema.org/"),
+        ({"@type": "Person"}, default),
+        (["https://schema.org", {"@vocab": "https://example.com"}],
+         "https://schema.org"),
+        ([{"@vocab": "https://example.com"}], default),
+        (None, default),
+        (42, default),
+    ]
+    for inp, want in vectors:
+        assert normalize_context_field(inp) == want, inp
+
+
+def test_normalize_image_field_vectors():
+    from north_cloud_ray.stages.extract_html import normalize_image_field
+
+    vectors = [
+        ("https://example.com/image.jpg", "https://example.com/image.jpg"),
+        ({"url": "https://example.com/image.jpg", "width": 800},
+         "https://example.com/image.jpg"),
+        ({"width": 800}, None),
+        (["https://example.com/image.jpg"], "https://example.com/image.jpg"),
+        ([{"url": "https://example.com/image.jpg"}],
+         "https://example.com/image.jpg"),
+        (None, None),
+    ]
+    for inp, want in vectors:
+        assert normalize_image_field(inp) == want, inp
+
+
+def test_normalize_object_to_name_vectors():
+    from north_cloud_ray.stages.extract_html import normalize_object_to_name
+
+    vectors = [
+        ("Publisher Inc", "Publisher Inc"),
+        ({"name": "Publisher Inc", "@type": "Organization"}, "Publisher Inc"),
+        ({"@type": "Organization"}, None),
+        (None, None),
+    ]
+    for inp, want in vectors:
+        assert normalize_object_to_name(inp) == want, inp
+
+
+def test_normalize_entity_to_url_vectors():
+    from north_cloud_ray.stages.extract_html import normalize_entity_to_url
+
+    vectors = [
+        ("https://example.com/article", "https://example.com/article"),
+        ({"@id": "https://example.com/article", "@type": "WebPage"},
+         "https://example.com/article"),
+        ({"url": "https://example.com/article"},
+         "https://example.com/article"),
+        ({"@type": "WebPage"}, None),
+        (None, None),
+    ]
+    for inp, want in vectors:
+        assert normalize_entity_to_url(inp) == want, inp
+
+
+def test_normalize_to_string_vectors():
+    from north_cloud_ray.stages.extract_html import normalize_to_string
+
+    assert normalize_to_string("1500") == "1500"
+    assert normalize_to_string(1500) == "1500"
+    assert normalize_to_string(1500.5) == "1500.5"
+    # Go fmt %v parity for the types JSON can carry
+    assert normalize_to_string(True) == "true"
+    assert normalize_to_string(240.0) == "240"
+
+
+def test_normalize_jsonld_object_all_fields():
+    from north_cloud_ray.stages.extract_html import normalize_jsonld_object
+
+    # context variants
+    for ctx, want in [
+        ("https://schema.org", "https://schema.org"),
+        ({"@vocab": "https://schema.org/"}, "https://schema.org/"),
+        (["https://schema.org", {"@vocab": "https://example.com"}],
+         "https://schema.org"),
+    ]:
+        out = normalize_jsonld_object({"@context": ctx, "@type": "NewsArticle"})
+        assert out["@context"] == want
+
+    out = normalize_jsonld_object({
+        "@context": "https://schema.org",
+        "image": {"url": "https://example.com/img.jpg", "width": 800}})
+    assert out["image"] == "https://example.com/img.jpg"
+
+    out = normalize_jsonld_object({
+        "publisher": {"name": "News Corp", "@type": "Organization"}})
+    assert out["publisher"] == "News Corp"
+
+    out = normalize_jsonld_object({
+        "mainEntityOfPage": {"@id": "https://example.com/page",
+                             "@type": "WebPage"}})
+    assert out["mainEntityOfPage"] == "https://example.com/page"
+
+    out = normalize_jsonld_object({"wordCount": 1500})
+    assert out["wordCount"] == "1500"
+
+    out = normalize_jsonld_object({"image": {"width": 800}})
+    assert "image" not in out
+
+    # author array joins with ", "; nameless objects drop
+    out = normalize_jsonld_object({
+        "author": [{"name": "A One"}, "B Two", {"@type": "Person"}]})
+    assert out["author"] == "A One, B Two"
+
+    # input object is not mutated (deep-copy semantics on touched fields)
+    src = {"image": {"url": "https://x.test/i.jpg"}}
+    normalize_jsonld_object(src)
+    assert src["image"] == {"url": "https://x.test/i.jpg"}
+
+
+def test_normalize_jsonld_raw_for_index():
+    from north_cloud_ray.stages.extract_html import (
+        normalize_jsonld_raw_for_index,
+    )
+
+    normalize_jsonld_raw_for_index(None)  # no-op on nil
+
+    data = {"jsonld_headline": "Title"}
+    normalize_jsonld_raw_for_index(data)  # no-op when jsonld_raw missing
+    assert data["jsonld_headline"] == "Title"
+
+    data = {"jsonld_raw": {"publisher": "News Corp"}}
+    normalize_jsonld_raw_for_index(data)
+    assert data["jsonld_raw"]["publisher"] == "News Corp"
+
+    data = {"jsonld_raw": {
+        "publisher": {"@type": "Organization", "name": "News Corp"}}}
+    normalize_jsonld_raw_for_index(data)
+    assert data["jsonld_raw"]["publisher"] == "News Corp"
+
+    data = {"jsonld_raw": {
+        "publisher": [{"@type": "Organization", "name": "First Pub"}]}}
+    normalize_jsonld_raw_for_index(data)
+    assert data["jsonld_raw"]["publisher"] == "First Pub"
+
+    data = {"jsonld_raw": {"publisher": {"@type": "Organization"}}}
+    normalize_jsonld_raw_for_index(data)
+    assert "publisher" not in data["jsonld_raw"]
+
+    # the raw-index path accepts the ARRAY variant of mainEntityOfPage
+    data = {"jsonld_raw": {
+        "mainEntityOfPage": [{"@id": "https://example.com/p"}],
+        "author": [{"name": "A"}, {"name": "B"}],
+        "image": [{"url": "https://example.com/i.jpg"}]}}
+    normalize_jsonld_raw_for_index(data)
+    assert data["jsonld_raw"]["mainEntityOfPage"] == "https://example.com/p"
+    assert data["jsonld_raw"]["author"] == "A, B"
+    assert data["jsonld_raw"]["image"] == "https://example.com/i.jpg"
+
+
+def test_extract_page_emits_normalized_jsonld_raw():
+    import json
+
+    from north_cloud_ray.sources.html_fixtures import (
+        JSONLD_IMAGE_ARRAY, JSONLD_NEWS, WORDPRESS,
+    )
+
+    out = extract_page(JSONLD_NEWS, url="https://x.test/n")
+    raw = json.loads(out["jsonld_raw"])
+    assert raw["@type"] == "NewsArticle"
+    assert raw["author"] == "Jane Writer"       # object -> name
+    assert raw["publisher"] == "The Paper"      # object -> name
+    assert raw["image"] == "https://x.test/img.jpg"  # object -> url
+    assert raw["wordCount"] == "240"            # int -> string
+    assert raw["@context"] == "https://schema.org"
+
+    out = extract_page(JSONLD_IMAGE_ARRAY, url="https://x.test/a")
+    raw = json.loads(out["jsonld_raw"])
+    assert raw["image"] == "https://x.test/first.jpg"   # array -> first url
+    assert raw["author"] == "First Author, Second Author"  # array joined
+
+    # no JSON-LD on the page -> empty string column
+    out = extract_page(WORDPRESS, url="https://x.test/w")
+    assert out["jsonld_raw"] == ""
+
+
+def test_meta_published_time_beats_jsonld():
+    from north_cloud_ray.sources.html_fixtures import META_PUBLISHED_TIME
+
+    out = extract_page(META_PUBLISHED_TIME, url="https://x.test/md")
+    assert out["published_date"] == "2024-01-15T06:00:00Z"
+    assert out["jsonld_date_published"] == "2023-12-31T23:00:00Z"
+    assert out["title"] == "Meta Date Headline"  # JSON-LD still wins title
+
+
+def test_h1_title_fallback():
+    from north_cloud_ray.sources.html_fixtures import H1_TITLE
+
+    out = extract_page(H1_TITLE, url="https://x.test/h1")
+    assert out["title"] == "The H1 Fallback Headline"
+
+
+def test_rel_author_chain_step():
+    from north_cloud_ray.sources.html_fixtures import REL_AUTHOR
+
+    out = extract_page(REL_AUTHOR, url="https://x.test/ra")
+    assert out["author"] == "Pat Journalist"
+
+
+def test_jsonld_object_context_raw_normalization():
+    import json
+
+    from north_cloud_ray.sources.html_fixtures import JSONLD_OBJECT_CONTEXT
+
+    out = extract_page(JSONLD_OBJECT_CONTEXT, url="https://x.test/oc")
+    assert out["title"] == "Object Context Headline"
+    assert out["jsonld_author"] == "Objectful Author"
+    assert out["jsonld_publisher"] == ""  # nameless publisher object
+    raw = json.loads(out["jsonld_raw"])
+    assert raw["@context"] == "https://schema.org/"       # @vocab
+    assert raw["mainEntityOfPage"] == "https://obj.test/canon"  # @id
+    assert "publisher" not in raw                         # dropped
+    assert raw["wordCount"] == "215"                      # int -> string
+    assert raw["author"] == "Objectful Author"
+
+
+def test_french_entities_decode():
+    from north_cloud_ray.sources.html_fixtures import FRENCH_ENTITIES
+
+    out = extract_page(FRENCH_ENTITIES, url="https://x.test/fr")
+    assert out["title"] == "L'actualité régionale & plus"
+    assert "s'est réuni mardi pour discuter du règlement" in out["raw_text"]
+    assert "prévues dès l'automne prochain" in out["raw_text"]
+
+
+def test_two_separate_jsonld_scripts():
+    from north_cloud_ray.sources.html_fixtures import TWO_SCRIPTS
+
+    out = extract_page(TWO_SCRIPTS, url="https://x.test/two")
+    assert out["jsonld_schema_type"] == "NewsArticle"
+    assert out["title"] == "Second Script Headline"
+    assert out["jsonld_author"] == "Script Author"
