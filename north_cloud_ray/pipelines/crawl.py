@@ -285,16 +285,22 @@ def _claim_task(
     statuses = [STATUS_PENDING]
     if crawl_cfg.recrawl_baseline_us > 0:
         statuses.append(STATUS_FETCHED)
-    pending = pq.read_table(
+    # the due-time predicate rides the pushdown too: a recrawl-heavy
+    # steady state keeps most claimable rows scheduled in the FUTURE, so
+    # materializing only due rows bounds claim memory by O(due), not
+    # O(pending) — the pending total comes from a status-column-only scan
+    # (dictionary-encoded, ~bytes/row) instead of the full-width frame
+    due = pq.read_table(
         frontier_path,
-        filters=[("status", "in", statuses)],
+        filters=[("status", "in", statuses),
+                 ("next_fetch_at", "<", t_end)],
     )
+    st = pq.read_table(frontier_path, columns=["status"])
     n_pending_total = int(
         pa.compute.sum(
-            pa.compute.equal(pending["status"], STATUS_PENDING)
+            pa.compute.equal(st["status"], STATUS_PENDING)
         ).as_py() or 0
     )
-    due = pending.filter(pa.compute.less(pending["next_fetch_at"], t_end))
     web = SyntheticWeb(web_cfg)
 
     host_state: dict[str, tuple[int, int]] = {}
