@@ -207,3 +207,80 @@ def test_streaming_merge_equals_frame_merge(ray_session, tmp_path_factory):
     pd.testing.assert_frame_equal(
         fa[FRONTIER_CMP_COLS], fb[FRONTIER_CMP_COLS])
     assert len(fa) > 100
+
+
+def test_claim_task_due_pushdown_equivalence(ray_session, tmp_path):
+    """The due-time predicate riding the claim read must not change
+    semantics: claims equal a claim_shard run over the full claimable
+    frame post-filtered for dueness, and n_pending_total counts EVERY
+    pending row — including ones scheduled past the window (the
+    status-column-only scan), which the frontier-size metric relies on."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from north_cloud_ray.frontier.claim import claim_shard
+    from north_cloud_ray.frontier.normalize import host_hash64
+    from north_cloud_ray.pipelines.crawl import (
+        _claim_task,
+        _frontier_to_table,
+    )
+
+    t_end = 60_000_000
+    n = 400
+    rng = np.random.default_rng(11)
+    hosts = [f"h{i % 7}.test" for i in range(n)]
+    df = pd.DataFrame({
+        "url": [f"https://{h}/p{i}" for i, h in enumerate(hosts)],
+        "url_hash": [f"{rng.integers(0, 2**60):016x}" for _ in range(n)],
+        "host": hosts,
+        "host_hash": [host_hash64(h) for h in hosts],
+        "source_id": "s",
+        "origin": "seed",
+        "parent_url": None,
+        "depth": 0,
+        "priority": rng.integers(0, 10, n).astype("int8"),
+        # half the pending rows are scheduled PAST the window
+        "next_fetch_at": np.where(rng.random(n) < 0.5, 0, 10 * t_end)
+        .astype("int64"),
+        "discovered_at": np.int64(0),
+        "status": np.where(rng.random(n) < 0.75, "pending", "dead"),
+        "last_fetched_at": np.int64(0),
+        "fetch_count": np.int32(0),
+        "content_hash": None,
+        "etag": None,
+        "last_modified": None,
+        "retry_count": np.int8(0),
+        "last_error": None,
+    })
+    fpath = str(tmp_path / "frontier.parquet")
+    pq.write_table(_frontier_to_table(df), fpath)
+
+    from north_cloud_ray.config import CrawlConfig, SyntheticWebConfig
+
+    cfg = CrawlConfig()
+    web_cfg = SyntheticWebConfig(n_hosts=8)
+    out = str(tmp_path / "claims.parquet")
+    (meta, chunk) = ray.get(
+        _claim_task.options(num_returns=2).remote(
+            fpath, None, out, 0, t_end, cfg, web_cfg, 1))
+    n_pending_total, n_claims, _hs = meta
+
+    # pending total counts future-scheduled pending rows too
+    assert n_pending_total == int((df["status"] == "pending").sum())
+
+    # claims equal the reference shape: full claimable frame, post-filtered
+    from north_cloud_ray.sources.synthetic_web import SyntheticWeb
+
+    web = SyntheticWeb(web_cfg)
+    ref_due = df[(df["status"] == "pending")
+                 & (df["next_fetch_at"] < t_end)].reset_index(drop=True)
+    hs = {h: (0, web.min_delay_ms(h) * 1000)
+          for h in ref_due["host"].unique()}
+    ref_claims, _ = claim_shard(
+        ref_due.sort_values("url_hash", kind="mergesort")
+        .reset_index(drop=True),
+        hs, 0, t_end, cfg.default_min_delay_us)
+    got = chunk.to_pandas()
+    assert n_claims == len(ref_claims) == len(got)
+    assert sorted(got["url_hash"]) == sorted(ref_claims["url_hash"])
