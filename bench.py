@@ -234,8 +234,7 @@ def run_scaling_workload(num_cpus: int, node_k: int | None = None,
         runner.store.write_table(HOST_STATE_RUNTIME_SCHEMA.empty_table(),
                                  runner.store.host_state_path(0, s))
         filt = CuckooFilter(capacity=2 * len(part) + 1024)
-        for h in part["url_hash"]:
-            filt.add(h)
+        filt.add_many(list(part["url_hash"]))
         runner.store.write_bytes(filt.to_bytes(), runner.store.cuckoo_path(0, s))
     runner.store.commit_state(0)
 

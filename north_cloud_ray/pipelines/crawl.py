@@ -212,23 +212,17 @@ def _expand_candidates(cands: pd.DataFrame, num_shards: int) -> pd.DataFrame:
     )
 
 
-@ray.remote
-def _rename_check_task(
+@ray.remote(num_cpus=0.5)
+def _rename_static_check_task(
     want: list[str],
     cuckoo_path: str | None,
     frontier_path: str,
-    light_dir: str,
-    feed_hashes: list[str],
 ) -> set[str]:
-    """Which rename-target hashes are already taken in their target shard —
-    present in the shard's frontier partition (cuckoo probe first:
-    definitive NO at ~2 bytes/key, exact filtered read only for maybes) or
-    submitted as a candidate this round (the shard's light partition +
-    bounded feed candidates)."""
-    import glob as _glob
-
-    import pyarrow.compute as pc
-
+    """Which rename-target hashes are already present in their target
+    shard's ROUND-START frontier partition (cuckoo probe first: definitive
+    NO at ~2 bytes/key, exact filtered read only for maybes). Pure
+    round-start state — the driver overlaps these checks with the fetch
+    stream as rename rows arrive."""
     maybes = want
     if cuckoo_path and os.path.exists(cuckoo_path):
         from ..state.seenfilter import load_filter
@@ -254,14 +248,32 @@ def _rename_check_task(
                     filters=[("url_hash", "in", maybes)],
                 )["url_hash"].to_pylist()
             )
+    return existing
+
+
+@ray.remote(num_cpus=0.5)
+def _cand_check_task(
+    want: list[str],
+    light_dir: str,
+    feed_hashes: list[str],
+) -> set[str]:
+    """Which rename-target hashes were submitted as candidates THIS round
+    (the shard's cand-* light files + bounded feed candidates). Must run
+    after the fetch stream drains (candidate files appear throughout the
+    round); a recrawl steady state has zero cand files, so this is a
+    near-no-op there."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
     cand_hashes: set[str] = set(feed_hashes)
-    files = sorted(_glob.glob(os.path.join(light_dir, "*.parquet")))
+    files = sorted(_glob.glob(os.path.join(light_dir, "cand-*.parquet")))
     if files:
         lt = pq.read_table(files, columns=["rec", "url_hash"])
         cand_hashes |= set(
             lt.filter(pc.equal(lt["rec"], "outlink"))["url_hash"].to_pylist()
         )
-    return existing | (set(want) & cand_hashes)
+    return set(want) & cand_hashes
 
 
 @ray.remote
@@ -354,6 +366,12 @@ CAND_COLS = [
     "url", "url_hash", "host", "host_hash", "source_id", "origin",
     "parent_url", "depth", "priority", "next_fetch_at", "discovered_at",
     "shard",
+]
+# rename rows additionally carry the claimed row's fields (populated by
+# _maybe_rename) so the driver's rename resolution never re-reads claims
+RENAME_COLS = UPDATE_COLS + [
+    "source_id", "origin", "parent_url", "depth", "priority",
+    "next_fetch_at", "discovered_at", "fetch_count", "last_error",
 ]
 
 
@@ -543,10 +561,11 @@ def _merge_shard_streaming(
                     rebuild = True
                 else:
                     added = [h for h in m["url_hash"] if h not in old_set]
-                    if all(filt.add(h) for h in added):
-                        for h in removed:
-                            if filt.contains(h):
-                                filt.remove(h)
+                    # batch ops: remove_many clears only PRESENT keys (the
+                    # same guard the scalar contains()+remove() pair gave)
+                    if filt.add_many(added):
+                        if removed:
+                            filt.remove_many(sorted(removed))
                     else:
                         rebuild = True
     if cuckoo_out is not None:
@@ -707,14 +726,14 @@ def _merge_task(
         )
         if can_incremental:
             added = [h for h in merged_hashes if h not in old_set]
-            if all(filt.add(h) for h in added):
-                # removal is only safe for keys known to be present (a cuckoo
-                # remove of an absent key can evict another key's colliding
-                # fingerprint -> false negative); build_checked guarantees
-                # old-frontier keys were inserted, so contains() must hold.
-                for h in removed:
-                    if filt.contains(h):
-                        filt.remove(h)
+            # removal is only safe for keys known to be present (a cuckoo
+            # remove of an absent key can evict another key's colliding
+            # fingerprint -> false negative); remove_many enforces that
+            # guard internally — build_checked guarantees old-frontier
+            # keys were inserted, so they are found and cleared.
+            if filt.add_many(added):
+                if removed:
+                    filt.remove_many(sorted(removed))
             else:  # overflow mid-insert: rebuild from scratch, checked
                 filt = build_checked(seen_filter, merged_hashes)
         else:
@@ -951,6 +970,13 @@ class CrawlRunner:
         max_early = int(ray.cluster_resources().get("CPU", 8))
         processed = [0] * cfg.num_shards
         ren_tbls: list[pa.Table] = []
+        # rename-target STATIC membership checks (vs round-start frontier +
+        # cuckoo — immutable during the round) overlap the fetch tail: one
+        # flush per target shard once ~80% of claims have streamed through,
+        # leaving only the remainder + the candidate check post-drain
+        static_flushed: dict[int, set] = {}
+        static_refs: dict[int, list] = {}
+        static_launched = False
         for bundle in light_ds.iter_internal_ref_bundles():
             for blk_ref, _md in bundle.blocks:
                 tbl: pa.Table = ray.get(blk_ref)
@@ -966,6 +992,26 @@ class CrawlRunner:
                 ))
                 if ren.num_rows:
                     ren_tbls.append(ren)
+            if (not static_launched and ren_tbls
+                    and sum(processed) >= int(0.8 * n_claims)):
+                static_launched = True
+                seen_r = pa.concat_tables(ren_tbls, promote_options="default")
+                tgt = np.asarray(seen_r["final_url_hash"].to_pylist(),
+                                 dtype=object)
+                th = (seen_r["final_host_hash"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % cfg.num_shards)
+                order = np.argsort(th, kind="stable")
+                ths, tgts = th[order], tgt[order]
+                bounds = np.searchsorted(ths, np.arange(cfg.num_shards + 1))
+                for s in range(cfg.num_shards):
+                    lo, hi = bounds[s], bounds[s + 1]
+                    if lo == hi:
+                        continue
+                    hashes = sorted(set(tgts[lo:hi]))
+                    static_flushed[s] = set(hashes)
+                    static_refs[s] = [_rename_static_check_task.remote(
+                        hashes, store.cuckoo_path(rnd, s),
+                        store.frontier_path(rnd, s))]
             if len(merge_refs) < max_early:
                 for s in range(cfg.num_shards):
                     if s not in merge_refs and processed[s] >= expected[s]:
@@ -985,7 +1031,7 @@ class CrawlRunner:
                 os.path.join(results_dir, "empty.parquet"),
             )
 
-        renames_tbl = renames_tbl.select(UPDATE_COLS)
+        renames_tbl = renames_tbl.select(RENAME_COLS)
         renames_all = renames_tbl.to_pandas()
         renames_all["final_host_hash"] = pd.Series(
             renames_tbl["final_host_hash"].to_pylist(),
@@ -1000,7 +1046,8 @@ class CrawlRunner:
             for s, g in feed_cands.groupby("shard", sort=False)
         } if len(feed_cands) else {}
         inserts_by_shard, rejected = self._resolve_renames(
-            rnd, renames_all, feed_hashes_by_shard, results_dir
+            rnd, renames_all, feed_hashes_by_shard, results_dir,
+            static_flushed, static_refs,
         )
         rejected_sorted = sorted(rejected)
         # release the gate-blocked early merges, then launch the rest with
@@ -1050,6 +1097,8 @@ class CrawlRunner:
         renames_all: pd.DataFrame,
         feed_hashes_by_shard: dict[int, set[str]],
         results_dir: str,
+        static_flushed: dict[int, set] | None = None,
+        static_refs: dict[int, list] | None = None,
     ) -> tuple[dict[int, pa.Table], set[str]]:
         """UpdateFetchedWithFinalURL conflict resolution against the
         post-submit frontier (frontier_repository.go:216-263 23505 path).
@@ -1059,8 +1108,15 @@ class CrawlRunner:
         partition) run as parallel shard-local tasks. A rename target
         collides with a submitted candidate only if both carry the same
         url_hash, and equal url_hash implies equal host -> equal shard, so
-        the per-shard candidate check equals the old global-set check."""
+        the per-shard candidate check equals the old global-set check.
+
+        ``static_flushed``/``static_refs``: results of the fetch-overlapped
+        round-start membership checks (run_round flushes them mid-stream);
+        only target hashes NOT covered there are re-checked here, and the
+        post-drain critical path is the bounded candidate check."""
         store, cfg = self.store, self.cfg
+        static_flushed = static_flushed or {}
+        static_refs = {s: list(rs) for s, rs in (static_refs or {}).items()}
         renames = renames_all[renames_all["renamed"].fillna(False)]
         if len(renames) == 0:
             return {}, set()
@@ -1076,19 +1132,25 @@ class CrawlRunner:
                 first["final_host_hash"].map(lambda v: int(v) % cfg.num_shards)
             )
         }
-        taken_refs = {
-            shard: _rename_check_task.remote(
-                list(grp["final_url_hash"]),
-                store.cuckoo_path(rnd, shard),
-                store.frontier_path(rnd, shard),
-                light_shard_dir(results_dir, shard),
+        cand_refs = {}
+        for shard, grp in groups.items():
+            want = list(grp["final_url_hash"])
+            remainder = [h for h in want
+                         if h not in static_flushed.get(shard, ())]
+            if remainder:
+                static_refs.setdefault(shard, []).append(
+                    _rename_static_check_task.remote(
+                        sorted(set(remainder)), store.cuckoo_path(rnd, shard),
+                        store.frontier_path(rnd, shard)))
+            cand_refs[shard] = _cand_check_task.remote(
+                want, light_shard_dir(results_dir, shard),
                 sorted(feed_hashes_by_shard.get(shard, set())),
             )
-            for shard, grp in groups.items()
-        }
         accepted_rows = []
         for shard, grp in groups.items():
-            taken = ray.get(taken_refs[shard])
+            taken = set(ray.get(cand_refs[shard]))
+            for r in static_refs.get(shard, ()):
+                taken |= ray.get(r)
             hit = grp["final_url_hash"].isin(taken).to_numpy()
             rejected.update(grp.loc[hit, "url_hash"])
             acc = grp[~hit]
@@ -1099,13 +1161,11 @@ class CrawlRunner:
 
         inserts_by_shard: dict[int, pa.Table] = {}
         if accepted_rows:
-            # reconstruct full rows vectorized: join the accepted renames
-            # back to this round's claims (bounded; plain scan beats a
-            # multi-value `in` parquet predicate)
-            acc = pd.concat(accepted_rows, ignore_index=True)
-            claims = pq.read_table(store.claims_dir(rnd)).to_pandas()
-            claims = claims[claims["url_hash"].isin(set(acc["url_hash"]))]
-            j = acc.merge(claims, on="url_hash", suffixes=("", "_c"))
+            # full insert rows come straight off the streamed rename rows:
+            # _maybe_rename carried the claimed row's fields, so no claims
+            # parquet re-scan (O(claims)) stands between the fetch drain
+            # and the merge release
+            j = pd.concat(accepted_rows, ignore_index=True)
             ins = pd.DataFrame(
                 {
                     "url": j["final_url"],

@@ -324,6 +324,20 @@ def _maybe_rename(upd: dict, claim: dict, res: dict) -> None:
         final_url_hash=fh,
         final_host=fhost,
         final_host_hash=host_hash64(fhost),
+        # carry the claim fields the rename-target insert needs
+        # (frontier_repository.go:216-263 builds the 23505-conflict insert
+        # from the claimed row): the driver's rename resolution then works
+        # entirely from the bounded streamed rename rows — no re-scan of
+        # the round's claims parquet
+        source_id=claim["source_id"],
+        origin=claim["origin"],
+        parent_url=claim["parent_url"],
+        depth=claim["depth"],
+        priority=claim["priority"],
+        next_fetch_at=claim["next_fetch_at"],
+        discovered_at=claim["discovered_at"],
+        fetch_count=claim["fetch_count"],
+        last_error=claim["last_error"],
     )
 
 
@@ -345,6 +359,9 @@ RESULT_FIELDS = [
     ("final_url_hash", pa.string()),
     ("final_host", pa.string()),
     ("final_host_hash", pa.int64()),
+    # claim fields carried on RENAMED updates only (rename-insert inputs)
+    ("fetch_count", pa.int32()),
+    ("last_error", pa.string()),
     # doc fields
     ("doc_id", pa.string()),
     ("url", pa.string()),
@@ -636,10 +653,21 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
             f"{out_dir}/blobs", stem,
         )
     light = full.filter(pc.invert(pc.equal(full["rec"], "doc"))).select(LIGHT_COLS)
-    shards = light.column("shard").to_numpy(zero_copy_only=False)
-    for s in np.unique(shards):
-        sub = light.filter(pc.equal(light["shard"], int(s)))
-        _atomic_write(sub, light_shard_dir(out_dir, int(s)), stem)
+    # updates and outlink candidates go to DISTINCT file stems in the same
+    # shard dir (part-* vs cand-*): the rename-target candidate check then
+    # globs only cand-* — in a recrawl steady state (no discoveries) that
+    # is ZERO files instead of one tiny footer-parse per fetch batch
+    is_out = pc.equal(light["rec"], "outlink")
+    upd_light = light.filter(pc.invert(is_out))
+    cand_light = light.filter(is_out)
+    for part, prefix in ((upd_light, "part"), (cand_light, "cand")):
+        if part.num_rows == 0:
+            continue
+        shards = part.column("shard").to_numpy(zero_copy_only=False)
+        for s in np.unique(shards):
+            sub = part.filter(pc.equal(part["shard"], int(s)))
+            _atomic_write(sub, light_shard_dir(out_dir, int(s)),
+                          f"{prefix}-{stem[5:]}")
     renamed = pc.and_(
         pc.equal(light["rec"], "update"),
         pc.fill_null(light["renamed"], False),

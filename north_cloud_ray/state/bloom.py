@@ -69,9 +69,37 @@ class BloomFilter:
         bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
         return bool(bit.all())
 
+    def _positions_many(self, keys) -> np.ndarray:
+        """(n, k) bit positions — one hashlib pass, vectorized double
+        hashing (identical derivation to the scalar path)."""
+        n = len(keys)
+        buf = b"".join(hashlib.sha256(k.encode()).digest()[:16] for k in keys)
+        a = np.ascontiguousarray(
+            np.frombuffer(buf, dtype=np.uint8).reshape(n, 16))
+        h1 = np.ascontiguousarray(a[:, :8]).view(">u8").reshape(n).astype(np.uint64)
+        h2 = np.ascontiguousarray(a[:, 8:]).view(">u8").reshape(n).astype(np.uint64)
+        h2 |= np.uint64(1)  # odd => full period
+        i = np.arange(self.k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add_many(self, keys) -> bool:
+        if len(keys) == 0:
+            return True
+        pos = self._positions_many(keys).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        self.count += len(keys)
+        return True
+
     def contains_many(self, keys) -> np.ndarray:
-        return np.fromiter((self.contains(k) for k in keys), dtype=bool,
-                           count=len(keys))
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_many(keys)
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=1)
 
     def to_bytes(self) -> bytes:
         head = b"BLM1" + self.k.to_bytes(4, "big") \

@@ -31,10 +31,13 @@ def build_checked(backend: str, hashes) -> object:
     at 2x capacity — the committed filter never silently drops a key
     (the "NO is definitive" invariant rename resolution relies on).
     Bloom adds cannot fail, so its first attempt always commits."""
+    hashes = list(hashes)
     cap = max(1 << 14, 2 * len(hashes))
     while True:
         f = new_filter(backend, capacity=cap)
-        if all(f.add(h) for h in hashes):
+        ok = (f.add_many(hashes) if hasattr(f, "add_many")
+              else all(f.add(h) for h in hashes))
+        if ok:
             return f
         cap *= 2
 

@@ -90,3 +90,64 @@ def test_seenfilter_dispatch_and_occupancy():
     small.count = 50
     assert filter_full(small, 10 * 100)
     assert not filter_full(small, 10)
+
+
+# ---- vectorized batch ops (add_many / remove_many) ----
+
+
+def test_add_many_equals_scalar_membership():
+    keys = [f"key-{i}" for i in range(8000)]
+    scalar = CuckooFilter(capacity=20_000)
+    batch = CuckooFilter(capacity=20_000)
+    for k in keys:
+        assert scalar.add(k)
+    assert batch.add_many(keys)
+    assert batch.count == scalar.count == len(keys)
+    # no false negatives either way; identical FPR statistics by identical
+    # (fp, bucket) derivation — probe decisions agree on present keys
+    assert all(batch.contains_many(keys))
+    assert all(scalar.contains_many(keys))
+    absent = [f"no-{i}" for i in range(8000)]
+    # present-key probes must agree; absent-key false positives depend only
+    # on the (fp, i1, i2) derivation, which the two paths share exactly
+    import numpy as np
+    assert np.array_equal(scalar.contains_many(absent),
+                          batch.contains_many(absent))
+
+
+def test_remove_many_matches_caller_contract():
+    # the caller contract (crawl merge seen-filter maintenance): only keys
+    # known to be inserted are removed — exactly what the scalar
+    # contains()+remove() pair guaranteed. Batch removal of absent keys
+    # is bounded by the FP rate (same exposure the scalar guard had).
+    keys = [f"key-{i}" for i in range(5000)]
+    f = CuckooFilter(capacity=10_000)
+    assert f.add_many(keys)
+    assert f.remove_many(keys[:2000]) == 2000
+    assert f.count == 3000
+    assert f.contains_many(keys[2000:]).all()
+    # absent never-inserted keys are (statistically) a no-op
+    g = CuckooFilter(capacity=10_000)
+    assert g.add_many(keys)
+    n = g.remove_many([f"no-{i}" for i in range(5000)])
+    assert n <= 50  # only FP collisions may clear (<1% here)
+
+
+def test_add_many_overflow_reports_false():
+    f = CuckooFilter(capacity=64)
+    assert not f.add_many([f"x{i}" for i in range(500)])
+
+
+def test_bloom_add_many_bit_identical_to_scalar():
+    import numpy as np
+
+    from north_cloud_ray.state.bloom import BloomFilter
+
+    keys = [f"k{i}" for i in range(4000)]
+    a = BloomFilter(capacity=4000)
+    b = BloomFilter(capacity=4000)
+    for k in keys:
+        a.add(k)
+    b.add_many(keys)
+    assert np.array_equal(a.bits, b.bits)
+    assert a.count == b.count
