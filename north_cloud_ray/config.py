@@ -127,6 +127,12 @@ class CrawlConfig:
     # frac_render > 0; off turns dynamic hosts into docless fetches.
     use_render: bool = True
 
+    # test-only fault injection (tests/test_crash_recovery.py): when set,
+    # the first fetch task to finish its durable writes kills its worker
+    # process before returning, proving the fused sink + completion
+    # counting are crash/retry-safe. None in all production paths.
+    fault_inject_dir: str | None = None
+
     # S10: archive raw HTML bodies to a per-round blob sink
     # (results/blobs/, binary column) — the archive.UploadTask analog
     # (crawler collector.go:394-400). Off by default: doubles fetch I/O.

@@ -679,6 +679,7 @@ def _merge_task(
         max_retries, recrawl_baseline_us=recrawl_baseline_us,
     )
 
+    late_updates = 0
     if rename_gate is not None:
         rename_inserts, rename_rejected = ray.get(
             rename_gate.get.remote(shard))
@@ -688,10 +689,26 @@ def _merge_task(
             upd2, cands2 = _read_light_partition(
                 light_dir, extra_cands.iloc[0:0], files2)
             if len(upd2):
-                raise RuntimeError(
-                    f"shard {shard}: {len(upd2)} update rows appeared after "
-                    "the completion count — early-merge launch is unsound")
-            cands = pd.concat([cands, cands2], ignore_index=True)
+                # completion counting broke (count rows are deduped by
+                # (shard, stem), so this should be unreachable) — degrade
+                # to a full re-merge over the COMPLETE light partition
+                # instead of failing the round; the early phase-A result
+                # is discarded, correctness is preserved
+                late_updates = int(len(upd2))
+                updates, cands = _read_light_partition(light_dir, extra_cands)
+                if len(updates):
+                    ren_mask = (updates["renamed"].fillna(False)
+                                .to_numpy(dtype=bool))
+                    upd_ren, upd_rest = updates[ren_mask], updates[~ren_mask]
+                else:
+                    upd_ren = upd_rest = updates
+                merged = merge_shard(
+                    old, claimed, upd_rest, cands.iloc[0:0], pd.DataFrame(),
+                    set(), max_retries,
+                    recrawl_baseline_us=recrawl_baseline_us,
+                )
+            else:
+                cands = pd.concat([cands, cands2], ignore_index=True)
 
     cands = cands[CAND_COLS[:-1]]
     ins = rename_inserts.to_pandas() if rename_inserts is not None else pd.DataFrame()
@@ -758,6 +775,7 @@ def _merge_task(
             "light": {"dir": light_dir,
                       "updates": int(len(updates)),
                       "candidates": int(len(cands))},
+            "late_update_recovery": late_updates,
             "rename_inserts": int(len(ins)),
             "rename_rejected": len(rename_rejected),
             "frontier_out": {"path": out_frontier,
@@ -977,14 +995,23 @@ class CrawlRunner:
         static_flushed: dict[int, set] = {}
         static_refs: dict[int, list] = {}
         static_launched = False
+        seen_count_keys: set[tuple[int, str]] = set()
         for bundle in light_ds.iter_internal_ref_bundles():
             for blk_ref, _md in bundle.blocks:
                 tbl: pa.Table = ray.get(blk_ref)
                 if tbl.num_rows == 0:
                     continue
                 cnt = tbl.filter(pc.equal(tbl["rec"], "count"))
-                for s, n in zip(cnt["shard"].to_pylist(),
-                                cnt["claim_at"].to_pylist()):
+                # count rows are deduped by (shard, batch-stem): a retried
+                # fetch task re-emitting an already-consumed block cannot
+                # double-count a shard and fire its merge early
+                for s, n, st in zip(cnt["shard"].to_pylist(),
+                                    cnt["claim_at"].to_pylist(),
+                                    cnt["url_hash"].to_pylist()):
+                    key = (int(s), st)
+                    if key in seen_count_keys:
+                        continue
+                    seen_count_keys.add(key)
                     processed[int(s)] += int(n)
                 ren = tbl.filter(pc.and_(
                     pc.equal(tbl["rec"], "update"),

@@ -689,7 +689,25 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
             count_arrays.append(pa.array(uniq, type=f.type))
         elif f.name == "claim_at":
             count_arrays.append(pa.array(cnts, type=f.type))
+        elif f.name == "url_hash":
+            # the batch's deterministic stem rides along so the driver can
+            # DEDUP count rows by (shard, stem): a retried task that
+            # somehow re-emits a consumed block then counts once, never
+            # twice — the early-merge launch stays sound under retries
+            count_arrays.append(pa.array([stem] * len(uniq), type=f.type))
         else:
             count_arrays.append(pa.nulls(len(uniq), type=f.type))
     count_tbl = pa.Table.from_arrays(count_arrays, schema=light.schema)
+    if getattr(crawl_cfg, "fault_inject_dir", None):
+        # test-only hook (tests/test_crash_recovery.py): the first task to
+        # reach this point dies AFTER its durable writes but BEFORE
+        # returning — exercising the idempotent-sink + count-once contract
+        # under a real Ray worker crash + task retry
+        import os as _os
+
+        marker = _os.path.join(crawl_cfg.fault_inject_dir, "crashed")
+        if not _os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("1")
+            _os._exit(1)
     return pa.concat_tables([light.filter(renamed), count_tbl])

@@ -94,3 +94,128 @@ def test_prune_state_retention_and_resume(ray_session, tmp_path):
     fb = rb.frontier_dataset().to_pandas().sort_values("url_hash") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(fa, fb)
+
+
+def test_fetch_worker_crash_mid_stream_byte_equal(ray_session, tmp_path):
+    """Kill a fetch worker AFTER its durable sink writes but BEFORE its
+    light block returns (cfg.fault_inject_dir hook): Ray retries the task,
+    the idempotent fused sink overwrites its own part files, the count-row
+    dedup keeps the early-merge completion counting sound, and the final
+    crawl state + docs equal a clean run's exactly."""
+    import dataclasses
+    import glob
+
+    ref = CrawlRunner(str(tmp_path / "ref"), CFG, WEB)
+    ref.run(max_rounds=3)
+
+    inj_dir = str(tmp_path / "inj")
+    os.makedirs(inj_dir, exist_ok=True)
+    cfg = dataclasses.replace(CFG, fault_inject_dir=inj_dir)
+    crash = CrawlRunner(str(tmp_path / "crash"), cfg, WEB)
+    crash.run(max_rounds=3)
+
+    # the worker crash actually happened
+    assert os.path.exists(os.path.join(inj_dir, "crashed"))
+
+    a, b = _final_state(ref), _final_state(crash)
+    assert list(a.index) == list(b.index)
+    for c in CMP:
+        assert list(a[c]) == list(b[c]), c
+
+    # doc sink equality (first-writer-wins dedup applied on read)
+    da = ref.documents_dataset().to_pandas()
+    db = crash.documents_dataset().to_pandas()
+    da = da.sort_values("doc_id").reset_index(drop=True)
+    db = db.sort_values("doc_id").reset_index(drop=True)
+    assert list(da["doc_id"]) == list(db["doc_id"])
+    assert list(da["content_hash"]) == list(db["content_hash"])
+
+    # no duplicate light part files from the retry (atomic overwrite)
+    for rd in glob.glob(os.path.join(str(tmp_path / "crash"), "rounds",
+                                     "round-*", "results", "light",
+                                     "shard-*")):
+        stems = [os.path.basename(f) for f in glob.glob(rd + "/*.parquet")]
+        assert len(stems) == len(set(stems))
+
+
+def test_late_update_rows_degrade_to_full_remerge(ray_session, tmp_path):
+    """If update rows appear in a shard's light partition AFTER its merge
+    was early-launched (completion counting broken — normally prevented by
+    count-row dedup), the merge discards its phase-A result and re-merges
+    the COMPLETE partition instead of failing the round."""
+    import ray
+
+    from north_cloud_ray.pipelines.crawl import (
+        HOST_STATE_RUNTIME_SCHEMA,
+        _frontier_to_table,
+        _merge_task,
+        seed_frontier_table,
+    )
+    from north_cloud_ray.stages.fetch_parse import (
+        LIGHT_COLS,
+        RESULT_SCHEMA,
+        light_shard_dir,
+    )
+
+    seeds = [{"url": f"https://h{i}.example.com/a"} for i in range(3)]
+    df = seed_frontier_table(seeds, 1)
+    old_path = str(tmp_path / "frontier.parquet")
+    pq.write_table(_frontier_to_table(df), old_path)
+    uh = list(df.sort_values("url_hash")["url_hash"])
+    hh = {r.url_hash: r.host_hash for r in df.itertuples()}
+
+    claims = pa.table({"url_hash": uh[:2]})
+    claims_path = str(tmp_path / "claims.parquet")
+    pq.write_table(claims, claims_path)
+
+    def upd_row(h, chash):
+        vals = {"rec": "update", "url_hash": h, "host_hash": hh[h],
+                "outcome": "fetched", "claim_at": 1000, "renamed": False,
+                "content_hash": chash, "shard": 0}
+        arrays = []
+        names = []
+        for f in RESULT_SCHEMA:
+            if f.name not in LIGHT_COLS:
+                continue
+            names.append(f.name)
+            arrays.append(pa.array([vals.get(f.name)], type=f.type))
+        return pa.Table.from_arrays(arrays, names=names)
+
+    results = str(tmp_path / "results")
+    ldir = light_shard_dir(results, 0)
+    os.makedirs(ldir, exist_ok=True)
+    pq.write_table(upd_row(uh[0], "c0"), os.path.join(ldir, "part-a.parquet"))
+    late = upd_row(uh[1], "c1")
+
+    @ray.remote(num_cpus=0)
+    class LateGate:
+        """Writes a LATE update part file at release time — simulating a
+        merge early-launched on a broken completion count."""
+
+        def __init__(self, tbl, path):
+            self.tbl, self.path = tbl, path
+
+        def get(self, shard):
+            pq.write_table(self.tbl, self.path)
+            return None, []
+
+    import pandas as _pd
+
+    host_state = HOST_STATE_RUNTIME_SCHEMA.empty_table()
+    out_a = str(tmp_path / "out-degraded.parquet")
+    gate = LateGate.remote(late, os.path.join(ldir, "part-b.parquet"))
+    m = ray.get(_merge_task.remote(
+        0, old_path, claims_path, ldir, _pd.DataFrame(), None, [],
+        host_state, out_a, str(tmp_path / "hs-a.parquet"), 3,
+        rename_gate=gate))
+    assert m["lineage"]["late_update_recovery"] == 1
+
+    # reference: same inputs merged with both update files present upfront
+    out_b = str(tmp_path / "out-ref.parquet")
+    ray.get(_merge_task.remote(
+        0, old_path, claims_path, ldir, _pd.DataFrame(), None, [],
+        host_state, out_b, str(tmp_path / "hs-b.parquet"), 3))
+    a = pq.read_table(out_a).to_pandas().sort_values("url_hash").reset_index(drop=True)
+    b = pq.read_table(out_b).to_pandas().sort_values("url_hash").reset_index(drop=True)
+    assert a.equals(b)
+    assert list(a.loc[a["url_hash"].isin(uh[:2]), "status"]) == ["fetched", "fetched"]
