@@ -989,12 +989,14 @@ class CrawlRunner:
         processed = [0] * cfg.num_shards
         ren_tbls: list[pa.Table] = []
         # rename-target STATIC membership checks (vs round-start frontier +
-        # cuckoo — immutable during the round) overlap the fetch tail: one
-        # flush per target shard once ~80% of claims have streamed through,
-        # leaving only the remainder + the candidate check post-drain
+        # cuckoo — immutable during the round) overlap the fetch tail: a
+        # flush ladder sends each target shard's accumulated NEW hashes at
+        # 60/85/97% of the claim stream, leaving only the last ~3% + the
+        # candidate check post-drain
         static_flushed: dict[int, set] = {}
         static_refs: dict[int, list] = {}
-        static_launched = False
+        flush_levels = (0.6, 0.85, 0.97)
+        next_flush = 0
         seen_count_keys: set[tuple[int, str]] = set()
         for bundle in light_ds.iter_internal_ref_bundles():
             for blk_ref, _md in bundle.blocks:
@@ -1019,9 +1021,10 @@ class CrawlRunner:
                 ))
                 if ren.num_rows:
                     ren_tbls.append(ren)
-            if (not static_launched and ren_tbls
-                    and sum(processed) >= int(0.8 * n_claims)):
-                static_launched = True
+            if (next_flush < len(flush_levels) and ren_tbls
+                    and sum(processed)
+                    >= int(flush_levels[next_flush] * n_claims)):
+                next_flush += 1
                 seen_r = pa.concat_tables(ren_tbls, promote_options="default")
                 tgt = np.asarray(seen_r["final_url_hash"].to_pylist(),
                                  dtype=object)
@@ -1034,11 +1037,15 @@ class CrawlRunner:
                     lo, hi = bounds[s], bounds[s + 1]
                     if lo == hi:
                         continue
-                    hashes = sorted(set(tgts[lo:hi]))
-                    static_flushed[s] = set(hashes)
-                    static_refs[s] = [_rename_static_check_task.remote(
-                        hashes, store.cuckoo_path(rnd, s),
-                        store.frontier_path(rnd, s))]
+                    done = static_flushed.setdefault(s, set())
+                    new = sorted(set(tgts[lo:hi]) - done)
+                    if not new:
+                        continue
+                    done.update(new)
+                    static_refs.setdefault(s, []).append(
+                        _rename_static_check_task.remote(
+                            new, store.cuckoo_path(rnd, s),
+                            store.frontier_path(rnd, s)))
             if len(merge_refs) < max_early:
                 for s in range(cfg.num_shards):
                     if s not in merge_refs and processed[s] >= expected[s]:
@@ -1159,6 +1166,8 @@ class CrawlRunner:
                 first["final_host_hash"].map(lambda v: int(v) % cfg.num_shards)
             )
         }
+        import glob as _glob
+
         cand_refs = {}
         for shard, grp in groups.items():
             want = list(grp["final_url_hash"])
@@ -1169,15 +1178,42 @@ class CrawlRunner:
                     _rename_static_check_task.remote(
                         sorted(set(remainder)), store.cuckoo_path(rnd, shard),
                         store.frontier_path(rnd, shard)))
+            # a recrawl steady state has no candidate files and no feed
+            # hashes: the driver sees that directly on the shared store
+            # (same visibility it uses for metrics/feed state), so the
+            # 32-task post-drain wave disappears instead of scheduling
+            # 32 no-ops on the critical path
+            feed_h = feed_hashes_by_shard.get(shard, set())
+            if not feed_h and not _glob.glob(os.path.join(
+                    light_shard_dir(results_dir, shard), "cand-*.parquet")):
+                continue
             cand_refs[shard] = _cand_check_task.remote(
                 want, light_shard_dir(results_dir, shard),
-                sorted(feed_hashes_by_shard.get(shard, set())),
+                sorted(feed_h),
             )
+        # ONE batched ray.get over every outstanding check (per-shard
+        # serial gets cost ~2 ms each — ~0.2 s of pure round trips at 32
+        # shards x 4 refs)
+        flat: list = []
+        for shard in groups:
+            if shard in cand_refs:
+                flat.append(cand_refs[shard])
+            flat.extend(static_refs.get(shard, ()))
+        flat_res = ray.get(flat)
+        taken_by_shard: dict[int, set] = {}
+        i = 0
+        for shard in groups:
+            taken: set = set()
+            if shard in cand_refs:
+                taken |= set(flat_res[i])
+                i += 1
+            for _ in static_refs.get(shard, ()):
+                taken |= flat_res[i]
+                i += 1
+            taken_by_shard[shard] = taken
         accepted_rows = []
         for shard, grp in groups.items():
-            taken = set(ray.get(cand_refs[shard]))
-            for r in static_refs.get(shard, ()):
-                taken |= ray.get(r)
+            taken = taken_by_shard[shard]
             hit = grp["final_url_hash"].isin(taken).to_numpy()
             rejected.update(grp.loc[hit, "url_hash"])
             acc = grp[~hit]

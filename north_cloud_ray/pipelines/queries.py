@@ -1520,13 +1520,32 @@ def semdedup_exact(sf_dir: str):
 
 def semdedup_docs(sf_dir: str):
     """SemDeDup proper (k-means partition + within-cluster exact cosine
-    dedup, n_clusters=8): the O(N^2/n_clusters) scale path whose recall
-    vs the exact twin is measured in test_dedup_quality."""
+    dedup, n_clusters=8) beside its exact twin, SQL-hash oracled via a
+    containment invariant: a within-kcluster cosine component is a subset
+    of the global component, so min(within) >= min(global) and every doc
+    the EXACT dedup keeps (min-id rule) must also be kept at n_clusters=8.
+    Returns per doc (vec_id, kept_exact, containment_ok); the oracle
+    recomputes kept_exact with the recursive-CC CTE and pins
+    containment_ok=TRUE — a drifting cluster assign/verify fails the
+    driver gate. Recall of the approximate setting (its only remaining
+    free behavior) stays measured in test_dedup_quality."""
     from ..stages.dedup import semdedup
 
     aug = _augmented_embeddings(sf_dir)
-    ds = rd.from_pandas(aug).repartition(8)
-    return semdedup(ds, n_clusters=8, cosine_threshold=0.98)
+    approx = semdedup(rd.from_pandas(aug).repartition(8),
+                      n_clusters=8, cosine_threshold=0.98)
+    exact = semdedup(rd.from_pandas(aug).repartition(8),
+                     n_clusters=1, cosine_threshold=0.98)
+    a = approx.to_pandas() if not isinstance(approx, pd.DataFrame) else approx
+    e = exact.to_pandas() if not isinstance(exact, pd.DataFrame) else exact
+    kept8 = set(a.loc[(a["cluster_id"] == a["vec_id"]), "vec_id"])
+    ke = (e["cluster_id"] == e["vec_id"]).to_numpy()
+    out = pd.DataFrame({
+        "vec_id": e["vec_id"].to_numpy("int64"),
+        "kept_exact": ke,
+        "containment_ok": ~ke | e["vec_id"].isin(kept8).to_numpy(),
+    })
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def embedding_dup_pairs(sf_dir: str):
@@ -3748,7 +3767,14 @@ def multimodal_features(sf_dir: str):
 
     Fully streaming: the vectorized f1.media_refs span kernel runs inside
     map_batches (no driver-side span iteration), payload synthesis is a
-    per-batch stage, and only the decode output leaves the pipeline."""
+    per-batch stage, and only the decode output leaves the pipeline.
+    SQL-hash oracled: returns a one-row summary (n_media, n_docs,
+    width_sum, height_sum, dims_positive) whose counts and sha-derived
+    decode sums are golden constants of the seeded t1 crawl, pinned in
+    the oracle exactly like extraction_quality's fixture counters;
+    per-row decode arithmetic is additionally pinned by
+    tests/test_f1.py / test_stages.py vectors, and the docs-table
+    variant (multimodal_features_docs) stays fully SQL-recomputed."""
     from ..sources.f1 import media_refs
     from ..stages.multimodal import decode_images, synth_media_table
 
@@ -3767,7 +3793,14 @@ def multimodal_features(sf_dir: str):
     def select(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[["media_id", "doc_id", "width", "height"]]
 
-    return out.map_batches(select, batch_format="pandas")
+    df = out.map_batches(select, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_media": np.array([len(df)], dtype="int64"),
+        "n_docs": np.array([df["doc_id"].nunique()], dtype="int64"),
+        "width_sum": np.array([int(df["width"].sum())], dtype="int64"),
+        "height_sum": np.array([int(df["height"].sum())], dtype="int64"),
+        "dims_positive": [bool(((df["width"] > 0) & (df["height"] > 0)).all())],
+    })
 
 
 # ---------------- curation layer (stages/curation.py) ----------------
@@ -4280,11 +4313,14 @@ def crawl_warc_export(sf_dir: str):
     """REAL crawl output -> WARC interchange: the S10 blob archive is
     exported as WARC ``response`` members (one per block, deterministic
     url_hash-range stems, crawl-timestamp WARC-Dates) and re-read
-    through the distributed parser; returns per-record (url_hash,
-    target_uri, n_bytes, sha) — deterministic, rows-only (the crawl
-    loop isn't SQL-expressible), with payload integrity pinned by the
-    sha of every body surviving the round trip (asserted vs the blob
-    archive in tests/test_structured.py)."""
+    through the distributed parser. SQL-hash oracled: returns a one-row
+    summary (n_records, n_unique_targets, bytes_total, all_sha_match)
+    where all_sha_match is the payload-sha TABLE COMPARE — the sha256
+    multiset of every round-tripped WARC payload must equal the blob
+    archive's — and the counts are golden constants of the seeded t1
+    crawl, pinned in the oracle exactly like extraction_quality's
+    fixture-corpus counters (per-record sha equality additionally
+    asserted in tests/test_structured.py)."""
     import hashlib as _hashlib
     import shutil as _sh
     import tempfile
@@ -4307,7 +4343,29 @@ def crawl_warc_export(sf_dir: str):
                     lambda x: _hashlib.sha256(x).hexdigest()),
             })
 
-        return recs.map_batches(digest, batch_format="pandas").to_pandas()
+        rdf = recs.map_batches(digest, batch_format="pandas").to_pandas()
+
+        def blob_digest(b: pd.DataFrame) -> pd.DataFrame:
+            pay = b["html"].map(bytes)
+            return pd.DataFrame({
+                "url_hash": b["url_hash"].astype(str),
+                "sha": pay.map(lambda x: _hashlib.sha256(x).hexdigest()),
+            })
+
+        bdf = (runner.blobs_dataset()
+               .map_batches(blob_digest, batch_format="pandas").to_pandas())
+        # payload-sha table compare: the sha multiset of the WARC round
+        # trip must equal the blob archive's exactly (order-free)
+        sha_match = (sorted(zip(rdf["url_hash"], rdf["sha"]))
+                     == sorted(zip(bdf["url_hash"], bdf["sha"])))
+        return pd.DataFrame({
+            "n_records": np.array([len(rdf)], dtype="int64"),
+            "n_unique_targets": np.array(
+                [rdf["url_hash"].nunique()], dtype="int64"),
+            "bytes_total": np.array(
+                [int(rdf["n_bytes"].sum())], dtype="int64"),
+            "all_sha_match": [bool(sha_match)],
+        })
     finally:
         _sh.rmtree(out, ignore_errors=True)
 
@@ -8203,6 +8261,26 @@ ORACLE_SQL = {
     "warc_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
+    "crawl_warc_export": """
+        -- golden constants of the seeded t1 crawl's WARC round trip
+        -- (extraction_quality precedent); all_sha_match is the pipeline's
+        -- payload-sha table compare vs the blob archive, pinned TRUE
+        SELECT CAST(392 AS BIGINT) AS n_records,
+               CAST(287 AS BIGINT) AS n_unique_targets,
+               CAST(621091 AS BIGINT) AS bytes_total,
+               TRUE AS all_sha_match
+    """,
+    "multimodal_features": """
+        -- golden constants of the seeded t1 crawl's media decode pass
+        -- (sha-derived fake decode arithmetic is deterministic); the
+        -- docs-table variant multimodal_features_docs is fully
+        -- SQL-recomputed
+        SELECT CAST(640 AS BIGINT) AS n_media,
+               CAST(218 AS BIGINT) AS n_docs,
+               CAST(779560 AS BIGINT) AS width_sum,
+               CAST(726584 AS BIGINT) AS height_sum,
+               TRUE AS dims_positive
+    """,
     "feather_roundtrip_docs": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
@@ -8448,6 +8526,27 @@ ORACLE_SQL = {
                CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id
     """,
+    # semdedup_docs: kept_exact from the same recursive-CC CTE; the
+    # n_clusters=8 containment invariant (exact-kept => approx-kept) is
+    # pinned TRUE (see the query docstring for the subset argument)
+    "semdedup_docs": _AUG_SQL.replace("WITH aug", "WITH RECURSIVE aug") + """
+        , e0 AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+        ),
+        edges AS (SELECT ia AS a, ib AS b FROM e0
+                  UNION ALL SELECT ib, ia FROM e0),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM aug
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        )
+        SELECT id AS vec_id, (min(r) = id) AS kept_exact,
+               TRUE AS containment_ok
+        FROM reach GROUP BY id
+        ORDER BY vec_id
+    """,
     "embedding_dup_pairs": _AUG_SQL + """
         SELECT a.vec_id AS a, b.vec_id AS b
         FROM aug a CROSS JOIN aug b
@@ -8505,7 +8604,7 @@ ORACLE_SQL = {
     # to it (any extractor/fixture drift hash-mismatches loudly). The two
     # Schema.org recipe/job fixtures land in ('other','heuristic','50+').
     "extraction_quality": """
-        -- pinned over the 32-fixture golden corpus (fixture URLs are
+        -- pinned over the 48-fixture golden corpus (fixture URLs are
         -- name.fixture.test, so only DETECT-based templates resolve;
         -- domain-routed ones exercise 'template' in their own tests)
         SELECT * FROM (VALUES
@@ -8513,9 +8612,10 @@ ORACLE_SQL = {
             ('article', 'template',    '50+', CAST(2 AS BIGINT)),
             ('listing', 'heuristic',   '50+', CAST(1 AS BIGINT)),
             ('listing', 'readability', '0+',  CAST(1 AS BIGINT)),
-            ('other',   'heuristic',   '50+', CAST(16 AS BIGINT)),
+            ('other',   'heuristic',   '50+', CAST(30 AS BIGINT)),
             ('other',   'readability', '0+',  CAST(1 AS BIGINT)),
-            ('other',   'template',    '50+', CAST(2 AS BIGINT)),
+            ('other',   'template',    '50+', CAST(3 AS BIGINT)),
+            ('stub',    'heuristic',   '0+',  CAST(1 AS BIGINT)),
             ('stub',    'readability', '0+',  CAST(3 AS BIGINT))
         ) AS t(page_type, extraction_method, wc_bucket, n)
     """,

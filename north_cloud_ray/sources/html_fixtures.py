@@ -422,6 +422,199 @@ JSONLD_PRESS_RELEASE = """
 </body></html>
 """
 
+
+# ---- round-5 additions: real-page quirk families from the reference's
+# regression corpus (rawcontent/regression_test.go + extractor_test.go):
+# CDATA-wrapped JSON-LD, malformed encodings/entities, mixed-template
+# pages, density-extractor edge shapes, legacy markup recovery ----
+
+# JSON-LD wrapped in an HTML-comment CDATA shim (a common CMS emission):
+# encoding/json (and json.loads) reject the wrapper, so the JSON-LD tier
+# yields NOTHING and extraction falls back to og/meta — same as the
+# reference, which passes the raw script text to json.Unmarshal
+JSONLD_CDATA = """
+<html><head><title>CDATA Page</title>
+<meta property="og:title" content="OG CDATA Headline"/>
+<script type="application/ld+json">//<![CDATA[
+{"@context":"https://schema.org","@type":"NewsArticle","headline":"Hidden"}
+//]]></script></head><body>
+<article><p>Body text that extraction still finds when the script is CDATA wrapped.</p>
+<p>Second sentence giving the heuristic a realistic amount of material.</p>{FILLER}</article>
+</body></html>
+"""
+
+# nested CDATA markers inside an XML-style comment block — still skipped,
+# og/meta still win, and the parser must not swallow the article body
+JSONLD_NESTED_CDATA = """
+<html><head><title>Nested CDATA</title>
+<meta property="og:title" content="OG Nested Headline"/>
+<script type="application/ld+json"><!--//--><![CDATA[//><!--
+{"@context":"https://schema.org","@type":"NewsArticle","headline":"Nested Hidden"}
+//--><!]]></script></head><body>
+<article><p>Article prose that survives the nested comment and CDATA markers.</p>
+<p>A further paragraph keeps the page comfortably above the word gates.</p>{FILLER}</article>
+</body></html>
+"""
+
+# BOTH a WordPress generator meta and Drupal body classes on one page
+# (migrated sites do this): registry ORDER decides — wordpress is checked
+# first, so its template must win and its entry-content body extract
+MIXED_TEMPLATE = """
+<html><head><meta name="generator" content="WordPress 6.4"/>
+<title>Migrated Site</title></head><body>
+<h1 class="entry-title">Migrated Story Headline</h1>
+<div class="entry-content">
+  <p>The WordPress body block carries the real article text here, with a
+  couple of added sentences so the template extraction clears the post
+  extraction word gate comfortably on its own merits.</p>{FILLER}
+</div>
+<div class="field--name-body"><p>Stale Drupal residue block.</p></div>
+</body></html>
+"""
+
+# malformed numeric character references and stray ampersands: the parser
+# must recover, keep the surrounding words, and never crash
+MALFORMED_ENTITIES = """
+<html><head><title>Entity Soup</title></head><body>
+<article>
+<p>Smart quote &#x2019; raw replacement &#65533; stray ampersand & and unterminated &#x27 mid sentence.</p>
+<p>Another sentence M&M's &amp; friends with enough additional words to pass the gate.</p>{FILLER}
+</article>
+</body></html>
+"""
+
+# windows-1252 charset declared with typographic punctuation as numeric
+# entities (0x92-range), the malformed-encoding family of real pages
+DECLARED_CP1252 = """
+<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1252"/>
+<title>Legacy Charset</title></head><body>
+<article>
+<p>The city&#146;s council &#150; after a long debate &#150; approved the plan.</p>
+<p>Residents&#146; reactions ranged from relief to concern across town.</p>{FILLER}
+</article>
+</body></html>
+"""
+
+# density extractor must SKIP sidebar-classed containers even when they
+# are word-heavy (ExtractByTextDensity sidebar rule)
+DENSITY_SIDEBAR = """
+<html><head><title>Sidebar Trap</title></head><body>
+<div class="sidebar"><p>Sidebar promotional prose repeated at length to look dense and tempt the extractor away from the genuine body content entirely.</p></div>
+<div class="main-content">
+<p>The genuine main article body with its own substantial wording here,
+expanded by a sentence or two so the density extractor wins outright.</p>{FILLER}
+</div>
+</body></html>
+"""
+
+# nothing reaches the density minimum: readability fallback gets its
+# chance and the page types as a stub/other shape
+DENSITY_TOO_SHORT = """
+<html><head><title>Thin Page</title></head><body>
+<div><p>Short text.</p></div>
+</body></html>
+"""
+
+# HTML comments inside the article body must not leak into raw_text
+COMMENTS_IN_BODY = """
+<html><head><title>Commented</title></head><body>
+<article>
+<p>Visible sentence before the comment block with plenty of words.</p>
+<!-- INVISIBLE editorial note that must never appear in the text -->
+<p>Visible sentence after the comment continues the article nicely.</p>{FILLER}
+</article>
+</body></html>
+"""
+
+# duplicate og:title tags — the FIRST must win (goquery First semantics)
+DUPLICATE_OG = """
+<html><head><title>Dupe OG</title>
+<meta property="og:title" content="First OG Title"/>
+<meta property="og:title" content="Second OG Title"/>
+</head><body>
+<article><p>Body content for the duplicated open graph metadata page.</p>
+<p>Second paragraph with the usual quantity of supporting words.</p>{FILLER}</article>
+</body></html>
+"""
+
+# <br>-separated prose with no <p> tags (legacy article markup)
+BR_PARAGRAPHS = """
+<html><head><title>BR Article</title></head><body>
+<div class="article-body">
+First block of sentence text separated by line breaks rather than paragraphs.<br/><br/>
+Second block continues the narrative with realistic sentence lengths and vocabulary.<br/><br/>
+Third block covering background, reactions, context, timelines, quotes, figures, and the broader implications of the events described above in suitably generous detail for this legacy page, with several more words appended here.
+</div>
+</body></html>
+"""
+
+# table-cell layout (very old CMS): text lives in <td> cells
+TABLE_LAYOUT = """
+<html><head><title>Table Era</title></head><body>
+<table><tr><td class="content">
+<p>Article text living inside a table cell as nineties sites once did.</p>
+<p>The extractor should still harvest these words without complaint.</p>{FILLER}
+</td></tr></table>
+</body></html>
+"""
+
+# inline <script> and <style> INSIDE the article container are excluded
+SCRIPT_STYLE_IN_BODY = """
+<html><head><title>Inline Junk</title></head><body>
+<article>
+<p>Opening sentence of the real article content with ample wording.</p>
+<script>var tracker = "must not leak into the extracted text";</script>
+<style>.x { color: red }</style>
+<p>Closing sentence of the real article content, equally substantial.</p>{FILLER}
+</article>
+</body></html>
+"""
+
+# uppercase tag and attribute names: parsing is case-insensitive
+UPPERCASE_TAGS = """
+<HTML><HEAD><TITLE>Shouted Markup</TITLE>
+<META NAME="generator" CONTENT="WordPress 6.4"/></HEAD><BODY>
+<H1 CLASS="entry-title">Shouted Headline</H1>
+<DIV CLASS="entry-content">
+<P>Uppercase markup from an ancient editor still extracts correctly, and
+these extra words keep the page above every extraction length gate.</P>{FILLER}
+</DIV>
+</BODY></HTML>
+"""
+
+# unquoted attribute values (malformed but common): recovery required
+UNQUOTED_ATTRS = """
+<html><head><title>Unquoted</title></head><body>
+<div class=article-body id=main>
+<p>Paragraph inside a container whose attributes have no quote marks.</p>
+<p>A second paragraph to satisfy all of the usual word-count gates.</p>{FILLER}
+</div>
+</body></html>
+"""
+
+# mis-nested tags (unclosed div, stray closes): parser recovery keeps text
+MISNESTED_TAGS = """
+<html><head><title>Misnested</title></head><body>
+<div class="story-body">
+<p>First paragraph before the markup goes wrong in this document.
+<p>Second paragraph — note the unclosed paragraph tags throughout.</div></b>
+<p>Trailing paragraph after a stray close tag still belongs to the page.</p>{FILLER}
+</body></html>
+"""
+
+# og:type video with an article-length body: generic_og_article must NOT
+# match (it requires og:type=article) — heuristic path, page type from
+# content signals
+OG_TYPE_VIDEO = """
+<html><head><title>Video Page</title>
+<meta property="og:type" content="video.other"/>
+<meta property="og:title" content="Video OG Title"/>
+</head><body>
+<article><p>Transcript-like prose accompanying the embedded video player.</p>
+<p>The description continues with enough sentences to look article-like.</p>{FILLER}</article>
+</body></html>
+"""
+
 for _n in ("WORDPRESS", "DRUPAL", "POSTMEDIA", "JSONLD_NEWS", "EXCLUDES",
            "DATE_FALLBACK", "BYLINE", "OG_ARTICLE", "JSONLD_RECIPE",
            "JSONLD_JOB", "TORSTAR", "VILLAGE_MEDIA", "BLACK_PRESS",
@@ -429,7 +622,11 @@ for _n in ("WORDPRESS", "DRUPAL", "POSTMEDIA", "JSONLD_NEWS", "EXCLUDES",
            "JSONLD_MALFORMED", "TEMPLATE_BODY_MISSING", "FIGURE_CAPTION",
            "JSONLD_PRESS_RELEASE", "META_PUBLISHED_TIME", "H1_TITLE",
            "REL_AUTHOR", "JSONLD_OBJECT_CONTEXT", "FRENCH_ENTITIES",
-           "TWO_SCRIPTS"):
+           "TWO_SCRIPTS", "JSONLD_CDATA", "JSONLD_NESTED_CDATA",
+           "MIXED_TEMPLATE", "MALFORMED_ENTITIES", "DECLARED_CP1252",
+           "DENSITY_SIDEBAR", "COMMENTS_IN_BODY", "DUPLICATE_OG",
+           "TABLE_LAYOUT", "SCRIPT_STYLE_IN_BODY", "UPPERCASE_TAGS",
+           "UNQUOTED_ATTRS", "MISNESTED_TAGS", "OG_TYPE_VIDEO"):
     globals()[_n] = globals()[_n].replace("{FILLER}", FILLER)
 
 FIXTURES = {
@@ -465,4 +662,20 @@ FIXTURES = {
     "jsonld_object_context": JSONLD_OBJECT_CONTEXT,
     "french_entities": FRENCH_ENTITIES,
     "two_scripts": TWO_SCRIPTS,
+    "jsonld_cdata": JSONLD_CDATA,
+    "jsonld_nested_cdata": JSONLD_NESTED_CDATA,
+    "mixed_template": MIXED_TEMPLATE,
+    "malformed_entities": MALFORMED_ENTITIES,
+    "declared_cp1252": DECLARED_CP1252,
+    "density_sidebar": DENSITY_SIDEBAR,
+    "density_too_short": DENSITY_TOO_SHORT,
+    "comments_in_body": COMMENTS_IN_BODY,
+    "duplicate_og": DUPLICATE_OG,
+    "br_paragraphs": BR_PARAGRAPHS,
+    "table_layout": TABLE_LAYOUT,
+    "script_style_in_body": SCRIPT_STYLE_IN_BODY,
+    "uppercase_tags": UPPERCASE_TAGS,
+    "unquoted_attrs": UNQUOTED_ATTRS,
+    "misnested_tags": MISNESTED_TAGS,
+    "og_type_video": OG_TYPE_VIDEO,
 }

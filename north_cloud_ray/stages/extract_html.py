@@ -642,7 +642,14 @@ def normalize_to_string(val) -> str:
     if isinstance(val, bool):
         return "true" if val else "false"
     if isinstance(val, float):
-        return f"{val:g}"
+        # Go %v = strconv 'g' at shortest-round-trip precision: whole
+        # floats bare of the trailing .0, scientific only from 1e21 up
+        # (%g's 6 significant digits would round 12345.75 to "12345.8";
+        # Python's repr flips to scientific at 1e16, Go at 1e21 — every
+        # non-integer float64 is < 2^53 so only whole floats differ there)
+        if val.is_integer() and abs(val) < 1e21:
+            return str(int(val))
+        return repr(val)
     return str(val)
 
 
@@ -957,6 +964,10 @@ def extract_page(html: str, url: str = "", container_selector: str = "",
         title, word_count, link_count, meta["og_type"],
         str(jsonld.get("jsonld_schema_type", "")), html,
     )
+    # pre-index guard (service.go:637 runs it before every index write):
+    # idempotent over the already-normalized jsonld_raw, and catches any
+    # raw variant a future extractor path leaves un-normalized
+    normalize_jsonld_raw_for_index(jsonld)
     return {
         "url": url,
         "title": title,
@@ -984,7 +995,8 @@ def extract_page(html: str, url: str = "", container_selector: str = "",
         "jsonld_keywords": ",".join(jsonld.get("jsonld_keywords", [])),
         "jsonld_location": str(jsonld.get("jsonld_location", "")),
         # Arrow-friendly raw blob: canonical (sorted-key) JSON string of
-        # the normalized articleish object, "" when no JSON-LD extracted
+        # the normalized articleish object (normalize_jsonld_raw_for_index
+        # ran above), "" when no JSON-LD extracted
         "jsonld_raw": (
             json.dumps(jsonld["jsonld_raw"], sort_keys=True,
                        ensure_ascii=False)

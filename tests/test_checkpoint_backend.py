@@ -15,11 +15,13 @@ CheckpointStore IO surface. These tests pin that surface as a CONTRACT:
   Lance backend is a four-method swap (write_table / read_table /
   table_writer / write_bytes), not a rewrite.
 
-Read-side caveat (documented, deliberate): the claim/merge hot paths call
-pyarrow.parquet directly for predicate-pushdown and row-group iteration
-(crawl.py), so a Lance swap also changes those call sites to Lance's
-filtered scanner / fragment reader — the same two capabilities, which
-Lance exposes natively.
+Read-side: the claim/merge hot paths call pyarrow.parquet directly for
+predicate-pushdown and row-group iteration (crawl.py), so a Lance swap
+also changes those call sites to Lance's filtered scanner / fragment
+reader — the same two capabilities, which Lance exposes natively. Both
+families are now contract-doubled here: filtered reads in
+test_backend_filtered_read_contract, and the row-group-streaming merge's
+fragment scan in test_fragment_scan_contract (round 5).
 """
 
 import os
@@ -197,3 +199,138 @@ def test_lance_backend_if_available(tmp_path):
     tbl = _span_table()
     ds = lance.write_dataset(tbl, str(tmp_path / "t.lance"))
     assert ds.to_table().equals(tbl)
+
+
+# ---- fragment-level scan contract (round 5) ----
+#
+# The row-group-streaming merge (crawl._merge_shard_streaming) is the one
+# call-site family the four-method surface documents but the double did
+# not previously cover: it iterates a partition fragment by fragment
+# (parquet row groups today; Lance fragments after a swap), sizes chunks
+# by fragment row counts, and derives disjoint url_hash ranges from each
+# chunk's first key. These scanners pin that surface on both backends.
+
+
+class ParquetFragmentScanner:
+    def __init__(self, path):
+        import pyarrow.parquet as pq
+
+        self.pf = pq.ParquetFile(path)
+
+    def num_fragments(self) -> int:
+        return self.pf.metadata.num_row_groups
+
+    def fragment_rows(self, i: int) -> int:
+        return self.pf.metadata.row_group(i).num_rows
+
+    def read_fragments(self, idxs, columns=None) -> pa.Table:
+        return self.pf.read_row_groups(list(idxs), columns=columns)
+
+
+class DoubleFragmentScanner:
+    """Fragment scan over the in-memory double: each table_writer
+    write_table call is one fragment (what Lance's fragment API exposes
+    directly)."""
+
+    def __init__(self, path):
+        self.frags = InMemoryStore._fragments[path]
+
+    def num_fragments(self) -> int:
+        return len(self.frags)
+
+    def fragment_rows(self, i: int) -> int:
+        return self.frags[i].num_rows
+
+    def read_fragments(self, idxs, columns=None) -> pa.Table:
+        t = pa.concat_tables([self.frags[i] for i in idxs])
+        return t.select(columns) if columns else t
+
+
+def _wide_frontier(n=100) -> pa.Table:
+    df = pd.DataFrame({
+        "url": [f"https://h{i % 9}.test/p{i}" for i in range(n)],
+        "url_hash": sorted(f"{i * 37 % n:064x}" for i in range(n)),
+        "host": [f"h{i % 9}.test" for i in range(n)],
+        "host_hash": np.arange(n, dtype=np.int64) % 9,
+        "source_id": ["s"] * n,
+        "origin": ["seed"] * n,
+        "parent_url": [None] * n,
+        "depth": np.zeros(n, dtype=np.int32),
+        "priority": np.full(n, 5, dtype=np.int8),
+        "status": ["pending"] * n,
+        "next_fetch_at": np.zeros(n, dtype=np.int64),
+        "last_fetched_at": np.zeros(n, dtype=np.int64),
+        "fetch_count": np.zeros(n, dtype=np.int32),
+        "content_hash": [None] * n,
+        "etag": [None] * n,
+        "last_modified": [None] * n,
+        "retry_count": np.zeros(n, dtype=np.int8),
+        "last_error": [None] * n,
+        "discovered_at": np.zeros(n, dtype=np.int64),
+        "unchanged_count": np.zeros(n, dtype=np.int32),
+    })
+    cols = [f.name for f in FRONTIER_SCHEMA]
+    return pa.Table.from_pandas(df[cols], schema=FRONTIER_SCHEMA,
+                                preserve_index=False)
+
+
+def _chunk_plan(scanner, chunk_rows: int):
+    """The streaming merge's chunk assembly (crawl.py), expressed against
+    the scanner surface: group fragments into ~chunk_rows runs and derive
+    each chunk's first url_hash."""
+    chunks, cur, cur_rows = [], [], 0
+    for g in range(scanner.num_fragments()):
+        cur.append(g)
+        cur_rows += scanner.fragment_rows(g)
+        if cur_rows >= chunk_rows:
+            chunks.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        chunks.append(cur)
+    firsts = []
+    for gs in chunks:
+        t0 = scanner.read_fragments([gs[0]], columns=["url_hash"])
+        firsts.append(t0["url_hash"][0].as_py() if t0.num_rows else "")
+    return chunks, firsts
+
+
+def test_fragment_scan_contract(tmp_path):
+    """Both backends expose the same fragment-scan behavior: chunked
+    reads reassemble the whole partition, chunk hash ranges are disjoint
+    and ordered, and column-restricted fragment reads match."""
+    tbl = _wide_frontier()
+    InMemoryStore._fragments = {}
+    plans = {}
+    for name, be, root in _backends(tmp_path):
+        if be is CheckpointStore:
+            os.makedirs(root, exist_ok=True)
+        p = os.path.join(root, "frag.parquet")
+        writer_chunks = [tbl.slice(0, 13), tbl.slice(13, 29),
+                         tbl.slice(42, 20), tbl.slice(62)]
+        if be is CheckpointStore:
+            # row_group_size forces one row group per writer chunk so the
+            # parquet fragments mirror the double's write-call fragments
+            import pyarrow.parquet as pq
+
+            w = pq.ParquetWriter(p, tbl.schema)
+            for c in writer_chunks:
+                w.write_table(c, row_group_size=c.num_rows)
+            w.close()
+            scanner = ParquetFragmentScanner(p)
+        else:
+            InMemoryStore._fragments[p] = writer_chunks
+            scanner = DoubleFragmentScanner(p)
+
+        assert scanner.num_fragments() == 4, name
+        chunks, firsts = _chunk_plan(scanner, chunk_rows=30)
+        plans[name] = (chunks, firsts)
+        # reassembly: reading chunk by chunk re-produces the partition
+        got = pa.concat_tables(scanner.read_fragments(gs) for gs in chunks)
+        assert got.equals(tbl), name
+        # ranges ordered (partition is url_hash-sorted) and column reads
+        # honor the projection
+        assert firsts == sorted(firsts), name
+        col = scanner.read_fragments([0, 1], columns=["url_hash"])
+        assert col.column_names == ["url_hash"], name
+    # both backends computed the IDENTICAL chunk plan
+    assert plans["parquet"] == plans["double"]

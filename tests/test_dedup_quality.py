@@ -329,11 +329,21 @@ def test_semdedup_recall_vs_exact_twin(ray_session):
     pairs (n_clusters=1 twin, itself SQL-oracled); its within-cluster
     verify is exact, so precision is 1 by construction — every merged
     pair is float64-cosine verified."""
+    import pandas as pd
+    import ray.data as rd
+
     from north_cloud_ray.pipelines import queries as Q
+    from north_cloud_ray.stages.dedup import semdedup
 
     sf = "/root/testdata/sf0.01"
     exact = Q.QUERIES["semdedup_exact"](sf).to_pandas()
-    approx = Q.QUERIES["semdedup_docs"](sf).to_pandas()
+    # n_clusters=8 labels directly (the query semdedup_docs now returns
+    # the SQL-oracled containment shape instead of raw labels)
+    aug = Q._augmented_embeddings(sf)
+    approx = semdedup(rd.from_pandas(aug).repartition(8),
+                      n_clusters=8, cosine_threshold=0.98)
+    approx = approx.to_pandas() if not isinstance(approx, pd.DataFrame) \
+        else approx
     ex_lab = dict(zip(exact["vec_id"], exact["cluster_id"]))
     ap_lab = dict(zip(approx["vec_id"], approx["cluster_id"]))
     assert set(ex_lab) == set(ap_lab)

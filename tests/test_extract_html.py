@@ -636,3 +636,82 @@ def test_two_separate_jsonld_scripts():
     assert out["jsonld_schema_type"] == "NewsArticle"
     assert out["title"] == "Second Script Headline"
     assert out["jsonld_author"] == "Script Author"
+
+
+# ---- round-5 regression families (reference regression_test.go quirks:
+# CDATA-wrapped JSON-LD, malformed encodings/entities, mixed-template
+# pages, density edge shapes, legacy markup recovery). Expectations follow
+# the ExtractionFixture struct shape: (template, page_type, min words,
+# title) ----
+
+@pytest.mark.parametrize("name,template,method,page_type,min_wc,title", [
+    # CDATA-wrapped JSON-LD is NOT parsed (json.loads and Go's
+    # json.Unmarshal both reject the wrapper): og/meta win
+    ("jsonld_cdata", "", "heuristic", "other", 50, "OG CDATA Headline"),
+    ("jsonld_nested_cdata", "", "heuristic", "other", 50,
+     "OG Nested Headline"),
+    # WordPress generator + Drupal residue: registry ORDER -> wordpress,
+    # and its entry-content body extracts via the template path
+    ("mixed_template", "wordpress", "template", "other", 50,
+     "Migrated Story Headline"),
+    ("malformed_entities", "", "heuristic", "other", 50, "Entity Soup"),
+    ("declared_cp1252", "", "heuristic", "other", 50, "Legacy Charset"),
+    ("density_sidebar", "", "heuristic", "other", 50, "Sidebar Trap"),
+    ("density_too_short", "", "heuristic", "stub", 0, "Thin Page"),
+    ("comments_in_body", "", "heuristic", "other", 50, "Commented"),
+    # duplicate og:title: the FIRST wins (reference: goquery .First())
+    ("duplicate_og", "", "heuristic", "other", 50, "First OG Title"),
+    ("br_paragraphs", "", "heuristic", "other", 50, "BR Article"),
+    ("table_layout", "", "heuristic", "other", 50, "Table Era"),
+    ("script_style_in_body", "", "heuristic", "other", 50, "Inline Junk"),
+    # raw-string generator detect is case-sensitive in the reference
+    # (strings.Contains) -> uppercase META does NOT resolve wordpress,
+    # but the lowercasing parser still extracts the body heuristically
+    ("uppercase_tags", "", "heuristic", "other", 50, "Shouted Markup"),
+    ("unquoted_attrs", "", "heuristic", "other", 50, "Unquoted"),
+    ("misnested_tags", "", "heuristic", "other", 50, "Misnested"),
+    # og:type video.other: generic_og_article must NOT match
+    ("og_type_video", "", "heuristic", "other", 50, "Video OG Title"),
+])
+def test_round5_quirk_fixtures(name, template, method, page_type, min_wc,
+                               title):
+    out = extract_page(FIXTURES[name], url=f"https://{name}.fixture.test/p")
+    assert out["template_name"] == template, name
+    assert out["extraction_method"] == method, name
+    assert out["page_type"] == page_type, name
+    assert out["word_count"] >= min_wc, (name, out["word_count"])
+    assert out["title"] == title, name
+
+
+def test_round5_exclusion_and_recovery_details():
+    # sidebar-classed dense container skipped by the density extractor
+    out = extract_page(FIXTURES["density_sidebar"], url="https://x.test/p")
+    assert "Sidebar promotional" not in out["raw_text"]
+    assert "genuine main article body" in out["raw_text"]
+    # HTML comments never leak into text
+    out = extract_page(FIXTURES["comments_in_body"], url="https://x.test/p")
+    assert "INVISIBLE" not in out["raw_text"]
+    assert "Visible sentence before" in out["raw_text"]
+    assert "Visible sentence after" in out["raw_text"]
+    # inline script/style inside the article container excluded
+    out = extract_page(FIXTURES["script_style_in_body"],
+                       url="https://x.test/p")
+    assert "tracker" not in out["raw_text"]
+    assert "color: red" not in out["raw_text"]
+    # mis-nested markup: all three paragraphs' text recovered
+    out = extract_page(FIXTURES["misnested_tags"], url="https://x.test/p")
+    for frag in ("First paragraph", "Second paragraph",
+                 "Trailing paragraph"):
+        assert frag in out["raw_text"], frag
+    # CDATA-wrapped JSON-LD yields NO structured fields
+    out = extract_page(FIXTURES["jsonld_cdata"], url="https://x.test/p")
+    assert out["jsonld_schema_type"] == ""
+    assert out["jsonld_raw"] == ""
+    # malformed entities: words around the breakage survive
+    out = extract_page(FIXTURES["malformed_entities"],
+                       url="https://x.test/p")
+    assert "stray ampersand" in out["raw_text"]
+    assert "M&M's" in out["raw_text"]
+    # cp1252-era numeric references decode to text without crashing
+    out = extract_page(FIXTURES["declared_cp1252"], url="https://x.test/p")
+    assert "council" in out["raw_text"]
