@@ -1155,6 +1155,11 @@ class CrawlRunner:
         if len(renames) == 0:
             return {}, set()
         renames = renames.sort_values("url_hash", kind="mergesort")
+        # a URL is claimable at most once per round, so equal url_hash can
+        # only be a re-emitted block (task retry) — dedup it here, else
+        # the duplicate would put the WINNER's own hash into `rejected`
+        # and the origin row would survive alongside its rename insert
+        renames = renames.drop_duplicates("url_hash", keep="first")
         # winner per target hash = smallest origin url_hash
         first = renames.drop_duplicates("final_url_hash", keep="first")
         rejected: set[str] = set(

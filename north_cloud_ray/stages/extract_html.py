@@ -642,15 +642,41 @@ def normalize_to_string(val) -> str:
     if isinstance(val, bool):
         return "true" if val else "false"
     if isinstance(val, float):
-        # Go %v = strconv 'g' at shortest-round-trip precision: whole
-        # floats bare of the trailing .0, scientific only from 1e21 up
-        # (%g's 6 significant digits would round 12345.75 to "12345.8";
-        # Python's repr flips to scientific at 1e16, Go at 1e21 — every
-        # non-integer float64 is < 2^53 so only whole floats differ there)
-        if val.is_integer() and abs(val) < 1e21:
-            return str(int(val))
-        return repr(val)
+        return _go_float_g(val)
     return str(val)
+
+
+def _go_float_g(val: float) -> str:
+    """strconv.FormatFloat(v, 'g', -1, 64), the formatter behind Go's
+    %v: shortest round-trip digits, fixed notation while the decimal
+    exponent is in [-4, 6), e-form with a two-digit exponent otherwise
+    (ftoa.go: shortest 'g' uses eprec=6 — NOT encoding/json's 1e21 ES6
+    cutoff). So 12345.75 -> "12345.75", 999999.0 -> "999999", but
+    2000000.0 -> "2e+06" and 0.00001 -> "1e-05"."""
+    import decimal
+    import math
+
+    if val != val or val in (float("inf"), float("-inf")):
+        return {float("inf"): "+Inf", float("-inf"): "-Inf"}.get(val, "NaN")
+    if val == 0.0:
+        return "-0" if math.copysign(1.0, val) < 0 else "0"
+    d = decimal.Decimal(repr(val)).normalize()
+    sign, digits, dexp = d.as_tuple()
+    mant = "".join(map(str, digits))
+    nd = len(mant)
+    exp = dexp + nd - 1  # decimal exponent of the leading digit
+    if -4 <= exp < 6:
+        if exp >= nd - 1:
+            s = mant + "0" * (exp - nd + 1)
+        elif exp >= 0:
+            s = mant[: exp + 1] + "." + mant[exp + 1:]
+        else:
+            s = "0." + "0" * (-exp - 1) + mant
+    else:
+        frac = mant[1:]
+        s = (mant[0] + ("." + frac if frac else "")
+             + f"e{'+' if exp >= 0 else '-'}{abs(exp):02d}")
+    return ("-" if sign else "") + s
 
 
 def normalize_publisher_value(val) -> str | None:

@@ -219,3 +219,38 @@ def test_late_update_rows_degrade_to_full_remerge(ray_session, tmp_path):
     b = pq.read_table(out_b).to_pandas().sort_values("url_hash").reset_index(drop=True)
     assert a.equals(b)
     assert list(a.loc[a["url_hash"].isin(uh[:2]), "status"]) == ["fetched", "fetched"]
+
+
+def test_duplicate_rename_rows_resolve_once(ray_session, tmp_path):
+    """A re-emitted light block (task retry) duplicates a rename row;
+    resolution must treat it as ONE rename — never putting the winner's
+    own url_hash into the rejected set (which would leave the origin row
+    alive beside its rename insert)."""
+    import numpy as np
+
+    from north_cloud_ray.config import CrawlConfig
+    from north_cloud_ray.pipelines.crawl import CrawlRunner
+
+    cfg = CrawlConfig(num_shards=2)
+    runner = CrawlRunner(str(tmp_path / "out"), cfg, WEB)
+    runner.init_state([{"url": "https://h0.example.com/a"}])
+
+    row = {
+        "url_hash": "aa" * 32, "host_hash": 7, "outcome": "fetched",
+        "claim_at": 1000, "reason": None, "content_hash": "c",
+        "etag": None, "last_modified": None, "renamed": True,
+        "final_url": "https://h9.example.com/b",
+        "final_url_hash": "bb" * 32, "final_host": "h9.example.com",
+        "final_host_hash": 9, "shard": 7 % 2,
+        "source_id": "s", "origin": "seed", "parent_url": None,
+        "depth": np.int32(0), "priority": np.int8(5),
+        "next_fetch_at": np.int64(0), "discovered_at": np.int64(0),
+        "fetch_count": np.int32(0), "last_error": None,
+    }
+    dup = pd.DataFrame([row, dict(row)])  # the same rename row TWICE
+    results = str(tmp_path / "results")
+    os.makedirs(results, exist_ok=True)
+    ins, rejected = runner._resolve_renames(0, dup, {}, results)
+    assert rejected == set(), rejected  # winner must NOT self-reject
+    total = sum(t.num_rows for t in ins.values())
+    assert total == 1  # exactly one insert row at the target shard

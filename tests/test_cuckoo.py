@@ -108,11 +108,12 @@ def test_add_many_equals_scalar_membership():
     assert all(batch.contains_many(keys))
     assert all(scalar.contains_many(keys))
     absent = [f"no-{i}" for i in range(8000)]
-    # present-key probes must agree; absent-key false positives depend only
-    # on the (fp, i1, i2) derivation, which the two paths share exactly
-    import numpy as np
-    assert np.array_equal(scalar.contains_many(absent),
-                          batch.contains_many(absent))
+    # absent-key false positives depend on slot ARRANGEMENT, which the
+    # two build orders may legitimately differ on (cuckoo.py docstring) —
+    # assert only that both sit at the designed FPR, not bit-equality
+    fpr_s = scalar.contains_many(absent).mean()
+    fpr_b = batch.contains_many(absent).mean()
+    assert fpr_s < 0.05 and fpr_b < 0.05, (fpr_s, fpr_b)
 
 
 def test_remove_many_matches_caller_contract():

@@ -715,3 +715,30 @@ def test_round5_exclusion_and_recovery_details():
     # cp1252-era numeric references decode to text without crashing
     out = extract_page(FIXTURES["declared_cp1252"], url="https://x.test/p")
     assert "council" in out["raw_text"]
+
+
+def test_normalize_to_string_go_g_format():
+    """Go fmt %v float parity = strconv 'g' shortest: fixed notation for
+    decimal exponent in [-4, 6), two-digit e-form outside (ftoa.go
+    shortest eprec=6 — NOT encoding/json's 1e21 ES6 cutoff)."""
+    from north_cloud_ray.stages.extract_html import normalize_to_string
+
+    cases = [
+        (1500.5, "1500.5"),          # reference extractor_test.go vector
+        (12345.75, "12345.75"),      # %g would round to 12345.8
+        (12345.0, "12345"),          # whole float: no trailing .0
+        (999999.0, "999999"),        # last fixed-notation exponent
+        (1000000.0, "1e+06"),        # exp 6 flips to e-form
+        (12345678.5, "1.23456785e+07"),
+        (0.0001, "0.0001"),          # exp -4 still fixed
+        (0.00001, "1e-05"),          # exp -5 flips
+        (1e21, "1e+21"),
+        (-2.5, "-2.5"),
+        (0.0, "0"),
+        (-0.0, "-0"),
+    ]
+    for v, want in cases:
+        assert normalize_to_string(v) == want, (v, want)
+    assert normalize_to_string(True) == "true"
+    assert normalize_to_string(1500) == "1500"
+    assert normalize_to_string("1500") == "1500"
