@@ -8598,8 +8598,122 @@ ORACLE_SQL = {
                MIN(ts) AS first_at, MAX(ts) AS last_at
         FROM events GROUP BY event_type
     """,
+    # html_extraction / jsonld_structured_extraction run extraction
+    # over the STATIC 48-fixture golden corpus (sf-independent, fully
+    # deterministic), so their expected outputs ARE fixed golden
+    # tables — pinned VALUES oracles, same rationale as
+    # extraction_quality below; any extractor or fixture drift
+    # hash-mismatches loudly at the driver gate.
+    "html_extraction": """
+        SELECT * FROM (VALUES
+            ('https://black_press.fixture.test/page', 'Bulletin', CAST(59 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://br_paragraphs.fixture.test/page', 'BR Article', CAST(55 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://byline.fixture.test/page', 'Bylined', CAST(62 AS BIGINT), 'heuristic', '', 'other', 'By Alex Reporter', '', ''),
+            ('https://comments_in_body.fixture.test/page', 'Commented', CAST(55 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://date_fallback.fixture.test/page', 'Dated', CAST(64 AS BIGINT), 'heuristic', '', 'other', '', '2024-05-05T08:00:00Z', ''),
+            ('https://declared_cp1252.fixture.test/page', 'Legacy Charset', CAST(57 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://density_sidebar.fixture.test/page', 'Sidebar Trap', CAST(59 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://density_too_short.fixture.test/page', 'Thin Page', CAST(2 AS BIGINT), 'heuristic', '', 'stub', '', '', ''),
+            ('https://drupal.fixture.test/page', 'Council Meeting Notes', CAST(57 AS BIGINT), 'template', 'drupal', 'other', '', '', ''),
+            ('https://duplicate_og.fixture.test/page', 'First OG Title', CAST(54 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://excludes.fixture.test/page', 'With Junk', CAST(60 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://figure_caption.fixture.test/page', 'Figures', CAST(66 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://french_entities.fixture.test/page', 'L''actualité régionale & plus', CAST(54 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://generic_og.fixture.test/page', 'Generic OG Headline', CAST(56 AS BIGINT), 'template', 'generic_og_article', 'article', '', '', ''),
+            ('https://h1_title.fixture.test/page', 'The H1 Fallback Headline', CAST(59 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://jsonld_cdata.fixture.test/page', 'OG CDATA Headline', CAST(58 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://jsonld_event.fixture.test/page', 'Fall Fair', CAST(14 AS BIGINT), 'readability', '', 'stub', '', '2024-09-01T09:00:00Z', 'Event'),
+            ('https://jsonld_image_array.fixture.test/page', 'Array Image Headline', CAST(57 AS BIGINT), 'heuristic', '', 'article', 'First Author', '2024-06-02T12:00:00Z', 'NewsArticle'),
+            ('https://jsonld_job.fixture.test/page', 'Heavy Equipment Operator - North Mining Co', CAST(58 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://jsonld_list_blog.fixture.test/page', 'Blog Post Headline', CAST(54 AS BIGINT), 'heuristic', '', 'article', 'Solo Blogger', '2024-04-04T09:30:00Z', 'BlogPosting'),
+            ('https://jsonld_malformed.fixture.test/page', 'OG Wins Here', CAST(57 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://jsonld_nested_cdata.fixture.test/page', 'OG Nested Headline', CAST(57 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://jsonld_news.fixture.test/page', 'JSON-LD Headline', CAST(61 AS BIGINT), 'heuristic', '', 'article', 'Jane Writer', '2024-03-01T10:00:00Z', 'NewsArticle'),
+            ('https://jsonld_object_context.fixture.test/page', 'Object Context Headline', CAST(54 AS BIGINT), 'heuristic', '', 'article', 'Objectful Author', '2024-08-08T11:00:00Z', 'Article'),
+            ('https://jsonld_press_release.fixture.test/page', 'Press Release Headline', CAST(54 AS BIGINT), 'heuristic', '', 'other', '', '2024-07-07T08:00:00Z', 'PressRelease'),
+            ('https://jsonld_recipe.fixture.test/page', 'Maple Oat Cookies | Kitchen Site', CAST(59 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://listing.fixture.test/page', 'Section Index', CAST(80 AS BIGINT), 'heuristic', '', 'listing', '', '', ''),
+            ('https://malformed_entities.fixture.test/page', 'Entity Soup', CAST(63 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://meta_published_time.fixture.test/page', 'Meta Date Headline', CAST(57 AS BIGINT), 'heuristic', '', 'article', '', '2024-01-15T06:00:00Z', 'NewsArticle'),
+            ('https://misnested_tags.fixture.test/page', 'Misnested', CAST(68 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://mixed_template.fixture.test/page', 'Migrated Story Headline', CAST(67 AS BIGINT), 'template', 'wordpress', 'other', '', '', ''),
+            ('https://nav_heavy.fixture.test/page', 'Nav Heavy', CAST(45 AS BIGINT), 'readability', '', 'listing', '', '', ''),
+            ('https://og_article.fixture.test/page', 'OG Titled Piece', CAST(57 AS BIGINT), 'template', 'generic_og_article', 'article', '', '', ''),
+            ('https://og_type_video.fixture.test/page', 'Video OG Title', CAST(52 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://postmedia.fixture.test/page', 'Herald', CAST(60 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://readability_only.fixture.test/page', 'Odd Layout', CAST(25 AS BIGINT), 'readability', '', 'stub', '', '', ''),
+            ('https://rel_author.fixture.test/page', 'Rel Author Page', CAST(52 AS BIGINT), 'heuristic', '', 'other', 'Pat Journalist', '', ''),
+            ('https://script_style_in_body.fixture.test/page', 'Inline Junk', CAST(55 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://signin.fixture.test/page', 'Members', CAST(10 AS BIGINT), 'readability', '', 'other', '', '', ''),
+            ('https://stub.fixture.test/page', 'Stubby', CAST(6 AS BIGINT), 'readability', '', 'stub', '', '', ''),
+            ('https://table_layout.fixture.test/page', 'Table Era', CAST(57 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://template_body_missing.fixture.test/page', 'No Entry Content', CAST(57 AS BIGINT), 'heuristic', 'wordpress', 'other', '', '', ''),
+            ('https://torstar.fixture.test/page', 'Star Page Title', CAST(57 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://two_scripts.fixture.test/page', 'Second Script Headline', CAST(57 AS BIGINT), 'heuristic', '', 'article', 'Script Author', '2024-02-02T10:00:00Z', 'NewsArticle'),
+            ('https://unquoted_attrs.fixture.test/page', 'Unquoted', CAST(57 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://uppercase_tags.fixture.test/page', 'Shouted Markup', CAST(57 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://village_media.fixture.test/page', 'Village', CAST(56 AS BIGINT), 'heuristic', '', 'other', '', '', ''),
+            ('https://wordpress.fixture.test/page', 'A WordPress Story', CAST(60 AS BIGINT), 'template', 'wordpress', 'other', '', '', '')
+        ) AS t(url, title, word_count, extraction_method,
+               template_name, page_type, author, published_date,
+               jsonld_schema_type)
+    """,
+    "jsonld_structured_extraction": """
+        SELECT * FROM (VALUES
+            ('black_press', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('br_paragraphs', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('byline', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('comments_in_body', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('date_fallback', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('declared_cp1252', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('density_sidebar', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('density_too_short', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('drupal', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('duplicate_og', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('excludes', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('figure_caption', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('french_entities', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('generic_og', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('h1_title', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_cdata', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_event', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_image_array', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_job', '', CAST(0 AS BIGINT), 'null', 'Heavy Equipment Operator', 'North Mining Co', 'full_time', '{"extraction_method": "schema_org", "title": "Heavy Equipment Operator", "company": "North Mining Co", "location": "Sudbury, ON", "employment_type": "full_time", "posted_date": "2024-04-02", "expires_date": "2024-05-02", "description": "Operate haul trucks and loaders at the open pit site.", "industry": "Mining", "qualifications": "Class DZ licence and two years experience.", "benefits": "Extended health and dental.", "salary_currency": "CAD", "salary_min": 62000.0, "salary_max": 78000.0}'),
+            ('jsonld_list_blog', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_malformed', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_nested_cdata', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_news', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_object_context', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_press_release', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('jsonld_recipe', 'Maple Oat Cookies', CAST(27 AS BIGINT), '{"extraction_method": "schema_org", "name": "Maple Oat Cookies", "ingredients": ["2 cups rolled oats", "1 cup flour", "1/2 cup maple syrup"], "instructions": "Mix the dry ingredients. Fold in the maple syrup. Bake at 350F for 12 minutes.", "prep_time_minutes": 15, "cook_time_minutes": 12, "total_time_minutes": 27, "servings": "24 cookies", "category": "Dessert", "cuisine": "Canadian", "calories": "110 calories", "image_url": "https://kitchen.test/maple-oat.jpg", "rating": 4.6, "rating_count": 87}', '', '', '', 'null'),
+            ('listing', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('malformed_entities', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('meta_published_time', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('misnested_tags', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('mixed_template', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('nav_heavy', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('og_article', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('og_type_video', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('postmedia', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('readability_only', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('rel_author', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('script_style_in_body', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('signin', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('stub', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('table_layout', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('template_body_missing', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('torstar', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('two_scripts', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('unquoted_attrs', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('uppercase_tags', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('village_media', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null'),
+            ('wordpress', '', CAST(0 AS BIGINT), 'null', '', '', '', 'null')
+        ) AS t(fixture, recipe_name, recipe_total_minutes,
+               recipe_json, job_title, job_company,
+               job_employment_type, job_json)
+    """,
     # extraction_quality runs the DOM-extraction chain over the
-    # deterministic 32-page fixture corpus — not computable in SQL, but the
+    # deterministic 48-page fixture corpus — not computable in SQL, but the
     # expected output IS a fixed golden table; the oracle pins the pipeline
     # to it (any extractor/fixture drift hash-mismatches loudly). The two
     # Schema.org recipe/job fixtures land in ('other','heuristic','50+').
