@@ -8587,6 +8587,38 @@ ORACLE_SQL = {
         ORDER BY ts, event_id
         LIMIT 100
     """,
+    # crawl_stats / round_metrics summarize the SEEDED t1 crawl
+    # (sf-independent, deterministic — the oracle-equality pytest pins the
+    # underlying state): their outputs are fixed golden tables, pinned
+    # like extraction_quality's
+    "crawl_stats": """
+        SELECT * FROM (VALUES
+            ('dead',    CAST(46 AS BIGINT)),
+            ('fetched', CAST(284 AS BIGINT)),
+            ('pending', CAST(10 AS BIGINT))
+        ) AS t(status, n)
+    """,
+    "round_metrics": """
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(186 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+            (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(186 AS BIGINT), CAST(21 AS BIGINT), CAST(21 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+            (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(186 AS BIGINT), CAST(198 AS BIGINT), CAST(61 AS BIGINT), CAST(4 AS BIGINT), CAST(138 AS BIGINT), CAST(57 AS BIGINT), CAST(3 AS BIGINT)),
+            (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(186 AS BIGINT), CAST(111 AS BIGINT), CAST(104 AS BIGINT), CAST(7 AS BIGINT), CAST(37 AS BIGINT), CAST(71 AS BIGINT), CAST(3 AS BIGINT)),
+            (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(194 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+            (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(194 AS BIGINT), CAST(21 AS BIGINT), CAST(21 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+            (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(194 AS BIGINT), CAST(201 AS BIGINT), CAST(65 AS BIGINT), CAST(3 AS BIGINT), CAST(84 AS BIGINT), CAST(111 AS BIGINT), CAST(6 AS BIGINT)),
+            (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(194 AS BIGINT), CAST(115 AS BIGINT), CAST(108 AS BIGINT), CAST(4 AS BIGINT), CAST(34 AS BIGINT), CAST(77 AS BIGINT), CAST(4 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(75 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(75 AS BIGINT), CAST(21 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(75 AS BIGINT), CAST(204 AS BIGINT), CAST(65 AS BIGINT), CAST(3 AS BIGINT), CAST(31 AS BIGINT), CAST(163 AS BIGINT), CAST(10 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(75 AS BIGINT), CAST(115 AS BIGINT), CAST(10 AS BIGINT), CAST(0 AS BIGINT), CAST(30 AS BIGINT), CAST(80 AS BIGINT), CAST(5 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(193 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(193 AS BIGINT), CAST(21 AS BIGINT), CAST(21 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(20 AS BIGINT), CAST(1 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(193 AS BIGINT), CAST(204 AS BIGINT), CAST(68 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(184 AS BIGINT), CAST(10 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(193 AS BIGINT), CAST(115 AS BIGINT), CAST(104 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(80 AS BIGINT), CAST(35 AS BIGINT))
+        ) AS t("round", shard, claims_total, frontier_size, claimed,
+               new_urls, pending, fetched, dead)
+    """,
     "origin_budget": """
         SELECT event_type AS origin, COUNT(*) AS n
         FROM events
