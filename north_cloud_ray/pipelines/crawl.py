@@ -679,10 +679,14 @@ def _merge_task(
         max_retries, recrawl_baseline_us=recrawl_baseline_us,
     )
 
+    import time as _time
+
     late_updates = 0
+    t_gate = None
     if rename_gate is not None:
         rename_inserts, rename_rejected = ray.get(
             rename_gate.get.remote(shard))
+        t_gate = _time.perf_counter()
         seen1 = set(files1)
         files2 = [f for f in _light_files(light_dir) if f not in seen1]
         if files2:
@@ -776,6 +780,10 @@ def _merge_task(
                       "updates": int(len(updates)),
                       "candidates": int(len(cands))},
             "late_update_recovery": late_updates,
+            # wall seconds from gate release to task completion — the
+            # per-shard contribution to the post-resolution merge tail
+            "sec_phase_b": (round(_time.perf_counter() - t_gate, 4)
+                            if t_gate is not None else None),
             "rename_inserts": int(len(ins)),
             "rename_rejected": len(rename_rejected),
             "frontier_out": {"path": out_frontier,

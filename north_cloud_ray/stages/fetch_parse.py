@@ -653,21 +653,20 @@ def fetch_parse_fn(batch: pa.Table, *, web_cfg, crawl_cfg,
             f"{out_dir}/blobs", stem,
         )
     light = full.filter(pc.invert(pc.equal(full["rec"], "doc"))).select(LIGHT_COLS)
-    # updates and outlink candidates go to DISTINCT file stems in the same
-    # shard dir (part-* vs cand-*): the rename-target candidate check then
-    # globs only cand-* — in a recrawl steady state (no discoveries) that
-    # is ZERO files instead of one tiny footer-parse per fetch batch
-    is_out = pc.equal(light["rec"], "outlink")
-    upd_light = light.filter(pc.invert(is_out))
-    cand_light = light.filter(is_out)
-    for part, prefix in ((upd_light, "part"), (cand_light, "cand")):
-        if part.num_rows == 0:
-            continue
-        shards = part.column("shard").to_numpy(zero_copy_only=False)
-        for s in np.unique(shards):
-            sub = part.filter(pc.equal(part["shard"], int(s)))
-            _atomic_write(sub, light_shard_dir(out_dir, int(s)),
-                          f"{prefix}-{stem[5:]}")
+    # ONE light file per (batch, shard), but its stem prefix says whether
+    # it carries outlink candidates (cand-*) or only updates (part-*):
+    # the rename-target candidate check globs cand-* alone, so a recrawl
+    # steady state (no discoveries) reads ZERO files there, while
+    # discovery rounds keep exactly one file per batch-shard (no write
+    # amplification from a physical split)
+    shards = light.column("shard").to_numpy(zero_copy_only=False)
+    is_out = pc.equal(light["rec"], "outlink").to_numpy(zero_copy_only=False)
+    for s in np.unique(shards):
+        sel = shards == s
+        sub = light.filter(pa.array(sel))
+        prefix = "cand" if bool(is_out[sel].any()) else "part"
+        _atomic_write(sub, light_shard_dir(out_dir, int(s)),
+                      f"{prefix}-{stem[5:]}")
     renamed = pc.and_(
         pc.equal(light["rec"], "update"),
         pc.fill_null(light["renamed"], False),
