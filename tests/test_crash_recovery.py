@@ -196,8 +196,11 @@ def test_late_update_rows_degrade_to_full_remerge(ray_session, tmp_path):
             self.tbl, self.path = tbl, path
 
         def get(self, shard):
+            import ray as _ray
+
             pq.write_table(self.tbl, self.path)
-            return None, []
+            # gate protocol: (wrapped ins ref | None, wrapped rejected ref)
+            return None, [_ray.put([])]
 
     import pandas as _pd
 
