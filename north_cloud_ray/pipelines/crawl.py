@@ -1101,15 +1101,19 @@ class CrawlRunner:
         )
         rejected_sorted = sorted(rejected)
         # release the gate-blocked early merges with WRAPPED plasma refs
-        # (tiny actor args; each task derefs only its shard's table), then
-        # launch the rest with the resolution values passed directly
+        # (tiny actor args; each task derefs only its shard's table). The
+        # post-resolution launches get the SAME refs as plain task args —
+        # Ray auto-resolves top-level ObjectRefs, so the rejected list is
+        # serialized once total instead of once per shard (O(shards x
+        # renames) at the 4k-shard design point otherwise)
         rej_ref = ray.put(rejected_sorted)
         ins_refs = {s2: [ray.put(t)] for s2, t in inserts_by_shard.items()}
         gate.set.remote(ins_refs, [rej_ref])
         for s in range(cfg.num_shards):
             if s not in merge_refs:
-                _launch_merge(s, ins=inserts_by_shard.get(s),
-                              rej=rejected_sorted)
+                ins_r = ins_refs.get(s)
+                _launch_merge(s, ins=ins_r[0] if ins_r else None,
+                              rej=rej_ref)
         _mark("rename")
 
         # 4. merge barrier; commit state round+1
